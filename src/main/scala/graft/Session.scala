@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Hive-compatible defaults (see SURVEY.md §1.2): UTC session timezone
+  * (Hive timestamps are timezone-less), ANSI off-like behavior comes from
+  * Spark defaults. AQE on so skew joins / partition coalescing mirror the
+  * reference's SkewJoinResolver / SetReducerParallelism
+  * (ql/src/java/org/apache/hadoop/hive/ql/optimizer/physical/) for free.
+  */
+object Session {
+
+  /** Apply engine defaults to any builder (local or cluster master). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  /** Local session sized for the test harness (local[N] = one JVM). */
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
