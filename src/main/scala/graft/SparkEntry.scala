@@ -13,6 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
+    (operators.Grouping.queries, operators.Grouping.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
