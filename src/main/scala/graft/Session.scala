@@ -20,6 +20,9 @@ object Session {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
+    // default; read as long and convert in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session sized for the test harness (local[N] = one JVM). */
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {

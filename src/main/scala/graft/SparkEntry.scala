@@ -15,6 +15,10 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.Grouping.queries, operators.Grouping.oracles),
+    (functions.ScalarFunctions.queries, functions.ScalarFunctions.oracles),
+    (operators.Generators.queries, operators.Generators.oracles),
+    (operators.Subqueries.queries, operators.Subqueries.oracles),
+    (operators.Sampling.queries, operators.Sampling.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
