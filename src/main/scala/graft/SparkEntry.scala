@@ -19,6 +19,10 @@ object SparkEntry {
     (operators.Generators.queries, operators.Generators.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
     (operators.Sampling.queries, operators.Sampling.oracles),
+    (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+    (operators.Dedup.queries, operators.Dedup.oracles),
+    (operators.Similarity.queries, operators.Similarity.oracles),
+    (operators.EventsOps.queries, operators.EventsOps.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Deduplication suite for training-data pipelines over `documents`:
+  * exact (hash-groupBy), MinHash+LSH near-dup (shingle -> 64-hash
+  * signature -> 16x4 banding -> bucket self-join -> exact-Jaccard verify),
+  * SimHash, and exact n-gram Jaccard. Scale analysis (100 TB):
+  *
+  *  - exact: one shuffle on text-hash; group sizes are near-1 so AQE
+  *    coalesces; never collect.
+  *  - MinHash LSH: cost is O(docs x shingles) map-side + a shuffle on
+  *    (band, bandHash). Bucket join replaces the O(n^2) all-pairs join —
+  *    candidates are ~linear for real corpora. Exact verification joins
+  *    only candidate pairs' shingle sets.
+  *  - SimHash: 64 partial-agg columns, one shuffle on doc_id; pairing at
+  *    scale would band the simhash bits exactly like MinHash (here the
+  *    corpus per-verify is small after banding).
+  *
+  * All hashes are xxhash64 (seeded, deterministic) so results reproduce
+  * bit-for-bit across runs and cluster layouts.
+  */
+object Dedup {
+
+  /** (doc_id, sh) distinct word-3-gram shingle hashes per document. */
+  def shingles(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("ts", split(trim(col("text")), " +"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
+        .as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+  }
+
+  /** 64-hash MinHash signature per doc: sig_j = min over shingles of
+    * xxhash64(j, sh). */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+    val sigCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"s$j"))
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands x rowsPerBand = k),
+    * self-join on (band, bandHash). */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+             xxhash64((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*).as("bh"))
+    }
+    val exploded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    exploded.as("x").join(exploded.as("y"), Seq("band", "bh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given (ida, idb) pairs via shingle-set joins. */
+  def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = pairs
+      .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("idb") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("ida", "idb"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nsh", "na"), Seq("ida"))
+      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nsh", "nb"), Seq("idb"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** Exact dedup: canonical doc per identical text (hash-groupBy). */
+  val q64_dedup_exact: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("min_keep"))
+      .orderBy(col("n_copies"))
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified at Jaccard >= 0.7.
+    * The oracle is the all-pairs exact answer: banding at 16x4 catches a
+    * 0.8-Jaccard pair with p ~ 0.9998, and this corpus's near-dups are
+    * all >= 0.8 (verified: the jaccard distribution is bimodal 0.8+/<0.1). */
+  val q65_minhash_lsh: Q = (s, d) => {
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val cands = lshCandidates(minhashSignatures(sh))
+    exactJaccard(cands, sh)
+      .filter(col("jac") >= 0.7)
+      .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** SimHash near-dup: 64-bit signature from token-hash bit votes,
+    * all-pairs hamming <= 6 (rows-only: xxhash64 has no DuckDB
+    * equivalent; pinned by SimHashSpec instead). */
+  val q66_simhash: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    val sig = tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"), col("hamming"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** Exact n-gram Jaccard over all pairs (the small-scale oracle-able
+    * ground truth; at 100 TB you run q65 instead — same verify stage). */
+  val q67_ngram_jaccard: Q = (s, d) => {
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val allPairs = sh.select(col("doc_id").as("ida")).distinct()
+      .crossJoin(sh.select(col("doc_id").as("idb")).distinct())
+      .where(col("ida") < col("idb"))
+    exactJaccard(allPairs, sh)
+      .filter(col("jac") >= 0.5)
+      .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q64_dedup_exact" -> q64_dedup_exact,
+    "q65_minhash_lsh" -> q65_minhash_lsh,
+    "q66_simhash" -> q66_simhash,
+    "q67_ngram_jaccard" -> q67_ngram_jaccard,
+  )
+
+  private def jaccardAllPairsSql(threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |    for i in range(1, len(s) - 1)]) AS shingles
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s
+       |        FROM documents)
+       |  WHERE len(s) >= 3)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |        (len(a.shingles) + len(b.shingles)
+       |         - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |      (len(a.shingles) + len(b.shingles)
+       |       - len(list_intersect(a.shingles, b.shingles))) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q64_dedup_exact" ->
+      """WITH g AS (SELECT text, MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+        |           FROM documents GROUP BY text)
+        |SELECT n_copies, COUNT(1) AS n_groups, MIN(keep_id) AS min_keep
+        |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    "q65_minhash_lsh" -> jaccardAllPairsSql(0.7),
+    "q67_ngram_jaccard" -> jaccardAllPairsSql(0.5),
+  )
+}

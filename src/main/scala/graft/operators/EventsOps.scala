@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Event-time analytics over the `events` table — the batch semantics
+  * that graft.streaming mirrors with Structured Streaming (the reference
+  * has no query-time streaming; its ingest-only streaming is
+  * hcatalog/streaming — SURVEY.md §2.10). Tumbling windows and
+  * gap-based sessionization both shuffle once on (key) and scale
+  * linearly; session assignment is the classic gaps-and-islands
+  * window-function rewrite, which Spark executes with a single sort per
+  * user partition.
+  *
+  * Oracle note: events.ts is nanosecond-precision; Spark reads it
+  * truncated to micros, so oracles truncate with epoch_ns // 1000 before
+  * comparing.
+  */
+object EventsOps {
+
+  /** Tumbling 1-hour windows per event_type: count + exact value sum. */
+  val q71_tumbling_window: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Sliding windows (1 hour every 30 min) — each event lands in 2
+    * windows; expressed via the same window() generator. */
+  val q72_sliding_window: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): session id by
+    * cumulative break count, then per-session metrics. */
+  val q73_sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"),
+           (unix_seconds(max(col("ts"))) - unix_seconds(min(col("ts")))).as("duration_s"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  /** Pivot: event counts per user bucketed by type (conditional
+    * aggregation — GroupByOperator + CASE in the reference). */
+  val q74_pivot: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("cohort"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q71_tumbling_window" -> q71_tumbling_window,
+    "q72_sliding_window" -> q72_sliding_window,
+    "q73_sessionize" -> q73_sessionize,
+    "q74_pivot" -> q74_pivot,
+  )
+
+  /** DuckDB-side microsecond truncation of the ns timestamps. */
+  private val tsMu = "make_timestamp(epoch_ns(ts) // 1000)"
+
+  val oracles: Map[String, String] = Map(
+    "q71_tumbling_window" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', $tsMu) AS win_start, event_type,
+         |  COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q72_sliding_window" ->
+      s"""WITH e AS (SELECT $tsMu AS tmu, value FROM events),
+         |  x AS (SELECT tmu, value,
+         |          unnest([time_bucket(INTERVAL '30 minutes', tmu),
+         |                  time_bucket(INTERVAL '30 minutes', tmu) - INTERVAL '30 minutes']) AS win_start
+         |        FROM e)
+         |SELECT win_start, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+         |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "q73_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, $tsMu AS tmu, value FROM events),
+         |  l AS (SELECT *, LAG(tmu) OVER (PARTITION BY user_id ORDER BY tmu, event_id) AS prev_ts FROM e),
+         |  f AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |                        OR epoch_us(tmu) - epoch_us(prev_ts) > 1800 * 1000000
+         |                       THEN 1 ELSE 0 END AS brk FROM l),
+         |  s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tmu, event_id
+         |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(1) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+         |  CAST(epoch_us(MAX(tmu)) // 1000000 - epoch_us(MIN(tmu)) // 1000000 AS BIGINT) AS duration_s
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "q74_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  COUNT(1) FILTER (event_type = 'click') AS click,
+        |  COUNT(1) FILTER (event_type = 'view') AS view,
+        |  COUNT(1) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(1) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(1) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+  )
+}

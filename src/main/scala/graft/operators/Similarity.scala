@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Brute-force cosine top-k is the correctness baseline: broadcast the
+  * query set, stream the corpus once, per-partition top-k via window —
+  * O(corpus x queries) FLOPs but a single scan and one small shuffle of
+  * k x queries rows, which is exactly how you'd run it at 100 TB for a
+  * small query batch. The scale path is sign-LSH bucketing (q69): 16
+  * hyperplane signs -> bucket join, probing only matching buckets —
+  * candidates drop ~2^16-fold; recall is pinned by SimilaritySpec
+  * against the brute-force baseline.
+  *
+  * Dot products run in double via zip_with + aggregate (codegen'd higher-
+  * order functions, no UDF); hyperplanes are generated deterministically
+  * from xxhash64 so results are reproducible everywhere.
+  */
+object Similarity {
+
+  /** cosine(a, b) computed in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine top-k for query vectors vec_id < nQueries. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qvec"), col("embedding")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("score"))
+  }
+
+  /** ANN top-k baseline: 5 queries x top-10, oracle-checked. */
+  val q68_cosine_topk: Q = (s, d) => {
+    bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 10)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Sign-LSH (random hyperplane) bucketed ANN, banded like MinHash-LSH:
+    * 16 hyperplane sign bits split into 4 bands x 4 bits; vectors joining
+    * a query on ANY band become candidates, then exact cosine re-ranks.
+    * Deterministic ±1 hyperplanes derive from MurmurHash3 of (bit, dim).
+    * Rows-only (no DuckDB equivalent); recall vs the q68 brute force is
+    * pinned in SimilaritySpec. */
+  val q69_ann_lsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dim = 64
+    val bands = 4
+    val bitsPerBand = 4
+    def bit(j: Int) = {
+      val proj = (0 until dim).map { i =>
+        val pm = if (java.lang.Long.hashCode(
+          scala.util.hashing.MurmurHash3.productHash((j, i))) % 2 == 0) 1.0 else -1.0
+        element_at(col("embedding"), i + 1).cast("double") * pm
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    }
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until bitsPerBand).map(r => bit(b * bitsPerBand + r) * (1 << r)).reduce(_ + _).as("bv"))
+    }
+    val sig = emb.select(col("vec_id"), col("embedding"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+              col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val queries = sig.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+              col("band"), col("bv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    sig.join(broadcast(queries), Seq("band", "bv"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("vec_id"), col("embedding")).distinct()
+      .withColumn("score", round(cosine(col("qvec"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs: same-label pairs with cosine >= 0.8
+    * (label acts as the blocking key, the way a cluster/shard id would at
+    * scale). */
+  val q70_embedding_neardup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding"))
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("score") >= 0.8)
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"), col("score"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q68_cosine_topk" -> q68_cosine_topk,
+    "q69_ann_lsh" -> q69_ann_lsh,
+    "q70_embedding_neardup" -> q70_embedding_neardup,
+  )
+
+  private val cosSql =
+    """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |  / (sqrt(list_aggregate(list_transform(a.embedding,
+      |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(b.embedding,
+      |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q68_cosine_topk" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         |    round($cosSql, 6) AS score
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5),
+         |ranked AS (
+         |  SELECT qid, vec_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, vec_id, score FROM ranked
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q70_embedding_neardup" ->
+      s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  round($cosSql, 6) AS score
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round($cosSql, 6) >= 0.8
+         |ORDER BY ida, idb""".stripMargin,
+  )
+}

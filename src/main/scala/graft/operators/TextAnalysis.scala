@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * quality scoring, and language ID over the `documents` table. All are
+  * narrow projections + scalar expressions — fully codegen'd, no shuffle
+  * except final ordering, so they stream at scan speed on 100 TB.
+  *
+  * The reference's text machinery is its string UDF surface + `sentences`/
+  * `ngrams` (ql/src/java/org/apache/hadoop/hive/ql/udf/generic/
+  * GenericUDAFnGrams.java, GenericUDFSentences.java); these queries extend
+  * it with the document-pipeline metrics a Hive user would build from
+  * those primitives.
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+    * No backslash classes: Spark SQL string literals eat `\s` while DuckDB
+    * keeps it — an explicit space class parses identically in both. */
+  val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une"),
+    "zh" -> Seq("de", "shi", "le", "zai"))
+
+  /** Count tokens of `arr` that appear in `words`. */
+  private def hitCount(arr: Column, words: Seq[String]): Column =
+    size(filter(arr, t => array_contains(
+      array(words.map(lit): _*), t)))
+
+  /** Whitespace and regex token counts (token-counting stage of a data
+    * pipeline; regexp_extract_all is codegen'd). */
+  val q60_token_count: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), " +")).as("ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$TokenRe', 0)")).as("re_tokens"),
+        length(col("text")).as("n_chars_live"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, punctuation/digit/whitespace ratios,
+    * mean token length, stopword density, and a composite score. */
+  val q61_quality_score: Q = (s, d) => {
+    val toks = split(trim(col("text")), " +")
+    val nchars = length(col("text")).cast("double")
+    val npunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val ndigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val nstop = hitCount(toks, stopwords("en")).cast("double")
+    val ntok = size(toks).cast("double")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        nchars.as("n_chars_t"),
+        ntok.as("n_tokens"),
+        round(nchars / ntok, 6).as("mean_tok_len"),
+        round(npunct / nchars, 6).as("punct_ratio"),
+        round(ndigit / nchars, 6).as("digit_ratio"),
+        round(nstop / ntok, 6).as("stopword_ratio"),
+        round(
+          least(ntok / lit(50.0), lit(1.0)) * 0.4
+            + (lit(1.0) - npunct / nchars) * 0.3
+            + least(nstop / ntok * 5, lit(1.0)) * 0.3, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by stopword-hit voting with a fixed priority order for
+    * ties (deterministic n-gram-style heuristic; real pipelines swap in a
+    * model — the Spark plumbing is identical). */
+  val q62_langid: Q = (s, d) => {
+    val toks = split(lower(col("text")), " +")
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scored = Tables.documents(s, d)
+      .select(Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => hitCount(toks, stopwords(l)).as(s"c_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, els) =>
+      val c = col(s"c_$l")
+      val isMax = langs.filter(_ != l)
+        .map(o => c >= col(s"c_$o")).reduce(_ && _)
+      when(c > 0 && isMax, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted", pred)
+      .withColumn("match", col("predicted") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("c_en"), col("c_de"),
+              col("c_es"), col("c_fr"), col("c_zh"),
+              col("predicted"), col("match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** n-gram (bigram) frequency — the reference's `ngrams` UDAF
+    * (GenericUDAFnGrams.java) as explode + count. */
+  val q63_ngrams: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("ts", split(trim(col("text")), " +"))
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+      .orderBy(col("n").desc, col("bigram"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q60_token_count" -> q60_token_count,
+    "q61_quality_score" -> q61_quality_score,
+    "q62_langid" -> q62_langid,
+    "q63_ngrams" -> q63_ngrams,
+  )
+
+  private def duckHits(arrSql: String, words: Seq[String]): String =
+    s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  val oracles: Map[String, String] = Map(
+    "q60_token_count" ->
+      s"""SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
+         |  len(regexp_extract_all(text, '$TokenRe')) AS re_tokens,
+         |  length(text) AS n_chars_live,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q61_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS npunct,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+         |    CAST(${duckHits("regexp_split_to_array(trim(text), ' +')", stopwords("en"))} AS DOUBLE) AS nstop,
+         |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) AS ntok
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  nchars AS n_chars_t,
+         |  ntok AS n_tokens,
+         |  round(nchars / ntok, 6) AS mean_tok_len,
+         |  round(npunct / nchars, 6) AS punct_ratio,
+         |  round(ndigit / nchars, 6) AS digit_ratio,
+         |  round(nstop / ntok, 6) AS stopword_ratio,
+         |  round(least(ntok / 50.0, 1.0) * 0.4
+         |        + (1.0 - npunct / nchars) * 0.3
+         |        + least(nstop / ntok * 5, 1.0) * 0.3, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q62_langid" -> {
+      val toksSql = "regexp_split_to_array(lower(text), ' +')"
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val counts = langs.map(l => s"${duckHits(toksSql, stopwords(l))} AS c_$l").mkString(",\n    ")
+      val whenChain = langs.map { l =>
+        val cond = langs.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN c_$l > 0 AND $cond THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    $counts
+         |  FROM documents)
+         |SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
+         |  CASE $whenChain ELSE 'und' END AS predicted,
+         |  (CASE $whenChain ELSE 'und' END) = lang AS "match"
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "q63_ngrams" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), ' +') AS ts FROM documents),
+        |  b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM w)
+        |SELECT bigram, COUNT(1) AS n FROM b
+        |GROUP BY bigram HAVING COUNT(1) >= 20
+        |ORDER BY n DESC, bigram""".stripMargin,
+  )
+}

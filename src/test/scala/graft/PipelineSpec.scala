@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Pins the non-oracle-able (hash-based) pipeline operators: MinHash-LSH,
+  * SimHash, and sign-LSH ANN, against exact baselines computed in-engine. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("MinHash-LSH finds exactly the exact-Jaccard>=0.7 pairs") {
+    val lsh = SparkEntry.queries("q65_minhash_lsh")(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("q67_ngram_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.7)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+  }
+
+  test("SimHash pairs cover the high-Jaccard near-duplicates") {
+    val sim = SparkEntry.queries("q66_simhash")(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nearDups = SparkEntry.queries("q67_ngram_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (nearDups.isEmpty) 1.0
+      else nearDups.count(sim.contains).toDouble / nearDups.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${nearDups.size} true pairs")
+  }
+
+  test("ANN LSH top-k has reasonable recall vs brute force") {
+    val bf = SparkEntry.queries("q68_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = SparkEntry.queries("q69_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // banded sign-LSH prunes ~3/4 of the corpus; on random vectors recall
+    // of the exact top-10 is partial by design — require a meaningful hit
+    // rate, and that every query produced candidates.
+    assert(ann.keySet == bf.keySet, "ANN lost a query entirely")
+    val hits = bf.map { case (q, ids) => ann(q).count(ids.contains) }.sum
+    assert(hits >= bf.size, s"ANN found only $hits brute-force-top-10 hits")
+  }
+
+  test("shingles are distinct per doc and deterministic across runs") {
+    val a = Dedup.shingles(Tables.documents(spark, sf)).count()
+    val b = Dedup.shingles(Tables.documents(spark, sf)).count()
+    assert(a == b && a > 0)
+  }
+
+  test("sessionize covers every event exactly once") {
+    val sessions = SparkEntry.queries("q73_sessionize")(spark, sf)
+    val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+}
