@@ -23,6 +23,8 @@ object SparkEntry {
     (operators.Dedup.queries, operators.Dedup.oracles),
     (operators.Similarity.queries, operators.Similarity.oracles),
     (operators.EventsOps.queries, operators.EventsOps.oracles),
+    (operators.Multimodal.queries, operators.Multimodal.oracles),
+    (operators.Script.queries, operators.Script.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Hive multi-insert (`FROM src INSERT OVERWRITE t1 SELECT ... INSERT
+  * INTO t2 SELECT ...`, HiveParser.g:2482-2523; the reference fans one
+  * scan out to many FileSinkOperators — SemanticAnalyzer.genBodyPlan
+  * iterates destinations). Spark has no single-statement equivalent
+  * (SURVEY.md §2.9), so this builder provides the same contract: the
+  * source is materialized ONCE (persist at MEMORY_AND_DISK), then each
+  * destination writes from the shared result.
+  *
+  * At 100 TB: naive per-insert re-scan is the failure mode this exists to
+  * avoid. If the source exceeds cluster storage, swap persist for
+  * checkpoint-to-HDFS or restructure into one pass with a partitioned
+  * writer; the API keeps the choice in one place.
+  */
+final class MultiInsert private (
+    src: DataFrame,
+    inserts: Vector[(String, DataFrame => DataFrame)]) {
+
+  /** Queue one destination: path + per-destination transform. */
+  def insert(path: String)(transform: DataFrame => DataFrame): MultiInsert =
+    new MultiInsert(src, inserts :+ (path, transform))
+
+  def insertIdentity(path: String): MultiInsert = insert(path)(identity)
+
+  /** Execute all inserts from a single materialization of the source.
+    * Returns rows written per destination. */
+  def run(format: String = "parquet", mode: String = "overwrite"): Map[String, Long] = {
+    require(inserts.nonEmpty, "no insert destinations queued")
+    val cached = src.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count() // materialize once before fanning out
+      inserts.map { case (path, f) =>
+        val out = f(cached)
+        out.write.mode(mode).format(format).save(path)
+        path -> out.count()
+      }.toMap
+    } finally { cached.unpersist(); () }
+  }
+}
+
+object MultiInsert {
+  def from(src: DataFrame): MultiInsert = new MultiInsert(src, Vector.empty)
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming over the `events` table — the engine's upgrade of
+  * the reference's ingest-only streaming (hcatalog/streaming/.../
+  * HiveEndPoint.java, TransactionBatch.java; SURVEY.md §2.10 maps its txn
+  * protocol to exactly-once file-sink commits). Queries are the streaming
+  * twins of operators.EventsOps: same aggregates, plus watermarks for
+  * late data and keyed state for custom sessionization.
+  *
+  * At scale: state size is bounded by (watermark horizon x key
+  * cardinality); the 2h watermark drops events later than that instead of
+  * growing state without bound.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** File-source stream of events; schema taken from the batch reader
+    * (ts arrives as nanos-long, converted like Tables.events). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // the file stream source wants a directory; glob-filter to the one table
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Watermarked tumbling-window counts (streaming twin of
+    * q71_tumbling_window). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Built-in session windows (30-min gap), watermarked. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals emitted on every update (the mapGroupsWithState surface the
+    * reference has no analog for). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserTotals(uid, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

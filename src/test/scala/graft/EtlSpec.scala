@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.MultiInsert
+import graft.functions.Fingerprint
+
+class EtlSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("multi-insert fans one scan out to several destinations") {
+    val tmp = Files.createTempDirectory("graft_mi").toString
+    val li = Tables.lineitem(spark, sf)
+    val written = MultiInsert.from(li)
+      .insert(s"$tmp/high_qty")(_.filter(col("l_quantity") > 40))
+      .insert(s"$tmp/by_flag")(_.groupBy("l_returnflag").count())
+      .insertIdentity(s"$tmp/all")
+      .run()
+    assert(written(s"$tmp/all") == li.count())
+    assert(spark.read.parquet(s"$tmp/high_qty").count() ==
+      li.filter(col("l_quantity") > 40).count())
+    assert(spark.read.parquet(s"$tmp/by_flag").count() == 3)
+  }
+
+  test("partitioned + bucketed write round-trips and prunes") {
+    val tmp = Files.createTempDirectory("graft_w").toString
+    Tables.orders(spark, sf)
+      .withColumn("y", year(col("o_orderdate")))
+      .write.partitionBy("y").mode("overwrite").parquet(s"$tmp/orders_by_year")
+    val back = spark.read.parquet(s"$tmp/orders_by_year")
+    assert(back.count() == Tables.orders(spark, sf).count())
+    // partition pruning: filter on y must hit only that partition's files
+    val plan = back.filter(col("y") === 1996).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("y#"),
+      s"no partition filter in plan:\n$plan")
+  }
+
+  test("fingerprint expressions: known values, codegen and interpreted agree") {
+    import spark.implicits._
+    Fingerprint.register(spark)
+    // poly_hash("ab") = 97*31 + 98 = 3105
+    val r = spark.sql("SELECT poly_hash('ab') AS p, min_gram_hash('abcd', 2) AS m")
+      .collect()(0)
+    assert(r.getLong(0) == 3105L)
+    // grams: "ab"=3105, "bc"=3167, "cd"=3229 -> min 3105
+    assert(r.getLong(1) == 3105L)
+    // null for short strings
+    assert(spark.sql("SELECT min_gram_hash('a', 2)").collect()(0).isNullAt(0))
+    // deterministic over the corpus + works through the Column API
+    val a = Tables.documents(spark, sf)
+      .select(Fingerprint.poly_hash(col("text")).as("fp")).collect().map(_.getLong(0))
+    val b = Tables.documents(spark, sf)
+      .select(Fingerprint.poly_hash(col("text")).as("fp")).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+  }
+}
