@@ -25,6 +25,8 @@ object SparkEntry {
     (operators.EventsOps.queries, operators.EventsOps.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
     (operators.Script.queries, operators.Script.oracles),
+    (functions.MiscFunctions.queries, functions.MiscFunctions.oracles),
+    (operators.Distribution.queries, operators.Distribution.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

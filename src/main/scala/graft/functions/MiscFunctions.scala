@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** The long tail of the reference's scalar registry (SURVEY.md §2.3):
+  * radix/bit/binary encodings, Hive-compat string helpers, masking, URL
+  * parsing, map construction. Split two ways:
+  *  - q78: functions DuckDB also has -> oracle-checked.
+  *  - q79: Hive/Spark-only functions (mask, parse_url, str_to_map,
+  *    initcap, soundex, format_number, elt, find_in_set, sentences) ->
+  *    rows-only; exact values pinned in MiscFunctionsSpec.
+  */
+object MiscFunctions {
+
+  /** Encodings & radix math with DuckDB twins. */
+  val q78_encodings: Q = (s, d) => {
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 300)
+      .select(
+        col("p_partkey"),
+        hex(col("p_name").cast("binary")).as("name_hex"),
+        base64(col("p_name").cast("binary")).as("name_b64"),
+        bin(col("p_size").cast("long")).as("size_bin"),
+        conv(col("p_size").cast("string"), 10, 16).as("size_hex16"),
+        sha2(col("p_name").cast("binary"), 256).as("name_sha256"),
+        length(col("p_name").cast("binary")).as("n_bytes"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Hive-only surface: masking, URL parsing, map construction, misc
+    * string helpers. Deterministic; pinned by spec, no DuckDB analog. */
+  val q79_hive_compat: Q = (s, d) => {
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 200)
+      .select(
+        col("c_custkey"),
+        expr("mask(c_name)").as("masked"),
+        // Hive's mask_show_first_n as substr + mask composition
+        expr("concat(substr(c_name, 1, 4), mask(substr(c_name, 5)))").as("masked_show4"),
+        initcap(col("c_mktsegment")).as("seg_initcap"),
+        soundex(col("c_name")).as("name_soundex"),
+        format_number(col("c_acctbal"), 1).as("bal_fmt"),
+        expr("elt(1 + CAST(c_custkey % 3 AS INT), 'alpha', 'beta', 'gamma')").as("elt_pick"),
+        expr("find_in_set(c_mktsegment, 'BUILDING,AUTOMOBILE,MACHINERY')").as("seg_pos"),
+        expr("parse_url(concat('http://example.com/', c_mktsegment, '?id=', c_custkey), 'PATH')").as("url_path"),
+        expr("parse_url(concat('http://example.com/x?id=', c_custkey), 'QUERY', 'id')").as("url_id"),
+        expr("str_to_map(concat('k1:', c_custkey, ',k2:', c_nationkey), ',', ':')['k2']").as("map_k2"),
+        crc32(col("c_name").cast("binary")).as("name_crc32"),
+        expr("sentences(concat(c_mktsegment, ' one. ', c_mktsegment, ' two.'))[0][1]").as("sent_tok"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Approximate aggregates (HLL NDV = the reference's compute_stats FM
+    * sketch, GenericUDAFComputeStats.java; percentile_approx =
+    * GenericUDAFPercentileApprox NumericHistogram). Algorithms differ
+    * engine-to-engine by design -> rows-only; tolerance pinned in spec. */
+  val q80_approx_aggs: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("ndv_part"),
+        approx_count_distinct(col("l_orderkey")).as("ndv_order"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        expr("histogram_numeric(l_quantity, 5)")(0).getField("y").as("hist_bin0_height"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q78_encodings" -> q78_encodings,
+    "q79_hive_compat" -> q79_hive_compat,
+    "q80_approx_aggs" -> q80_approx_aggs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q78_encodings" ->
+      """SELECT p_partkey,
+        |  hex(CAST(p_name AS BLOB)) AS name_hex,
+        |  to_base64(CAST(p_name AS BLOB)) AS name_b64,
+        |  bin(CAST(p_size AS BIGINT)) AS size_bin,
+        |  upper(to_hex(p_size)) AS size_hex16,
+        |  sha256(p_name) AS name_sha256,
+        |  octet_length(CAST(p_name AS BLOB)) AS n_bytes
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+  )
+}

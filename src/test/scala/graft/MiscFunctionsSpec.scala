@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Hive-compat-only function family (q79) and approximate
+  * aggregates (q80) that have no DuckDB oracle. */
+class MiscFunctionsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("hive-compat functions produce the documented values") {
+    val r = spark.sql(
+      """SELECT mask('Customer#7') AS m,
+        |  concat(substr('Customer#7', 1, 4), mask(substr('Customer#7', 5))) AS m4,
+        |  initcap('building works') AS ic,
+        |  soundex('Customer') AS sx,
+        |  format_number(1234567.891, 1) AS fm,
+        |  elt(2, 'alpha', 'beta', 'gamma') AS e,
+        |  find_in_set('MACHINERY', 'BUILDING,AUTOMOBILE,MACHINERY') AS f,
+        |  parse_url('http://example.com/a/b?id=42', 'PATH') AS pp,
+        |  parse_url('http://example.com/a/b?id=42', 'QUERY', 'id') AS pq,
+        |  str_to_map('k1:1,k2:2', ',', ':')['k2'] AS sm
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "Xxxxxxxx#n")          // mask: upper->X lower->x digit->n, other kept
+    assert(r.getString(1) == "Custxxxx#n")
+    assert(r.getString(2) == "Building Works")
+    assert(r.getString(3) == "C235")
+    assert(r.getString(4) == "1,234,567.9")
+    assert(r.getString(5) == "beta")
+    assert(r.getInt(6) == 3)
+    assert(r.getString(7) == "/a/b")
+    assert(r.getString(8) == "42")
+    assert(r.getString(9) == "2")
+  }
+
+  test("q79 runs over the corpus deterministically") {
+    val a = SparkEntry.queries("q79_hive_compat")(spark, sf).collect()
+    val b = SparkEntry.queries("q79_hive_compat")(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.nonEmpty)
+  }
+
+  test("approximate aggregates are within tolerance of exact") {
+    val approx = SparkEntry.queries("q80_approx_aggs")(spark, sf)
+      .select("l_returnflag", "ndv_part", "p50_approx").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("ndv"),
+           expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (ndv, p50)) =>
+      val (andv, ap50) = approx(k)
+      assert(math.abs(andv - ndv).toDouble / ndv < 0.1, s"$k ndv $andv vs $ndv")
+      assert(math.abs(ap50 - p50) / p50 < 0.1, s"$k p50 $ap50 vs $p50")
+    }
+  }
+
+  test("TABLESAMPLE fraction sampling is in the right ballpark") {
+    val n = Tables.lineitem(spark, sf).count()
+    val sampled = Tables.lineitem(spark, sf).sample(0.1, seed = 42).count()
+    assert(sampled > n / 20 && sampled < n / 5, s"$sampled of $n")
+  }
+}
