@@ -27,6 +27,7 @@ object SparkEntry {
     (operators.Script.queries, operators.Script.oracles),
     (functions.MiscFunctions.queries, functions.MiscFunctions.oracles),
     (operators.Distribution.queries, operators.Distribution.oracles),
+    (functions.NGrams.queries, functions.NGrams.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Hive's `ngrams` UDAF (ql/src/java/org/apache/hadoop/hive/ql/udf/
+  * generic/GenericUDAFnGrams.java) as a typed Spark Aggregator: estimate
+  * the top-k n-gram frequencies of a token-array column. The reference
+  * prunes its frequency map heuristically; this implementation counts
+  * exactly and prunes only above `maxEntries` (same partial/merge/final
+  * contract as GenericUDAFEvaluator modes PARTIAL1/PARTIAL2/FINAL —
+  * Aggregator.reduce/merge/finish map 1:1).
+  *
+  * Output is a deterministic "ngram:count|ngram:count|..." string, top-k
+  * by (count desc, ngram asc) — stable across partitionings because
+  * counting is exact and the tiebreak total.
+  */
+class NGramsAggregator(n: Int, k: Int, maxEntries: Int = 100000)
+    extends Aggregator[Seq[String], Map[String, Long], String] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], tokens: Seq[String]): Map[String, Long] = {
+    if (tokens == null || tokens.length < n) buf
+    else {
+      var m = buf
+      var i = 0
+      while (i + n <= tokens.length) {
+        val g = tokens.slice(i, i + n).mkString(" ")
+        m = m.updated(g, m.getOrElse(g, 0L) + 1L)
+        i += 1
+      }
+      trim(m)
+    }
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    trim(b.foldLeft(a) { case (m, (g, c)) => m.updated(g, m.getOrElse(g, 0L) + c) })
+
+  override def finish(m: Map[String, Long]): String =
+    m.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+      .map { case (g, c) => s"$g:$c" }.mkString("|")
+
+  /** Bound buffer memory the way the reference bounds its histogram — at
+    * corpus scale the map would otherwise grow with vocabulary^n. */
+  private def trim(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= maxEntries) m
+    else m.toSeq.sortBy { case (g, c) => (-c, g) }.take(maxEntries).toMap
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
+object NGrams {
+
+  /** Top-k bigrams per language via the custom UDAF; oracle-checked
+    * against DuckDB's window-function equivalent. */
+  val q83_ngrams_topk: Q = (s, d) => {
+    import s.implicits._
+    val ngrams2 = udaf(new NGramsAggregator(2, 5))
+    Tables.documents(s, d)
+      .select(col("lang"), split(trim(col("text")), " +").as("ts"))
+      .groupBy(col("lang"))
+      .agg(ngrams2(col("ts")).as("top_ngrams"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, Q] = Map("q83_ngrams_topk" -> q83_ngrams_topk)
+
+  val oracles: Map[String, String] = Map(
+    "q83_ngrams_topk" ->
+      """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), ' +') AS ts
+        |           FROM documents),
+        |  b AS (SELECT lang, unnest([ts[i] || ' ' || ts[i+1]
+        |                             for i in range(1, len(ts))]) AS bg FROM w),
+        |  c AS (SELECT lang, bg, COUNT(1) AS cnt FROM b GROUP BY lang, bg),
+        |  r AS (SELECT lang, bg, cnt,
+        |          ROW_NUMBER() OVER (PARTITION BY lang
+        |            ORDER BY cnt DESC, bg) AS rn FROM c)
+        |SELECT lang, string_agg(bg || ':' || cnt, '|' ORDER BY rn) AS top_ngrams
+        |FROM r WHERE rn <= 5 GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}
