@@ -28,6 +28,7 @@ object SparkEntry {
     (functions.MiscFunctions.queries, functions.MiscFunctions.oracles),
     (operators.Distribution.queries, operators.Distribution.oracles),
     (functions.NGrams.queries, functions.NGrams.oracles),
+    (operators.TpchMore.queries, operators.TpchMore.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

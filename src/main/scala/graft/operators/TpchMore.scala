@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Deeper TPC-H-shaped relational coverage (the reference ships 60
+  * TPC-DS plan tests + 22-query TPC-H kin in its perf corpus —
+  * ql/src/test/queries/clientpositive/perf/): min-per-group joins,
+  * nation-pair volume, conditional ratios, HAVING+IN pipelines,
+  * anti-join + scalar-subquery combos, INTERSECT/EXCEPT, and explicit
+  * NULLS FIRST/LAST ordering (Hive defaults NULLS FIRST on ASC —
+  * parse/HiveParser.g nullOrdering).
+  */
+object TpchMore {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 6) =
+    sum(c.cast(DecimalType(25, scale))).cast("double")
+
+  private def run(sql: String): Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(sql)
+  }
+
+  /** Q2-shaped: cheapest line per part (correlated min), lineitem as the
+    * part-supplier bridge. */
+  val q90_min_per_group: Q = run(q90sql)
+
+  /** Q7-shaped: shipping volume between two nations by year. */
+  val q91_nation_volume: Q = run(q91sql)
+
+  /** Q12-shaped: order-priority buckets per quantity band (CASE inside
+    * aggregate). */
+  val q92_case_agg: Q = run(q92sql)
+
+  /** Q14-shaped: promo revenue ratio (conditional numerator over the
+    * same aggregate denominator, decimal-exact). */
+  val q93_promo_ratio: Q = run(q93sql)
+
+  /** Q18-shaped: large-order customers (HAVING-filtered keys joined
+    * back). */
+  val q94_large_orders: Q = run(q94sql)
+
+  /** Q22-shaped: well-funded customers with no 'F' orders
+    * (scalar subquery threshold + anti join). */
+  val q95_idle_customers: Q = run(q95sql)
+
+  /** INTERSECT / EXCEPT (absent from Hive 2.1 — HiveParser.g:2294 only
+    * has UNION — provided as the engine's extension; Spark + DuckDB
+    * share ANSI semantics). */
+  val q96_setops: Q = run(q96sql)
+
+  /** Explicit null ordering (Hive ASC default = NULLS FIRST). */
+  val q97_null_ordering: Q = (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_nullable"))
+      .orderBy(col("status_nullable").asc_nulls_first, col("o_orderkey").desc)
+      .limit(50)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q90_min_per_group" -> q90_min_per_group,
+    "q91_nation_volume" -> q91_nation_volume,
+    "q92_case_agg" -> q92_case_agg,
+    "q93_promo_ratio" -> q93_promo_ratio,
+    "q94_large_orders" -> q94_large_orders,
+    "q95_idle_customers" -> q95_idle_customers,
+    "q96_setops" -> q96_setops,
+    "q97_null_ordering" -> q97_null_ordering,
+  )
+
+  /** DuckDB shares the dialect for all of these; year() exists in both. */
+  val oracles: Map[String, String] = Map(
+    "q90_min_per_group" -> q90sql, "q91_nation_volume" -> q91sql,
+    "q92_case_agg" -> q92sql, "q93_promo_ratio" -> q93sql,
+    "q94_large_orders" -> q94sql, "q95_idle_customers" -> q95sql,
+    "q96_setops" -> q96sql,
+    "q97_null_ordering" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_nullable
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY status_nullable ASC NULLS FIRST, o_orderkey DESC
+        |LIMIT 50""".stripMargin,
+  )
+
+  private lazy val q90sql =
+    """SELECT l.l_partkey, p.p_name, l.l_suppkey, l.l_extendedprice
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_partkey < 100
+      |  AND l.l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = l.l_partkey)
+      |ORDER BY l.l_partkey, l.l_suppkey""".stripMargin
+  private lazy val q91sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l.l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS volume
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+  private lazy val q92sql =
+    """SELECT
+      |  CASE WHEN l_quantity < 10 THEN 'small'
+      |       WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS band,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS normal
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY band""".stripMargin
+  private lazy val q93sql =
+    """SELECT
+      |  CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+      |        ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+      |    AS DOUBLE) AS promo_pct,
+      |  COUNT(1) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+  private lazy val q94sql =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  SUM(l_quantity) AS total_qty
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 140)
+      |GROUP BY c_custkey, c_name, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+  private lazy val q95sql =
+    """SELECT c_mktsegment, COUNT(1) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,2))) AS DOUBLE)
+      |                          / COUNT(1) FROM customer c2 WHERE c2.c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  private lazy val q96sql =
+    """SELECT 'both' AS side, n_nationkey FROM (
+      |  SELECT c_nationkey AS n_nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey FROM supplier) t
+      |UNION ALL
+      |SELECT 'cust_only' AS side, n_nationkey FROM (
+      |  SELECT c_nationkey AS n_nationkey FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey FROM supplier) u
+      |ORDER BY side, n_nationkey""".stripMargin
+}
