@@ -34,6 +34,8 @@ object Session {
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.warehouse.dir",
+          s"/tmp/graft_warehouse_${sys.process.Process("id -u").!!.trim}")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -29,6 +29,7 @@ object SparkEntry {
     (operators.Distribution.queries, operators.Distribution.oracles),
     (functions.NGrams.queries, functions.NGrams.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
+    (operators.MatchPath.queries, operators.MatchPath.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

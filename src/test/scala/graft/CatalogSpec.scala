@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL / catalog surface — the reference's DDLTask + ColumnStatsTask
+  * (exec/DDLTask.java, ANALYZE in parse/ColumnStatsSemanticAnalyzer.java)
+  * mapped to Spark's catalog: CREATE DATABASE/TABLE (partitioned CTAS),
+  * INSERT INTO, SHOW/DESCRIBE, ANALYZE ... COMPUTE STATISTICS, partition
+  * pruning against a catalog table, DROP. */
+class CatalogSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("full DDL lifecycle: create, insert, analyze, describe, prune, drop") {
+    Tables.registerAll(spark, sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
+    spark.sql("DROP TABLE IF EXISTS graftdb.orders_by_year")
+
+    // partitioned CTAS (dynamic partitions — FileSinkOperator semantics)
+    spark.sql(
+      """CREATE TABLE graftdb.orders_by_year USING parquet
+        |PARTITIONED BY (y)
+        |AS SELECT o_orderkey, o_custkey, o_totalprice,
+        |          year(o_orderdate) AS y
+        |   FROM orders""".stripMargin)
+
+    val total = spark.table("graftdb.orders_by_year").count()
+    assert(total == spark.table("orders").count())
+
+    // INSERT INTO appends to the right partition
+    spark.sql(
+      """INSERT INTO graftdb.orders_by_year
+        |SELECT -1 AS o_orderkey, -1 AS o_custkey, 0.0 AS o_totalprice,
+        |       1995 AS y""".stripMargin)
+    assert(spark.table("graftdb.orders_by_year").count() == total + 1)
+
+    // catalog metadata
+    val tables = spark.sql("SHOW TABLES IN graftdb").collect().map(_.getString(1))
+    assert(tables.contains("orders_by_year"))
+    val cols = spark.sql("DESCRIBE graftdb.orders_by_year")
+      .collect().map(_.getString(0))
+    assert(cols.contains("o_orderkey") && cols.contains("y"))
+    val parts = spark.sql("SHOW PARTITIONS graftdb.orders_by_year").count()
+    assert(parts >= 7, s"expected >=7 year partitions, got $parts")
+
+    // stats (ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS])
+    spark.sql("ANALYZE TABLE graftdb.orders_by_year COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE graftdb.orders_by_year COMPUTE STATISTICS FOR COLUMNS o_totalprice")
+    val stats = spark.sql("DESCRIBE EXTENDED graftdb.orders_by_year")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(stats.contains("Statistics"), stats)
+
+    // partition pruning on the catalog table
+    val plan = spark.table("graftdb.orders_by_year")
+      .filter(col("y") === 1996).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(y"), plan.take(1200))
+
+    spark.sql("DROP TABLE graftdb.orders_by_year")
+    assert(!spark.sql("SHOW TABLES IN graftdb").collect()
+      .map(_.getString(1)).contains("orders_by_year"))
+  }
+}
