@@ -57,11 +57,24 @@ object Generators {
       .orderBy(col("band"))
   }
 
+  /** json_tuple UDTF (GenericUDTFJSONTuple; FunctionRegistry.java:447-453)
+    * — multi-field JSON extraction in one generator pass. */
+  val q99_json_tuple: Q = (s, d) => {
+    Tables.events(s, d)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"),
+        expr("json_tuple(props, 'k', 'missing')").as(Seq("k", "missing")))
+      .select(col("event_id"), col("k").cast("int").as("k"),
+              coalesce(col("missing"), lit("absent")).as("missing"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_explode" -> q46_explode,
     "q47_posexplode" -> q47_posexplode,
     "q48_explode_outer" -> q48_explode_outer,
     "q49_stack" -> q49_stack,
+    "q99_json_tuple" -> q99_json_tuple,
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,5 +101,10 @@ object Generators {
         |SELECT band, COUNT(1) AS n
         |FROM supplier JOIN bands ON s_acctbal >= lo * 1000
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q99_json_tuple" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  COALESCE(json_extract_string(props, '$.missing'), 'absent') AS missing
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
   )
 }

@@ -64,6 +64,8 @@ object Grouping {
         round(avg(col("l_discount")), 8).as("avg_disc"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 8).as("corr_qp"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 8).as("cov_qd"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 8).as("covp_qd"),
+        round(var_samp(col("l_quantity")), 6).as("var_q"),
         min(col("l_quantity")).as("min_q"),
         max(col("l_quantity")).as("max_q"))
       .orderBy(col("l_returnflag"))
@@ -146,6 +148,8 @@ object Grouping {
         |  ROUND(AVG(l_discount), 8) AS avg_disc,
         |  ROUND(CORR(l_quantity, l_extendedprice), 8) AS corr_qp,
         |  ROUND(COVAR_SAMP(l_quantity, l_discount), 8) AS cov_qd,
+        |  ROUND(COVAR_POP(l_quantity, l_discount), 8) AS covp_qd,
+        |  ROUND(VAR_SAMP(l_quantity), 6) AS var_q,
         |  MIN(l_quantity) AS min_q,
         |  MAX(l_quantity) AS max_q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

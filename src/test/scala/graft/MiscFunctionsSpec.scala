@@ -33,6 +33,19 @@ class MiscFunctionsSpec extends AnyFunSuite {
     assert(r.getString(9) == "2")
   }
 
+  test("xpath family extracts from XML (Hive xpath_* surface)") {
+    val r = spark.sql(
+      """SELECT xpath_string('<a><b>hello</b><c>7</c></a>', 'a/b') AS s,
+        |  xpath_int('<a><c>7</c></a>', 'a/c') AS i,
+        |  xpath_boolean('<a><b>1</b></a>', 'a/b = 1') AS bo,
+        |  xpath('<a><b>x</b><b>y</b></a>', 'a/b/text()') AS arr""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "hello")
+    assert(r.getInt(1) == 7)
+    assert(r.getBoolean(2))
+    assert(r.getSeq[String](3) == Seq("x", "y"))
+  }
+
   test("q79 runs over the corpus deterministically") {
     val a = SparkEntry.queries("q79_hive_compat")(spark, sf).collect()
     val b = SparkEntry.queries("q79_hive_compat")(spark, sf).collect()
