@@ -26,8 +26,10 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  /** (doc_id, sh) distinct word-3-gram shingle hashes per document. */
-  def shingles(docs: DataFrame): DataFrame = {
+  /** (doc_id, sh) word-3-gram shingle hashes per document, WITH
+    * duplicates — min-aggregation is duplicate-insensitive, so the
+    * signature path never pays a distinct shuffle. */
+  def shingleHashes(docs: DataFrame): DataFrame = {
     docs
       .withColumn("ts", split(trim(col("text")), " +"))
       .filter(size(col("ts")) >= 3)
@@ -35,8 +37,10 @@ object Dedup {
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
         .as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .distinct()
   }
+
+  /** Distinct shingle sets (for exact Jaccard). */
+  def shingles(docs: DataFrame): DataFrame = shingleHashes(docs).distinct()
 
   /** MinHash signature per doc: sig_j = min over shingles of
     * xxhash64(j, sh). k=32 at 8x4 banding catches a 0.9-Jaccard pair with
@@ -63,14 +67,14 @@ object Dedup {
   }
 
   /** Exact Jaccard for given (ida, idb) pairs via shingle-set joins.
-    * Only candidate docs' shingles enter the joins (semi-join first):
-    * after LSH pruning, candidates are a sliver of the corpus, so this
-    * is the difference between shuffling the corpus and shuffling the
-    * survivors at 100 TB. */
+    * Only candidate docs' shingles enter the joins (semi-join first,
+    * THEN distinct): after LSH pruning, candidates are a sliver of the
+    * corpus, so both the distinct and the pair joins shuffle survivors,
+    * not the corpus — the difference that matters at 100 TB. */
   def exactJaccard(pairs: DataFrame, shAll: DataFrame): DataFrame = {
     val candDocs = pairs.select(col("ida").as("doc_id"))
       .union(pairs.select(col("idb").as("doc_id"))).distinct()
-    val sh = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sh = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = pairs
       .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
@@ -100,9 +104,9 @@ object Dedup {
     * 0.8-Jaccard pair with p ~ 0.9998, and this corpus's near-dups are
     * all >= 0.8 (verified: the jaccard distribution is bimodal 0.8+/<0.1). */
   val q65_minhash_lsh: Q = (s, d) => {
-    val sh = shingles(Tables.documents(s, d)).cache()
-    val cands = lshCandidates(minhashSignatures(sh)).cache()
-    exactJaccard(cands, sh)
+    val shRaw = shingleHashes(Tables.documents(s, d))
+    val cands = lshCandidates(minhashSignatures(shRaw)).cache()
+    exactJaccard(cands, shRaw)
       .filter(col("jac") >= 0.7)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
       .orderBy(col("ida"), col("idb"))
@@ -134,12 +138,13 @@ object Dedup {
     * Capped at 1000 docs: all-pairs x shingle-join is O(n^2 * s) and is
     * exactly the plan shape LSH exists to avoid. */
   val q67_ngram_jaccard: Q = (s, d) => {
-    val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < 1000)).cache()
-    val allPairs = sh.select(col("doc_id").as("ida")).distinct()
-      .crossJoin(sh.select(col("doc_id").as("idb")).distinct())
+    val shRaw = shingleHashes(Tables.documents(s, d).filter(col("doc_id") < 1000))
+    val ids = shRaw.select(col("doc_id")).distinct().cache()
+    val allPairs = ids.select(col("doc_id").as("ida"))
+      .crossJoin(ids.select(col("doc_id").as("idb")))
       .where(col("ida") < col("idb"))
       .cache()
-    exactJaccard(allPairs, sh)
+    exactJaccard(allPairs, shRaw)
       .filter(col("jac") >= 0.5)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
       .orderBy(col("ida"), col("idb"))
