@@ -56,6 +56,59 @@ class NGramsAggregator(n: Int, k: Int, maxEntries: Int = 100000)
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
 
+/** Hive's `context_ngrams` (GenericUDAFContextNGrams.java): count the
+  * fillers of the wildcard slots in a context pattern — e.g. context
+  * ["table", null] counts words following "table". Same exact-count /
+  * bounded-buffer / deterministic-top-k contract as [[NGramsAggregator]].
+  */
+class ContextNGramsAggregator(context: Seq[Option[String]], k: Int,
+                              maxEntries: Int = 100000)
+    extends Aggregator[Seq[String], Map[String, Long], String] {
+
+  private val n = context.length
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], tokens: Seq[String]): Map[String, Long] = {
+    if (tokens == null || tokens.length < n) buf
+    else {
+      var m = buf
+      var i = 0
+      while (i + n <= tokens.length) {
+        var ok = true
+        var j = 0
+        while (ok && j < n) {
+          context(j).foreach(w => if (tokens(i + j) != w) ok = false)
+          j += 1
+        }
+        if (ok) {
+          val filler = (0 until n).collect {
+            case j if context(j).isEmpty => tokens(i + j)
+          }.mkString(" ")
+          m = m.updated(filler, m.getOrElse(filler, 0L) + 1L)
+        }
+        i += 1
+      }
+      trim(m)
+    }
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    trim(b.foldLeft(a) { case (m, (g, c)) => m.updated(g, m.getOrElse(g, 0L) + c) })
+
+  override def finish(m: Map[String, Long]): String =
+    m.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+      .map { case (g, c) => s"$g:$c" }.mkString("|")
+
+  private def trim(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= maxEntries) m
+    else m.toSeq.sortBy { case (g, c) => (-c, g) }.take(maxEntries).toMap
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
 object NGrams {
 
   /** Top-k bigrams per language via the custom UDAF; oracle-checked
@@ -70,7 +123,22 @@ object NGrams {
       .orderBy(col("lang"))
   }
 
-  val queries: Map[String, Q] = Map("q83_ngrams_topk" -> q83_ngrams_topk)
+  /** context_ngrams(["table", null], 5): most frequent words following
+    * "table", per source. */
+  val q84_context_ngrams: Q = (s, d) => {
+    import s.implicits._
+    val follow = udaf(new ContextNGramsAggregator(Seq(Some("table"), None), 5))
+    Tables.documents(s, d)
+      .select(col("source"), split(trim(col("text")), " +").as("ts"))
+      .groupBy(col("source"))
+      .agg(follow(col("ts")).as("after_table"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q83_ngrams_topk" -> q83_ngrams_topk,
+    "q84_context_ngrams" -> q84_context_ngrams,
+  )
 
   val oracles: Map[String, String] = Map(
     "q83_ngrams_topk" ->
@@ -84,5 +152,17 @@ object NGrams {
         |            ORDER BY cnt DESC, bg) AS rn FROM c)
         |SELECT lang, string_agg(bg || ':' || cnt, '|' ORDER BY rn) AS top_ngrams
         |FROM r WHERE rn <= 5 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q84_context_ngrams" ->
+      """WITH w AS (SELECT source, regexp_split_to_array(trim(text), ' +') AS ts
+        |           FROM documents),
+        |  b AS (SELECT source, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |                               for i in range(1, len(ts))]) AS bg FROM w),
+        |  c AS (SELECT source, bg.b AS filler, COUNT(1) AS cnt FROM b
+        |        WHERE bg.a = 'table' GROUP BY source, bg.b),
+        |  r AS (SELECT source, filler, cnt,
+        |          ROW_NUMBER() OVER (PARTITION BY source
+        |            ORDER BY cnt DESC, filler) AS rn FROM c)
+        |SELECT source, string_agg(filler || ':' || cnt, '|' ORDER BY rn) AS after_table
+        |FROM r WHERE rn <= 5 GROUP BY source ORDER BY source""".stripMargin,
   )
 }
