@@ -30,6 +30,7 @@ object SparkEntry {
     (functions.NGrams.queries, functions.NGrams.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.MatchPath.queries, operators.MatchPath.oracles),
+    (functions.HiveCompat.queries, functions.HiveCompat.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
