@@ -105,10 +105,48 @@ object Similarity {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** IVF-style ANN: partition the corpus into nList inverted lists by
+    * nearest centroid, probe only the nProbe closest lists per query,
+    * exact-rerank the candidates. Centroids are seed vectors (vec_id <
+    * nList) — deterministic; a production index would Lloyd-iterate,
+    * which only moves the centroids, not the plumbing. The corpus is
+    * assigned in ONE pass (N x nList cosines), queries then touch
+    * nProbe/nList of the corpus — the 100 TB path where brute force is
+    * N x Q. Rows-only; recall vs q68 pinned in PipelineSpec. */
+  def ivfTopK(emb: DataFrame, nList: Int, nProbe: Int,
+              nQueries: Int, k: Int): DataFrame = {
+    val cent = emb.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def nearestLists(df: DataFrame, vecCol: String, idCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cid"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), 6))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cvec", "cscore", "crn")
+    }
+    val assigned = nearestLists(emb, "embedding", "vec_id", 1)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probes = nearestLists(queries, "qvec", "qid", nProbe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    probes.join(assigned, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qvec"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("score"))
+  }
+
+  val q87_ann_ivf: Q = (s, d) =>
+    ivfTopK(Tables.embeddings(s, d), nList = 16, nProbe = 4, nQueries = 5, k = 10)
+      .orderBy(col("qid"), col("rnk"))
+
   val queries: Map[String, Q] = Map(
     "q68_cosine_topk" -> q68_cosine_topk,
     "q69_ann_lsh" -> q69_ann_lsh,
     "q70_embedding_neardup" -> q70_embedding_neardup,
+    "q87_ann_ivf" -> q87_ann_ivf,
   )
 
   private val cosSql =

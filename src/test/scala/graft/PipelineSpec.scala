@@ -45,6 +45,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= bf.size, s"ANN found only $hits brute-force-top-10 hits")
   }
 
+  test("IVF ANN probes a fraction of the corpus with meaningful recall") {
+    val bf = SparkEntry.queries("q68_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SparkEntry.queries("q87_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == bf.keySet, "IVF lost a query entirely")
+    val hits = bf.map { case (q, ids) => ivf.getOrElse(q, Set.empty).count(ids.contains) }.sum
+    assert(hits >= bf.size, s"IVF found only $hits brute-force-top-10 hits")
+  }
+
   test("shingles are distinct per doc and deterministic across runs") {
     val a = Dedup.shingles(Tables.documents(spark, sf)).count()
     val b = Dedup.shingles(Tables.documents(spark, sf)).count()
