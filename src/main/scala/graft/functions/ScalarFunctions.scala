@@ -150,8 +150,33 @@ object ScalarFunctions {
       .orderBy(col("event_id"))
   }
 
+  /** Array algebra (sort_array/array_distinct/union/except/intersect/
+    * flatten/reverse/slice — GenericUDFSortArray + the modern array
+    * surface). Set-valued results are sorted and joined to strings:
+    * Spark preserves first-occurrence order, DuckDB doesn't specify. */
+  val q44b_array_funcs: Q = (s, d) => {
+    val w1 = split(col("p_name"), " ")
+    val w2 = split(lower(col("p_type")), " ")
+    def asStr(c: org.apache.spark.sql.Column) = concat_ws("|", array_sort(c))
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 400)
+      .select(
+        col("p_partkey"),
+        asStr(array_distinct(concat(w1, w1))).as("dedup"),
+        asStr(array_union(w1, w2)).as("uni"),
+        asStr(array_except(w1, w2)).as("exc"),
+        asStr(array_intersect(w1, array(lit("small"), lit("red"), lit("blue")))).as("inter"),
+        asStr(flatten(array(w1, w2))).as("flat"),
+        concat_ws("|", reverse(w1)).as("rev"),
+        concat_ws("|", slice(w1, 1, 1)).as("head1"),
+        array_position(w1, "small").as("pos_small"),
+        size(array_remove(w1, "small")).as("n_wo_small"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_string_funcs" -> q40_string_funcs,
+    "q44b_array_funcs" -> q44b_array_funcs,
     "q41_math_funcs" -> q41_math_funcs,
     "q42_date_funcs" -> q42_date_funcs,
     "q43_conditional" -> q43_conditional,
@@ -160,6 +185,22 @@ object ScalarFunctions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44b_array_funcs" ->
+      """WITH t AS (SELECT p_partkey,
+        |    string_split(p_name, ' ') AS w1,
+        |    string_split(lower(p_type), ' ') AS w2
+        |  FROM part WHERE p_partkey < 400)
+        |SELECT p_partkey,
+        |  array_to_string(list_sort(list_distinct(list_concat(w1, w1))), '|') AS dedup,
+        |coalesce(  array_to_string(list_sort(list_distinct(list_concat(w1, w2))), '|'), '') AS uni,
+        |coalesce(  array_to_string(list_sort(list_distinct(list_filter(w1, x -> NOT list_contains(w2, x)))), '|'), '') AS exc,
+        |coalesce(  array_to_string(list_sort(list_distinct(list_filter(w1, x -> list_contains(['small','red','blue'], x)))), '|'), '') AS inter,
+        |  array_to_string(list_sort(list_concat(w1, w2)), '|') AS flat,
+        |  array_to_string(list_reverse(w1), '|') AS rev,
+        |  array_to_string(w1[1:1], '|') AS head1,
+        |  CAST(coalesce(list_position(w1, 'small'), 0) AS BIGINT) AS pos_small,
+        |  len(list_filter(w1, x -> x <> 'small')) AS n_wo_small
+        |FROM t ORDER BY p_partkey""".stripMargin,
     "q40_string_funcs" ->
       """SELECT p_partkey,
         |  p_brand || '/' || p_type AS cat,

@@ -51,6 +51,10 @@ object TpchMore {
     * share ANSI semantics). */
   val q96_setops: Q = run(q96sql)
 
+  /** INTERSECT ALL / EXCEPT ALL (multiset semantics — ANSI, shared by
+    * Spark and DuckDB). */
+  val q96b_setops_all: Q = run(q96bsql)
+
   /** Explicit null ordering (Hive ASC default = NULLS FIRST). */
   val q97_null_ordering: Q = (s, d) => {
     Tables.orders(s, d)
@@ -69,6 +73,7 @@ object TpchMore {
     "q94_large_orders" -> q94_large_orders,
     "q95_idle_customers" -> q95_idle_customers,
     "q96_setops" -> q96_setops,
+    "q96b_setops_all" -> q96b_setops_all,
     "q97_null_ordering" -> q97_null_ordering,
   )
 
@@ -78,6 +83,7 @@ object TpchMore {
     "q92_case_agg" -> q92sql, "q93_promo_ratio" -> q93sql,
     "q94_large_orders" -> q94sql, "q95_idle_customers" -> q95sql,
     "q96_setops" -> q96sql,
+    "q96b_setops_all" -> q96bsql,
     "q97_null_ordering" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_nullable
         |FROM orders WHERE o_orderkey < 300
@@ -148,6 +154,18 @@ object TpchMore {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderstatus = 'F')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  private lazy val q96bsql =
+    """SELECT nk, COUNT(1) AS n FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier) t
+      |GROUP BY nk
+      |UNION ALL
+      |SELECT -1 AS nk, COUNT(1) AS n FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier) u
+      |ORDER BY nk""".stripMargin
   private lazy val q96sql =
     """SELECT 'both' AS side, n_nationkey FROM (
       |  SELECT c_nationkey AS n_nationkey FROM customer
