@@ -31,6 +31,8 @@ object SparkEntry {
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.MatchPath.queries, operators.MatchPath.oracles),
     (functions.HiveCompat.queries, functions.HiveCompat.oracles),
+    (sources.Formats.queries, sources.Formats.oracles),
+    (functions.TypeSystem.queries, functions.TypeSystem.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -51,8 +51,17 @@ object Dedup {
   }
 
   /** LSH candidate pairs: band the signature (bands x rowsPerBand = k),
-    * self-join on (band, bandHash). */
-  def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    * self-join on (band, bandHash).
+    *
+    * The self-join is quadratic in bucket size, so buckets larger than
+    * `maxBucket` are excluded from pairwise generation: on real corpora a
+    * hot (band, bh) bucket is a boilerplate clique (identical headers,
+    * license blocks), and a 100 TB pipeline handles those as exact-dup
+    * cliques keyed by the band hash rather than enumerating O(n^2) pairs.
+    * The cap bounds worst-case work at bands * maxBucket^2 per bucket and
+    * costs one map-side-combinable count plus a semi-join. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                    maxBucket: Int = 4096): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
              xxhash64((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*).as("bh"))
@@ -60,7 +69,12 @@ object Dedup {
     val exploded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    exploded.as("x").join(exploded.as("y"), Seq("band", "bh"))
+    val okBuckets = exploded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bh"))
+    val bounded = exploded.join(okBuckets, Seq("band", "bh"), "left_semi")
+    bounded.as("x").join(bounded.as("y"), Seq("band", "bh"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()
@@ -72,8 +86,8 @@ object Dedup {
     * corpus, so both the distinct and the pair joins shuffle survivors,
     * not the corpus — the difference that matters at 100 TB. */
   def exactJaccard(pairs: DataFrame, shAll: DataFrame): DataFrame = {
-    val candDocs = pairs.select(col("ida").as("doc_id"))
-      .union(pairs.select(col("idb").as("doc_id"))).distinct()
+    val candDocs = pairs
+      .select(explode(array(col("ida"), col("idb"))).as("doc_id")).distinct()
     val sh = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = pairs
@@ -89,10 +103,14 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
   }
 
-  /** Exact dedup: canonical doc per identical text (hash-groupBy). */
+  /** Exact dedup: canonical doc per identical text. Groups by the text
+    * itself, not a 64-bit hash — at billions of docs a 64-bit digest has
+    * birthday collisions that silently merge distinct documents; Spark's
+    * hash aggregate on a string key is collision-safe (the hash only
+    * routes the shuffle, equality decides the group). */
   val q64_dedup_exact: Q = (s, d) => {
     Tables.documents(s, d)
-      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .groupBy(col("n_copies"))
       .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("min_keep"))
@@ -105,31 +123,55 @@ object Dedup {
     * all >= 0.8 (verified: the jaccard distribution is bimodal 0.8+/<0.1). */
   val q65_minhash_lsh: Q = (s, d) => {
     val shRaw = shingleHashes(Tables.documents(s, d))
-    val cands = lshCandidates(minhashSignatures(shRaw)).cache()
+    // No mid-query cache: the candidate lineage (shingle scan + groupBy +
+    // band join) is cheap to recompute and caching made the plan hostage
+    // to block-manager pressure in a shared long-lived session.
+    val cands = lshCandidates(minhashSignatures(shRaw))
     exactJaccard(cands, shRaw)
       .filter(col("jac") >= 0.7)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
       .orderBy(col("ida"), col("idb"))
   }
 
-  /** SimHash near-dup: 64-bit signature from token-hash bit votes,
-    * all-pairs hamming <= 6 (rows-only: xxhash64 has no DuckDB
-    * equivalent; pinned by SimHashSpec instead). */
-  val q66_simhash: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
+  /** 64-bit SimHash signature per doc from token-hash bit votes. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map(j =>
       sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
-    val sig = tok.groupBy(col("doc_id"))
+    tok.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
-    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter(col("hamming") <= 6)
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs at hamming <= maxHamming, found by banding
+    * the 64 bits into 8 bytes and bucket-joining on (band, byte): a pair
+    * within hamming 6 differs in at most 6 of the 8 bytes, so by
+    * pigeonhole it shares >= 2 identical bands and the bucket join is
+    * lossless vs the all-pairs scan (SimHashSpec pins the equivalence).
+    * Plan shape is an equi-join — no cartesian — so it survives scale-up;
+    * the exact hamming filter then discards false bucket-mates. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+              col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** SimHash near-dup: banded bucket join, hamming <= 6 (rows-only:
+    * xxhash64 has no DuckDB equivalent; pinned by SimHashSpec instead). */
+  val q66_simhash: Q = (s, d) => {
+    simhashPairs(simhashSignatures(Tables.documents(s, d)))
       .orderBy(col("ida"), col("idb"))
   }
 
@@ -139,11 +181,10 @@ object Dedup {
     * exactly the plan shape LSH exists to avoid. */
   val q67_ngram_jaccard: Q = (s, d) => {
     val shRaw = shingleHashes(Tables.documents(s, d).filter(col("doc_id") < 1000))
-    val ids = shRaw.select(col("doc_id")).distinct().cache()
+    val ids = shRaw.select(col("doc_id")).distinct()
     val allPairs = ids.select(col("doc_id").as("ida"))
       .crossJoin(ids.select(col("doc_id").as("idb")))
       .where(col("ida") < col("idb"))
-      .cache()
     exactJaccard(allPairs, shRaw)
       .filter(col("jac") >= 0.5)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -69,7 +70,44 @@ object Generators {
       .orderBy(col("event_id"))
   }
 
+  /** inline() UDTF (GenericUDTFInline; FunctionRegistry.java:447-453):
+    * explode an array-of-structs into columns — here un-pivoting part
+    * attributes into (attr, value) rows in one generator pass. */
+  val q105_inline: Q = (s, d) => {
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), inline(array(
+        struct(lit("brand").as("attr"), col("p_brand").as("value")),
+        struct(lit("container").as("attr"), col("p_container").as("value")))))
+      .orderBy(col("p_partkey"), col("attr"))
+  }
+
+  /** parse_url_tuple UDTF (udf/generic/GenericUDTFParseUrlTuple.java):
+    * extract N URL parts in one pass. Re-expressed as an N-column
+    * projection of Spark's codegen'd parse_url — common-subexpression
+    * elimination shares the parse, which is the UDTF's whole point.
+    * Supports the reference's `QUERY:<key>` syntax. */
+  def parseUrlTuple(url: Column, parts: String*): Seq[Column] = parts.map { p =>
+    val c =
+      if (p.startsWith("QUERY:"))
+        call_function("parse_url", url, lit("QUERY"), lit(p.stripPrefix("QUERY:")))
+      else call_function("parse_url", url, lit(p))
+    c.as(p.toLowerCase.replace(":", "_"))
+  }
+
+  val q106_parse_url_tuple: Q = (s, d) => {
+    val url = concat(lit("https://shop.example.com/"), col("c_mktsegment"),
+      lit("/item?cust="), col("c_custkey"), lit("&seg="), col("c_mktsegment"))
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey") +:
+        parseUrlTuple(url, "PROTOCOL", "HOST", "PATH", "QUERY", "QUERY:cust"): _*)
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q105_inline" -> q105_inline,
+    "q106_parse_url_tuple" -> q106_parse_url_tuple,
     "q46_explode" -> q46_explode,
     "q47_posexplode" -> q47_posexplode,
     "q48_explode_outer" -> q48_explode_outer,
@@ -78,6 +116,21 @@ object Generators {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_inline" ->
+      """SELECT p_partkey, 'brand' AS attr, p_brand AS value
+        |FROM part WHERE p_partkey < 100
+        |UNION ALL
+        |SELECT p_partkey, 'container' AS attr, p_container AS value
+        |FROM part WHERE p_partkey < 100
+        |ORDER BY p_partkey, attr""".stripMargin,
+    "q106_parse_url_tuple" ->
+      """SELECT c_custkey,
+        |  'https' AS protocol,
+        |  'shop.example.com' AS host,
+        |  '/' || c_mktsegment || '/item' AS path,
+        |  'cust=' || c_custkey || '&seg=' || c_mktsegment AS query,
+        |  CAST(c_custkey AS VARCHAR) AS query_cust
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
     "q46_explode" ->
       """SELECT word, COUNT(1) AS n FROM (
         |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t

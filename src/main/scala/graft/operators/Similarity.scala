@@ -61,29 +61,37 @@ object Similarity {
     val dim = 64
     val bands = 4
     val bitsPerBand = 4
-    def bit(j: Int) = {
-      val proj = (0 until dim).map { i =>
-        val pm = if (java.lang.Long.hashCode(
+    // All 16 hyperplane signs in ONE pass: a single ±1 matrix literal
+    // zipped against the embedding (one typedLit + 16 zip_with folds, not
+    // 16x64 element_at terms — keeps the plan string and codegen compact).
+    val planes = typedLit((0 until bands * bitsPerBand).map { j =>
+      (0 until dim).map { i =>
+        if (java.lang.Long.hashCode(
           scala.util.hashing.MurmurHash3.productHash((j, i))) % 2 == 0) 1.0 else -1.0
-        element_at(col("embedding"), i + 1).cast("double") * pm
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1)).otherwise(lit(0))
-    }
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until bitsPerBand).map(r => bit(b * bitsPerBand + r) * (1 << r)).reduce(_ + _).as("bv"))
-    }
-    val sig = emb.select(col("vec_id"), col("embedding"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"),
-              col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val queries = sig.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-              col("band"), col("bv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-    sig.join(broadcast(queries), Seq("band", "bv"))
+      }
+    })
+    val bits = transform(planes, p =>
+      when(aggregate(zip_with(col("embedding"), p, (e, sg) => e.cast("double") * sg),
+                     lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0)))
+    val banded = emb.select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until bitsPerBand).map(r =>
+            element_at(col("bits"), b * bitsPerBand + r + 1) * (1 << r)).reduce(_ + _).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val qBanded = banded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("band"), col("bv"))
+    // Dedup candidates on ids ONLY (a pair seen via several bands), then
+    // rejoin the vectors — the distinct never shuffles embeddings.
+    val candIds = banded.join(broadcast(qBanded), Seq("band", "bv"))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qvec"), col("vec_id"), col("embedding")).distinct()
+      .select(col("qid"), col("vec_id")).distinct()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    emb.join(broadcast(candIds), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
       .withColumn("score", round(cosine(col("qvec"), col("embedding")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Storage-format surface: the reference's non-parquet SerDes re-expressed
+  * as Spark datasources.
+  *
+  *  - delimited text  <- serde/src/java/org/apache/hadoop/hive/serde2/lazy/LazySimpleSerDe.java
+  *  - CSV             <- serde/src/java/org/apache/hadoop/hive/serde2/OpenCSVSerde.java
+  *  - JSON            <- hcatalog/core/src/main/java/org/apache/hive/hcatalog/data/JsonSerDe.java
+  *  - ORC             <- ql/src/java/org/apache/hadoop/hive/ql/io/orc/OrcInputFormat.java
+  *  - regex-parsed    <- serde/src/java/org/apache/hadoop/hive/serde2/RegexSerDe.java
+  *
+  * Each query is a full round-trip: write the parquet fixture out in the
+  * target format, read it back through Spark's reader, aggregate — and the
+  * DuckDB oracle computes the same aggregate straight from the parquet
+  * source, so any encode/decode divergence (quoting, null encoding, date
+  * formats, type mapping) breaks the hash match.
+  *
+  * Scale notes: every format here is a splittable scan in Spark except
+  * multiline JSON (not used); ORC/parquet carry column pruning + predicate
+  * pushdown, text/CSV/JSON are schema-on-read full scans exactly like the
+  * reference's SerDe path. Writes land under target/fmt/<sf>/ keyed by the
+  * source dir so concurrent sf runs don't collide. (Hive's AvroSerDe has no
+  * counterpart here: the spark-avro datasource jar is not in this
+  * distribution.)
+  */
+object Formats {
+
+  private def tmpDir(sfDir: String, name: String): String =
+    s"target/fmt/${new java.io.File(sfDir).getName}/$name"
+
+  /** CSV round-trip (OpenCSVSerde): quoting + header + explicit read
+    * schema (CSV is stringly — schema-on-read like the SerDe's
+    * columns.types). */
+  val q100_csv_roundtrip: Q = (s, d) => {
+    val src = Tables.customer(s, d)
+    val path = tmpDir(d, "customer_csv")
+    src.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    s.read.schema(src.schema).option("header", "true").csv(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+           sum(col("c_acctbal").cast(DecimalType(25, 2))).cast("double").as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** ORC round-trip: columnar scan with pruning/pushdown parity to the
+    * reference's OrcInputFormat path. */
+  val q101_orc_scan: Q = (s, d) => {
+    val src = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val path = tmpDir(d, "lineitem_orc")
+    src.write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+      .filter(col("l_discount") > 0.02)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(25, 2))).cast("double").as("sum_qty"),
+           sum(col("l_extendedprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** JSON-lines round-trip (JsonSerDe): dates/decimals survive via the
+    * explicit read schema. */
+  val q102_json_source: Q = (s, d) => {
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderdate"))
+    val path = tmpDir(d, "orders_json")
+    src.write.mode(SaveMode.Overwrite).json(path)
+    s.read.schema(src.schema).json(path)
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_year"), col("o_orderstatus"))
+  }
+
+  /** LazySimpleSerDe-style delimited text: -separated fields,
+    * schema-on-read via split + cast (the lazy-deserialization contract:
+    * strings stay raw until a field is touched). */
+  val q103_text_delimited: Q = (s, d) => {
+    val src = Tables.supplier(s, d)
+    val path = tmpDir(d, "supplier_text")
+    src.select(concat_ws("",
+        col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val parts = split(col("value"), "")
+    s.read.text(path)
+      .select(parts.getItem(0).cast("long").as("s_suppkey"),
+              parts.getItem(1).as("s_name"),
+              parts.getItem(2).cast("long").as("s_nationkey"),
+              parts.getItem(3).cast("double").as("s_acctbal"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+           sum(col("s_acctbal").cast(DecimalType(25, 2))).cast("double").as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** RegexSerDe: log-style lines parsed by regexp_extract groups (the
+    * serde's input.regex -> one column per capture group). */
+  val q104_regex_text: Q = (s, d) => {
+    val src = Tables.part(s, d)
+    val path = tmpDir(d, "part_log")
+    src.select(format_string("part=%d brand=%s size=%d", col("p_partkey"),
+        col("p_brand"), col("p_size")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val re = "part=([0-9]+) brand=(.*) size=([0-9]+)"
+    s.read.text(path)
+      .select(regexp_extract(col("value"), re, 1).cast("long").as("p_partkey"),
+              regexp_extract(col("value"), re, 2).as("p_brand"),
+              regexp_extract(col("value"), re, 3).cast("long").as("p_size"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("p_size")).as("sum_size"),
+           min(col("p_partkey")).as("min_key"))
+      .orderBy(col("p_brand"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q100_csv_roundtrip" -> q100_csv_roundtrip,
+    "q101_orc_scan" -> q101_orc_scan,
+    "q102_json_source" -> q102_json_source,
+    "q103_text_delimited" -> q103_text_delimited,
+    "q104_regex_text" -> q104_regex_text,
+  )
+
+  /** Oracles read the SAME data straight from parquet — the round-trip
+    * must be lossless for the hash to match. */
+  val oracles: Map[String, String] = Map(
+    "q100_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q101_orc_scan" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem WHERE l_discount > 0.02
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q102_json_source" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""".stripMargin,
+    "q103_text_delimited" ->
+      """SELECT s_nationkey, COUNT(1) AS n_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q104_regex_text" ->
+      """SELECT p_brand, COUNT(1) AS n_parts,
+        |  CAST(SUM(p_size) AS BIGINT) AS sum_size,
+        |  MIN(p_partkey) AS min_key
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+  )
+}

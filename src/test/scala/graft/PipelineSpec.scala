@@ -30,6 +30,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"simhash recall $recall over ${nearDups.size} true pairs")
   }
 
+  test("banded SimHash pairing is lossless vs all-pairs and cartesian-free") {
+    val sig = Dedup.simhashSignatures(Tables.documents(spark, sf))
+    // ground truth: explicit all-pairs hamming scan (the O(n^2) plan the
+    // banded bucket join exists to avoid)
+    val allPairs = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = SparkEntry.queries("q66_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == allPairs, s"banded=${banded.size} allPairs=${allPairs.size}")
+    val plan = SparkEntry.queries("q66_simhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "banded simhash must not contain an all-pairs join")
+  }
+
   test("ANN LSH top-k has reasonable recall vs brute force") {
     val bf = SparkEntry.queries("q68_cosine_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
