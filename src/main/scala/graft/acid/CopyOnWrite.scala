@@ -1,7 +1,7 @@
 package graft.acid
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** UPDATE / DELETE as copy-on-write table rewrites.
@@ -27,24 +27,28 @@ object CopyOnWrite {
   /** UPDATE path SET assignments WHERE cond. Returns affected rows. */
   def update(spark: SparkSession, path: String,
              cond: Column, assignments: Map[String, Column]): Long = {
-    rewrite(spark, path) { df =>
-      val updated = assignments.foldLeft(df) { case (acc, (name, value)) =>
+    rewrite(spark, path, cond) { base =>
+      assignments.foldLeft(base) { case (acc, (name, value)) =>
         acc.withColumn(name, when(cond, value).otherwise(col(name)))
       }
-      (updated, df.filter(cond).count())
     }
   }
 
   /** DELETE FROM path WHERE cond. Returns deleted-row count. */
   def delete(spark: SparkSession, path: String, cond: Column): Long =
-    rewrite(spark, path) { df => (df.filter(!coalesce(cond, lit(false))), df.filter(cond).count()) }
+    rewrite(spark, path, cond)(_.filter(!coalesce(cond, lit(false))))
 
-  /** Read table, produce (newTable, affectedCount), swap via staging dir. */
-  private def rewrite(spark: SparkSession, path: String)
-                     (f: DataFrame => (DataFrame, Long)): Long = {
-    val df = spark.read.parquet(path)
-    val (out, affected) = f(df)
-    if (affected == 0) return 0L
+  /** Rewrite the table in ONE pass: the affected-row count is observed on
+    * the scan while the staging copy is written (the pre-fix version paid
+    * an extra full read for filter(cond).count() before every rewrite).
+    * A no-op rewrite discards the staging dir and leaves the table's
+    * files untouched. */
+  private def rewrite(spark: SparkSession, path: String, cond: Column)
+                     (f: DataFrame => DataFrame): Long = {
+    val obs = Observation()
+    val base = spark.read.parquet(path)
+      .observe(obs, sum(when(cond, 1L).otherwise(0L)).as("affected"))
+    val out = f(base)
 
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + ".cow_staging")
@@ -52,6 +56,12 @@ object CopyOnWrite {
     fs.delete(staging, true)
     fs.delete(backup, true)
     out.write.mode("overwrite").parquet(staging.toString)
+    val affected = obs.get("affected") match {
+      case null => 0L
+      case n: java.lang.Number => n.longValue()
+    }
+    if (affected == 0L) { fs.delete(staging, true); return 0L }
+
     // swap: current -> backup, staging -> current, drop backup
     if (!fs.rename(new Path(path), backup))
       throw new java.io.IOException(s"COW swap failed: cannot move $path aside")

@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.storage.StorageLevel
 
 /** Hive multi-insert (`FROM src INSERT OVERWRITE t1 SELECT ... INSERT
@@ -27,16 +28,19 @@ final class MultiInsert private (
   def insertIdentity(path: String): MultiInsert = insert(path)(identity)
 
   /** Execute all inserts from a single materialization of the source.
-    * Returns rows written per destination. */
+    * Returns rows written per destination — counted by an observation on
+    * the write itself, so each destination's transform runs exactly once
+    * (a post-write count() would re-run it per sink). */
   def run(format: String = "parquet", mode: String = "overwrite"): Map[String, Long] = {
     require(inserts.nonEmpty, "no insert destinations queued")
     val cached = src.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       cached.count() // materialize once before fanning out
       inserts.map { case (path, f) =>
-        val out = f(cached)
-        out.write.mode(mode).format(format).save(path)
-        path -> out.count()
+        val obs = Observation()
+        f(cached).observe(obs, count(lit(1)).as("rows"))
+          .write.mode(mode).format(format).save(path)
+        path -> obs.get("rows").asInstanceOf[Long]
       }.toMap
     } finally { cached.unpersist(); () }
   }

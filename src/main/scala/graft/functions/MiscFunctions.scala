@@ -13,6 +13,31 @@ import graft.{Q, Tables}
   *    rows-only; exact values pinned in MiscFunctionsSpec.
   */
 object MiscFunctions {
+  import org.apache.spark.sql.Column
+
+  /** Hive's mask_* family (FunctionRegistry.java:484-489,
+    * udf/generic/GenericUDFMaskFirstN.java et al.) as compositions over
+    * Spark's builtin mask() — upper->X, lower->x, digit->n, rest kept. */
+  private def maskAll(c: Column): Column = call_function("mask", c)
+
+  def mask_first_n(c: Column, n: Int): Column =
+    concat(maskAll(c.substr(lit(1), lit(n))), c.substr(lit(n + 1), length(c)))
+
+  def mask_last_n(c: Column, n: Int): Column = {
+    val keep = greatest(length(c) - n, lit(0))
+    concat(c.substr(lit(1), keep), maskAll(c.substr(keep + 1, lit(n))))
+  }
+
+  def mask_show_first_n(c: Column, n: Int): Column =
+    concat(c.substr(lit(1), lit(n)), maskAll(c.substr(lit(n + 1), length(c))))
+
+  def mask_show_last_n(c: Column, n: Int): Column = {
+    val keep = greatest(length(c) - n, lit(0))
+    concat(maskAll(c.substr(lit(1), keep)), c.substr(keep + 1, lit(n)))
+  }
+
+  /** GenericUDFMaskHash: deterministic digest of the value. */
+  def mask_hash(c: Column): Column = md5(c.cast("binary"))
 
   /** Encodings & radix math with DuckDB twins. */
   val q78_encodings: Q = (s, d) => {
@@ -37,8 +62,11 @@ object MiscFunctions {
       .select(
         col("c_custkey"),
         expr("mask(c_name)").as("masked"),
-        // Hive's mask_show_first_n as substr + mask composition
-        expr("concat(substr(c_name, 1, 4), mask(substr(c_name, 5)))").as("masked_show4"),
+        mask_show_first_n(col("c_name"), 4).as("masked_show4"),
+        mask_first_n(col("c_name"), 4).as("masked_first4"),
+        mask_last_n(col("c_name"), 3).as("masked_last3"),
+        mask_show_last_n(col("c_name"), 2).as("masked_show_last2"),
+        mask_hash(col("c_name")).as("masked_hash"),
         initcap(col("c_mktsegment")).as("seg_initcap"),
         soundex(col("c_name")).as("name_soundex"),
         format_number(col("c_acctbal"), 1).as("bal_fmt"),
@@ -53,16 +81,21 @@ object MiscFunctions {
   }
 
   /** Approximate aggregates (HLL NDV = the reference's compute_stats FM
-    * sketch, GenericUDAFComputeStats.java; percentile_approx =
-    * GenericUDAFPercentileApprox NumericHistogram). Algorithms differ
-    * engine-to-engine by design -> rows-only; tolerance pinned in spec. */
+    * sketch, GenericUDAFComputeStats.java; hive_percentile_approx = the
+    * reference's NumericHistogram algorithm reimplemented as a
+    * TypedImperativeAggregate, see NumericHistogram.scala; Spark's
+    * Greenwald-Khanna percentile_approx kept alongside for contrast).
+    * Rows-only; exactness/stability pinned in HistogramSpec. */
   val q80_approx_aggs: Q = (s, d) => {
+    HivePercentileApprox.register(s)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("ndv_part"),
         approx_count_distinct(col("l_orderkey")).as("ndv_order"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        HivePercentileApprox.hive_percentile_approx(
+          col("l_extendedprice"), 0.5, 1000).as("p50_hive_hist"),
         expr("histogram_numeric(l_quantity, 5)")(0).getField("y").as("hist_bin0_height"))
       .orderBy(col("l_returnflag"))
   }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Hive's percentile_approx algorithm — the streaming fixed-size histogram
+  * of Ben-Haim & Tom-Tov (JMLR 11, 2010) that backs the reference's
+  * GenericUDAFPercentileApprox (ql/src/java/org/apache/hadoop/hive/ql/udf/
+  * generic/GenericUDAFPercentileApprox.java:66, NumericHistogram at
+  * :356-369), reimplemented from the published algorithm as a Spark
+  * [[TypedImperativeAggregate]].
+  *
+  * Contract (same as the reference):
+  *  - at most `maxBins` (centroid, weight) bins, kept sorted by centroid;
+  *  - adding a point inserts a unit bin, then merges the two CLOSEST bins
+  *    (weighted-mean centroid, summed weight) when over capacity;
+  *  - partial merge concatenates bin lists and re-trims — associative up
+  *    to the algorithm's inherent order sensitivity, deterministic for a
+  *    fixed partitioning;
+  *  - quantile(q) walks cumulative weights and linearly interpolates
+  *    between neighboring centroids inside the crossing bin;
+  *  - when the number of distinct inputs never exceeds maxBins, no merge
+  *    ever fires and the histogram is EXACT (pinned in the spec).
+  *
+  * Unlike Spark's built-in percentile_approx (Greenwald-Khanna), this
+  * reproduces the reference's estimator family, retiring the 10%-tolerance
+  * spec the builtin needed.
+  */
+final class StreamingHistogram(val maxBins: Int) extends Serializable {
+  // parallel arrays sorted by x; one spare slot so insert-then-trim
+  // never reallocates
+  private[graft] var n = 0
+  private[graft] val xs = new Array[Double](maxBins + 1)
+  private[graft] val ys = new Array[Double](maxBins + 1)
+
+  private def insertAt(i: Int, x: Double, y: Double): Unit = {
+    System.arraycopy(xs, i, xs, i + 1, n - i)
+    System.arraycopy(ys, i, ys, i + 1, n - i)
+    xs(i) = x; ys(i) = y; n += 1
+  }
+
+  private def lowerBound(v: Double): Int = {
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  def add(v: Double, w: Double = 1.0): Unit = {
+    val i = lowerBound(v)
+    if (i < n && xs(i) == v) ys(i) += w
+    else { insertAt(i, v, w); if (n > maxBins) trim() }
+  }
+
+  /** Merge the two closest bins (weighted mean, summed weight). */
+  private def trim(): Unit = {
+    var best = 0; var bestGap = Double.MaxValue
+    var i = 0
+    while (i < n - 1) {
+      val gap = xs(i + 1) - xs(i)
+      if (gap < bestGap) { bestGap = gap; best = i }
+      i += 1
+    }
+    val w = ys(best) + ys(best + 1)
+    xs(best) = (xs(best) * ys(best) + xs(best + 1) * ys(best + 1)) / w
+    ys(best) = w
+    System.arraycopy(xs, best + 2, xs, best + 1, n - best - 2)
+    System.arraycopy(ys, best + 2, ys, best + 1, n - best - 2)
+    n -= 1
+  }
+
+  def mergeWith(o: StreamingHistogram): StreamingHistogram = {
+    var i = 0
+    while (i < o.n) { add(o.xs(i), o.ys(i)); i += 1 }
+    this
+  }
+
+  def quantile(q: Double): Double = {
+    if (n == 0) return Double.NaN
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += ys(i); i += 1 }
+    var csum = 0.0
+    var b = 0
+    while (b < n) {
+      csum += ys(b)
+      if (csum / sum >= q) {
+        if (b == 0) return xs(0)
+        csum -= ys(b)
+        return xs(b - 1) + (q * sum - csum) * (xs(b) - xs(b - 1)) / ys(b)
+      }
+      b += 1
+    }
+    xs(n - 1)
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + 16 * n)
+    buf.putInt(maxBins).putInt(n)
+    var i = 0
+    while (i < n) { buf.putDouble(xs(i)).putDouble(ys(i)); i += 1 }
+    buf.array()
+  }
+}
+
+object StreamingHistogram {
+  def deserialize(bytes: Array[Byte]): StreamingHistogram = {
+    val buf = ByteBuffer.wrap(bytes)
+    val h = new StreamingHistogram(buf.getInt())
+    val n = buf.getInt()
+    var i = 0
+    while (i < n) { h.xs(i) = buf.getDouble(); h.ys(i) = buf.getDouble(); h.n += 1; i += 1 }
+    h
+  }
+}
+
+/** `hive_percentile_approx(col, q, maxBins)` aggregate expression. */
+case class HivePercentileApprox(
+    child: Expression,
+    percentage: Expression,
+    nBins: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[StreamingHistogram] {
+
+  private lazy val q: Double = percentage.eval() match {
+    case d: java.lang.Number => d.doubleValue()
+    case x: org.apache.spark.sql.types.Decimal => x.toDouble
+  }
+  private lazy val bins: Int = nBins.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, percentage, nBins)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hive_percentile_approx"
+
+  override def createAggregationBuffer(): StreamingHistogram = new StreamingHistogram(bins)
+
+  override def update(buffer: StreamingHistogram, input: InternalRow): StreamingHistogram = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Number].doubleValue())
+    buffer
+  }
+
+  override def merge(buffer: StreamingHistogram, other: StreamingHistogram): StreamingHistogram =
+    buffer.mergeWith(other)
+
+  override def eval(buffer: StreamingHistogram): Any = {
+    val r = buffer.quantile(q)
+    if (r.isNaN) null else r
+  }
+
+  override def serialize(buffer: StreamingHistogram): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): StreamingHistogram =
+    StreamingHistogram.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HivePercentileApprox =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HivePercentileApprox =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HivePercentileApprox =
+    copy(child = newChildren(0), percentage = newChildren(1), nBins = newChildren(2))
+}
+
+object HivePercentileApprox {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hive_percentile_approx",
+      es => HivePercentileApprox(es(0), es(1), es(2)), "scala_udf")
+
+  def hive_percentile_approx(c: Column, q: Double, maxBins: Int): Column =
+    call_function("hive_percentile_approx", c, lit(q), lit(maxBins))
+}

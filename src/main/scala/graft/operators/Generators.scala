@@ -78,7 +78,7 @@ object Generators {
       .filter(col("p_partkey") < 100)
       .select(col("p_partkey"), inline(array(
         struct(lit("brand").as("attr"), col("p_brand").as("value")),
-        struct(lit("container").as("attr"), col("p_container").as("value")))))
+        struct(lit("type").as("attr"), col("p_type").as("value")))))
       .orderBy(col("p_partkey"), col("attr"))
   }
 
@@ -120,7 +120,7 @@ object Generators {
       """SELECT p_partkey, 'brand' AS attr, p_brand AS value
         |FROM part WHERE p_partkey < 100
         |UNION ALL
-        |SELECT p_partkey, 'container' AS attr, p_container AS value
+        |SELECT p_partkey, 'type' AS attr, p_type AS value
         |FROM part WHERE p_partkey < 100
         |ORDER BY p_partkey, attr""".stripMargin,
     "q106_parse_url_tuple" ->

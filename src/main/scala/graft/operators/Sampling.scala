@@ -30,8 +30,21 @@ object Sampling {
       .orderBy(col("l_returnflag"))
   }
 
+  /** TABLESAMPLE (n ROWS): deterministic row cap. Hive takes the first n
+    * rows per split; the engine pins a total order first so the sample is
+    * reproducible across partitionings and engines (limit pushes into a
+    * TakeOrderedAndProject — no global sort materializes). */
+  val q110_sample_rows: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+           max(col("l_orderkey")).as("max_key"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_bucket_sample" -> q55_bucket_sample,
+    "q110_sample_rows" -> q110_sample_rows,
   )
 
   val oracles: Map[String, String] = Map(
@@ -39,5 +52,9 @@ object Sampling {
       """SELECT l_returnflag, COUNT(1) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 7 = 3
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q110_sample_rows" ->
+      """SELECT COUNT(1) AS n, SUM(l_quantity) AS sum_qty, MAX(l_orderkey) AS max_key
+        |FROM (SELECT l_quantity, l_orderkey FROM lineitem
+        |      ORDER BY l_orderkey, l_linenumber LIMIT 100) t""".stripMargin,
   )
 }

@@ -33,6 +33,28 @@ class MiscFunctionsSpec extends AnyFunSuite {
     assert(r.getString(9) == "2")
   }
 
+  test("mask_* variants follow the Hive masking contract") {
+    import spark.implicits._
+    import graft.functions.MiscFunctions._
+    val df = Seq("Customer#7").toDF("s")
+    val r = df.select(
+      mask_first_n(col("s"), 4).as("f4"),
+      mask_last_n(col("s"), 3).as("l3"),
+      mask_show_first_n(col("s"), 4).as("sf4"),
+      mask_show_last_n(col("s"), 2).as("sl2"),
+      mask_hash(col("s")).as("h"),
+      mask_first_n(col("s"), 99).as("f_over")).collect()(0)
+    assert(r.getString(0) == "Xxxxomer#7")
+    assert(r.getString(1) == "Customex#n")
+    assert(r.getString(2) == "Custxxxx#n")
+    assert(r.getString(3) == "Xxxxxxxx#7")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("Customer#7".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(r.getString(4) == md)
+    assert(r.getString(5) == "Xxxxxxxx#n", "n beyond length masks the whole string")
+  }
+
   test("xpath family extracts from XML (Hive xpath_* surface)") {
     val r = spark.sql(
       """SELECT xpath_string('<a><b>hello</b><c>7</c></a>', 'a/b') AS s,

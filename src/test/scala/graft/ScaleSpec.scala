@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime re-optimization demonstrations — the reference's
+  * DynamicPartitionPruningOptimization.java (runtime partition pruning
+  * through a star join) and SkewJoinHandler.java:74 / SkewJoinOptimizer
+  * (skewed-key splitting), both re-expressed as Catalyst/AQE behavior
+  * that must actually FIRE, not just be enabled in config. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("dynamic partition pruning fires on a partitioned fact star join") {
+    val dir = "target/scale/orders_by_year"
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // Dim with a non-foldable filter on an attribute (not the partition
+    // key): only runtime pruning can learn which years survive.
+    val dim = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("o_year")).distinct()
+      .withColumn("tag", when(col("o_year") % 2 === 0, "even").otherwise("odd"))
+    val q = fact.join(broadcast(dim.filter(col("tag") === "even")), Seq("o_year"))
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      "fact scan must carry a runtime partition-pruning predicate:\n" + plan.take(3000))
+    assert(q.collect()(0).getLong(0) > 0)
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ).map(k => k -> conf.get(k))
+    try {
+      // Scale the detection thresholds down to test-data size; the
+      // mechanism (median-vs-partition comparison, split + replicate) is
+      // the same one that handles a hot key at 100 TB.
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // 300k rows, 80% on key 0 — one shuffle partition dwarfs the rest.
+      val left = spark.range(0, 300000)
+        .select(when(col("id") < 240000, lit(0L)).otherwise(col("id")).as("k"),
+                col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // merge hint pins SMJ without touching the broadcast threshold
+      // other suites rely on.
+      val j = left.hint("merge").join(right, Seq("k")).agg(sum(col("v")).as("sv"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "skewed partition must be split at runtime:\n" + plan.take(3000))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+}
