@@ -62,6 +62,41 @@ class CoercionSpec extends AnyFunSuite {
     assert(r.isNullAt(5), "failed cast yields null with ANSI off")
   }
 
+  test("char(n)/varchar(n) table columns enforce pad/truncate semantics") {
+    // Hive applies char/varchar semantics at the column level
+    // (CharTypeInfo.java): char(n) reads back space-padded, varchar(n)
+    // rejects oversize values on insert. Spark matches on table columns
+    // (not on CAST — the engine's hiveChar/hiveVarchar cover casts,
+    // pinned via the q108 oracle).
+    spark.sql("DROP TABLE IF EXISTS coercion_chars")
+    spark.sql("CREATE TABLE coercion_chars (c CHAR(5), v VARCHAR(5)) USING parquet")
+    try {
+      spark.sql("INSERT INTO coercion_chars VALUES ('ab', 'xyz')")
+      val r = spark.sql("SELECT c, length(c) AS lc, v FROM coercion_chars").collect()(0)
+      assert(r.getString(0) == "ab   ", "char(5) must read back space-padded")
+      assert(r.getInt(1) == 5)
+      assert(r.getString(2) == "xyz")
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO coercion_chars VALUES ('ab', 'toolong!')")
+      }
+      assert(e.getMessage.toLowerCase.contains("length"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS coercion_chars")
+  }
+
+  test("decimal overflow, rounding, and division scale follow Hive rules") {
+    val r = spark.sql(
+      """SELECT CAST('1.005' AS DECIMAL(10,2)) AS up,
+        |  CAST('-1.005' AS DECIMAL(10,2)) AS down,
+        |  CAST(12345.678 AS DECIMAL(5,2)) AS ovf,
+        |  CAST(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)) AS STRING) AS third
+        |""".stripMargin).collect()(0)
+    assert(r.getDecimal(0).toPlainString == "1.01", "HALF_UP rounding")
+    assert(r.getDecimal(1).toPlainString == "-1.01", "HALF_UP away from zero")
+    assert(r.isNullAt(2), "overflow -> NULL with ANSI off")
+    // Hive/Spark division scale: max(6, s1 + p2 + 1) = 13
+    assert(r.getString(3) == "0.3333333333333")
+  }
+
   test("timestamp comparisons are UTC-stable") {
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
     val r = spark.sql(
