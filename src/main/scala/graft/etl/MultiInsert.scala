@@ -48,4 +48,45 @@ final class MultiInsert private (
 
 object MultiInsert {
   def from(src: DataFrame): MultiInsert = new MultiInsert(src, Vector.empty)
+
+  private val FromClause =
+    """(?is)^\s*FROM\s+(.+?)\s+(INSERT\s+OVERWRITE\s+DIRECTORY\s+.*)$""".r
+  private val InsertClause =
+    """(?is)INSERT\s+OVERWRITE\s+DIRECTORY\s+'([^']+)'\s+(SELECT\s.*?)(?=INSERT\s+OVERWRITE\s+DIRECTORY|$)""".r
+
+  /** Hive's multi-insert STATEMENT form (HiveParser.g:2482-2523):
+    *
+    * {{{
+    * FROM <source> INSERT OVERWRITE DIRECTORY 'p1' SELECT ... [WHERE ...]
+    *               INSERT OVERWRITE DIRECTORY 'p2' SELECT ... [WHERE ...]
+    * }}}
+    *
+    * The source (a table name or parenthesized subquery, optionally
+    * aliased) is planned once and persisted; each INSERT's SELECT runs
+    * against the shared materialization — the same one-scan fan-out
+    * SemanticAnalyzer.genBodyPlan builds. Returns rows written per path.
+    */
+  def sql(spark: org.apache.spark.sql.SparkSession, statement: String,
+          format: String = "parquet"): Map[String, Long] = statement match {
+    case FromClause(src, inserts) =>
+      val srcDf = spark.sql(s"SELECT * FROM $src")
+      val view = s"graft_mi_${math.abs(statement.hashCode)}"
+      srcDf.createOrReplaceTempView(view)
+      try {
+        // Hive puts WHERE after the projection with no FROM ("SELECT c
+        // WHERE p"); rebuild as standard SQL over the shared view.
+        val SelectWhere = """(?is)^(SELECT\b.*?)(\s+WHERE\b.*)?$""".r
+        val queued = InsertClause.findAllMatchIn(inserts).foldLeft(from(srcDf)) {
+          (mi, m) =>
+            val path = m.group(1)
+            val SelectWhere(proj, whereOrNull) = m.group(2).trim
+            val where = Option(whereOrNull).getOrElse("")
+            mi.insert(path)(df => { df.createOrReplaceTempView(view)
+              df.sparkSession.sql(s"$proj FROM $view$where") })
+        }
+        queued.run(format)
+      } finally { spark.catalog.dropTempView(view); () }
+    case _ => throw new IllegalArgumentException(
+      "expected: FROM <src> INSERT OVERWRITE DIRECTORY '<path>' SELECT ... [more INSERTs]")
+  }
 }

@@ -55,6 +55,18 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Streaming exact dedup at ingest: drop replayed/duplicate records by
+    * key inside the watermark horizon — the streaming twin of
+    * q64_dedup_exact, and the idempotency layer a training-data ingest
+    * pipeline puts in front of everything else. State is bounded by
+    * (watermark horizon x arrival rate): dropDuplicatesWithinWatermark
+    * evicts keys once the watermark passes them, so a replay storm cannot
+    * grow state without bound. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the mapGroupsWithState surface the
     * reference has no analog for). */

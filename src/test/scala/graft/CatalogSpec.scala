@@ -59,4 +59,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW TABLES IN graftdb").collect()
       .map(_.getString(1)).contains("orders_by_year"))
   }
+
+  test("SHOW CREATE TABLE reproduces a runnable DDL statement") {
+    spark.sql("DROP TABLE IF EXISTS graft_sct")
+    spark.sql("DROP TABLE IF EXISTS graft_sct2")
+    spark.sql(
+      """CREATE TABLE graft_sct (k BIGINT, s STRING, d DECIMAL(10,2))
+        |USING parquet PARTITIONED BY (p INT)
+        |COMMENT 'show-create round trip'""".stripMargin)
+    try {
+      val ddl = spark.sql("SHOW CREATE TABLE graft_sct").collect()(0).getString(0)
+      assert(ddl.contains("DECIMAL(10,2)") && ddl.contains("PARTITIONED BY"), ddl)
+      // the emitted DDL must itself run (round-trip under a new name)
+      spark.sql(ddl.replaceFirst("TABLE .*graft_sct", "TABLE graft_sct2"))
+      val cols2 = spark.table("graft_sct2").schema.fieldNames.toSeq
+      assert(cols2 == Seq("k", "s", "d", "p"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sct")
+      spark.sql("DROP TABLE IF EXISTS graft_sct2")
+    }
+  }
+
+  test("SHOW FUNCTIONS and DESCRIBE FUNCTION cover the registry") {
+    val fns = spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    Seq("explode", "percentile_approx", "mask", "parse_url", "xpath",
+        "str_to_map", "histogram_numeric").foreach(f =>
+      assert(fns.contains(f), s"builtin $f missing from SHOW FUNCTIONS"))
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED percentile_approx")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("percentile"), desc)
+    // engine-registered temp functions appear too
+    graft.functions.HivePercentileApprox.register(spark)
+    val withTemp = spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(withTemp.contains("hive_percentile_approx"))
+  }
+
+  test("DESCRIBE FORMATTED exposes storage metadata") {
+    spark.sql("DROP TABLE IF EXISTS graft_dfmt")
+    spark.sql("CREATE TABLE graft_dfmt USING parquet AS SELECT 1 AS a, 'x' AS b")
+    try {
+      val rows = spark.sql("DESCRIBE FORMATTED graft_dfmt")
+        .collect().map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+      assert(rows.contains("Provider") && rows.contains("parquet"), rows)
+      assert(rows.contains("Location"), rows)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dfmt")
+  }
 }

@@ -25,6 +25,22 @@ class EtlSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/by_flag").count() == 3)
   }
 
+  test("multi-insert SQL statement form matches the Hive grammar") {
+    val tmp = Files.createTempDirectory("graft_misql").toString
+    Tables.registerAll(spark, sf)
+    val written = MultiInsert.sql(spark,
+      s"""FROM (SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem) li
+         |INSERT OVERWRITE DIRECTORY '$tmp/big' SELECT l_returnflag, l_quantity WHERE l_quantity > 40
+         |INSERT OVERWRITE DIRECTORY '$tmp/flags' SELECT DISTINCT l_returnflag
+         |INSERT OVERWRITE DIRECTORY '$tmp/all' SELECT l_returnflag, l_extendedprice""".stripMargin)
+    val li = Tables.lineitem(spark, sf)
+    assert(written(s"$tmp/big") == li.filter(col("l_quantity") > 40).count())
+    assert(written(s"$tmp/flags") == 3)
+    assert(written(s"$tmp/all") == li.count())
+    assert(spark.read.parquet(s"$tmp/big").columns.toSeq
+        == Seq("l_returnflag", "l_quantity"))
+  }
+
   test("partitioned + bucketed write round-trips and prunes") {
     val tmp = Files.createTempDirectory("graft_w").toString
     Tables.orders(spark, sf)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-format surface beyond the oracle round-trips: compression
+  * codecs per format (the reference's
+  * hive.exec.compress.output/mapred.output.compression.codec surface) and
+  * scan-level pushdown parity for ORC. */
+class FormatsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def roundTrip(fmt: String, codec: String): Unit = {
+    val src = Tables.nation(spark, sf)
+    val path = s"target/fmtspec/${fmt}_$codec"
+    val w = src.write.mode("overwrite").option("compression", codec)
+    fmt match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case "orc" => w.orc(path)
+      case "parquet" => w.parquet(path)
+    }
+    val r = fmt match {
+      case "csv" => spark.read.schema(src.schema).option("header", "true").csv(path)
+      case "json" => spark.read.schema(src.schema).json(path)
+      case "orc" => spark.read.orc(path)
+      case "parquet" => spark.read.parquet(path)
+    }
+    assert(r.count() == src.count(), s"$fmt/$codec lost rows")
+    assert(r.agg(sum("n_nationkey")).collect()(0).getLong(0)
+        == src.agg(sum("n_nationkey")).collect()(0).getLong(0), s"$fmt/$codec corrupted values")
+  }
+
+  test("compressed round-trips per format") {
+    roundTrip("csv", "gzip")
+    roundTrip("json", "gzip")
+    roundTrip("orc", "zlib")
+    roundTrip("orc", "snappy")
+    roundTrip("parquet", "zstd")
+  }
+
+  test("ORC scans push filters and prune columns like parquet") {
+    val path = "target/fmtspec/lineitem_orc_plan"
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").orc(path)
+    val p = spark.read.orc(path)
+      .filter(col("l_quantity") > 30)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"), p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("delimited text survives values containing the quote character") {
+    import spark.implicits._
+    val tricky = Seq((1L, "plain"), (2L, "has \"quotes\""), (3L, "comma, inside"),
+                     (4L, "newline \\n escape"), (5L, ""))
+      .toDF("id", "s")
+    val path = "target/fmtspec/tricky_csv"
+    tricky.write.mode("overwrite").option("header", "true").csv(path)
+    val back = spark.read.schema(tricky.schema).option("header", "true").csv(path)
+      .na.fill("", Seq("s"))
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq
+        == tricky.orderBy("id").collect().map(_.getString(1)).toSeq)
+  }
+}

@@ -34,6 +34,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("streaming dedup-at-ingest drops replayed records exactly") {
+    // replay the whole table twice through the stream: the deduped count
+    // must equal the batch distinct-key count, not 2x
+    val dir = "target/stream_dedup_src"
+    val once = Tables.events(spark, sf)
+    once.write.mode("overwrite").parquet(dir)
+    once.write.mode("append").parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val stream0 = spark.readStream.schema(raw.schema).parquet(dir)
+    val stream =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val q = EventsStream.dedupedEvents(stream)
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("deduped")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val deduped = spark.table("deduped").collect()(0).getLong(0)
+    val expected = once.select("event_id").distinct().count()
+    assert(deduped == expected,
+      s"replayed stream must dedup to $expected, got $deduped")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     import spark.implicits._
     val events = EventsStream.readEvents(spark, sf).as[EventsStream.Event]
