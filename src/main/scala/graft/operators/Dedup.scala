@@ -84,8 +84,14 @@ object Dedup {
     * Only candidate docs' shingles enter the joins (semi-join first,
     * THEN distinct): after LSH pruning, candidates are a sliver of the
     * corpus, so both the distinct and the pair joins shuffle survivors,
-    * not the corpus — the difference that matters at 100 TB. */
-  def exactJaccard(pairs: DataFrame, shAll: DataFrame): DataFrame = {
+    * not the corpus — the difference that matters at 100 TB.
+    *
+    * With `keepZero = false` (the path every thresholded caller wants),
+    * pairs sharing no shingle — jac = 0 — are omitted instead of
+    * left-outer-joined back in; `pairs` is then consumed twice, not three
+    * times, which matters because callers pass it UNcached (see q65). */
+  def exactJaccard(pairs: DataFrame, shAll: DataFrame,
+                   keepZero: Boolean = true): DataFrame = {
     val candDocs = pairs
       .select(explode(array(col("ida"), col("idb"))).as("doc_id")).distinct()
     val sh = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
@@ -95,9 +101,11 @@ object Dedup {
       .join(sh.as("sb"), col("idb") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("ida"), col("idb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("ida", "idb"), "left_outer")
-      .na.fill(0L, Seq("inter"))
+    val withInter =
+      if (keepZero)
+        pairs.join(inter, Seq("ida", "idb"), "left_outer").na.fill(0L, Seq("inter"))
+      else inter
+    withInter
       .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nsh", "na"), Seq("ida"))
       .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nsh", "nb"), Seq("idb"))
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
@@ -127,7 +135,7 @@ object Dedup {
     // band join) is cheap to recompute and caching made the plan hostage
     // to block-manager pressure in a shared long-lived session.
     val cands = lshCandidates(minhashSignatures(shRaw))
-    exactJaccard(cands, shRaw)
+    exactJaccard(cands, shRaw, keepZero = false)
       .filter(col("jac") >= 0.7)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
       .orderBy(col("ida"), col("idb"))
@@ -185,7 +193,7 @@ object Dedup {
     val allPairs = ids.select(col("doc_id").as("ida"))
       .crossJoin(ids.select(col("doc_id").as("idb")))
       .where(col("ida") < col("idb"))
-    exactJaccard(allPairs, shRaw)
+    exactJaccard(allPairs, shRaw, keepZero = false)
       .filter(col("jac") >= 0.5)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
       .orderBy(col("ida"), col("idb"))
