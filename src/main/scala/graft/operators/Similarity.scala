@@ -115,28 +115,46 @@ object Similarity {
 
   /** IVF-style ANN: partition the corpus into nList inverted lists by
     * nearest centroid, probe only the nProbe closest lists per query,
-    * exact-rerank the candidates. Centroids are seed vectors (vec_id <
-    * nList) — deterministic; a production index would Lloyd-iterate,
-    * which only moves the centroids, not the plumbing. The corpus is
-    * assigned in ONE pass (N x nList cosines), queries then touch
-    * nProbe/nList of the corpus — the 100 TB path where brute force is
-    * N x Q. Rows-only; recall vs q68 pinned in PipelineSpec. */
+    * exact-rerank the candidates. Centroids start from seed vectors
+    * (vec_id < nList) and are refined by `lloydIters` Lloyd/k-means
+    * passes expressed as DataFrame ops (assign via max_by — one
+    * aggregation, no window over the corpus — then per-dimension mean).
+    * The corpus is assigned in ONE pass (N x nList cosines), queries then
+    * touch nProbe/nList of the corpus — the 100 TB path where brute
+    * force is N x Q. Rows-only; recall vs q68 pinned in PipelineSpec. */
   def ivfTopK(emb: DataFrame, nList: Int, nProbe: Int,
-              nQueries: Int, k: Int): DataFrame = {
-    val cent = emb.filter(col("vec_id") < nList)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    def nearestLists(df: DataFrame, vecCol: String, idCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cid"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("cvec", "cscore", "crn")
+              nQueries: Int, k: Int, lloydIters: Int = 2): DataFrame = {
+    val seed = emb.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"),
+              expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cvec"))
+
+    /** Nearest centroid per corpus vector — max_by keeps it a plain
+      * two-phase aggregation (a window here would sort N x nList rows). */
+    def assign(cent: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cent))
+        .withColumn("cscore", round(cosine(col("embedding"), col("cvec")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("cid"))
+
+    val cent = (0 until lloydIters).foldLeft(seed) { (c, _) =>
+      assign(c)
+        .join(emb, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
     }
-    val assigned = nearestLists(emb, "embedding", "vec_id", 1)
+
+    val assigned = assign(cent).join(emb, Seq("vec_id"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val probes = nearestLists(queries, "qvec", "qid", nProbe)
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("cscore", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nProbe)
+      .drop("cvec", "cscore", "crn")
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     probes.join(assigned, Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
@@ -150,11 +168,54 @@ object Similarity {
     ivfTopK(Tables.embeddings(s, d), nList = 16, nProbe = 4, nQueries = 5, k = 10)
       .orderBy(col("qid"), col("rnk"))
 
+  /** Sign-LSH blocked near-duplicate pairs — the 100 TB path for q70's
+    * contract: 16 bands x 8 bits from 128 deterministic hyperplanes,
+    * bucket self-join per band (equi-join, never all-pairs), exact cosine
+    * verify. Every emitted pair truly has cosine >= threshold (precision
+    * 1 by construction); recall ~1-(1-p^8)^16 where p = 1 - acos(cos)/pi
+    * (≈0.94 at cosine 0.8), pinned on planted near-dups in PipelineSpec.
+    * Rows-only for the gate: this corpus has no natural pairs >= 0.8, so
+    * the oracle-exact q70 stays the ground-truth query. */
+  def nearDupLsh(emb: DataFrame, threshold: Double,
+                 bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = typedLit((0 until bands * bitsPerBand).map { j =>
+      (0 until dim).map { i =>
+        if (java.lang.Long.hashCode(scala.util.hashing.MurmurHash3
+          .productHash((j + 1000, i))) % 2 == 0) 1.0 else -1.0
+      }
+    })
+    val bits = transform(planes, p =>
+      when(aggregate(zip_with(col("embedding"), p, (e, sg) => e.cast("double") * sg),
+                     lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0)))
+    val banded = emb.select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until bitsPerBand).map(r =>
+            element_at(col("bits"), b * bitsPerBand + r + 1) * (1 << r)).reduce(_ + _).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val candIds = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val vb = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    candIds.join(va, Seq("ida")).join(vb, Seq("idb"))
+      .withColumn("score", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("ida"), col("idb"), col("score"))
+  }
+
+  val q111_neardup_lsh: Q = (s, d) =>
+    nearDupLsh(Tables.embeddings(s, d), 0.8).orderBy(col("ida"), col("idb"))
+
   val queries: Map[String, Q] = Map(
     "q68_cosine_topk" -> q68_cosine_topk,
     "q69_ann_lsh" -> q69_ann_lsh,
     "q70_embedding_neardup" -> q70_embedding_neardup,
     "q87_ann_ivf" -> q87_ann_ivf,
+    "q111_neardup_lsh" -> q111_neardup_lsh,
   )
 
   private val cosSql =

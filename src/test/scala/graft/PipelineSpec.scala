@@ -75,6 +75,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= bf.size, s"IVF found only $hits brute-force-top-10 hits")
   }
 
+  test("sign-LSH near-dup blocking: precision 1, high recall on planted pairs") {
+    import spark.implicits._
+    // the shipped corpus has no cosine>=0.8 pairs, so plant some: 100
+    // seeded base vectors, each with one mildly-noised twin
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec()))
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + (rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val planted = (base ++ twins).toDF("vec_id", "embedding")
+    val exact = planted.as("a").join(planted.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score",
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("score") >= 0.8)
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 80, s"planting failed: only ${exact.size} true pairs")
+    val lsh = Similarity.nearDupLsh(planted, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verify must make precision 1.0")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall over ${exact.size} planted pairs")
+  }
+
   test("shingles are distinct per doc and deterministic across runs") {
     val a = Dedup.shingles(Tables.documents(spark, sf)).count()
     val b = Dedup.shingles(Tables.documents(spark, sf)).count()
