@@ -100,10 +100,41 @@ object MiscFunctions {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Long-tail string builtins (FunctionRegistry.java:183-269) with
+    * DuckDB twins: substring_index (±n), locate, printf/format_string,
+    * space, chr. */
+  val q112_string_tail: Q = (s, d) => {
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        substring_index(col("p_name"), " ", 2).as("si2"),
+        substring_index(col("p_name"), " ", -1).as("si_last"),
+        locate("al", col("p_name")).as("loc"),
+        format_string("%s|%03d", col("p_brand"), col("p_size")).as("fmt"),
+        expr("concat('[', space(2), ']')").as("sp"),
+        expr("chr(65 + pmod(p_size, 26))").as("ch"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Long-tail date builtins (FunctionRegistry.java:274-294): next_day,
+    * trunc-to-month. (months_between and the UTC conversions are pinned
+    * in MiscFunctionsSpec — no faithful DuckDB twin.) */
+  val q113_date_tail: Q = (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        next_day(col("o_orderdate"), "MO").as("next_mon"),
+        trunc(col("o_orderdate"), "MM").as("mstart"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q78_encodings" -> q78_encodings,
     "q79_hive_compat" -> q79_hive_compat,
     "q80_approx_aggs" -> q80_approx_aggs,
+    "q112_string_tail" -> q112_string_tail,
+    "q113_date_tail" -> q113_date_tail,
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,5 +147,21 @@ object MiscFunctions {
         |  sha256(p_name) AS name_sha256,
         |  octet_length(CAST(p_name AS BLOB)) AS n_bytes
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+    "q112_string_tail" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ') AS si2,
+        |  list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS si_last,
+        |  CAST(strpos(p_name, 'al') AS INT) AS loc,
+        |  printf('%s|%03d', p_brand, p_size) AS fmt,
+        |  '[' || repeat(' ', 2) || ']' AS sp,
+        |  chr(CAST(65 + p_size % 26 AS INT)) AS ch
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+    "q113_date_tail" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE)
+        |    + CAST(((1 - isodow(o_orderdate) - 1 + 7) % 7) + 1 AS INT) AS next_mon,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
   )
 }

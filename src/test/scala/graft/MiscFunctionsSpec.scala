@@ -55,6 +55,56 @@ class MiscFunctionsSpec extends AnyFunSuite {
     assert(r.getString(5) == "Xxxxxxxx#n", "n beyond length masks the whole string")
   }
 
+  test("long-tail builtins with no DuckDB twin produce the documented values") {
+    val r = spark.sql(
+      """SELECT bround(2.5) AS b1, bround(3.5) AS b2,
+        |  factorial(5) AS fact,
+        |  sha1('abc') AS s1,
+        |  CAST(unhex('4D') AS STRING) AS uh,
+        |  CAST(decode(encode('héllo', 'UTF-8'), 'UTF-8') AS STRING) AS ed,
+        |  months_between('1997-02-28 10:30:00', '1996-10-30') AS mb,
+        |  CAST(from_utc_timestamp(TIMESTAMP '2024-01-15 12:00:00',
+        |       'America/Los_Angeles') AS STRING) AS winter,
+        |  CAST(from_utc_timestamp(TIMESTAMP '2024-07-15 12:00:00',
+        |       'America/Los_Angeles') AS STRING) AS summer,
+        |  CAST(to_utc_timestamp(TIMESTAMP '2024-01-15 04:00:00',
+        |       'America/Los_Angeles') AS STRING) AS back,
+        |  current_database() AS db,
+        |  version() AS ver,
+        |  assert_true(1 = 1) AS ok""".stripMargin).collect()(0)
+    assert(r.getDecimal(0).doubleValue() == 2.0, "bankers rounding 2.5 -> 2")
+    assert(r.getDecimal(1).doubleValue() == 4.0, "bankers rounding 3.5 -> 4")
+    assert(r.getLong(2) == 120L)
+    assert(r.getString(3) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(4) == "M")
+    assert(r.getString(5) == "héllo")
+    assert(math.abs(r.getDouble(6) - 3.94959677) < 1e-6, s"months_between ${r.getDouble(6)}")
+    assert(r.getString(7) == "2024-01-15 04:00:00", "PST is UTC-8")
+    assert(r.getString(8) == "2024-07-15 05:00:00", "PDT is UTC-7")
+    assert(r.getString(9) == "2024-01-15 12:00:00")
+    assert(r.getString(10) == "default")
+    assert(r.getString(11).startsWith("4.1"))
+    assert(r.isNullAt(12), "assert_true(true) yields NULL")
+    val e = intercept[Throwable] {
+      spark.sql("SELECT assert_true(1 = 2)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("aes_encrypt/aes_decrypt round-trip (deterministic ECB mode)") {
+    val r = spark.sql(
+      """SELECT CAST(aes_decrypt(aes_encrypt('secret payload', '0123456789abcdef',
+        |  'ECB'), '0123456789abcdef', 'ECB') AS STRING) AS rt,
+        |  base64(aes_encrypt('secret payload', '0123456789abcdef', 'ECB')) AS ct
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "secret payload")
+    // ECB with a fixed key is deterministic — same ciphertext every run
+    val again = spark.sql(
+      "SELECT base64(aes_encrypt('secret payload', '0123456789abcdef', 'ECB'))")
+      .collect()(0).getString(0)
+    assert(r.getString(1) == again)
+  }
+
   test("xpath family extracts from XML (Hive xpath_* surface)") {
     val r = spark.sql(
       """SELECT xpath_string('<a><b>hello</b><c>7</c></a>', 'a/b') AS s,
