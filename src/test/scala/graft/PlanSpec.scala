@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p40.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p40.take(1500))
   }
 
+  test("EXPLAIN statement forms work (ExplainTask surface)") {
+    Tables.registerAll(spark, sf)
+    val basic = spark.sql("EXPLAIN SELECT count(1) FROM lineitem WHERE l_quantity > 10")
+      .collect()(0).getString(0)
+    assert(basic.contains("Physical Plan"), basic.take(300))
+    val ext = spark.sql("EXPLAIN EXTENDED SELECT 1").collect()(0).getString(0)
+    assert(ext.contains("Parsed Logical Plan") && ext.contains("Optimized Logical Plan"))
+    val fmt = spark.sql(
+      "EXPLAIN FORMATTED SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1")
+      .collect()(0).getString(0)
+    assert(fmt.contains("HashAggregate"), fmt.take(500))
+  }
+
   test("brute-force topk broadcasts the query vectors, not the corpus") {
     val p = plan("q68_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
