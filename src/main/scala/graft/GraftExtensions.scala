@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{HivePercentileApprox, MinGramHash, PolyHash}
+
+/** Session-extension entry point — the engine's custom Catalyst
+  * expressions and aggregates registered the way a cluster deployment
+  * would ship them (the analog of the reference's FunctionRegistry
+  * bootstrap, ql/src/java/org/apache/hadoop/hive/ql/exec/
+  * FunctionRegistry.java:183):
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * Session.configure sets this, so every Verify/Bench/driver session gets
+  * poly_hash / min_gram_hash / hive_percentile_approx resolved at build
+  * time with no imperative register calls (the per-module register()
+  * helpers remain for sessions built without the config and are
+  * idempotent on top of this).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      es => PolyHash(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("min_gram_hash"),
+      new ExpressionInfo(classOf[MinGramHash].getName, "min_gram_hash"),
+      es => MinGramHash(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("hive_percentile_approx"),
+      new ExpressionInfo(classOf[HivePercentileApprox].getName, "hive_percentile_approx"),
+      es => HivePercentileApprox(es(0), es(1), es(2))))
+  }
+}

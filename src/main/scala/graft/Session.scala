@@ -14,6 +14,7 @@ object Session {
 
   /** Apply engine defaults to any builder (local or cluster master). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     // Hive-compat semantics (SURVEY.md §1.2): failed casts -> NULL,
     // div-by-zero -> NULL, no overflow errors. Spark 4 defaults ANSI on.

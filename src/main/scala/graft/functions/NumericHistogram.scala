@@ -131,11 +131,13 @@ case class HivePercentileApprox(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[StreamingHistogram] {
 
-  private lazy val q: Double = percentage.eval() match {
-    case d: java.lang.Number => d.doubleValue()
+  private def toDouble(v: Any): Double = v match {
     case x: org.apache.spark.sql.types.Decimal => x.toDouble
+    case d: java.lang.Number => d.doubleValue()
   }
-  private lazy val bins: Int = nBins.eval().asInstanceOf[Number].intValue()
+
+  private lazy val q: Double = toDouble(percentage.eval())
+  private lazy val bins: Int = toDouble(nBins.eval()).toInt
 
   override def children: Seq[Expression] = Seq(child, percentage, nBins)
   override def nullable: Boolean = true
@@ -146,7 +148,7 @@ case class HivePercentileApprox(
 
   override def update(buffer: StreamingHistogram, input: InternalRow): StreamingHistogram = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Number].doubleValue())
+    if (v != null) buffer.add(toDouble(v))
     buffer
   }
 
