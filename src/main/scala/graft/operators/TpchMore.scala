@@ -65,7 +65,36 @@ object TpchMore {
       .limit(50)
   }
 
+  /** Q15-shaped: top-revenue supplier via CTE reused twice (view + scalar
+    * max over it — exchange reuse keeps it one computation). */
+  val q114_top_supplier: Q = run(q114sql)
+
+  /** Q16-shaped: supplier NDV per brand/size with a NOT-IN exclusion. */
+  val q115_supplier_cnt: Q = run(q115sql)
+
+  /** Q17-shaped: small-quantity revenue under a correlated per-part
+    * average threshold. */
+  val q116_small_qty: Q = run(q116sql)
+
+  /** Q19-shaped: disjunctive multi-branch join predicate (brand x size x
+    * quantity bands OR-ed together — the pushdown-through-OR case). */
+  val q117_disjunctive: Q = run(q117sql)
+
+  /** Q21-shaped: suppliers who were the last to ship on multi-supplier
+    * finished orders (EXISTS + NOT EXISTS self-joins on lineitem). */
+  val q118_waiting_supplier: Q = run(q118sql)
+
+  /** Q11-shaped: nation stock value above a fraction-of-total scalar
+    * subquery (decimal-exact global threshold). */
+  val q119_nation_value: Q = run(q119sql)
+
   val queries: Map[String, Q] = Map(
+    "q114_top_supplier" -> q114_top_supplier,
+    "q115_supplier_cnt" -> q115_supplier_cnt,
+    "q116_small_qty" -> q116_small_qty,
+    "q117_disjunctive" -> q117_disjunctive,
+    "q118_waiting_supplier" -> q118_waiting_supplier,
+    "q119_nation_value" -> q119_nation_value,
     "q90_min_per_group" -> q90_min_per_group,
     "q91_nation_volume" -> q91_nation_volume,
     "q92_case_agg" -> q92_case_agg,
@@ -79,6 +108,9 @@ object TpchMore {
 
   /** DuckDB shares the dialect for all of these; year() exists in both. */
   val oracles: Map[String, String] = Map(
+    "q114_top_supplier" -> q114sql, "q115_supplier_cnt" -> q115sql,
+    "q116_small_qty" -> q116sql, "q117_disjunctive" -> q117sql,
+    "q118_waiting_supplier" -> q118sql, "q119_nation_value" -> q119sql,
     "q90_min_per_group" -> q90sql, "q91_nation_volume" -> q91sql,
     "q92_case_agg" -> q92sql, "q93_promo_ratio" -> q93sql,
     "q94_large_orders" -> q94sql, "q95_idle_customers" -> q95sql,
@@ -91,6 +123,68 @@ object TpchMore {
         |LIMIT 50""".stripMargin,
   )
 
+  private lazy val q114sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+  private lazy val q115sql =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+  private lazy val q116sql =
+    """SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+      |  COUNT(1) AS n_lines
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND l.l_quantity < (
+      |    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+  private lazy val q117sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |  COUNT(1) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_size BETWEEN 40 AND 50 AND l_quantity >= 45)""".stripMargin
+  private lazy val q118sql =
+    """SELECT s.s_name, COUNT(1) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+  private lazy val q119sql =
+    """WITH stock AS (
+      |  SELECT s_nationkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS value
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY s_nationkey)
+      |SELECT s_nationkey, value FROM stock
+      |WHERE value > (
+      |  SELECT CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) * 0.05 FROM stock)
+      |ORDER BY value DESC, s_nationkey""".stripMargin
   private lazy val q90sql =
     """SELECT l.l_partkey, p.p_name, l.l_suppkey, l.l_extendedprice
       |FROM lineitem l

@@ -53,6 +53,30 @@ class FormatsSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("malformed rows follow the SerDe tolerance contract per mode") {
+    // LazySimpleSerDe nulls unparseable fields instead of failing the
+    // job; Spark's PERMISSIVE mode is the same contract, with
+    // DROPMALFORMED / FAILFAST as the stricter variants.
+    import spark.implicits._
+    val path = "target/fmtspec/malformed_csv"
+    Seq("1,alpha,10.5", "2,beta,not_a_number", "broken row with no commas", "4,delta,2.25")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(path)
+    val schema = "id INT, name STRING, score DOUBLE"
+    val permissive = spark.read.schema(schema).csv(path)
+    assert(permissive.count() == 4)
+    assert(permissive.filter(col("score").isNull).count() == 2,
+      "bad double and short row must null-fill, not fail")
+    // materialize every column: with CSV column pruning a bare count()
+    // never parses the fields, so malformed rows go undetected
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(path)
+      .select("id", "name", "score").collect()
+    assert(dropped.length == 2, "DROPMALFORMED keeps only clean rows")
+    val e = intercept[Exception] {
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(path).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage)
+  }
+
   test("delimited text survives values containing the quote character") {
     import spark.implicits._
     val tricky = Seq((1L, "plain"), (2L, "has \"quotes\""), (3L, "comma, inside"),
