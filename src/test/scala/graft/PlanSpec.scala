@@ -56,6 +56,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p40.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p40.take(1500))
   }
 
+  test("q118 EXISTS/NOT EXISTS self-joins rewrite to semi/anti joins") {
+    val p = plan("q118_waiting_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("AntiJoin") || p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("EXPLAIN statement forms work (ExplainTask surface)") {
     Tables.registerAll(spark, sf)
     val basic = spark.sql("EXPLAIN SELECT count(1) FROM lineitem WHERE l_quantity > 10")
