@@ -77,6 +77,22 @@ class FormatsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage)
   }
 
+  test("SequenceFile round-trips via the RDD API (HiveSequenceFileOutputFormat analog)") {
+    // the one format whose Spark mapping is genuinely the RDD layer
+    // (SURVEY.md §1.3): key-value pairs, splittable, no DataFrame source
+    val path = "target/fmtspec/nation_seq"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val src = Tables.nation(spark, sf)
+    src.select("n_nationkey", "n_name").rdd
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+      .saveAsSequenceFile(path)
+    val back = spark.sparkContext.sequenceFile[Long, String](path)
+    assert(back.count() == src.count())
+    assert(back.collect().toMap == src.collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap)
+  }
+
   test("delimited text survives values containing the quote character") {
     import spark.implicits._
     val tricky = Seq((1L, "plain"), (2L, "has \"quotes\""), (3L, "comma, inside"),
