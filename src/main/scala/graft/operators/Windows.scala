@@ -87,7 +87,24 @@ object Windows {
       .orderBy(col("o_custkey"))
   }
 
+  /** nth_value + IGNORE NULLS picks (WindowingTableFunction value
+    * functions; Hive's first_value(expr, true) skip-nulls form). */
+  val q120_window_nth: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 3000)
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(w))
+      .withColumn("first_nonopen",
+        first(nullif(col("o_orderstatus"), lit("O")), ignoreNulls = true).over(w))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              col("third_price"), col("first_nonopen"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q120_window_nth" -> q120_window_nth,
     "q20_window_rank" -> q20_window_rank,
     "q21_window_running" -> q21_window_running,
     "q22_window_range" -> q22_window_range,
@@ -95,6 +112,15 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q120_window_nth" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price,
+        |  first_value(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER w AS first_nonopen
+        |FROM orders WHERE o_orderkey < 3000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q20_window_rank" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

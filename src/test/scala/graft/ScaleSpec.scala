@@ -30,6 +30,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(q.collect()(0).getLong(0) > 0)
   }
 
+  test("salted join equals the plain join on a hot-keyed dataset") {
+    // 100k rows, 80% on key 0 — the known-hot-key case SkewJoinOptimizer
+    // rewrites at compile time
+    val left = spark.range(0, 100000)
+      .select(when(col("id") < 80000, lit(0L)).otherwise(col("id") % 500).as("k"),
+              col("id").as("v"))
+    val right = spark.range(0, 500).select(col("id").as("k"), (col("id") * 7).as("w"))
+    val plain = left.join(right, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s")).collect()(0)
+    val salted = operators.SkewTools.saltedJoin(left, right, "k", salts = 8)
+      .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s")).collect()(0)
+    assert(plain.getLong(0) == salted.getLong(0), "row counts differ")
+    assert(plain.getLong(1) == salted.getLong(1), "join content differs")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     val conf = spark.conf
     val saved = Seq(
