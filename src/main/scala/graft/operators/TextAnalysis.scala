@@ -111,7 +111,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
   }
 
+  /** The end-to-end curation pass a training-data pipeline runs nightly:
+    * keep each document iff it is (a) the canonical copy of its exact
+    * text (min doc_id), (b) above the quality bar, (c) predicted English,
+    * and (d) inside the token budget — one scan, one window over the text
+    * key, everything else codegen'd scalars. */
+  val q121_curation: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col("text")), " +")
+    val toksLower = split(lower(col("text")), " +")
+    val nchars = length(col("text")).cast("double")
+    val npunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val nstop = hitCount(toks, stopwords("en")).cast("double")
+    val ntok = size(toks).cast("double")
+    val quality = least(ntok / lit(50.0), lit(1.0)) * 0.4 +
+      (lit(1.0) - npunct / nchars) * 0.3 +
+      least(nstop / ntok * 5, lit(1.0)) * 0.3
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val cEn = hitCount(toksLower, stopwords("en"))
+    val enPredicted = cEn > 0 && langs.filter(_ != "en")
+      .map(l => cEn >= hitCount(toksLower, stopwords(l))).reduce(_ && _)
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && quality >= 0.5 && enPredicted &&
+              size(toks).between(5, 10000))
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+              round(quality, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q121_curation" -> q121_curation,
     "q60_token_count" -> q60_token_count,
     "q61_quality_score" -> q61_quality_score,
     "q62_langid" -> q62_langid,
@@ -122,6 +153,35 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q121_curation" -> {
+      val toksSql = "regexp_split_to_array(trim(text), ' +')"
+      val toksLowerSql = "regexp_split_to_array(lower(text), ' +')"
+      val langs = Seq("de", "es", "fr", "zh")
+      val enMax = langs.map(l =>
+        s"${duckHits(toksLowerSql, stopwords("en"))} >= ${duckHits(toksLowerSql, stopwords(l))}")
+        .mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS npunct,
+         |    CAST(${duckHits(toksSql, stopwords("en"))} AS DOUBLE) AS nstop,
+         |    CAST(len($toksSql) AS DOUBLE) AS ntok,
+         |    ${duckHits(toksLowerSql, stopwords("en"))} AS c_en,
+         |    ($enMax) AS en_is_max,
+         |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, CAST(ntok AS INT) AS n_tokens,
+         |  round(least(ntok / 50.0, 1.0) * 0.4
+         |        + (1.0 - npunct / nchars) * 0.3
+         |        + least(nstop / ntok * 5, 1.0) * 0.3, 6) AS quality
+         |FROM t
+         |WHERE rn = 1
+         |  AND least(ntok / 50.0, 1.0) * 0.4
+         |      + (1.0 - npunct / nchars) * 0.3
+         |      + least(nstop / ntok * 5, 1.0) * 0.3 >= 0.5
+         |  AND c_en > 0 AND en_is_max
+         |  AND ntok BETWEEN 5 AND 10000
+         |ORDER BY doc_id""".stripMargin
+    },
     "q60_token_count" ->
       s"""SELECT doc_id,
          |  len(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
