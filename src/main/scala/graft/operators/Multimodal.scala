@@ -68,7 +68,39 @@ object Multimodal {
       .orderBy(col("fmt"))
   }
 
-  val queries: Map[String, Q] = Map("q76_multimodal" -> q76_multimodal)
+  case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int, sampled_bytes: Long)
+
+  /** Video-path plumbing: chunk each payload into fixed-size "frames",
+    * keep every `every`-th one (uniform temporal sampling), account the
+    * sampled bytes. A real pipeline decodes the kept frames; the chunking,
+    * sampling rate, and per-partition batching are exactly this shape. */
+  def sampleFrames(payloads: DataFrame, frameSize: Int = 64,
+                   every: Int = 4): Dataset[FrameSample] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val frames = bytes.grouped(frameSize).toArray
+          val sampled = frames.indices.filter(_ % every == 0)
+          FrameSample(id, frames.length, sampled.length,
+            sampled.map(i => frames(i).length.toLong).sum)
+        }
+      }
+  }
+
+  /** Frame sampling per document, oracle-reproducible from n_chars
+    * (ASCII text -> n_bytes == n_chars; frame lengths are arithmetic). */
+  val q122_frame_sample: Q = (s, d) => {
+    sampleFrames(withPayload(Tables.documents(s, d)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q76_multimodal" -> q76_multimodal,
+    "q122_frame_sample" -> q122_frame_sample,
+  )
 
   val oracles: Map[String, String] = Map(
     "q76_multimodal" ->
@@ -82,5 +114,14 @@ object Multimodal {
         |  CAST(SUM(n % 480 + 16) AS BIGINT) AS sum_h,
         |  MAX(n % 24 + 1) AS max_frames
         |FROM f GROUP BY fmt ORDER BY fmt""".stripMargin,
+    "q122_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(ceil(length(text) / 64.0) AS INT) AS n_frames,
+        |  CAST(len(range(0, CAST(ceil(length(text) / 64.0) AS INT), 4)) AS INT) AS n_sampled,
+        |  CAST(COALESCE(list_aggregate(
+        |    list_transform(range(0, CAST(ceil(length(text) / 64.0) AS INT), 4),
+        |                   i -> least(64, length(text) - 64 * i)),
+        |    'sum'), 0) AS BIGINT) AS sampled_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
