@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide plan audit: every declared query must compile to a plan
+  * that survives a 100x scale-up. Concretely: no CartesianProduct
+  * anywhere, and nested-loop joins only where one side is a broadcast
+  * constant by design. This is the automated version of reading
+  * .explain output per operator. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Queries where a BroadcastNestedLoopJoin is the intended plan —
+    * in each, the broadcast side is constant-small, not data-scaled. */
+  private val bnljJustified = Map(
+    "q49_stack" -> "3-row stack() constant table, non-equi band predicate",
+    "q9_theta_join" -> "theta join is non-equi by definition; small side broadcast",
+    "q67_ngram_jaccard" -> "deliberate all-pairs exact oracle path, capped at 1000 docs",
+    "q68_cosine_topk" -> "brute-force baseline: broadcast 5-query set x corpus scan",
+    "q87_ann_ivf" -> "corpus x broadcast(16 centroids) assignment pass",
+  )
+
+  test("no query plans a CartesianProduct; BNLJ only where justified") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val p = q(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljJustified.contains(name))
+        offenders += s"$name: unjustified BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
