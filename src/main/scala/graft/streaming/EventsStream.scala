@@ -67,6 +67,25 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases attributed to a view by the
+    * same user within 30 minutes. Both sides watermarked so the join
+    * state is bounded — late rows beyond the horizon are dropped instead
+    * of held forever, the property that keeps a 100 TB/day attribution
+    * join from accumulating unbounded state. */
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    v.join(p,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the mapGroupsWithState surface the
     * reference has no analog for). */

@@ -59,6 +59,27 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed stream must dedup to $expected, got $deduped")
   }
 
+  test("stream-stream interval join converges to the batch join") {
+    val q = EventsStream.viewPurchaseAttribution(
+        EventsStream.readEvents(spark, sf), EventsStream.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attribution")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attribution").count()
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts")),
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .count()
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(batch > 0, "fixture should contain attributable purchases")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     import spark.implicits._
     val events = EventsStream.readEvents(spark, sf).as[EventsStream.Event]
