@@ -23,6 +23,7 @@ import graft.functions.{HivePercentileApprox, MinGramHash, PolyHash}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

@@ -23,4 +23,28 @@ class ExtensionsSpec extends AnyFunSuite {
     // 1 + (0.5*3 - 1) * (2-1)/1 = 1.5 (the histogram's interpolation)
     assert(r.getDouble(2) == 1.5)
   }
+
+  test("first-token rewrite fires for literal delimiters only") {
+    Tables.registerAll(spark, sf)
+    val rewritten = spark.sql(
+      "SELECT element_at(split(p_name, ' '), 1) AS t FROM part")
+    val opt = rewritten.queryExecution.optimizedPlan.toString
+    assert(opt.contains("substring_index") && !opt.contains("split("),
+      "literal-delimiter first-token must rewrite to substring_index:\n" + opt)
+    // results identical to the unrewritten semantics
+    val viaRule = rewritten.collect().map(_.getString(0))
+    val direct = spark.sql("SELECT substring_index(p_name, ' ', 1) AS t FROM part")
+      .collect().map(_.getString(0))
+    assert(viaRule.sameElements(direct))
+    // regex delimiters must NOT rewrite (split semantics differ)
+    val regexForm = spark.sql(
+      "SELECT element_at(split(p_name, ' +'), 1) AS t FROM part")
+      .queryExecution.optimizedPlan.toString
+    assert(regexForm.contains("split("), regexForm)
+    // nor deeper indexes
+    val second = spark.sql(
+      "SELECT element_at(split(p_name, ' '), 2) AS t FROM part")
+      .queryExecution.optimizedPlan.toString
+    assert(second.contains("split("), second)
+  }
 }
