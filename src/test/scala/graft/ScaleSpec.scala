@@ -30,6 +30,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(q.collect()(0).getLong(0) > 0)
   }
 
+  test("AQE coalesces a tiny aggregate into few output files (merge-files analog)") {
+    // the reference runs merge-files tasks after jobs that produce many
+    // small files (AbstractFileMergeOperator); AQE partition coalescing
+    // does it during the job instead
+    val out = "target/scale/coalesced"
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files <= 2, s"3-row aggregate wrote $files files — coalescing not effective")
+  }
+
+  test("_metadata virtual columns expose file provenance (ROW__ID kin)") {
+    // the reference's virtual columns INPUT__FILE__NAME /
+    // BLOCK__OFFSET__INSIDE__FILE / ROW__ID map to input_file_name()
+    // (q82) and the _metadata struct pinned here
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.file_size").as("fs"),
+        col("_metadata.row_index").as("ri"))
+    val r = df.limit(5).collect()
+    assert(r.forall(_.getString(1).contains("orders.parquet")))
+    assert(r.forall(_.getLong(2) > 0))
+    val dup = df.groupBy(col("fp"), col("ri")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup == 0, "(file, row_index) must be a unique row id")
+  }
+
   test("salted join equals the plain join on a hot-keyed dataset") {
     // 100k rows, 80% on key 0 — the known-hot-key case SkewJoinOptimizer
     // rewrites at compile time
