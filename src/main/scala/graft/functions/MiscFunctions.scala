@@ -88,6 +88,7 @@ object MiscFunctions {
     * Rows-only; exactness/stability pinned in HistogramSpec. */
   val q80_approx_aggs: Q = (s, d) => {
     HivePercentileApprox.register(s)
+    HiveHistogramNumeric.register(s)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -96,7 +97,8 @@ object MiscFunctions {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
         HivePercentileApprox.hive_percentile_approx(
           col("l_extendedprice"), 0.5, 1000).as("p50_hive_hist"),
-        expr("histogram_numeric(l_quantity, 5)")(0).getField("y").as("hist_bin0_height"))
+        expr("histogram_numeric(l_quantity, 5)")(0).getField("y").as("hist_bin0_height"),
+        expr("hive_histogram_numeric(l_quantity, 5)")(0).getField("y").as("hive_hist_bin0"))
       .orderBy(col("l_returnflag"))
   }
 

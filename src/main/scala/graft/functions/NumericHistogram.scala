@@ -182,3 +182,66 @@ object HivePercentileApprox {
   def hive_percentile_approx(c: Column, q: Double, maxBins: Int): Column =
     call_function("hive_percentile_approx", c, lit(q), lit(maxBins))
 }
+
+object HiveHistogramNumeric {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hive_histogram_numeric",
+      es => HiveHistogramNumeric(es(0), es(1)), "scala_udf")
+}
+
+/** `hive_histogram_numeric(col, nBins)` — the reference's
+  * histogram_numeric (udf/generic/GenericUDAFHistogramNumeric.java):
+  * same NumericHistogram buffer as percentile_approx, emitted as the
+  * array of (x, y) centroid/weight bins instead of a quantile. Exact
+  * (one bin per value) whenever distinct inputs fit in the budget. */
+case class HiveHistogramNumeric(
+    child: Expression,
+    nBins: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[StreamingHistogram] {
+
+  private def toDouble(v: Any): Double = v match {
+    case x: org.apache.spark.sql.types.Decimal => x.toDouble
+    case d: java.lang.Number => d.doubleValue()
+  }
+  private lazy val bins: Int = toDouble(nBins.eval()).toInt
+
+  override def children: Seq[Expression] = Seq(child, nBins)
+  override def nullable: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("x", DoubleType).add("y", DoubleType))
+  override def prettyName: String = "hive_histogram_numeric"
+
+  override def createAggregationBuffer(): StreamingHistogram = new StreamingHistogram(bins)
+
+  override def update(buffer: StreamingHistogram, input: InternalRow): StreamingHistogram = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(toDouble(v))
+    buffer
+  }
+
+  override def merge(buffer: StreamingHistogram, other: StreamingHistogram): StreamingHistogram =
+    buffer.mergeWith(other)
+
+  override def eval(buffer: StreamingHistogram): Any = {
+    if (buffer.n == 0) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      (0 until buffer.n).map(i =>
+        InternalRow(buffer.xs(i), buffer.ys(i))).toArray[Any])
+  }
+
+  override def serialize(buffer: StreamingHistogram): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): StreamingHistogram =
+    StreamingHistogram.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HiveHistogramNumeric =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HiveHistogramNumeric =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HiveHistogramNumeric =
+    copy(child = newChildren(0), nBins = newChildren(1))
+}

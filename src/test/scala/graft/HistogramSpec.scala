@@ -59,6 +59,17 @@ class HistogramSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("hive_histogram_numeric emits exact (x, y) bins when values fit") {
+    graft.functions.HiveHistogramNumeric.register(spark)
+    import spark.implicits._
+    Seq(1.0, 1.0, 2.0, 3.0, 3.0, 3.0).toDF("v")
+      .createOrReplaceTempView("hist_hn")
+    val bins = spark.sql("SELECT hive_histogram_numeric(v, 10) FROM hist_hn")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(bins == Seq((1.0, 2.0), (2.0, 1.0), (3.0, 3.0)))
+  }
+
   test("histogram core: closest-bin merging keeps mass and order") {
     val h = new StreamingHistogram(3)
     Seq(1.0, 100.0, 2.0, 101.0, 50.0).foreach(v => h.add(v))
