@@ -162,12 +162,19 @@ object Dedup {
     * lossless vs the all-pairs scan (SimHashSpec pins the equivalence).
     * Plan shape is an equi-join — no cartesian — so it survives scale-up;
     * the exact hamming filter then discards false bucket-mates. */
-  def simhashPairs(sig: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val banded = sig.select(col("doc_id"), col("simhash"),
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
+                   maxBucket: Int = 4096): DataFrame = {
+    val raw = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 8).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
               col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // same hot-bucket cap as MinHash LSH: an over-cap (band, byte) bucket
+    // is a boilerplate clique — exclude it from quadratic pairing
+    val okBuckets = raw.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bv"))
+    val banded = raw.join(okBuckets, Seq("band", "bv"), "left_semi")
     banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),

@@ -177,7 +177,8 @@ object Similarity {
     * Rows-only for the gate: this corpus has no natural pairs >= 0.8, so
     * the oracle-exact q70 stays the ground-truth query. */
   def nearDupLsh(emb: DataFrame, threshold: Double,
-                 bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+                 bands: Int = 16, bitsPerBand: Int = 8,
+                 maxBucket: Int = 4096): DataFrame = {
     val dim = 64
     val planes = typedLit((0 until bands * bitsPerBand).map { j =>
       (0 until dim).map { i =>
@@ -188,13 +189,19 @@ object Similarity {
     val bits = transform(planes, p =>
       when(aggregate(zip_with(col("embedding"), p, (e, sg) => e.cast("double") * sg),
                      lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0)))
-    val banded = emb.select(col("vec_id"), bits.as("bits"))
+    val rawBanded = emb.select(col("vec_id"), bits.as("bits"))
       .select(col("vec_id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           (0 until bitsPerBand).map(r =>
             element_at(col("bits"), b * bitsPerBand + r + 1) * (1 << r)).reduce(_ + _).as("bv"))
       }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // cap hot buckets like the MinHash path — a degenerate embedding
+    // cluster (all-zeros, repeated vectors) would otherwise go quadratic
+    val okBuckets = rawBanded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bv"))
+    val banded = rawBanded.join(okBuckets, Seq("band", "bv"), "left_semi")
     val candIds = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .where(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
