@@ -94,6 +94,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(withTemp.contains("hive_percentile_approx"))
   }
 
+  test("CREATE TABLE ... USING <format> is the STORED AS surface") {
+    // Hive: CREATE TABLE ... ROW FORMAT DELIMITED ... STORED AS TEXTFILE;
+    // Spark: USING csv/json/orc/parquet with OPTIONS
+    Seq("csv", "json", "orc").foreach { fmt =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_stored_$fmt")
+      spark.sql(
+        s"""CREATE TABLE graft_stored_$fmt (k BIGINT, name STRING)
+           |USING $fmt""".stripMargin)
+      try {
+        spark.sql(
+          s"INSERT INTO graft_stored_$fmt VALUES (1, 'alpha'), (2, 'beta')")
+        val r = spark.sql(
+          s"SELECT k, name FROM graft_stored_$fmt ORDER BY k").collect()
+        assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq
+            == Seq((1L, "alpha"), (2L, "beta")), s"USING $fmt round-trip")
+        val meta = spark.sql(s"DESCRIBE FORMATTED graft_stored_$fmt")
+          .collect().map(x => s"${x.getString(0)}|${x.getString(1)}").mkString
+        assert(meta.contains(fmt), s"provider $fmt missing from metadata")
+      } finally spark.sql(s"DROP TABLE IF EXISTS graft_stored_$fmt")
+    }
+  }
+
   test("DESCRIBE FORMATTED exposes storage metadata") {
     spark.sql("DROP TABLE IF EXISTS graft_dfmt")
     spark.sql("CREATE TABLE graft_dfmt USING parquet AS SELECT 1 AS a, 'x' AS b")
