@@ -54,12 +54,17 @@ object Dedup {
     * self-join on (band, bandHash).
     *
     * The self-join is quadratic in bucket size, so buckets larger than
-    * `maxBucket` are excluded from pairwise generation: on real corpora a
-    * hot (band, bh) bucket is a boilerplate clique (identical headers,
-    * license blocks), and a 100 TB pipeline handles those as exact-dup
-    * cliques keyed by the band hash rather than enumerating O(n^2) pairs.
-    * The cap bounds worst-case work at bands * maxBucket^2 per bucket and
-    * costs one map-side-combinable count plus a semi-join. */
+    * `maxBucket` take a different path: on real corpora a hot (band, bh)
+    * bucket is a boilerplate clique (identical headers, license blocks),
+    * and enumerating its O(n^2) pairs is both useless and a scale-killer.
+    * Instead each over-cap bucket is emitted as a STAR — every member
+    * paired with the bucket's min doc_id — which is linear in the bucket,
+    * keeps every member reachable (no silent recall hole), and lets
+    * transitive closure ([[connectedComponents]]) recover the full clique.
+    * Pairs between two non-min members of an over-cap bucket are found
+    * only via another band or the closure — that bounded gap replaces the
+    * unbounded quadratic blowup. Cost: one map-side-combinable count plus
+    * a join per path. */
   def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                     maxBucket: Int = 4096): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
@@ -69,15 +74,19 @@ object Dedup {
     val exploded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val okBuckets = exploded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("bh"))
+    val stats = exploded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"))
+    val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
     val bounded = exploded.join(okBuckets, Seq("band", "bh"), "left_semi")
-    bounded.as("x").join(bounded.as("y"), Seq("band", "bh"))
+    val pairwise = bounded.as("x").join(bounded.as("y"), Seq("band", "bh"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-      .distinct()
+    val starred = exploded
+      .join(stats.filter(col("bsz") > maxBucket).select(col("band"), col("bh"), col("minid")),
+            Seq("band", "bh"))
+      .where(col("doc_id") =!= col("minid"))
+      .select(col("minid").as("ida"), col("doc_id").as("idb"))
+    pairwise.union(starred).distinct()
   }
 
   /** Exact Jaccard for given (ida, idb) pairs via shingle-set joins.
@@ -158,10 +167,15 @@ object Dedup {
   /** SimHash near-dup pairs at hamming <= maxHamming, found by banding
     * the 64 bits into 8 bytes and bucket-joining on (band, byte): a pair
     * within hamming 6 differs in at most 6 of the 8 bytes, so by
-    * pigeonhole it shares >= 2 identical bands and the bucket join is
-    * lossless vs the all-pairs scan (SimHashSpec pins the equivalence).
-    * Plan shape is an equi-join — no cartesian — so it survives scale-up;
-    * the exact hamming filter then discards false bucket-mates. */
+    * pigeonhole it shares >= 2 identical bands. Below the bucket cap the
+    * bucket join is lossless vs the all-pairs scan (PipelineSpec pins the
+    * equivalence at test scale, where no bucket exceeds the cap); an
+    * over-cap (band, byte) bucket — a boilerplate clique on real corpora —
+    * is emitted as a STAR around its min doc_id instead of O(n^2) pairs,
+    * so its members stay reachable and transitive closure
+    * ([[connectedComponents]]) recovers the clique. Plan shape is an
+    * equi-join — no cartesian — so it survives scale-up; the exact
+    * hamming filter then discards false bucket-mates. */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
                    maxBucket: Int = 4096): DataFrame = {
     val raw = sig.select(col("doc_id"), col("simhash"),
@@ -169,16 +183,24 @@ object Dedup {
           shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
               col("bb.band").as("band"), col("bb.bv").as("bv"))
-    // same hot-bucket cap as MinHash LSH: an over-cap (band, byte) bucket
-    // is a boilerplate clique — exclude it from quadratic pairing
-    val okBuckets = raw.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("bv"))
+    // min(struct(doc_id, simhash)) orders by doc_id first, so `mn` is the
+    // bucket's min member WITH its signature — the star pairs need both
+    val stats = raw.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bsz"),
+           min(struct(col("doc_id"), col("simhash"))).as("mn"))
+    val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bv"))
     val banded = raw.join(okBuckets, Seq("band", "bv"), "left_semi")
-    banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+    val pairwise = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    val starred = raw
+      .join(stats.filter(col("bsz") > maxBucket).select(col("band"), col("bv"), col("mn")),
+            Seq("band", "bv"))
+      .where(col("doc_id") =!= col("mn.doc_id"))
+      .select(col("mn.doc_id").as("ida"), col("doc_id").as("idb"),
+        bit_count(col("mn.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    pairwise.union(starred)
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -206,29 +228,122 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Connected components over undirected (ida, idb) edges by iterative
+    * min-label propagation: every vertex starts labeled with its own id;
+    * each round a vertex takes the min of its label and its neighbors'
+    * labels; fixpoint = every vertex carries the min id of its component.
+    * This is the transitive-closure pass that turns near-dup PAIRS (from
+    * [[lshCandidates]]/[[simhashPairs]]/star-capped hot buckets) into
+    * dedup CLUSTERS — the reference's users do the same with multiple
+    * self-joins; at 100 TB this converges in O(component diameter)
+    * rounds, each one equi-join + min-aggregation on the (small) edge
+    * set, not the corpus. Labels are localCheckpoint'ed per round so the
+    * plan stays O(1) deep instead of growing with the iteration count
+    * (the vertex set — ids that appear in any near-dup pair — is a
+    * sliver of the corpus, so the block-manager footprint is tiny).
+    *
+    * Returns (id, comp) for every vertex incident to an edge. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col("ida").as("src"), col("idb").as("dst"))
+      .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbors = sym.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("l"), Seq("id"))
+        .where(col("n.comp") < col("l.comp")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup edges at exact Jaccard >= `threshold` — the q65 pipeline
+    * (MinHash LSH candidates, exact verify) minus the presentation cols. */
+  private def nearDupEdges(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val shRaw = shingleHashes(Tables.documents(s, d))
+    exactJaccard(lshCandidates(minhashSignatures(shRaw)), shRaw, keepZero = false)
+      .filter(col("jac") >= threshold)
+      .select(col("ida"), col("idb"))
+  }
+
+  /** Dedup clusters: connected components over the verified near-dup
+    * pairs, summarized per cluster (cluster id = min member id). */
+  val q123_dedup_clusters: Q = (s, d) => {
+    connectedComponents(nearDupEdges(s, d, 0.7))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+      .orderBy(col("comp"))
+  }
+
+  /** Keep-best canonicalization: per near-dup cluster, keep the highest-
+    * quality member (the q61 composite score; ties -> min doc_id). This
+    * is the curation pipeline's final arbiter — dedup keyed on semantic
+    * clusters, not raw text equality. One corpus-side projection for the
+    * scores, then all work happens on the (tiny) clustered vertex set. */
+  val q124_dedup_keep_best: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), round(TextAnalysis.qualityExpr, 6).as("q"))
+    connectedComponents(nearDupEdges(s, d, 0.7))
+      .join(scored, col("id") === col("doc_id"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+           max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"),
+           max(col("q")).as("best_quality"))
+      .orderBy(col("comp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
     "q67_ngram_jaccard" -> q67_ngram_jaccard,
+    "q123_dedup_clusters" -> q123_dedup_clusters,
+    "q124_dedup_keep_best" -> q124_dedup_keep_best,
   )
 
-  private def jaccardAllPairsSql(threshold: Double, docCap: Long = Long.MaxValue): String =
-    s"""WITH sh AS (
+  /** Shingle-set + threshold-filtered all-pairs CTEs shared by the
+    * jaccard and connected-component oracles. */
+  private def shPairsCtes(threshold: Double, docCap: Long = Long.MaxValue): String =
+    s"""sh AS (
        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
        |    for i in range(1, len(s) - 1)]) AS shingles
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s
        |        FROM documents WHERE doc_id < $docCap)
-       |  WHERE len(s) >= 3)
-       |SELECT a.doc_id AS ida, b.doc_id AS idb,
-       |  round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |  WHERE len(s) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |    round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       |          (len(a.shingles) + len(b.shingles)
+       |           - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
        |        (len(a.shingles) + len(b.shingles)
-       |         - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-       |      (len(a.shingles) + len(b.shingles)
-       |       - len(list_intersect(a.shingles, b.shingles))) >= $threshold
-       |ORDER BY ida, idb""".stripMargin
+       |         - len(list_intersect(a.shingles, b.shingles))) >= $threshold)""".stripMargin
+
+  private def jaccardAllPairsSql(threshold: Double, docCap: Long = Long.MaxValue): String =
+    s"""WITH ${shPairsCtes(threshold, docCap)}
+       |SELECT ida, idb, jac FROM pairs ORDER BY ida, idb""".stripMargin
+
+  /** Transitive closure of the >= threshold near-dup pairs: symmetric
+    * edge list, recursive reachability, per-vertex min reachable id. */
+  private def ccCtes(threshold: Double): String =
+    s"""${shPairsCtes(threshold)},
+       |e AS (SELECT ida AS a, idb AS b FROM pairs
+       |      UNION SELECT idb AS a, ida AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q64_dedup_exact" ->
@@ -238,5 +353,18 @@ object Dedup {
         |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "q65_minhash_lsh" -> jaccardAllPairsSql(0.7),
     "q67_ngram_jaccard" -> jaccardAllPairsSql(0.5, docCap = 1000),
+    "q123_dedup_clusters" ->
+      s"""WITH RECURSIVE ${ccCtes(0.7)}
+         |SELECT comp, COUNT(1) AS n_members, MAX(id) AS max_id
+         |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    "q124_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${ccCtes(0.7)},
+         |scored AS (SELECT doc_id, round(${TextAnalysis.qualitySql}, 6) AS q FROM documents),
+         |r AS (SELECT c.comp, c.id, s.q,
+         |        ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY s.q DESC, c.id) AS rn,
+         |        COUNT(1) OVER (PARTITION BY c.comp) AS n_members
+         |      FROM comp c JOIN scored s ON s.doc_id = c.id)
+         |SELECT comp, n_members, id AS keep_id, q AS best_quality
+         |FROM r WHERE rn = 1 ORDER BY comp""".stripMargin,
   )
 }

@@ -197,15 +197,23 @@ object Similarity {
       }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     // cap hot buckets like the MinHash path — a degenerate embedding
-    // cluster (all-zeros, repeated vectors) would otherwise go quadratic
-    val okBuckets = rawBanded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("bv"))
+    // cluster (all-zeros, repeated vectors) would otherwise go quadratic.
+    // Over-cap buckets emit a STAR around the bucket's min vec_id (linear)
+    // instead of being dropped: members stay reachable and transitive
+    // closure (Dedup.connectedComponents) recovers the clique.
+    val stats = rawBanded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bsz"), min(col("vec_id")).as("minid"))
+    val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bv"))
     val banded = rawBanded.join(okBuckets, Seq("band", "bv"), "left_semi")
-    val candIds = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+    val pairwise = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .where(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
-      .distinct()
+    val starred = rawBanded
+      .join(stats.filter(col("bsz") > maxBucket).select(col("band"), col("bv"), col("minid")),
+            Seq("band", "bv"))
+      .where(col("vec_id") =!= col("minid"))
+      .select(col("minid").as("ida"), col("vec_id").as("idb"))
+    val candIds = pairwise.union(starred).distinct()
     val va = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
     candIds.join(va, Seq("ida")).join(vb, Seq("idb"))

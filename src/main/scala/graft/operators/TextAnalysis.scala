@@ -48,6 +48,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Composite quality score (the q61/q121 formula) as a reusable column
+    * over a `text` column — also the keep-best criterion in
+    * [[Dedup.q124_dedup_keep_best]]. */
+  def qualityExpr: Column = {
+    val toks = split(trim(col("text")), " +")
+    val nchars = length(col("text")).cast("double")
+    val npunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val nstop = hitCount(toks, stopwords("en")).cast("double")
+    val ntok = size(toks).cast("double")
+    least(ntok / lit(50.0), lit(1.0)) * 0.4 +
+      (lit(1.0) - npunct / nchars) * 0.3 +
+      least(nstop / ntok * 5, lit(1.0)) * 0.3
+  }
+
+  /** The q61 quality formula in DuckDB SQL (for oracles that reuse it). */
+  def qualitySql: String =
+    s"""least(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
+       | + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |          / CAST(length(text) AS DOUBLE)) * 0.3
+       | + least(CAST(${duckHits("regexp_split_to_array(trim(text), ' +')", stopwords("en"))} AS DOUBLE)
+       |         / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) * 5, 1.0) * 0.3""".stripMargin
+
   /** Quality scoring: length, punctuation/digit/whitespace ratios,
     * mean token length, stopword density, and a composite score. */
   val q61_quality_score: Q = (s, d) => {

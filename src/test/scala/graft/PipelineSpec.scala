@@ -101,6 +101,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall over ${exact.size} planted pairs")
   }
 
+  test("over-cap LSH buckets emit star cliques; closure recovers the cluster") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((0L until 10L).map(i => (i, text)) ++
+      Seq((100L, "one two three four five six seven"),
+          (101L, "completely different words entirely here now")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(docs)
+    // ten identical docs share every (band, bh) bucket: size 10 > cap 4,
+    // so the bucket contributes a STAR around doc 0 — not 45 quadratic
+    // pairs, and crucially not zero pairs (the pre-fix behavior)
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(sh), maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == (1L until 10L).map(i => (0L, i)).toSet,
+      s"expected star around doc 0, got $cands")
+    val comps = Dedup.connectedComponents(cands.toSeq.toDF("ida", "idb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.keySet == (0L until 10L).toSet && comps.values.toSet == Set(0L),
+      "transitive closure must recover the full clique from the star")
+  }
+
+  test("connectedComponents labels chains and separate components correctly") {
+    import spark.implicits._
+    // a 5-chain needs multiple propagation rounds; 10-11-12 is disjoint
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (12L, 11L)).toDF("ida", "idb")
+    val comps = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(comps(_) == 1L), s"chain mislabeled: $comps")
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L), s"disjoint mislabeled: $comps")
+  }
+
   test("shingles are distinct per doc and deterministic across runs") {
     val a = Dedup.shingles(Tables.documents(spark, sf)).count()
     val b = Dedup.shingles(Tables.documents(spark, sf)).count()
