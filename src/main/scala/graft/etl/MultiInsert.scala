@@ -54,6 +54,40 @@ object MultiInsert {
   private val InsertClause =
     """(?is)INSERT\s+OVERWRITE\s+DIRECTORY\s+'([^']+)'\s+(SELECT\s.*?)(?=INSERT\s+OVERWRITE\s+DIRECTORY|$)""".r
 
+  /** Index of the last top-level WHERE keyword in a SELECT body — i.e.
+    * outside single-quoted literals (with '' escapes) and outside any
+    * parentheses (subqueries, function calls) — or -1 when absent. A
+    * valid SELECT body has at most one top-level WHERE, so "last" and
+    * "first" coincide; scanning depth/quotes is what keeps a WHERE inside
+    * a scalar subquery or a string literal from splitting the clause. */
+  private def lastTopLevelWhere(s: String): Int = {
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0; var inQuote = false; var found = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case 'w' | 'W' if depth == 0 =>
+          val end = i + 5
+          if (end <= s.length && s.regionMatches(true, i, "where", 0, 5) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (end == s.length || !isWordChar(s.charAt(end))))
+            found = i
+        case _ => ()
+      }
+      i += 1
+    }
+    found
+  }
+
   /** Hive's multi-insert STATEMENT form (HiveParser.g:2482-2523):
     *
     * {{{
@@ -65,22 +99,33 @@ object MultiInsert {
     * aliased) is planned once and persisted; each INSERT's SELECT runs
     * against the shared materialization — the same one-scan fan-out
     * SemanticAnalyzer.genBodyPlan builds. Returns rows written per path.
+    *
+    * Supported grammar subset: each INSERT's body is a projection with an
+    * optional top-level WHERE (the split is quote- and paren-aware, so
+    * subqueries and string literals containing "where" parse correctly);
+    * directory paths are single-quoted and must not themselves contain a
+    * single quote. GROUP BY/ORDER BY tails ride along with the WHERE
+    * clause unchanged.
     */
   def sql(spark: org.apache.spark.sql.SparkSession, statement: String,
           format: String = "parquet"): Map[String, Long] = statement match {
     case FromClause(src, inserts) =>
       val srcDf = spark.sql(s"SELECT * FROM $src")
-      val view = s"graft_mi_${math.abs(statement.hashCode)}"
+      // toHexString: sign-free (math.abs(Int.MinValue) is negative) and a
+      // valid identifier suffix
+      val view = s"graft_mi_${Integer.toHexString(statement.hashCode)}"
       srcDf.createOrReplaceTempView(view)
       try {
         // Hive puts WHERE after the projection with no FROM ("SELECT c
         // WHERE p"); rebuild as standard SQL over the shared view.
-        val SelectWhere = """(?is)^(SELECT\b.*?)(\s+WHERE\b.*)?$""".r
         val queued = InsertClause.findAllMatchIn(inserts).foldLeft(from(srcDf)) {
           (mi, m) =>
             val path = m.group(1)
-            val SelectWhere(proj, whereOrNull) = m.group(2).trim
-            val where = Option(whereOrNull).getOrElse("")
+            val body = m.group(2).trim
+            val wi = lastTopLevelWhere(body)
+            val (proj, where) =
+              if (wi < 0) (body, "")
+              else (body.substring(0, wi).trim, " " + body.substring(wi))
             mi.insert(path)(df => { df.createOrReplaceTempView(view)
               df.sparkSession.sql(s"$proj FROM $view$where") })
         }

@@ -20,9 +20,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *  - at most `maxBins` (centroid, weight) bins, kept sorted by centroid;
   *  - adding a point inserts a unit bin, then merges the two CLOSEST bins
   *    (weighted-mean centroid, summed weight) when over capacity;
-  *  - partial merge concatenates bin lists and re-trims — associative up
-  *    to the algorithm's inherent order sensitivity, deterministic for a
-  *    fixed partitioning;
+  *  - partial merge concatenates bin lists (linear merge of two sorted
+  *    lists), then batch-trims the combined list down to maxBins —
+  *    associative up to the algorithm's inherent order sensitivity,
+  *    deterministic for a fixed partitioning. Equal centroids from
+  *    different partitions are kept as separate bins under budget,
+  *    exactly like the reference's merge (quantiles are unaffected);
+  *  - trim ties break LEFTMOST — the one deliberate divergence from the
+  *    reference, which breaks ties with a PRNG (NumericHistogram.java:232);
+  *    a deterministic estimator reproduces bit-for-bit across retries;
   *  - quantile(q) walks cumulative weights and linearly interpolates
   *    between neighboring centroids inside the crossing bin;
   *  - when the number of distinct inputs never exceeds maxBins, no merge
@@ -77,9 +83,46 @@ final class StreamingHistogram(val maxBins: Int) extends Serializable {
     n -= 1
   }
 
+  /** Partial merge, the reference's way (NumericHistogram.merge,
+    * GenericUDAFPercentileApprox.java:356-369 / Ben-Haim & Tom-Tov
+    * Algorithm 2): CONCATENATE both bin lists (both already sorted, so a
+    * linear merge), then batch-trim the combined 2N-bin list down to
+    * maxBins by repeatedly merging the closest pair. Incremental
+    * insert+trim-per-bin would pick different closest pairs mid-stream
+    * and diverge from the reference estimator on multi-partition input.
+    * Equal centroids are NOT pre-coalesced: they form zero-width gaps the
+    * trim loop merges first, exactly like the reference. */
   def mergeWith(o: StreamingHistogram): StreamingHistogram = {
-    var i = 0
-    while (i < o.n) { add(o.xs(i), o.ys(i)); i += 1 }
+    if (o.n == 0) return this
+    val m = n + o.n
+    val mx = new Array[Double](m)
+    val my = new Array[Double](m)
+    var i = 0; var j = 0; var k = 0
+    while (i < n || j < o.n) {
+      val takeThis = j >= o.n || (i < n && xs(i) <= o.xs(j))
+      if (takeThis) { mx(k) = xs(i); my(k) = ys(i); i += 1 }
+      else { mx(k) = o.xs(j); my(k) = o.ys(j); j += 1 }
+      k += 1
+    }
+    var nn = k
+    while (nn > maxBins) {
+      var best = 0; var bestGap = Double.MaxValue
+      var t = 0
+      while (t < nn - 1) {
+        val gap = mx(t + 1) - mx(t)
+        if (gap < bestGap) { bestGap = gap; best = t }
+        t += 1
+      }
+      val w = my(best) + my(best + 1)
+      mx(best) = (mx(best) * my(best) + mx(best + 1) * my(best + 1)) / w
+      my(best) = w
+      System.arraycopy(mx, best + 2, mx, best + 1, nn - best - 2)
+      System.arraycopy(my, best + 2, my, best + 1, nn - best - 2)
+      nn -= 1
+    }
+    System.arraycopy(mx, 0, xs, 0, nn)
+    System.arraycopy(my, 0, ys, 0, nn)
+    n = nn
     this
   }
 

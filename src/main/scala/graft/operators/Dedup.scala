@@ -244,9 +244,13 @@ object Dedup {
     *
     * Returns (id, comp) for every vertex incident to an edge. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    // materialize the symmetric edge list ONCE: the edge lineage is the
+    // whole candidate+verify pipeline, and every propagation round (plus
+    // its convergence check) would otherwise recompute it from the scan
     val sym = edges
       .select(col("ida").as("src"), col("idb").as("dst"))
       .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)

@@ -18,11 +18,19 @@ object SkewTools {
   /** Equi-join a large skewed `left` with a small `right` on `key`,
     * salted `salts` ways. Cost: `right` is replicated x salts (keep it
     * the broadcast-sized side); benefit: the hot key's rows split across
-    * `salts` reducers instead of one. */
+    * `salts` reducers instead of one.
+    *
+    * The salt derives DETERMINISTICALLY from row content (xxhash64 over
+    * every left column), not from monotonically_increasing_id: a
+    * nondeterministic expression feeding a shuffle marks the stage
+    * indeterminate, so a shuffle-fetch failure forces Spark to roll back
+    * and recompute the whole stage rather than just the lost partitions.
+    * A hot key's rows differ in their other columns, so the content hash
+    * spreads them across salt buckets just as well. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val sl = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")

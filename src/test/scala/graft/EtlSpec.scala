@@ -41,6 +41,26 @@ class EtlSpec extends AnyFunSuite {
         == Seq("l_returnflag", "l_quantity"))
   }
 
+  test("multi-insert SQL splits only at the TOP-LEVEL WHERE") {
+    val tmp = Files.createTempDirectory("graft_mi2").toString
+    Tables.registerAll(spark, sf)
+    // projection contains a scalar subquery with its own WHERE and a
+    // string literal containing ' where ' — neither may split the clause
+    val written = MultiInsert.sql(spark,
+      s"""FROM (SELECT l_returnflag, l_quantity FROM lineitem) li
+         |INSERT OVERWRITE DIRECTORY '$tmp/sub' SELECT l_returnflag,
+         |  (SELECT max(n_regionkey) FROM nation WHERE n_nationkey >= 0) AS mx,
+         |  'x where y' AS lit WHERE l_quantity > 45
+         |INSERT OVERWRITE DIRECTORY '$tmp/nowhere' SELECT 'a where b' AS s""".stripMargin)
+    val li = Tables.lineitem(spark, sf)
+    assert(written(s"$tmp/sub") == li.filter(col("l_quantity") > 45).count())
+    assert(written(s"$tmp/nowhere") == li.count())
+    val sub = spark.read.parquet(s"$tmp/sub")
+    assert(sub.columns.sorted.toSeq == Seq("l_returnflag", "lit", "mx"))
+    assert(sub.select("lit").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("x where y"))
+  }
+
   test("partitioned + bucketed write round-trips and prunes") {
     val tmp = Files.createTempDirectory("graft_w").toString
     Tables.orders(spark, sf)

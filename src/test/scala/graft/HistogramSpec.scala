@@ -62,12 +62,40 @@ class HistogramSpec extends AnyFunSuite {
   test("hive_histogram_numeric emits exact (x, y) bins when values fit") {
     graft.functions.HiveHistogramNumeric.register(spark)
     import spark.implicits._
-    Seq(1.0, 1.0, 2.0, 3.0, 3.0, 3.0).toDF("v")
+    // single partition: add() coalesces equal values -> one bin per value
+    Seq(1.0, 1.0, 2.0, 3.0, 3.0, 3.0).toDF("v").coalesce(1)
       .createOrReplaceTempView("hist_hn")
     val bins = spark.sql("SELECT hive_histogram_numeric(v, 10) FROM hist_hn")
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getDouble(0), r.getDouble(1)))
     assert(bins == Seq((1.0, 2.0), (2.0, 1.0), (3.0, 3.0)))
+    // multi-partition: the reference's merge (concat + sort, NO coalescing
+    // of equal centroids under budget) may keep per-partition duplicate-x
+    // bins — mass and quantiles stay exact, bins stay sorted
+    Seq(1.0, 1.0, 2.0, 3.0, 3.0, 3.0).toDF("v").repartition(6)
+      .createOrReplaceTempView("hist_hn_mp")
+    val mp = spark.sql("SELECT hive_histogram_numeric(v, 10) FROM hist_hn_mp")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(mp.map(_._2).sum == 6.0, s"mass not conserved: $mp")
+    assert(mp.map(_._1) == mp.map(_._1).sorted, s"bins unsorted: $mp")
+    assert(mp.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap ==
+      Map(1.0 -> 2.0, 2.0 -> 1.0, 3.0 -> 3.0), s"per-value mass wrong: $mp")
+  }
+
+  test("partial merge is concat+sort+batch-trim, not incremental insert") {
+    val h1 = new StreamingHistogram(2)
+    Seq(0.0, 10.0).foreach(v => h1.add(v))
+    val h2 = new StreamingHistogram(2)
+    Seq(6.0, 7.0).foreach(v => h2.add(v))
+    h1.mergeWith(h2)
+    // batch (reference): [0,6,7,10] -> closest (6,7)=6.5 -> (6.5,10)=23/3.
+    // incremental insert-per-bin would trim mid-stream: add 6 -> merge
+    // (6,10)=8, add 7 -> merge (7,8)=7.5 — a different estimator.
+    assert(h1.n == 2, s"n=${h1.n}")
+    assert(h1.xs(0) == 0.0 && h1.ys(0) == 1.0)
+    assert(h1.xs(1) == (6.5 * 2 + 10.0) / 3 && h1.ys(1) == 3.0,
+      s"got (${h1.xs(1)}, ${h1.ys(1)})")
   }
 
   test("histogram core: closest-bin merging keeps mass and order") {
