@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Dedup.queries, operators.Dedup.oracles),
     (operators.Similarity.queries, operators.Similarity.oracles),
     (operators.EventsOps.queries, operators.EventsOps.oracles),
+    (operators.AsofOps.queries, operators.AsofOps.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
     (operators.Script.queries, operators.Script.oracles),
     (functions.MiscFunctions.queries, functions.MiscFunctions.oracles),

@@ -30,6 +30,10 @@ object Dedup {
     * duplicates — min-aggregation is duplicate-insensitive, so the
     * signature path never pays a distinct shuffle. */
   def shingleHashes(docs: DataFrame): DataFrame = {
+    // NOTE: hashing token-hash triples instead of building shingle
+    // strings was tried and is ~1.5x SLOWER — xxhash64 inside a
+    // higher-order transform lambda runs interpreted (boxed, no
+    // codegen), while the post-explode xxhash64 below is codegen'd.
     docs
       .withColumn("ts", split(trim(col("text")), " +"))
       .filter(size(col("ts")) >= 3)
@@ -251,19 +255,29 @@ object Dedup {
       .select(col("ida").as("src"), col("idb").as("dst"))
       .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Initialization fused with the first propagation round: label(v) =
+    // min(v, min over neighbors) rather than v — one groupBy does the
+    // work of the identity init PLUS round one, so star/pair components
+    // (the bulk of near-dup clusters) converge a full round earlier.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val viaNeighbors = sym.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("comp"))
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes it, so each round is ONE job (propagate + count
+      // changed labels) instead of an eager-checkpoint job plus a
+      // separate convergence-check job.
       val next = labels.select(col("id"), col("comp")).union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("l"), Seq("id"))
-        .where(col("n.comp") < col("l.comp")).isEmpty
+        .localCheckpoint(false)
+      val changed = next.as("n").join(labels.as("l"), Seq("id"))
+        .where(col("n.comp") < col("l.comp")).count()
+      converged = changed == 0L
       labels = next
       iter += 1
     }

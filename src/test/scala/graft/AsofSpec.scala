@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Asof
+
+/** Pins the custom AS-OF JOIN operator (graft.plans.AsofJoin): semantics
+  * against an in-engine aggregate reformulation, plan shape (custom exec
+  * node, no cartesian, left row count preserved), self-join lineage
+  * safety, and tolerance behavior. The DuckDB `ASOF LEFT JOIN` oracle
+  * additionally hash-pins q125/q126 through the driver gate. */
+class AsofSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def sides = {
+    val p = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = Tables.events(spark, sf).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    (p, v)
+  }
+
+  test("as-of join equals the max-aggregate reformulation") {
+    val (p, v) = sides
+    val got = Asof.join(p, v, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts")
+      .select(col("purchase_id"), col("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    // reference semantics: latest view with v_ts <= p_ts, per purchase
+    val want = p.join(v, p("user_id") === v("v_user") && v("v_ts") <= p("p_ts"), "left")
+      .groupBy(col("purchase_id")).agg(max(col("v_ts")).as("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("left row multiplicity is preserved exactly") {
+    val (p, v) = sides
+    assert(Asof.join(p, v, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts").count()
+      == p.count())
+  }
+
+  test("tolerance nulls out matches older than the window") {
+    val (p, v) = sides
+    val tol = 6L * 3600 * 1000 * 1000 // 6h in us
+    val got = Asof.join(p, v, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts",
+        toleranceUs = Some(tol))
+      .select(col("purchase_id"), col("p_ts"), col("v_ts"))
+    // every surviving match is within tolerance...
+    assert(got.filter(col("v_ts").isNotNull &&
+      unix_micros(col("p_ts")) - unix_micros(col("v_ts")) > tol).isEmpty)
+    // ...and tolerance only FILTERS the untolerated join's matches
+    val unfiltered = Asof.join(p, v, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts")
+      .select(col("purchase_id"),
+        when(unix_micros(col("p_ts")) - unix_micros(col("v_ts")) <= tol, col("v_ts"))
+          .as("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(got.collect().map(r => (r.getLong(0), r.get(2))).toMap == unfiltered)
+  }
+
+  test("plan uses AsofJoinExec with no cartesian or window buffer") {
+    val (p, v) = sides
+    val plan = Asof.join(p, v, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("self-as-of (shared lineage) re-aliases cleanly") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // same DataFrame on both sides: right must get fresh exprIds
+    val prior = Asof.join(
+      ev.select(col("event_id").as("eid"), col("user_id").as("u"), col("ts").as("t")),
+      ev.select(col("user_id").as("u2"), col("ts").as("t2")),
+      Seq("u"), Seq("u2"), "t", "t2")
+    assert(prior.count() == ev.count())
+    // each event's matched t2 is itself or an earlier event (same user)
+    assert(prior.filter(col("t2").isNotNull && col("t2") > col("t")).isEmpty)
+    // an event always matches at least itself (t2 <= t includes equality)
+    assert(prior.filter(col("t2").isNull).isEmpty)
+  }
+
+  test("ambiguous column names are rejected up front") {
+    val (p, v) = sides
+    val clash = v.withColumnRenamed("v_user", "user_id")
+    val e = intercept[IllegalArgumentException] {
+      Asof.join(p, clash, Seq("user_id"), Seq("user_id"), "p_ts", "v_ts")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+}

@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("AntiJoin") || p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("rank-filter dedup pushes a partial group-limit below the shuffle") {
+    // row_number()=1 dedup (q23) must plan as WindowGroupLimit with a
+    // Partial mode BEFORE the exchange — Spark's built-in TopNHash
+    // analog; this is why the engine does NOT ship a custom group-top-k
+    // operator (the built-in already prunes map-side at scale)
+    val p = plan("q23_window_dedup")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("Partial"), p.take(3000))
+  }
+
   test("EXPLAIN statement forms work (ExplainTask surface)") {
     Tables.registerAll(spark, sf)
     val basic = spark.sql("EXPLAIN SELECT count(1) FROM lineitem WHERE l_quantity > 10")
