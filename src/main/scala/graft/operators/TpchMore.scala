@@ -88,7 +88,32 @@ object TpchMore {
     * subquery (decimal-exact global threshold). */
   val q119_nation_value: Q = run(q119sql)
 
+  /** Q8-shaped: one nation's market share of a region's volume by year
+    * (conditional-numerator ratio over an 8-table star join). */
+  val q127_market_share: Q = run(q127sql)
+
+  /** Q9-shaped: per-nation yearly profit (retail-price cost proxy —
+    * the corpus has no partsupp table; see TESTDATA.md). */
+  val q128_product_profit: Q = run(q128sql)
+
+  /** Q10-shaped: top returned-item customers by lost revenue. */
+  val q129_returned_items: Q = run(q129sql)
+
+  /** Q13-shaped: customer order-count distribution (LEFT OUTER with an
+    * ON-clause filter, then a second aggregation over group counts). */
+  val q130_cust_distribution: Q = run(q130sql)
+
+  /** Q20-shaped: suppliers of promo parts above a shipped-quantity
+    * threshold (nested IN chain: part filter -> grouped lineitem HAVING
+    * -> supplier semi-join). */
+  val q131_part_suppliers: Q = run(q131sql)
+
   val queries: Map[String, Q] = Map(
+    "q127_market_share" -> q127_market_share,
+    "q128_product_profit" -> q128_product_profit,
+    "q129_returned_items" -> q129_returned_items,
+    "q130_cust_distribution" -> q130_cust_distribution,
+    "q131_part_suppliers" -> q131_part_suppliers,
     "q114_top_supplier" -> q114_top_supplier,
     "q115_supplier_cnt" -> q115_supplier_cnt,
     "q116_small_qty" -> q116_small_qty,
@@ -108,6 +133,9 @@ object TpchMore {
 
   /** DuckDB shares the dialect for all of these; year() exists in both. */
   val oracles: Map[String, String] = Map(
+    "q127_market_share" -> q127sql, "q128_product_profit" -> q128sql,
+    "q129_returned_items" -> q129sql, "q130_cust_distribution" -> q130sql,
+    "q131_part_suppliers" -> q131sql,
     "q114_top_supplier" -> q114sql, "q115_supplier_cnt" -> q115sql,
     "q116_small_qty" -> q116sql, "q117_disjunctive" -> q117sql,
     "q118_waiting_supplier" -> q118sql, "q119_nation_value" -> q119sql,
@@ -123,6 +151,73 @@ object TpchMore {
         |LIMIT 50""".stripMargin,
   )
 
+  private lazy val q127sql =
+    """WITH allnations AS (
+      |  SELECT year(o.o_orderdate) AS o_year,
+      |    CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6)) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+      |    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT o_year,
+      |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+      |                     ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM allnations GROUP BY o_year ORDER BY o_year""".stripMargin
+  private lazy val q128sql =
+    """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |    - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_name LIKE '%red%'
+      |GROUP BY n.n_name, year(o.o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+  private lazy val q129sql =
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |  c.c_acctbal, n.n_name
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+  private lazy val q130sql =
+    """SELECT c_count, COUNT(1) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) co
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+  private lazy val q131sql =
+    """SELECT s.s_name, s.s_acctbal
+      |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE n.n_regionkey = 1
+      |  AND s.s_suppkey IN (
+      |    SELECT l.l_suppkey FROM lineitem l
+      |    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l.l_suppkey
+      |    HAVING SUM(l.l_quantity) > 50)
+      |ORDER BY s_name""".stripMargin
   private lazy val q114sql =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
