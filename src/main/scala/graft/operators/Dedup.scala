@@ -266,19 +266,24 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // own label tagged old=true, neighbor labels old=false: ONE
+      // aggregation yields both the new label (min over all) and the old
+      // one (min over tagged), so convergence is a filter on the same
+      // result — no per-round join back to the previous labels
+      val own = labels.select(col("id"), col("comp"), lit(true).as("old"))
       val viaNeighbors = sym.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("comp"))
+        .select(col("src").as("id"), col("comp"), lit(false).as("old"))
       // LAZY checkpoint: the convergence count below is the action that
       // materializes it, so each round is ONE job (propagate + count
       // changed labels) instead of an eager-checkpoint job plus a
       // separate convergence-check job.
-      val next = labels.select(col("id"), col("comp")).union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      val next = own.union(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+             min(when(col("old"), col("comp"))).as("oldcomp"))
         .localCheckpoint(false)
-      val changed = next.as("n").join(labels.as("l"), Seq("id"))
-        .where(col("n.comp") < col("l.comp")).count()
-      converged = changed == 0L
-      labels = next
+      converged = next.where(col("comp") < col("oldcomp")).count() == 0L
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     labels
