@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash, PolyHash}
+import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash, PolyHash, VectorDot}
 
 /** Session-extension entry point — the engine's custom Catalyst
   * expressions and aggregates registered the way a cluster deployment
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hive_percentile_approx"),
       new ExpressionInfo(classOf[HivePercentileApprox].getName, "hive_percentile_approx"),
       es => HivePercentileApprox(es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      es => VectorDot(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("hive_histogram_numeric"),
       new ExpressionInfo(classOf[HiveHistogramNumeric].getName, "hive_histogram_numeric"),

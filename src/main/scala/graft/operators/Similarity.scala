@@ -17,19 +17,21 @@ import graft.{Q, Tables}
   * candidates drop ~2^16-fold; recall is pinned by SimilaritySpec
   * against the brute-force baseline.
   *
-  * Dot products run in double via zip_with + aggregate (codegen'd higher-
-  * order functions, no UDF); hyperplanes are generated deterministically
-  * from xxhash64 so results are reproducible everywhere.
+  * Dot products run in double through the native `vector_dot` Catalyst
+  * expression (graft.functions.VectorDot — codegen'd tight loop; the
+  * earlier zip_with + aggregate spelling evaluated its lambdas
+  * interpreted and allocated a zipped array per row). Accumulation order
+  * is identical, so scores are bit-for-bit unchanged. Hyperplanes are
+  * generated deterministically so results reproduce everywhere.
   */
 object Similarity {
 
+  private def dot(x: Column, y: Column) =
+    graft.functions.VectorOps.vector_dot(x, y)
+
   /** cosine(a, b) computed in double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Brute-force cosine top-k for query vectors vec_id < nQueries. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -62,8 +64,8 @@ object Similarity {
     val bands = 4
     val bitsPerBand = 4
     // All 16 hyperplane signs in ONE pass: a single ±1 matrix literal
-    // zipped against the embedding (one typedLit + 16 zip_with folds, not
-    // 16x64 element_at terms — keeps the plan string and codegen compact).
+    // dotted against the embedding (one typedLit + 16 vector_dot calls,
+    // not 16x64 element_at terms — keeps the plan string compact).
     val planes = typedLit((0 until bands * bitsPerBand).map { j =>
       (0 until dim).map { i =>
         if (java.lang.Long.hashCode(
@@ -71,8 +73,8 @@ object Similarity {
       }
     })
     val bits = transform(planes, p =>
-      when(aggregate(zip_with(col("embedding"), p, (e, sg) => e.cast("double") * sg),
-                     lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0)))
+      when(graft.functions.VectorOps.vector_dot(col("embedding"), p) >= 0,
+        lit(1)).otherwise(lit(0)))
     val banded = emb.select(col("vec_id"), bits.as("bits"))
       .select(col("vec_id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -187,8 +189,8 @@ object Similarity {
       }
     })
     val bits = transform(planes, p =>
-      when(aggregate(zip_with(col("embedding"), p, (e, sg) => e.cast("double") * sg),
-                     lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0)))
+      when(graft.functions.VectorOps.vector_dot(col("embedding"), p) >= 0,
+        lit(1)).otherwise(lit(0)))
     val rawBanded = emb.select(col("vec_id"), bits.as("bits"))
       .select(col("vec_id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
