@@ -19,13 +19,23 @@ import org.apache.spark.storage.StorageLevel
   */
 final class MultiInsert private (
     src: DataFrame,
-    inserts: Vector[(String, DataFrame => DataFrame)]) {
+    inserts: Vector[(MultiInsert.Target, DataFrame => DataFrame)]) {
+  import MultiInsert.{Directory, InsertTable, Target}
 
-  /** Queue one destination: path + per-destination transform. */
+  private def queue(t: Target, transform: DataFrame => DataFrame): MultiInsert =
+    new MultiInsert(src, inserts :+ (t, transform))
+
+  /** Queue a directory destination: path + per-destination transform. */
   def insert(path: String)(transform: DataFrame => DataFrame): MultiInsert =
-    new MultiInsert(src, inserts :+ (path, transform))
+    queue(Directory(path), transform)
 
   def insertIdentity(path: String): MultiInsert = insert(path)(identity)
+
+  /** Queue a catalog-table destination (INSERT OVERWRITE/INTO TABLE —
+    * positional column resolution, like Hive; the table must exist). */
+  def insertInto(table: String, overwrite: Boolean = false)(
+      transform: DataFrame => DataFrame): MultiInsert =
+    queue(InsertTable(table, overwrite), transform)
 
   /** Execute all inserts from a single materialization of the source.
     * Returns rows written per destination — counted by an observation on
@@ -36,11 +46,15 @@ final class MultiInsert private (
     val cached = src.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       cached.count() // materialize once before fanning out
-      inserts.map { case (path, f) =>
+      inserts.map { case (target, f) =>
         val obs = Observation()
-        f(cached).observe(obs, count(lit(1)).as("rows"))
-          .write.mode(mode).format(format).save(path)
-        path -> obs.get("rows").asInstanceOf[Long]
+        val out = f(cached).observe(obs, count(lit(1)).as("rows"))
+        target match {
+          case Directory(p) => out.write.mode(mode).format(format).save(p)
+          case InsertTable(t, ow) =>
+            out.write.mode(if (ow) "overwrite" else "append").insertInto(t)
+        }
+        target.label -> obs.get("rows").asInstanceOf[Long]
       }.toMap
     } finally { cached.unpersist(); () }
   }
@@ -49,10 +63,21 @@ final class MultiInsert private (
 object MultiInsert {
   def from(src: DataFrame): MultiInsert = new MultiInsert(src, Vector.empty)
 
+  /** Insert destination: a directory path or an existing catalog table. */
+  sealed trait Target { def label: String }
+  final case class Directory(path: String) extends Target { def label: String = path }
+  final case class InsertTable(name: String, overwrite: Boolean) extends Target {
+    def label: String = name
+  }
+
   private val FromClause =
-    """(?is)^\s*FROM\s+(.+?)\s+(INSERT\s+OVERWRITE\s+DIRECTORY\s+.*)$""".r
+    """(?is)^\s*FROM\s+(.+?)\s+(INSERT\s+(?:OVERWRITE|INTO)\s+.*)$""".r
+  // one alternation per Hive target form (HiveParser.g destination rule):
+  // OVERWRITE DIRECTORY 'path' | OVERWRITE TABLE t | INTO [TABLE] t
   private val InsertClause =
-    """(?is)INSERT\s+OVERWRITE\s+DIRECTORY\s+'([^']+)'\s+(SELECT\s.*?)(?=INSERT\s+OVERWRITE\s+DIRECTORY|$)""".r
+    ("""(?is)INSERT\s+(?:OVERWRITE\s+DIRECTORY\s+'([^']+)'""" +
+     """|OVERWRITE\s+TABLE\s+([\w.]+)|INTO\s+(?:TABLE\s+)?([\w.]+))""" +
+     """\s+(SELECT\s.*?)(?=INSERT\s+(?:OVERWRITE|INTO)\b|$)""").r
 
   /** Index of the last top-level WHERE keyword in a SELECT body — i.e.
     * outside single-quoted literals (with '' escapes) and outside any
@@ -92,20 +117,23 @@ object MultiInsert {
     *
     * {{{
     * FROM <source> INSERT OVERWRITE DIRECTORY 'p1' SELECT ... [WHERE ...]
-    *               INSERT OVERWRITE DIRECTORY 'p2' SELECT ... [WHERE ...]
+    *               INSERT OVERWRITE TABLE t1      SELECT ... [WHERE ...]
+    *               INSERT INTO TABLE t2           SELECT ... [WHERE ...]
     * }}}
     *
     * The source (a table name or parenthesized subquery, optionally
     * aliased) is planned once and persisted; each INSERT's SELECT runs
     * against the shared materialization — the same one-scan fan-out
-    * SemanticAnalyzer.genBodyPlan builds. Returns rows written per path.
+    * SemanticAnalyzer.genBodyPlan builds. Returns rows written per
+    * destination label (path or table name).
     *
     * Supported grammar subset: each INSERT's body is a projection with an
     * optional top-level WHERE (the split is quote- and paren-aware, so
     * subqueries and string literals containing "where" parse correctly);
     * directory paths are single-quoted and must not themselves contain a
-    * single quote. GROUP BY/ORDER BY tails ride along with the WHERE
-    * clause unchanged.
+    * single quote; table targets must exist and resolve columns
+    * POSITIONALLY (Hive semantics). GROUP BY/ORDER BY tails ride along
+    * with the WHERE clause unchanged.
     */
   def sql(spark: org.apache.spark.sql.SparkSession, statement: String,
           format: String = "parquet"): Map[String, Long] = statement match {
@@ -120,18 +148,25 @@ object MultiInsert {
         // WHERE p"); rebuild as standard SQL over the shared view.
         val queued = InsertClause.findAllMatchIn(inserts).foldLeft(from(srcDf)) {
           (mi, m) =>
-            val path = m.group(1)
-            val body = m.group(2).trim
+            val target =
+              if (m.group(1) != null) Directory(m.group(1))
+              else if (m.group(2) != null) InsertTable(m.group(2), overwrite = true)
+              else InsertTable(m.group(3), overwrite = false)
+            val body = m.group(4).trim
             val wi = lastTopLevelWhere(body)
             val (proj, where) =
               if (wi < 0) (body, "")
               else (body.substring(0, wi).trim, " " + body.substring(wi))
-            mi.insert(path)(df => { df.createOrReplaceTempView(view)
-              df.sparkSession.sql(s"$proj FROM $view$where") })
+            val transform = (df: DataFrame) => { df.createOrReplaceTempView(view)
+              df.sparkSession.sql(s"$proj FROM $view$where") }
+            target match {
+              case Directory(p) => mi.insert(p)(transform)
+              case InsertTable(t, ow) => mi.insertInto(t, ow)(transform)
+            }
         }
         queued.run(format)
       } finally { spark.catalog.dropTempView(view); () }
     case _ => throw new IllegalArgumentException(
-      "expected: FROM <src> INSERT OVERWRITE DIRECTORY '<path>' SELECT ... [more INSERTs]")
+      "expected: FROM <src> INSERT {OVERWRITE DIRECTORY '<path>' | OVERWRITE TABLE <t> | INTO [TABLE] <t>} SELECT ... [more INSERTs]")
   }
 }

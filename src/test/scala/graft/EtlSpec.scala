@@ -61,6 +61,35 @@ class EtlSpec extends AnyFunSuite {
         == Seq("x where y"))
   }
 
+  test("multi-insert SQL fans out to TABLE and DIRECTORY targets") {
+    val tmp = Files.createTempDirectory("graft_mi3").toString
+    Tables.registerAll(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS mi_hi")
+    spark.sql("DROP TABLE IF EXISTS mi_all")
+    spark.sql("CREATE TABLE mi_hi (flag STRING, qty DOUBLE) USING parquet")
+    spark.sql("CREATE TABLE mi_all (flag STRING, qty DOUBLE) USING parquet")
+    spark.sql("INSERT INTO mi_all VALUES ('Z', -1.0)") // INTO must append
+    try {
+      val written = MultiInsert.sql(spark,
+        s"""FROM (SELECT l_returnflag, l_quantity FROM lineitem) li
+           |INSERT OVERWRITE TABLE mi_hi SELECT l_returnflag, l_quantity WHERE l_quantity > 45
+           |INSERT INTO TABLE mi_all SELECT l_returnflag, l_quantity
+           |INSERT OVERWRITE DIRECTORY '$tmp/dir' SELECT l_returnflag WHERE l_quantity <= 45""".stripMargin)
+      val li = Tables.lineitem(spark, sf)
+      val hi = li.filter(col("l_quantity") > 45).count()
+      assert(written("mi_hi") == hi)
+      assert(written("mi_all") == li.count())
+      assert(written(s"$tmp/dir") == li.count() - hi)
+      assert(spark.table("mi_hi").count() == hi)
+      // append semantics: the pre-seeded row survives
+      assert(spark.table("mi_all").count() == li.count() + 1)
+      assert(spark.read.parquet(s"$tmp/dir").count() == li.count() - hi)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mi_hi")
+      spark.sql("DROP TABLE IF EXISTS mi_all")
+    }
+  }
+
   test("partitioned + bucketed write round-trips and prunes") {
     val tmp = Files.createTempDirectory("graft_w").toString
     Tables.orders(spark, sf)
