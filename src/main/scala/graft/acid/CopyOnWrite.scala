@@ -38,6 +38,90 @@ object CopyOnWrite {
   def delete(spark: SparkSession, path: String, cond: Column): Long =
     rewrite(spark, path, cond)(_.filter(!coalesce(cond, lit(false))))
 
+  /** MERGE INTO (upsert), copy-on-write: rows of the target matching a
+    * source row on `keys` are REPLACED by the source row; unmatched
+    * source rows are INSERTED; unmatched target rows pass through.
+    * This is the `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT *` core of the MERGE statement (added to the reference line
+    * in Hive 2.2 on the same UpdateDeleteSemanticAnalyzer rewrite
+    * machinery; provided here as the engine's upsert surface). One
+    * anti-join + union + atomic swap; source and target must share the
+    * target's schema. Returns (updated, inserted) counts. */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            keys: Seq[String]): (Long, Long) = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val target = spark.read.parquet(path)
+    val cols = target.columns.toIndexedSeq
+    require(cols.forall(source.columns.contains),
+      s"source is missing target columns: ${cols.filterNot(source.columns.contains)}")
+    val src = source.select(cols.map(col): _*)
+    // three chained observations give all counts in the ONE staging-write
+    // pass: target rows, surviving (unmatched) target rows, output rows
+    val obsT = Observation(); val obsKeep = Observation(); val obsU = Observation()
+    val keep = target.observe(obsT, count(lit(1)).as("n"))
+      .join(src.select(keys.map(col): _*), keys, "left_anti")
+      .observe(obsKeep, count(lit(1)).as("kept"))
+
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + ".cow_staging")
+    val backup = new Path(path + ".cow_backup")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    keep.unionAll(src).observe(obsU, count(lit(1)).as("out"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val targetRows = obsT.get("n").asInstanceOf[Long]
+    val kept = obsKeep.get("kept").asInstanceOf[Long]
+    val outRows = obsU.get("out").asInstanceOf[Long]
+    val updated = targetRows - kept
+
+    if (!fs.rename(new Path(path), backup))
+      throw new java.io.IOException(s"COW merge failed: cannot move $path aside")
+    if (!fs.rename(staging, new Path(path))) {
+      fs.rename(backup, new Path(path))
+      throw new java.io.IOException(s"COW merge failed: cannot promote staging for $path")
+    }
+    fs.delete(backup, true)
+    (updated, outRows - targetRows)
+  }
+
+  /** Small-file compaction — the reference's compactor
+    * (ql/src/java/org/apache/hadoop/hive/ql/txn/compactor/Worker.java,
+    * Initiator.java decide-and-rewrite loop) re-expressed for a COW
+    * table: rewrite the directory into ~`targetFileBytes`-sized files
+    * when the current layout is materially worse (more than 2x the ideal
+    * file count). Small files are THE silent 100 TB scan killer (per-file
+    * open/footer costs dominate under ~16 MB). Returns
+    * (filesBefore, filesAfter); no-op when already compact. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val nFiles = parts.length
+    val totalBytes = parts.map(_.getLen).sum
+    val ideal = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (nFiles <= 2 * ideal) return (nFiles, nFiles)
+
+    val staging = new Path(path + ".cow_staging")
+    val backup = new Path(path + ".cow_backup")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    // coalesce, not repartition: compaction must not shuffle the data,
+    // only concatenate scan splits into fewer writers
+    spark.read.parquet(path).coalesce(ideal)
+      .write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(new Path(path), backup))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    if (!fs.rename(staging, new Path(path))) {
+      fs.rename(backup, new Path(path))
+      throw new java.io.IOException(s"compaction swap failed promoting $path")
+    }
+    fs.delete(backup, true)
+    val after = fs.listStatus(new Path(path))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    (nFiles, after)
+  }
+
   /** Rewrite the table in ONE pass: the affected-row count is observed on
     * the scan while the staging copy is written (the pre-fix version paid
     * an extra full read for filter(cond).count() before every rewrite).

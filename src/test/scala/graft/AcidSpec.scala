@@ -59,4 +59,42 @@ class AcidSpec extends AnyFunSuite {
     assert(affected == 0)
     assert(spark.read.parquet(path).count() == Tables.orders(spark, sf).count())
   }
+
+  test("MERGE upserts: matched rows replaced, unmatched inserted") {
+    val path = freshTable()
+    val before = spark.read.parquet(path)
+    val beforeCount = before.count()
+    val maxKey = before.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    // source: 3 existing keys repriced + 2 brand-new orders
+    val src = before.filter(col("o_orderkey") <= 3)
+      .withColumn("o_totalprice", lit(1.0))
+      .unionAll(before.filter(col("o_orderkey").between(1, 2))
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey)
+        .withColumn("o_totalprice", lit(2.0)))
+    val nMatched = before.filter(col("o_orderkey") <= 3).count()
+
+    val (updated, inserted) = CopyOnWrite.merge(spark, path, src, Seq("o_orderkey"))
+    assert(updated == nMatched, s"updated=$updated")
+    assert(inserted == 2, s"inserted=$inserted")
+    val after = spark.read.parquet(path)
+    assert(after.count() == beforeCount + 2)
+    assert(after.filter(col("o_orderkey") <= 3 && col("o_totalprice") === 1.0).count()
+      == nMatched, "matched rows not replaced")
+    assert(after.filter(col("o_orderkey") > maxKey).count() == 2, "inserts missing")
+  }
+
+  test("compaction rewrites a fragmented table into few files, content intact") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/orders"
+    Tables.orders(spark, sf).repartition(64).write.parquet(dir)
+    val beforeSum = spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    val (nBefore, nAfter) = CopyOnWrite.compact(spark, dir)
+    assert(nBefore == 64, s"nBefore=$nBefore")
+    assert(nAfter < 8, s"still fragmented: $nAfter files")
+    val after = spark.read.parquet(dir)
+    assert(after.agg(sum(col("o_orderkey"))).collect()(0).getLong(0) == beforeSum)
+    // second call is a no-op: layout already within 2x of ideal
+    val (a, b) = CopyOnWrite.compact(spark, dir)
+    assert(a == b && a == nAfter)
+  }
 }

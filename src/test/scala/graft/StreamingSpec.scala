@@ -24,6 +24,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("streaming hourly counts hold at sf0.1 (100x the unit-test scale)") {
+    // the state-size story (watermark horizon x key cardinality), checked
+    // at the bench scale rather than the 0.001 unit-test slice
+    val bigSf = "/root/testdata/sf0.1"
+    val q = EventsStream.hourlyCounts(EventsStream.readEvents(spark, bigSf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_big")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly_big")
+      .orderBy("win_start", "event_type").collect()
+    val batch = SparkEntry.queries("q71_tumbling_window")(spark, bigSf).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("streaming session windows cover every event") {
     val q = EventsStream.sessionCounts(EventsStream.readEvents(spark, sf))
       .writeStream.outputMode("complete")
