@@ -30,6 +30,8 @@ object Bench {
     "q64_dedup_exact",    // exact dedup
     "q65_minhash_lsh",    // minhash LSH
     "q123_dedup_clusters",// connected-components clustering
+    "q125_asof_attribution", // custom as-of join operator
+    "q134_repetition",    // repetition quality signals
     "q68_cosine_topk",    // similarity
     "q71_tumbling_window",// event windows
     "q73_sessionize",     // sessionization
