@@ -24,6 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object CopyOnWrite {
 
+  /** The shared staged-swap protocol: clear staging/backup, let `write`
+    * produce the staging dir, then current -> backup, staging -> current,
+    * drop backup — rolling back the first rename if the promotion fails.
+    * Readers during the window see the old or new table, never a mix.
+    * Returns false without swapping when `write` reports a no-op. */
+  private def stagedSwap(spark: SparkSession, path: String)
+                        (write: Path => Boolean): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + ".cow_staging")
+    val backup = new Path(path + ".cow_backup")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    if (!write(staging)) { fs.delete(staging, true); return false }
+    if (!fs.rename(new Path(path), backup))
+      throw new java.io.IOException(s"COW swap failed: cannot move $path aside")
+    if (!fs.rename(staging, new Path(path))) {
+      fs.rename(backup, new Path(path)) // roll back
+      throw new java.io.IOException(s"COW swap failed: cannot promote staging for $path")
+    }
+    fs.delete(backup, true)
+    true
+  }
+
   /** UPDATE path SET assignments WHERE cond. Returns affected rows. */
   def update(spark: SparkSession, path: String,
              cond: Column, assignments: Map[String, Column]): Long = {
@@ -46,7 +69,13 @@ object CopyOnWrite {
     * in Hive 2.2 on the same UpdateDeleteSemanticAnalyzer rewrite
     * machinery; provided here as the engine's upsert surface). One
     * anti-join + union + atomic swap; source and target must share the
-    * target's schema. Returns (updated, inserted) counts. */
+    * target's schema. Returns (updated, inserted) counts.
+    *
+    * Like SQL MERGE, the contract assumes `keys` uniquely identify rows
+    * on BOTH sides (SQL raises a cardinality violation otherwise; this
+    * rewrite does not scan for duplicates — with duplicate keys every
+    * matching target row is replaced and every source copy lands, and
+    * the returned counts reflect that row arithmetic). */
   def merge(spark: SparkSession, path: String, source: DataFrame,
             keys: Seq[String]): (Long, Long) = {
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -61,27 +90,15 @@ object CopyOnWrite {
     val keep = target.observe(obsT, count(lit(1)).as("n"))
       .join(src.select(keys.map(col): _*), keys, "left_anti")
       .observe(obsKeep, count(lit(1)).as("kept"))
-
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path + ".cow_staging")
-    val backup = new Path(path + ".cow_backup")
-    fs.delete(staging, true)
-    fs.delete(backup, true)
-    keep.unionAll(src).observe(obsU, count(lit(1)).as("out"))
-      .write.mode("overwrite").parquet(staging.toString)
+    stagedSwap(spark, path) { staging =>
+      keep.unionAll(src).observe(obsU, count(lit(1)).as("out"))
+        .write.mode("overwrite").parquet(staging.toString)
+      true
+    }
     val targetRows = obsT.get("n").asInstanceOf[Long]
     val kept = obsKeep.get("kept").asInstanceOf[Long]
     val outRows = obsU.get("out").asInstanceOf[Long]
-    val updated = targetRows - kept
-
-    if (!fs.rename(new Path(path), backup))
-      throw new java.io.IOException(s"COW merge failed: cannot move $path aside")
-    if (!fs.rename(staging, new Path(path))) {
-      fs.rename(backup, new Path(path))
-      throw new java.io.IOException(s"COW merge failed: cannot promote staging for $path")
-    }
-    fs.delete(backup, true)
-    (updated, outRows - targetRows)
+    (targetRows - kept, outRows - targetRows)
   }
 
   /** Small-file compaction — the reference's compactor
@@ -102,21 +119,13 @@ object CopyOnWrite {
     val ideal = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (nFiles <= 2 * ideal) return (nFiles, nFiles)
 
-    val staging = new Path(path + ".cow_staging")
-    val backup = new Path(path + ".cow_backup")
-    fs.delete(staging, true)
-    fs.delete(backup, true)
-    // coalesce, not repartition: compaction must not shuffle the data,
-    // only concatenate scan splits into fewer writers
-    spark.read.parquet(path).coalesce(ideal)
-      .write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(new Path(path), backup))
-      throw new java.io.IOException(s"compaction swap failed for $path")
-    if (!fs.rename(staging, new Path(path))) {
-      fs.rename(backup, new Path(path))
-      throw new java.io.IOException(s"compaction swap failed promoting $path")
+    stagedSwap(spark, path) { staging =>
+      // coalesce, not repartition: compaction must not shuffle the data,
+      // only concatenate scan splits into fewer writers
+      spark.read.parquet(path).coalesce(ideal)
+        .write.mode("overwrite").parquet(staging.toString)
+      true
     }
-    fs.delete(backup, true)
     val after = fs.listStatus(new Path(path))
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
     (nFiles, after)
@@ -134,26 +143,15 @@ object CopyOnWrite {
       .observe(obs, sum(when(cond, 1L).otherwise(0L)).as("affected"))
     val out = f(base)
 
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path + ".cow_staging")
-    val backup = new Path(path + ".cow_backup")
-    fs.delete(staging, true)
-    fs.delete(backup, true)
-    out.write.mode("overwrite").parquet(staging.toString)
-    val affected = obs.get("affected") match {
-      case null => 0L
-      case n: java.lang.Number => n.longValue()
+    var affected = 0L
+    stagedSwap(spark, path) { staging =>
+      out.write.mode("overwrite").parquet(staging.toString)
+      affected = obs.get("affected") match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      }
+      affected != 0L // no-op rewrite: discard staging, keep the table
     }
-    if (affected == 0L) { fs.delete(staging, true); return 0L }
-
-    // swap: current -> backup, staging -> current, drop backup
-    if (!fs.rename(new Path(path), backup))
-      throw new java.io.IOException(s"COW swap failed: cannot move $path aside")
-    if (!fs.rename(staging, new Path(path))) {
-      fs.rename(backup, new Path(path)) // roll back
-      throw new java.io.IOException(s"COW swap failed: cannot promote staging for $path")
-    }
-    fs.delete(backup, true)
     affected
   }
 }

@@ -73,21 +73,25 @@ object MultiInsert {
   private val FromClause =
     """(?is)^\s*FROM\s+(.+?)\s+(INSERT\s+(?:OVERWRITE|INTO)\s+.*)$""".r
   // one alternation per Hive target form (HiveParser.g destination rule):
-  // OVERWRITE DIRECTORY 'path' | OVERWRITE TABLE t | INTO [TABLE] t
-  private val InsertClause =
-    ("""(?is)INSERT\s+(?:OVERWRITE\s+DIRECTORY\s+'([^']+)'""" +
+  // OVERWRITE DIRECTORY 'path' | OVERWRITE TABLE t | INTO [TABLE] t —
+  // anchored at a clause start; clause boundaries come from the
+  // quote/paren-aware scan below, NOT from this regex
+  private val InsertHead =
+    ("""(?is)^INSERT\s+(?:OVERWRITE\s+DIRECTORY\s+'([^']+)'""" +
      """|OVERWRITE\s+TABLE\s+([\w.]+)|INTO\s+(?:TABLE\s+)?([\w.]+))""" +
-     """\s+(SELECT\s.*?)(?=INSERT\s+(?:OVERWRITE|INTO)\b|$)""").r
+     """\s+(SELECT\s.*)$""").r
 
-  /** Index of the last top-level WHERE keyword in a SELECT body — i.e.
-    * outside single-quoted literals (with '' escapes) and outside any
-    * parentheses (subqueries, function calls) — or -1 when absent. A
-    * valid SELECT body has at most one top-level WHERE, so "last" and
-    * "first" coincide; scanning depth/quotes is what keeps a WHERE inside
-    * a scalar subquery or a string literal from splitting the clause. */
-  private def lastTopLevelWhere(s: String): Int = {
-    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
-    var depth = 0; var inQuote = false; var found = -1
+  private def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+
+  /** Offsets of every TOP-LEVEL occurrence of any of `words` — outside
+    * single-quoted literals (with '' escapes) and outside parentheses
+    * (subqueries, function calls). The quote/paren awareness is what
+    * keeps a keyword inside a scalar subquery or a string literal (e.g.
+    * a projection of the literal 'insert into audit') from splitting a
+    * clause. */
+  private def topLevelOffsets(s: String, words: Seq[String]): Vector[Int] = {
+    var depth = 0; var inQuote = false
+    val found = Vector.newBuilder[Int]
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -100,17 +104,35 @@ object MultiInsert {
         case '\'' => inQuote = true
         case '('  => depth += 1
         case ')'  => depth -= 1
-        case 'w' | 'W' if depth == 0 =>
-          val end = i + 5
-          if (end <= s.length && s.regionMatches(true, i, "where", 0, 5) &&
-              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-              (end == s.length || !isWordChar(s.charAt(end))))
-            found = i
+        case _ if depth == 0 =>
+          if (i == 0 || !isWordChar(s.charAt(i - 1))) {
+            val hit = words.exists { w =>
+              val end = i + w.length
+              end <= s.length && s.regionMatches(true, i, w, 0, w.length) &&
+                (end == s.length || !isWordChar(s.charAt(end)))
+            }
+            if (hit) found += i
+          }
         case _ => ()
       }
       i += 1
     }
-    found
+    found.result()
+  }
+
+  /** Split a SELECT body into (projection, tail) at the first top-level
+    * clause keyword — WHERE, GROUP, ORDER, LIMIT, DISTRIBUTE, SORT,
+    * CLUSTER, HAVING — so `SELECT c FROM view` rebuilds as
+    * `SELECT c FROM view <tail>` with the tail (if any) after the FROM.
+    * Hive's multi-insert grammar puts all of these directly after the
+    * projection with no FROM of their own. */
+  private def splitBody(body: String): (String, String) = {
+    val kws = Seq("where", "group", "order", "limit",
+      "distribute", "sort", "cluster", "having")
+    topLevelOffsets(body, kws).headOption match {
+      case Some(i) => (body.substring(0, i).trim, " " + body.substring(i))
+      case None => (body, "")
+    }
   }
 
   /** Hive's multi-insert STATEMENT form (HiveParser.g:2482-2523):
@@ -144,25 +166,34 @@ object MultiInsert {
       val view = s"graft_mi_${Integer.toHexString(statement.hashCode)}"
       srcDf.createOrReplaceTempView(view)
       try {
-        // Hive puts WHERE after the projection with no FROM ("SELECT c
-        // WHERE p"); rebuild as standard SQL over the shared view.
-        val queued = InsertClause.findAllMatchIn(inserts).foldLeft(from(srcDf)) {
-          (mi, m) =>
-            val target =
-              if (m.group(1) != null) Directory(m.group(1))
-              else if (m.group(2) != null) InsertTable(m.group(2), overwrite = true)
-              else InsertTable(m.group(3), overwrite = false)
-            val body = m.group(4).trim
-            val wi = lastTopLevelWhere(body)
-            val (proj, where) =
-              if (wi < 0) (body, "")
-              else (body.substring(0, wi).trim, " " + body.substring(wi))
-            val transform = (df: DataFrame) => { df.createOrReplaceTempView(view)
-              df.sparkSession.sql(s"$proj FROM $view$where") }
-            target match {
-              case Directory(p) => mi.insert(p)(transform)
-              case InsertTable(t, ow) => mi.insertInto(t, ow)(transform)
-            }
+        // clause boundaries from the quote/paren-aware scan (a string
+        // literal containing "insert into ..." must not split a clause),
+        // then each clause parses against the anchored head regex
+        val offsets = topLevelOffsets(inserts, Seq("insert"))
+        require(offsets.headOption.contains(0),
+          s"expected the destination list to start with INSERT: $inserts")
+        val clauses = (offsets :+ inserts.length).sliding(2).map {
+          case Vector(a, b) => inserts.substring(a, b).trim
+        }.toVector
+        val queued = clauses.foldLeft(from(srcDf)) { (mi, clause) =>
+          clause match {
+            case InsertHead(path, owTable, intoTable, body) =>
+              val target =
+                if (path != null) Directory(path)
+                else if (owTable != null) InsertTable(owTable, overwrite = true)
+                else InsertTable(intoTable, overwrite = false)
+              // Hive puts WHERE/GROUP/ORDER... after the projection with
+              // no FROM ("SELECT c WHERE p"); rebuild as standard SQL.
+              val (proj, tail) = splitBody(body.trim)
+              val transform = (df: DataFrame) => { df.createOrReplaceTempView(view)
+                df.sparkSession.sql(s"$proj FROM $view$tail") }
+              target match {
+                case Directory(p) => mi.insert(p)(transform)
+                case InsertTable(t, ow) => mi.insertInto(t, ow)(transform)
+              }
+            case other => throw new IllegalArgumentException(
+              s"unparseable INSERT clause: $other")
+          }
         }
         queued.run(format)
       } finally { spark.catalog.dropTempView(view); () }

@@ -62,13 +62,15 @@ object Dedup {
     * bucket is a boilerplate clique (identical headers, license blocks),
     * and enumerating its O(n^2) pairs is both useless and a scale-killer.
     * Instead each over-cap bucket is emitted as a STAR — every member
-    * paired with the bucket's min doc_id — which is linear in the bucket,
-    * keeps every member reachable (no silent recall hole), and lets
-    * transitive closure ([[connectedComponents]]) recover the full clique.
-    * Pairs between two non-min members of an over-cap bucket are found
-    * only via another band or the closure — that bounded gap replaces the
-    * unbounded quadratic blowup. Cost: one map-side-combinable count plus
-    * a join per path. */
+    * paired with the bucket's min doc_id — which is linear in the bucket
+    * and lets transitive closure ([[connectedComponents]]) recover a
+    * genuine clique whose star edges survive the downstream exact-Jaccard
+    * verify (boilerplate cliques do; members NOT actually similar to the
+    * bucket minimum rightly fail verification and rely on their other
+    * bands). Pairs between two non-min members of an over-cap bucket are
+    * found only via another band or the closure — that bounded gap
+    * replaces the unbounded quadratic blowup. Cost: one
+    * map-side-combinable count plus a join per path. */
   def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
                     maxBucket: Int = 4096): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
@@ -174,12 +176,17 @@ object Dedup {
     * pigeonhole it shares >= 2 identical bands. Below the bucket cap the
     * bucket join is lossless vs the all-pairs scan (PipelineSpec pins the
     * equivalence at test scale, where no bucket exceeds the cap); an
-    * over-cap (band, byte) bucket — a boilerplate clique on real corpora —
-    * is emitted as a STAR around its min doc_id instead of O(n^2) pairs,
-    * so its members stay reachable and transitive closure
-    * ([[connectedComponents]]) recovers the clique. Plan shape is an
-    * equi-join — no cartesian — so it survives scale-up; the exact
-    * hamming filter then discards false bucket-mates. */
+    * over-cap (band, byte) bucket is emitted as a STAR around its min
+    * doc_id instead of O(n^2) pairs. Star edges pass the SAME hamming
+    * verify as pairwise edges — an over-cap bucket is just an 8-bit
+    * collision, so unverified stars would merge dissimilar docs — which
+    * means only members within maxHamming of the bucket's min contribute
+    * edges from that bucket; a true near-dup pair in an over-cap bucket
+    * is lost only if EVERY band it shares (pigeonhole guarantees >= 2)
+    * is over-cap and neither member is near that bucket's min — the
+    * bounded recall gap that replaces the unbounded quadratic blowup.
+    * Plan shape is an equi-join — no cartesian — so it survives
+    * scale-up. */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
                    maxBucket: Int = 4096): DataFrame = {
     val raw = sig.select(col("doc_id"), col("simhash"),
@@ -286,6 +293,12 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    // loud, not silently wrong: truncated propagation would split
+    // clusters that the oracle (true transitive closure) merges
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters rounds — " +
+        "a component's diameter exceeds the budget; raise maxIters " +
+        "(or switch to pointer-jumping for adversarially long chains)")
     labels
   }
 

@@ -25,8 +25,12 @@ object SkewTools {
     * nondeterministic expression feeding a shuffle marks the stage
     * indeterminate, so a shuffle-fetch failure forces Spark to roll back
     * and recompute the whole stage rather than just the lost partitions.
-    * A hot key's rows differ in their other columns, so the content hash
-    * spreads them across salt buckets just as well. */
+    * A hot key's rows normally differ in their other columns, so the
+    * content hash spreads them across salt buckets. The one shape it
+    * cannot spread is BYTE-IDENTICAL duplicate rows (every copy hashes
+    * to the same bucket) — exact-dedup such input first, or rely on
+    * AQE's skew-join split (Session enables it), which divides by
+    * partition size rather than row content. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val sl = left.withColumn("__salt",

@@ -80,9 +80,13 @@ case class AsofJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must share a type: ${leftTime.dataType} vs ${rightTime.dataType}")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of key columns must share types pairwise")
   if (toleranceUs.isDefined) {
     val ok = Seq(TimestampType, LongType, IntegerType, DateType)
-    require(ok.contains(leftTime.dataType) && ok.contains(rightTime.dataType),
+    require(ok.contains(leftTime.dataType),
       s"as-of tolerance needs an integer-backed time type, got ${leftTime.dataType}")
   }
 
@@ -134,6 +138,10 @@ case class AsofJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeProj(l)
+          // SQL equality semantics: a NULL key or time never matches.
+          // Null keys/times sort FIRST (ascending), so null-keyed right
+          // rows are consumed and skipped before any non-null left key.
+          val lNull = lKey.anyNull || lTime.isNullAt(0)
           var scan = true
           while (scan && rBuf.hasNext) {
             val rKey = rKeyProj(rBuf.head)
@@ -142,7 +150,8 @@ case class AsofJoinExec(
             else if (c > 0) scan = false // ahead: stop, keep for later
             else {
               val rTime = rTimeProj(rBuf.head)
-              if (timeOrd.compare(rTime, lTime) <= 0) {
+              if (rKey.anyNull || rTime.isNullAt(0)) rBuf.next() // never matchable
+              else if (timeOrd.compare(rTime, lTime) <= 0) {
                 // newest-so-far match: overwrite the candidate
                 cand = rBuf.head.copy()
                 candKey = rKey.copy()
@@ -153,7 +162,8 @@ case class AsofJoinExec(
           }
           // left rows with the same key only move forward in time, so a
           // candidate stays valid until the key changes
-          val matched = cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+          val matched = !lNull && cand != null &&
+            keyOrd.compare(candKey, lKey) == 0 &&
             tol.forall(t => timeLong(lTime) - timeLong(candTime) <= t)
           resultProj(if (matched) joined(l, cand) else joined(l, nullRight))
         }
@@ -199,8 +209,13 @@ object Asof {
       plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share a type: ${lt.dataType} vs ${rt.dataType}")
+    val (lk, rk) = (leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)))
+    require(lk.map(_.dataType) == rk.map(_.dataType),
+      "as-of key columns must share types pairwise")
     SqlShims.ofRows(left.sparkSession, AsofJoin(
-      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs, lPlan, rPlan))
+      lk, rk, lt, rt, toleranceUs, lPlan, rPlan))
   }
 }

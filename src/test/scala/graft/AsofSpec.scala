@@ -83,6 +83,32 @@ class AsofSpec extends AnyFunSuite {
     assert(prior.filter(col("t2").isNull).isEmpty)
   }
 
+  test("null keys and null times never match (SQL equality semantics)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(20L), "b"),
+                (Some(2L), None, "c"), (Some(1L), Some(5L), "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), Some(4L), "r1"), (None, Some(1L), "rnull"),
+                (Some(1L), None, "rtnull"), (Some(2L), Some(1L), "r2"))
+      .toDF("rk", "rt", "rtag")
+    val got = Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("tag"), col("rtag"))
+      .collect().map(x => (x.getString(0), Option(x.getString(1)))).toMap
+    assert(got("a") == Some("r1")) // normal match
+    assert(got("b") == None)       // null left key: no match
+    assert(got("c") == None)       // null left time: no match
+    assert(got("d") == Some("r1")) // 4 <= 5; null-time right row ignored
+  }
+
+  test("mismatched time types are rejected up front") {
+    val (p, v) = sides
+    val e = intercept[IllegalArgumentException] {
+      Asof.join(p, v.withColumn("v_ts", col("v_ts").cast("long")),
+        Seq("user_id"), Seq("v_user"), "p_ts", "v_ts")
+    }
+    assert(e.getMessage.contains("share a type"))
+  }
+
   test("ambiguous column names are rejected up front") {
     val (p, v) = sides
     val clash = v.withColumnRenamed("v_user", "user_id")

@@ -90,6 +90,23 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-insert SQL: literal containing 'insert into' and WHERE-less GROUP BY") {
+    val tmp = Files.createTempDirectory("graft_mi4").toString
+    Tables.registerAll(spark, sf)
+    val written = MultiInsert.sql(spark,
+      s"""FROM (SELECT l_returnflag, l_quantity FROM lineitem) li
+         |INSERT OVERWRITE DIRECTORY '$tmp/agg'
+         |  SELECT l_returnflag, count(1) AS n GROUP BY l_returnflag
+         |INSERT OVERWRITE DIRECTORY '$tmp/lit'
+         |  SELECT 'logged insert into audit' AS note WHERE l_quantity > 45""".stripMargin)
+    val li = Tables.lineitem(spark, sf)
+    val flags = li.select("l_returnflag").distinct().count()
+    assert(written(s"$tmp/agg") == flags)
+    assert(written(s"$tmp/lit") == li.filter(col("l_quantity") > 45).count())
+    assert(spark.read.parquet(s"$tmp/lit").select("note").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("logged insert into audit"))
+  }
+
   test("partitioned + bucketed write round-trips and prunes") {
     val tmp = Files.createTempDirectory("graft_w").toString
     Tables.orders(spark, sf)
