@@ -17,19 +17,51 @@ object PipelineOps {
     * (training batch construction). Packing is OFFSET-BASED — bin =
     * floor(preceding-token-count / budget) within each source, the
     * standard scalable formulation (documents may straddle a boundary;
-    * sequence builders split them downstream). Partitioning by `source`
-    * is the scale story: each source packs independently under one
-    * window sort, so the plan is an exchange on source + per-partition
-    * sort — no global single-partition window (the thing that dies at
-    * 100 TB). */
+    * sequence builders split them downstream).
+    *
+    * Scale shape: the running token sum is a TWO-PASS PREFIX SUM, not a
+    * per-source window. `source` is low-cardinality, so a window
+    * partitioned on it alone funnels an entire source's corpus through
+    * one sort task at 100 TB. Instead doc_id space is cut into
+    * order-aligned chunks (a cheap pruned min/max pass sizes them), the
+    * running sum is computed per (source, chunk) — every window
+    * partition is a bounded slice — and per-chunk subtotals (metadata-
+    * sized: <= targetChunks rows per source) are prefix-summed and
+    * broadcast back as additive offsets. One full-data exchange total;
+    * the source-only window runs over the aggregated subtotal table. */
   val q132_token_packing: Q = (s, d) => {
     val budget = 256
-    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val targetChunks = 2048L
+    // metadata pass: doc_id bounds from a single pruned column — sizes
+    // the chunks so the count is stable regardless of id sparsity
+    val boundsRow = Tables.documents(s, d)
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()(0)
+    val lo = if (boundsRow.isNullAt(0)) 0L else boundsRow.getLong(0)
+    val span = if (boundsRow.isNullAt(1)) 1L else boundsRow.getLong(1) - lo + 1L
+    val chunkSize = math.max(1L, (span + targetChunks - 1L) / targetChunks)
+    val chunked = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), " +")).as("ntok"))
-      .withColumn("cum", sum(col("ntok")).over(win))
+      // integer `div`: exact for 64-bit ids (a double floor() is not)
+      .withColumn("chunk", expr(s"(doc_id - ${lo}L) div ${chunkSize}L"))
+    val localWin = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localled = chunked.withColumn("lcum", sum(col("ntok")).over(localWin))
+    // per-(source, chunk) subtotals -> exclusive prefix sum over chunks.
+    // This source-only window is over the AGGREGATED table (metadata-
+    // sized), which is the whole point of the two-pass formulation.
+    val offsets = localled
+      .groupBy(col("source"), col("chunk"))
+      .agg(max(col("lcum")).as("subtotal"))
+      .withColumn("offset", coalesce(
+        sum(col("subtotal")).over(
+          Window.partitionBy(col("source")).orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("chunk"), col("offset"))
+    localled.join(broadcast(offsets), Seq("source", "chunk"))
+      .withColumn("cum", col("lcum") + col("offset"))
       .withColumn("bin", floor((col("cum") - col("ntok")) / lit(budget.toDouble)).cast("bigint"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("bigint").as("bin_tokens"))
@@ -87,18 +119,41 @@ object PipelineOps {
   /** Deterministic stratified sampling: an exact per-stratum quota taken
     * in multiplicative-hash order (Knuth constant), so the sample is
     * reproducible across runs, engines, and cluster layouts — no RNG.
-    * One exchange on the stratum key; the per-stratum window sort is the
-    * rank. At extreme stratum sizes swap in a two-pass variant (rate
-    * pre-filter ~2x quota via the same hash, then exact trim) so the
-    * sort touches a sliver — same hash, same sample. */
+    *
+    * Scale shape: TWO-PASS. Pass 1 counts each stratum (pruned two-
+    * column scan, map-side partials) and derives a hash cutoff that
+    * keeps ~mult*quota rows per stratum. Pass 2 rank-sorts only the
+    * survivors — the per-stratum window sees ~200 rows, never the whole
+    * stratum (the full-stratum sort was the 100 TB killer). The cutoff
+    * keeps a SUPERSET of the true quota-smallest hashes whenever
+    * survivors >= min(quota, n), so the trimmed result is bit-identical
+    * to the one-pass rank; a Chernoff bound puts under-fill below
+    * e^-50 per stratum at mult=4, and a raise_error guard turns that
+    * case into a loud failure (re-run with a higher mult), never a
+    * silently short sample. */
   val q135_stratified_sample: Q = (s, d) => {
     val quota = 50
-    val hkey = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
-    Tables.documents(s, d)
+    val mult = 4L
+    val m = 1000000007L
+    val hkey = pmod(col("doc_id") * lit(2654435761L), lit(m))
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), hkey.as("hkey"))
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("cutoff",
+        when(col("n") <= lit(mult * quota), lit(m.toDouble))
+          .otherwise(lit((mult * quota * m).toDouble) / col("n") + lit(1.0)))
+    val pre = docs.join(broadcast(rates), Seq("lang"))
+      .filter(col("hkey") < col("cutoff"))
+    pre
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))))
-      .filter(col("rn") <= quota)
+      .withColumn("survivors", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      // the guard lives in the filter so column pruning can't drop it
+      .filter(
+        when(col("survivors") < least(lit(quota.toLong), col("n")),
+          raise_error(concat(lit("q135_stratified_sample: stratum "), col("lang"),
+            lit(" under-filled by the hash pre-filter; raise mult"))).cast("boolean"))
+        .otherwise(col("rn") <= lit(quota)))
       .select(col("lang"), col("rn"), col("doc_id"))
       .orderBy(col("lang"), col("rn"))
   }

@@ -90,4 +90,42 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q68_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q132 running sum is a bounded two-pass prefix sum, not a per-source window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val p = SparkEntry.queries("q132_token_packing")(spark, sf).queryExecution.sparkPlan
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in q132")
+    // the full-data window must partition on (source, chunk): every window
+    // partition is a bounded doc_id slice, never a whole source
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      wins.map(_.partitionSpec.mkString("[", ",", "]")).mkString("; "))
+    // a window partitioned on a single column is only allowed over the
+    // aggregated per-chunk subtotal table (metadata-sized), never raw docs
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(w.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-key window over un-aggregated data: partitionSpec=${w.partitionSpec}")
+    }
+  }
+
+  test("q135 rank sort sees only the hash-pre-filtered sliver of each stratum") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = SparkEntry.queries("q135_stratified_sample")(spark, sf).queryExecution.sparkPlan
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in q135")
+    def isPrefilter(s: String) = s.contains("hkey") && s.contains("cutoff")
+    wins.foreach { w =>
+      // Catalyst folds the hkey<cutoff predicate into the broadcast join
+      // condition when it can; accept either placement
+      val pref = w.collect {
+        case f: FilterExec if isPrefilter(f.condition.toString) => f
+        case j: BroadcastHashJoinExec if j.condition.exists(c => isPrefilter(c.toString)) => j
+      }
+      assert(pref.nonEmpty,
+        s"stratum window without the hkey<cutoff pre-filter below it: ${w.partitionSpec}")
+    }
+  }
 }
