@@ -48,9 +48,31 @@ object AsofOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Composite-key as-of: latest SAME-DAY prior view per purchase — the
+    * key is (user_id, day), exercising the multi-column ClusteredDistribution
+    * and the lexicographic key compare in the merge. A view from an
+    * earlier day no longer attributes (both right columns null), unlike
+    * q125 where any prior view matches. */
+  val q136_asof_multikey: Q = (s, d) => {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        to_date(col("ts")).as("p_day"), col("ts").as("p_ts"))
+    val v = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), to_date(col("ts")).as("v_day"),
+        col("ts").as("last_view_ts"))
+    Asof.join(p, v, Seq("user_id", "p_day"), Seq("v_user", "v_day"),
+        "p_ts", "last_view_ts")
+      .select(col("purchase_id"), col("user_id"), col("last_view_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("last_view_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q125_asof_attribution" -> q125_asof_attribution,
     "q126_asof_tolerance" -> q126_asof_tolerance,
+    "q136_asof_multikey" -> q136_asof_multikey,
   )
 
   // events.parquet carries TIMESTAMP(NANOS); both engines truncate to
@@ -85,5 +107,19 @@ object AsofOps {
          |  CASE WHEN gap_us <= 86400000000 THEN last_view_ts END AS last_view_ts,
          |  CASE WHEN gap_us <= 86400000000 THEN gap_us END AS gap_us
          |FROM a ORDER BY purchase_id""".stripMargin,
+    "q136_asof_multikey" ->
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id AS purchase_id, user_id,
+         |        CAST(ts AS DATE) AS p_day, ts AS p_ts FROM e
+         |      WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id AS v_user, CAST(ts AS DATE) AS v_day,
+         |        ts AS last_view_ts FROM e
+         |      WHERE event_type = 'view')
+         |SELECT purchase_id, user_id, last_view_ts,
+         |       epoch_us(p_ts) - epoch_us(last_view_ts) AS gap_us
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.user_id = v.v_user AND p.p_day = v.v_day
+         |  AND v.last_view_ts <= p.p_ts
+         |ORDER BY purchase_id""".stripMargin,
   )
 }

@@ -240,36 +240,52 @@ object Dedup {
   }
 
   /** Connected components over undirected (ida, idb) edges by iterative
-    * min-label propagation: every vertex starts labeled with its own id;
-    * each round a vertex takes the min of its label and its neighbors'
-    * labels; fixpoint = every vertex carries the min id of its component.
-    * This is the transitive-closure pass that turns near-dup PAIRS (from
-    * [[lshCandidates]]/[[simhashPairs]]/star-capped hot buckets) into
-    * dedup CLUSTERS — the reference's users do the same with multiple
-    * self-joins; at 100 TB this converges in O(component diameter)
-    * rounds, each one equi-join + min-aggregation on the (small) edge
-    * set, not the corpus. Labels are localCheckpoint'ed per round so the
-    * plan stays O(1) deep instead of growing with the iteration count
-    * (the vertex set — ids that appear in any near-dup pair — is a
-    * sliver of the corpus, so the block-manager footprint is tiny).
+    * min-label propagation WITH per-round pointer jumping (path
+    * compression): every vertex starts labeled with its own id; each
+    * round a vertex takes the min of its label and its neighbors' labels,
+    * then follows its label one hop (comp <- comp's comp). The jump makes
+    * label distances roughly double per round, so convergence is
+    * O(log diameter) rounds — a maxIters=30 budget covers any realistic
+    * graph, not just shallow near-dup cliques. Fixpoint = every vertex
+    * carries the min id of its component. This is the transitive-closure
+    * pass that turns near-dup PAIRS (from [[lshCandidates]]/
+    * [[simhashPairs]]/star-capped hot buckets) into dedup CLUSTERS — at
+    * 100 TB each round is an equi-join + min-aggregation + label
+    * self-join on the (small) vertex set, not the corpus.
+    *
+    * Fault tolerance: rounds pin their output so the plan stays O(1)
+    * deep instead of growing with the iteration count. By default that
+    * pin is `localCheckpoint` — executor-local, right for local mode and
+    * short jobs but NOT fault-tolerant (losing an executor mid-loop
+    * kills the query). Cluster deployments pass `checkpointDir`
+    * (HDFS/object-store path) to switch every pin to a reliable
+    * `checkpoint`, which survives executor loss at the cost of a
+    * distributed-FS write per round — the vertex set is a sliver of the
+    * corpus, so that write is small.
     *
     * Returns (id, comp) for every vertex incident to an edge. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach { dir =>
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+    }
+    def pin(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     // materialize the symmetric edge list ONCE: the edge lineage is the
     // whole candidate+verify pipeline, and every propagation round (plus
     // its convergence check) would otherwise recompute it from the scan
-    val sym = edges
+    val sym = pin(edges
       .select(col("ida").as("src"), col("idb").as("dst"))
-      .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
-      .localCheckpoint(true)
+      .union(edges.select(col("idb").as("src"), col("ida").as("dst"))), eager = true)
     // Initialization fused with the first propagation round: label(v) =
     // min(v, min over neighbors) rather than v — one groupBy does the
     // work of the identity init PLUS round one, so star/pair components
     // (the bulk of near-dup clusters) converge a full round earlier.
-    var labels = sym.groupBy(col("src"))
+    var labels = pin(sym.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-      .localCheckpoint(true)
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp")), eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -284,21 +300,31 @@ object Dedup {
       // materializes it, so each round is ONE job (propagate + count
       // changed labels) instead of an eager-checkpoint job plus a
       // separate convergence-check job.
-      val next = own.union(viaNeighbors)
+      val mid = pin(own.union(viaNeighbors)
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"),
-             min(when(col("old"), col("comp"))).as("oldcomp"))
-        .localCheckpoint(false)
-      converged = next.where(col("comp") < col("oldcomp")).count() == 0L
-      labels = next.select(col("id"), col("comp"))
+             min(when(col("old"), col("comp"))).as("oldcomp")), eager = false)
+      converged = mid.where(col("comp") < col("oldcomp")).count() == 0L
+      labels =
+        if (converged) mid.select(col("id"), col("comp"))
+        else {
+          // pointer jump on the just-materialized labels: comp <- comp's
+          // comp. A label is always a vertex id, so the self-join hits;
+          // left+coalesce keeps roots (comp = own id) unchanged. Lazy pin
+          // again — next round's count (or the final action) pays it.
+          pin(mid.as("l")
+            .join(mid.select(col("id").as("jid"), col("comp").as("jcomp")),
+                  col("l.comp") === col("jid"), "left")
+            .select(col("l.id").as("id"),
+                    coalesce(col("jcomp"), col("l.comp")).as("comp")), eager = false)
+        }
       iter += 1
     }
     // loud, not silently wrong: truncated propagation would split
     // clusters that the oracle (true transitive closure) merges
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIters rounds — " +
-        "a component's diameter exceeds the budget; raise maxIters " +
-        "(or switch to pointer-jumping for adversarially long chains)")
+        "a component's diameter exceeds 2^maxIters; raise maxIters")
     labels
   }
 

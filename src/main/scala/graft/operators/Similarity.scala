@@ -224,8 +224,34 @@ object Similarity {
       .select(col("ida"), col("idb"), col("score"))
   }
 
-  val q111_neardup_lsh: Q = (s, d) =>
-    nearDupLsh(Tables.embeddings(s, d), 0.8).orderBy(col("ida"), col("idb"))
+  /** Gate variant: the shipped corpus has no natural cosine>=0.8 pairs at
+    * any SF, so running nearDupLsh on it alone returns 0 rows — a check
+    * that would also pass on a broken implementation. To make the driver
+    * row-count check meaningful, union the corpus with deterministic
+    * perturbed twins (vec_id+10^7, each element scaled by 1 +/- eps with
+    * a content-derived sign). Worst-case cosine(v, twin) >=
+    * (1-eps)/(1+eps) = 0.852 > 0.8, so every twin pair is a true
+    * near-dup the pipeline must surface; recall at cos~0.99 is ~1, so
+    * spark_rows > 0 whenever the banded path works end-to-end. */
+  val q111_neardup_lsh: Q = (s, d) => {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val eps = 0.08f
+    val twins = base.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      // index-alternating sign: no outer column inside the lambda (outer
+      // refs break attribute dedup in the downstream self-joins)
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0f) + lit(eps) *
+          when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+        .as("embedding"))
+    // RDD barrier: the union reads the same parquet in both branches, and
+    // nearDupLsh self-joins its input three ways — Catalyst's relation
+    // dedup mangles the shared lambda/union attributes ("key not found").
+    // Real callers pass a plain table; only this gate composition needs it.
+    val u = base.unionAll(twins)
+    nearDupLsh(s.createDataFrame(u.rdd, u.schema), 0.8)
+      .orderBy(col("ida"), col("idb"))
+  }
 
   val queries: Map[String, Q] = Map(
     "q68_cosine_topk" -> q68_cosine_topk,

@@ -85,9 +85,16 @@ case class AsofJoinExec(
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "as-of key columns must share types pairwise")
   if (toleranceUs.isDefined) {
-    val ok = Seq(TimestampType, LongType, IntegerType, DateType)
+    // DateType is deliberately NOT accepted: date subtraction yields
+    // DAYS, so a microsecond tolerance would be silently always-true.
+    // Tolerance is in the time column's NATIVE unit — microseconds for
+    // timestamps, the raw value for int/long times.
+    val ok = Seq(TimestampType, LongType, IntegerType)
     require(ok.contains(leftTime.dataType),
-      s"as-of tolerance needs an integer-backed time type, got ${leftTime.dataType}")
+      s"as-of tolerance needs a timestamp or int/long time column, got " +
+        s"${leftTime.dataType}" + (if (leftTime.dataType == DateType)
+          " (dates subtract in DAYS, not microseconds — cast to timestamp " +
+          "or use an integer day count)" else ""))
   }
 
   override def output: Seq[Attribute] =
@@ -188,7 +195,12 @@ object Asof {
     * latest `right` row with equal keys and `rightTime <= leftTime`
     * (within `toleranceUs` when given), null right columns otherwise.
     * Right column names must not collide with left ones (alias first —
-    * same contract as Dataset.joinWith's disambiguation). */
+    * same contract as Dataset.joinWith's disambiguation).
+    *
+    * `toleranceUs` is in the time column's NATIVE unit: microseconds for
+    * TimestampType, the raw value for int/long times. DateType time
+    * columns reject a tolerance (date subtraction is in days — cast to
+    * timestamp or use an integer day count instead). */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
@@ -212,6 +224,9 @@ object Asof {
     val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
     require(lt.dataType == rt.dataType,
       s"as-of time columns must share a type: ${lt.dataType} vs ${rt.dataType}")
+    require(!(toleranceUs.isDefined && lt.dataType == DateType),
+      "as-of tolerance over DateType is rejected: dates subtract in DAYS, " +
+        "not microseconds — cast to timestamp or use an integer day count")
     val (lk, rk) = (leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)))
     require(lk.map(_.dataType) == rk.map(_.dataType),
       "as-of key columns must share types pairwise")

@@ -117,4 +117,38 @@ class AsofSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ambiguous"))
   }
+
+  test("DateType time with a tolerance is rejected (days vs microseconds trap)") {
+    val (p, v) = sides
+    val pd = p.withColumn("p_ts", to_date(col("p_ts")))
+    val vd = v.withColumn("v_ts", to_date(col("v_ts")))
+    // without tolerance, date-typed as-of is fine
+    assert(Asof.join(pd, vd, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts")
+      .count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Asof.join(pd, vd, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts",
+        toleranceUs = Some(86400000000L))
+    }
+    assert(e.getMessage.contains("DAYS"), e.getMessage)
+  }
+
+  test("composite keys partition the match space (q136 semantics)") {
+    val (p, v) = sides
+    val pk = p.withColumn("day", to_date(col("p_ts")))
+    val vk = v.withColumn("v_day", to_date(col("v_ts")))
+    val multi = Asof.join(pk, vk, Seq("user_id", "day"), Seq("v_user", "v_day"),
+        "p_ts", "v_ts")
+      .select(col("purchase_id"), col("v_ts")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val single = Asof.join(p, v, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts")
+      .select(col("purchase_id"), col("v_ts")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(multi.keySet == single.keySet, "left multiplicity must be identical")
+    // same-day matches agree with the single-key join; cross-day matches null out
+    multi.foreach { case (id, m) =>
+      assert(m.forall(_ == single(id).get), s"purchase $id: multi-key matched a different view")
+    }
+    assert(multi.count(_._2.isEmpty) > single.count(_._2.isEmpty),
+      "some purchase should lose its (earlier-day) view under the day key")
+  }
 }

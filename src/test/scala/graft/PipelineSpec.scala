@@ -133,6 +133,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L), s"disjoint mislabeled: $comps")
   }
 
+  test("pointer jumping converges a chain far deeper than the round budget") {
+    import spark.implicits._
+    // an 80-deep path needs ~78 plain propagation rounds — over 2x the
+    // maxIters=30 budget; per-round pointer jumping must close it in
+    // O(log depth) rounds instead of throwing
+    val edges = (1L until 80L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val comps = Dedup.connectedComponents(edges, maxIters = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.size == 80 && comps.values.forall(_ == 1L),
+      s"deep chain mislabeled: ${comps.filter(_._2 != 1L)}")
+  }
+
+  test("reliable checkpoint mode produces the same labels and writes the dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("ida", "idb")
+    val comps = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L), comps.toString)
+    // the reliable path must actually have checkpointed to the dir
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
+  }
+
   test("shingles are distinct per doc and deterministic across runs") {
     val a = Dedup.shingles(Tables.documents(spark, sf)).count()
     val b = Dedup.shingles(Tables.documents(spark, sf)).count()

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Synthetic 10x volume stress for the dedup family: replicate+perturb
+  * the sf0.1 documents corpus in memory so that LSH/SimHash buckets
+  * actually overflow the cap and connected components has real work —
+  * turning the "banded, capped, star-fallback" 100 TB story into an
+  * executed test rather than prose.
+  *
+  * Corpus: every sf0.1 document gets 10 replicas (doc_id*16+k), replica
+  * k > 0 with a distinct token appended — a 10-clique of >= 0.9-Jaccard
+  * near-dups per base doc. With the bucket cap lowered to 8, most clique
+  * buckets are over-cap, so the star path MUST fire for the cliques to
+  * survive.
+  */
+class ScaleStressSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  // 10 replicas per doc; k=0 keeps the original text, k>0 appends a
+  // replica-specific token (near-dup, not exact-dup). Pinned in memory:
+  // four candidate pipelines below would otherwise re-derive it each.
+  private lazy val docs10 = {
+    val base = Tables.documents(spark, sf01).select(col("doc_id"), col("text"))
+    (0 until 10).map { k =>
+      base.select((col("doc_id") * 16 + k).as("doc_id"),
+        if (k == 0) col("text")
+        else concat(col("text"), lit(s" zqstressrep$k")).as("text"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+  }
+
+  private lazy val nDocs = docs10.count()
+
+  private lazy val minhashSigs =
+    Dedup.minhashSignatures(Dedup.shingleHashes(docs10)).localCheckpoint(true)
+
+  test("10x corpus overflows LSH buckets; star path fires and stays linear") {
+    val capped = Dedup.lshCandidates(minhashSigs, maxBucket = 8)
+    val plan = capped.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join at 10x volume")
+    val capN = capped.count()
+    val uncN = Dedup.lshCandidates(minhashSigs, maxBucket = Int.MaxValue).count()
+    // capN < uncN proves buckets really went over-cap AND the cap engaged;
+    // capN > 0 proves over-cap buckets emit stars instead of being dropped
+    assert(capN > 0, "no candidates at all — star path dropped over-cap buckets?")
+    assert(capN < uncN, s"no bucket exceeded the cap (cap=$capN unc=$uncN) — stress corpus too weak")
+    // linearity: O(n) candidates with a constant average degree, the
+    // property that dies first under quadratic bucket blowup
+    assert(capN <= 20L * nDocs, s"capped candidates superlinear: $capN pairs for $nDocs docs")
+    assert(uncN <= 60L * nDocs, s"uncapped candidates superlinear: $uncN pairs for $nDocs docs")
+  }
+
+  test("10x corpus: connected components converge and every clique stays whole") {
+    val capped = Dedup.lshCandidates(minhashSigs, maxBucket = 8)
+    // throws if propagation exceeds the round budget — convergence IS the assert
+    val comps = Dedup.connectedComponents(capped)
+    // every replica of a base doc must land in ONE component: if over-cap
+    // buckets were dropped instead of starred, cliques would fragment
+    val fragmented = comps
+      .withColumn("base", expr("id div 16"))
+      .groupBy(col("base")).agg(countDistinct(col("comp")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(fragmented == 0, s"$fragmented replica cliques fragmented by the capped path")
+    // and nearly every base doc should be represented (only docs too short
+    // to shingle may be absent)
+    val basesPresent = comps.select(expr("id div 16")).distinct().count()
+    assert(basesPresent >= nDocs / 10 * 9 / 10,
+      s"only $basesPresent of ~${nDocs / 10} cliques present in the edge set")
+  }
+
+  test("10x corpus: SimHash banded join overflows buckets and stays equi-join") {
+    val sigs = Dedup.simhashSignatures(docs10).localCheckpoint(true)
+    val capped = Dedup.simhashPairs(sigs, maxBucket = 8)
+    val plan = capped.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "simhash pairing must stay an equi-join at 10x volume")
+    val capN = capped.count()
+    val uncN = Dedup.simhashPairs(sigs, maxBucket = Int.MaxValue).count()
+    assert(capN > 0, "no simhash pairs at all — star path dropped over-cap buckets?")
+    assert(capN < uncN, s"no simhash bucket exceeded the cap (cap=$capN unc=$uncN)")
+    assert(capN <= 30L * nDocs, s"capped simhash pairs superlinear: $capN for $nDocs docs")
+  }
+}
