@@ -25,9 +25,9 @@ import graft.{Q, Tables}
   * multiline JSON (not used); ORC/parquet carry column pruning + predicate
   * pushdown, text/CSV/JSON are schema-on-read full scans exactly like the
   * reference's SerDe path. Writes land under target/fmt/<sf>/ keyed by the
-  * source dir so concurrent sf runs don't collide. (Hive's AvroSerDe has no
-  * counterpart here: the spark-avro datasource jar is not in this
-  * distribution.)
+  * source dir so concurrent sf runs don't collide. Hive's AvroSerDe is
+  * covered by the vendored [[AvroIO]] (the spark-avro datasource jar is not
+  * in this distribution, but the core avro library is).
   */
 object Formats {
 
@@ -121,12 +121,34 @@ object Formats {
       .orderBy(col("p_brand"))
   }
 
+  /** Avro round-trip (AvroSerDe,
+    * serde/src/java/org/apache/hadoop/hive/serde2/avro/AvroSerDe.java:48):
+    * write orders through the vendored container-file writer, read back
+    * with a declared schema, aggregate. The oracle computes the same
+    * aggregate from parquet, so any encode/decode divergence (timestamp
+    * micros mapping, union-null handling, field-name matching) breaks the
+    * hash. */
+  val q137_avro_roundtrip: Q = (s, d) => {
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderdate"))
+    val path = tmpDir(d, "orders_avro")
+    AvroIO.write(src, path)
+    AvroIO.read(s, path, src.schema)
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"),
+           min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_year"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_csv_roundtrip" -> q100_csv_roundtrip,
     "q101_orc_scan" -> q101_orc_scan,
     "q102_json_source" -> q102_json_source,
     "q103_text_delimited" -> q103_text_delimited,
     "q104_regex_text" -> q104_regex_text,
+    "q137_avro_roundtrip" -> q137_avro_roundtrip,
   )
 
   /** Oracles read the SAME data straight from parquet — the round-trip
@@ -157,5 +179,11 @@ object Formats {
         |  CAST(SUM(p_size) AS BIGINT) AS sum_size,
         |  MIN(p_partkey) AS min_key
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q137_avro_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""".stripMargin,
   )
 }

@@ -93,6 +93,51 @@ class FormatsSpec extends AnyFunSuite {
       .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap)
   }
 
+  test("vendored Avro writer/reader round-trips every supported type") {
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    val ts = Timestamp.valueOf("2024-03-15 12:34:56.789123")
+    val src = Seq(
+      (1L, Some(42), 3.5f, 2.25, true, "alpha", Array[Byte](1, 2, 3),
+       Some(Date.valueOf("2024-03-15")), Some(ts), Seq(1.0, 2.0, 3.0)),
+      (2L, None, -1.5f, 0.0, false, "has \"quotes\" and, commas", Array[Byte](),
+       None, None, Seq.empty[Double])
+    ).toDF("id", "i", "f", "d", "b", "s", "bin", "dt", "ts", "arr")
+    val path = "target/fmtspec/alltypes_avro"
+    sources.AvroIO.write(src, path)
+    val back = sources.AvroIO.read(spark, path, src.schema).orderBy("id").collect()
+    val orig = src.orderBy("id").collect()
+    assert(back.length == orig.length)
+    orig.indices.foreach { r =>
+      src.schema.indices.foreach { c =>
+        (orig(r).get(c), back(r).get(c)) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b), s"row $r col $c")
+          case (a, b) => assert(a == b, s"row $r col ${src.schema(c).name}: $a != $b")
+        }
+      }
+    }
+    // micros precision must survive exactly (timestamp-micros logical type)
+    assert(back(0).getTimestamp(8).getNanos == 789123000)
+  }
+
+  test("Avro reader parallelism is one task per container file") {
+    val src = Tables.nation(spark, sf).repartition(4)
+    val path = "target/fmtspec/nation_avro_parts"
+    sources.AvroIO.write(src, path)
+    val back = sources.AvroIO.read(spark, path, src.schema)
+    assert(back.rdd.getNumPartitions == 4, "file-per-task parallelism")
+    assert(back.count() == src.count())
+  }
+
+  test("Avro rejects unsupported types loudly at write time") {
+    import spark.implicits._
+    val bad = Seq((1, Map("k" -> 1))).toDF("id", "m")
+    val e = intercept[IllegalArgumentException] {
+      sources.AvroIO.write(bad, "target/fmtspec/bad_avro")
+    }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+  }
+
   test("delimited text survives values containing the quote character") {
     import spark.implicits._
     val tricky = Seq((1L, "plain"), (2L, "has \"quotes\""), (3L, "comma, inside"),
