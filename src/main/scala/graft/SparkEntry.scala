@@ -31,6 +31,7 @@ object SparkEntry {
     (operators.Distribution.queries, operators.Distribution.oracles),
     (functions.NGrams.queries, functions.NGrams.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
+    (operators.TpcdsShapes.queries, operators.TpcdsShapes.oracles),
     (operators.MatchPath.queries, operators.MatchPath.oracles),
     (functions.HiveCompat.queries, functions.HiveCompat.oracles),
     (sources.Formats.queries, sources.Formats.oracles),

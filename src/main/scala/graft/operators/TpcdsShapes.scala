@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** TPC-DS-shaped reporting queries, modeled on the reference's perf corpus
+  * (ql/src/test/queries/clientpositive/perf/query*.q) and re-expressed on
+  * the TPC-H-ish fixture tables. TPC-H's 22 shapes never exercise these
+  * plan patterns; DS does, and so do real reporting workloads:
+  *
+  *  - q138: multi-channel UNION ALL fact scan          (perf/query76.q, query71.q)
+  *  - q139: ROLLUP over a snowflake join               (perf/query27.q, query67.q)
+  *  - q140: period-over-period self-join of an agg CTE (perf/query31.q)
+  *  - q141: case-banded single-scan multi-aggregate    (perf/query28.q)
+  *  - q142: windowed revenue ratio over an aggregate   (perf/query12.q, query20.q)
+  *  - q143: INTERSECT of per-channel customer sets     (perf/query38.q)
+  *  - q144: monthly pivot columns over a join          (perf/query66.q)
+  *  - q145: above-nation-average filter on an agg CTE  (perf/query1.q)
+  *
+  * Scale shapes: every fact scan joins dims that broadcast (nation/region/
+  * part slices), aggregates are two-phase (map-side partials), the UNION
+  * branches scan independently (no shuffle until the final agg), and the
+  * self-joins/windows operate on already-aggregated slivers (group counts,
+  * not fact rows). All money math is decimal-exact until the final cast —
+  * the oracle-parity contract used repo-wide.
+  */
+object TpcdsShapes {
+
+  private def dsum(c: Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(25, scale))).cast("double")
+
+  private def revenue(c: Column = col("l_extendedprice"), d: Column = col("l_discount")) =
+    (c * (lit(1.0) - d)).cast(DecimalType(25, 6))
+
+  /** DS query76-shape: each channel is an independently scanned+filtered
+    * fact branch with its own literal tag; UNION ALL feeds one final agg.
+    * At 100 TB the branches are separate scans with map-side partial aggs —
+    * no shuffle crosses channels until the (tiny) final group-by. */
+  val q138_ds_channel_union: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    def branch(cond: Column, label: String): DataFrame =
+      li.filter(cond)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(lit(label).as("channel"),
+                year(col("o_orderdate")).as("sales_year"),
+                col("l_extendedprice"))
+    branch(col("l_returnflag") === "R", "returns")
+      .unionAll(branch(col("l_returnflag") =!= "R", "sales"))
+      .groupBy(col("channel"), col("sales_year"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_extendedprice")).as("ext_price"))
+      .orderBy(col("channel"), col("sales_year"))
+  }
+
+  /** DS query27-shape: rollup over a snowflake join (fact -> orders ->
+    * customer -> nation -> region), hierarchy totals + grouping_id in one
+    * Expand pass. Dims broadcast; the rollup replicates only grouping
+    * columns, not the fact payload. */
+  val q139_ds_rollup_report: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(revenue(), 6).as("rev"),
+           count(lit(1)).as("n_items"),
+           grouping_id().as("gid"))
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
+  }
+
+  /** DS query31-shape: aggregate once per (nation, year), then self-join
+    * consecutive periods for growth ratios. The self-join runs on the
+    * aggregated sliver (|nations| x |years| rows), never on fact data. */
+  val q140_ds_yoy: Q = (s, d) => {
+    val byYear = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue()).as("rev"))
+    val cur = byYear.select(col("n_name"), col("o_year"), col("rev"))
+    val prev = byYear.select(col("n_name").as("p_name"), col("o_year").as("p_year"),
+                             col("rev").as("p_rev"))
+    cur.join(prev, col("n_name") === col("p_name") &&
+                   col("o_year") === col("p_year") + 1)
+      .select(col("n_name"), col("o_year"),
+              col("rev").cast("double").as("rev"),
+              (col("rev").cast("double") / col("p_rev").cast("double")).as("yoy_ratio"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** DS query28-shape: one fact scan, parallel aggregates over disjoint
+    * value bands via conditional aggregation (the declarative form of
+    * DS's six cross-joined single-band subqueries — same semantics, one
+    * scan instead of six). */
+  val q141_ds_case_bands: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def band(lo: Double, hi: Double, tag: String) = Seq(
+      count(when(col("l_quantity") >= lo && col("l_quantity") < hi, 1))
+        .as(s"${tag}_cnt"),
+      sum(when(col("l_quantity") >= lo && col("l_quantity") < hi,
+               col("l_extendedprice")).cast(DecimalType(25, 2)))
+        .cast("double").as(s"${tag}_price"),
+      countDistinct(when(col("l_quantity") >= lo && col("l_quantity") < hi,
+                         col("l_partkey"))).as(s"${tag}_parts"))
+    val aggs = band(0, 10, "b1") ++ band(10, 20, "b2") ++
+               band(20, 35, "b3") ++ band(35, 51, "b4")
+    li.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DS query12-shape: revenue per item within a category slice, plus its
+    * share of the brand's total via a window over the aggregate. The
+    * window partitions the post-agg sliver by brand — bounded partitions
+    * (items per brand), not fact rows. */
+  val q142_ds_revenue_ratio: Q = (s, d) => {
+    val agg = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type").isin("ECONOMY", "STANDARD", "PROMO"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_partkey"))
+      .agg(sum(revenue()).as("itemrev"))
+    agg.select(col("p_brand"), col("p_type"), col("p_partkey"),
+        col("itemrev").cast("double").as("itemrevenue"),
+        (col("itemrev").cast("double") * 100.0 /
+          sum(col("itemrev")).over(Window.partitionBy(col("p_brand"))).cast("double"))
+          .as("revenueratio"))
+      .orderBy(col("p_brand"), col("p_type"), col("p_partkey"))
+  }
+
+  /** DS query38-shape: customers active in every channel — INTERSECT of
+    * per-channel key sets, counted. Each branch reduces to distinct keys
+    * before the intersect, so set ops run on key slivers. */
+  val q143_ds_cross_channel: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val returned = li.filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"))
+    y96.intersect(y97).intersect(returned)
+      .agg(count(lit(1)).as("n_loyal"))
+  }
+
+  /** DS query66-shape: month columns pivoted out of one pass over the
+    * fact join (conditional sums), per nation for one year. */
+  val q144_ds_monthly_pivot: Q = (s, d) => {
+    def m(mm: Int, tag: String) =
+      sum(when(month(col("o_orderdate")) === mm, revenue()))
+        .cast("double").as(s"${tag}_rev")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("n_name"))
+      .agg(m(1, "jan"), m(2, "feb"), m(3, "mar"),
+           m(4, "apr"), m(5, "may"), m(6, "jun"),
+           dsum(revenue(), 6).as("total_rev"))
+      .orderBy(col("n_name"))
+  }
+
+  /** DS query1-shape: per-customer return totals, kept when above 1.2x
+    * their nation's average. The window average runs over the aggregated
+    * per-customer sliver; the comparison multiplies through by the group
+    * count so both sides stay exact-decimal-derived doubles (decimal AVG
+    * scale rules differ across engines; SUM does not). */
+  val q145_ds_returns_above_avg: Q = (s, d) => {
+    val totals = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(sum(revenue()).as("ret"))
+    val w = Window.partitionBy(col("c_nationkey"))
+    totals
+      .withColumn("nation_sum", sum(col("ret")).over(w))
+      .withColumn("nation_n", count(lit(1)).over(w))
+      .filter(col("ret").cast("double") * col("nation_n") >
+              lit(1.2) * col("nation_sum").cast("double"))
+      .select(col("c_custkey"), col("c_name"),
+              col("ret").cast("double").as("return_total"))
+      .orderBy(col("return_total").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q138_ds_channel_union" -> q138_ds_channel_union,
+    "q139_ds_rollup_report" -> q139_ds_rollup_report,
+    "q140_ds_yoy" -> q140_ds_yoy,
+    "q141_ds_case_bands" -> q141_ds_case_bands,
+    "q142_ds_revenue_ratio" -> q142_ds_revenue_ratio,
+    "q143_ds_cross_channel" -> q143_ds_cross_channel,
+    "q144_ds_monthly_pivot" -> q144_ds_monthly_pivot,
+    "q145_ds_returns_above_avg" -> q145_ds_returns_above_avg,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q138_ds_channel_union" ->
+      """SELECT channel, sales_year, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS ext_price
+        |FROM (
+        |  SELECT 'returns' AS channel, CAST(year(o_orderdate) AS INT) AS sales_year,
+        |         l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT 'sales', CAST(year(o_orderdate) AS INT), l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag <> 'R')
+        |GROUP BY channel, sales_year ORDER BY channel, sales_year""".stripMargin,
+    "q139_ds_rollup_report" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev,
+        |  COUNT(1) AS n_items,
+        |  GROUPING(r_name, n_name) AS gid
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q140_ds_yoy" ->
+      """WITH by_year AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS rev
+        |  FROM lineitem
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation   ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, year(o_orderdate))
+        |SELECT cur.n_name, cur.o_year,
+        |  CAST(cur.rev AS DOUBLE) AS rev,
+        |  CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE) AS yoy_ratio
+        |FROM by_year cur JOIN by_year prev
+        |  ON cur.n_name = prev.n_name AND cur.o_year = prev.o_year + 1
+        |ORDER BY cur.n_name, cur.o_year""".stripMargin,
+    "q141_ds_case_bands" ->
+      """SELECT
+        |  COUNT(CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN 1 END) AS b1_cnt,
+        |  CAST(SUM(CAST(CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN l_extendedprice END AS DECIMAL(25,2))) AS DOUBLE) AS b1_price,
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN l_partkey END) AS b1_parts,
+        |  COUNT(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 END) AS b2_cnt,
+        |  CAST(SUM(CAST(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN l_extendedprice END AS DECIMAL(25,2))) AS DOUBLE) AS b2_price,
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN l_partkey END) AS b2_parts,
+        |  COUNT(CASE WHEN l_quantity >= 20 AND l_quantity < 35 THEN 1 END) AS b3_cnt,
+        |  CAST(SUM(CAST(CASE WHEN l_quantity >= 20 AND l_quantity < 35 THEN l_extendedprice END AS DECIMAL(25,2))) AS DOUBLE) AS b3_price,
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 20 AND l_quantity < 35 THEN l_partkey END) AS b3_parts,
+        |  COUNT(CASE WHEN l_quantity >= 35 AND l_quantity < 51 THEN 1 END) AS b4_cnt,
+        |  CAST(SUM(CAST(CASE WHEN l_quantity >= 35 AND l_quantity < 51 THEN l_extendedprice END AS DECIMAL(25,2))) AS DOUBLE) AS b4_price,
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 35 AND l_quantity < 51 THEN l_partkey END) AS b4_parts
+        |FROM lineitem""".stripMargin,
+    "q142_ds_revenue_ratio" ->
+      """WITH agg AS (
+        |  SELECT p_brand, p_type, p_partkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS itemrev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |    AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+        |  GROUP BY p_brand, p_type, p_partkey)
+        |SELECT p_brand, p_type, p_partkey,
+        |  CAST(itemrev AS DOUBLE) AS itemrevenue,
+        |  CAST(itemrev AS DOUBLE) * 100 /
+        |    CAST(SUM(itemrev) OVER (PARTITION BY p_brand) AS DOUBLE) AS revenueratio
+        |FROM agg ORDER BY p_brand, p_type, p_partkey""".stripMargin,
+    "q143_ds_cross_channel" ->
+      """SELECT COUNT(1) AS n_loyal FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  INTERSECT
+        |  SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R')""".stripMargin,
+    "q144_ds_monthly_pivot" ->
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN month(o_orderdate) = 1 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) AS DOUBLE) AS jan_rev,
+        |  CAST(SUM(CASE WHEN month(o_orderdate) = 2 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) AS DOUBLE) AS feb_rev,
+        |  CAST(SUM(CASE WHEN month(o_orderdate) = 3 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) AS DOUBLE) AS mar_rev,
+        |  CAST(SUM(CASE WHEN month(o_orderdate) = 4 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) AS DOUBLE) AS apr_rev,
+        |  CAST(SUM(CASE WHEN month(o_orderdate) = 5 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) AS DOUBLE) AS may_rev,
+        |  CAST(SUM(CASE WHEN month(o_orderdate) = 6 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END) AS DOUBLE) AS jun_rev,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q145_ds_returns_above_avg" ->
+      """WITH totals AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS ret
+        |  FROM lineitem
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, c_nationkey),
+        |win AS (
+        |  SELECT c_custkey, c_name, ret,
+        |         SUM(ret)  OVER (PARTITION BY c_nationkey) AS nation_sum,
+        |         COUNT(1)  OVER (PARTITION BY c_nationkey) AS nation_n
+        |  FROM totals)
+        |SELECT c_custkey, c_name, CAST(ret AS DOUBLE) AS return_total
+        |FROM win
+        |WHERE CAST(ret AS DOUBLE) * nation_n > 1.2 * CAST(nation_sum AS DOUBLE)
+        |ORDER BY return_total DESC, c_custkey LIMIT 100""".stripMargin,
+  )
+}
