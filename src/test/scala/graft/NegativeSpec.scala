@@ -81,4 +81,180 @@ class NegativeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("table_that_does_not_exist"))
   }
+
+  // ---- DDL error family (create_table_failure*, create_view_failure*,
+  // column_rename*, archive_partspec*) --------------------------------
+
+  private def ddlError(sqlText: String): Throwable =
+    intercept[AnalysisException] { spark.sql(sqlText) }
+
+  test("CREATE TABLE with duplicate column names is rejected") {
+    val e = ddlError("CREATE TABLE neg_dup_cols (a INT, a STRING) USING parquet")
+    assert(e.getMessage.toLowerCase.contains("a"), e.getMessage)
+  }
+
+  test("CREATE TABLE in a non-existent database is rejected (create_table_failure1)") {
+    val e = ddlError("CREATE TABLE db_does_not_exist.t (a INT) USING parquet")
+    assert(e.getMessage.toLowerCase.contains("db_does_not_exist"), e.getMessage)
+  }
+
+  test("CREATE VIEW over a missing table fails and leaves no view behind") {
+    intercept[AnalysisException] {
+      spark.sql("CREATE TEMPORARY VIEW neg_bad_view AS SELECT * FROM missing_tbl")
+    }
+    val e = intercept[AnalysisException] { spark.sql("SELECT * FROM neg_bad_view") }
+    assert(e.getMessage.contains("neg_bad_view"))
+  }
+
+  test("CREATE VIEW with duplicate output aliases is rejected (create_view_failure)") {
+    val e = ddlError(
+      "CREATE TEMPORARY VIEW neg_dup_alias (x, x) AS SELECT 1, 2")
+    assert(e.getMessage.toLowerCase.contains("x"), e.getMessage)
+  }
+
+  test("partition spec on a non-partitioned table is rejected (archive_partspec analog)") {
+    spark.sql("DROP TABLE IF EXISTS neg_nopart")
+    spark.sql("CREATE TABLE neg_nopart (a INT) USING parquet")
+    try {
+      val e = ddlError("ALTER TABLE neg_nopart ADD PARTITION (p=1)")
+      assert(e.getMessage.toLowerCase.contains("partition"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS neg_nopart")
+  }
+
+  test("INSERT with a bogus static partition column is rejected (dyn_part analog)") {
+    spark.sql("DROP TABLE IF EXISTS neg_part_tgt")
+    spark.sql("CREATE TABLE neg_part_tgt (a INT) USING parquet PARTITIONED BY (p INT)")
+    try {
+      val e = ddlError("INSERT INTO neg_part_tgt PARTITION (zz=1) SELECT 1")
+      assert(e.getMessage.toLowerCase.contains("zz") ||
+             e.getMessage.toLowerCase.contains("partition"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS neg_part_tgt")
+  }
+
+  // ---- bucketing DDL family (bucket_mapjoin_wrong_table_metadata*) ---
+
+  test("bucketing by a non-existent column is rejected") {
+    spark.sql("DROP TABLE IF EXISTS neg_bucket_bad")
+    val e = ddlError(
+      "CREATE TABLE neg_bucket_bad (a INT) USING parquet " +
+        "CLUSTERED BY (no_such) INTO 4 BUCKETS")
+    assert(e.getMessage.toLowerCase.contains("no_such") ||
+           e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
+  }
+
+  test("a non-positive bucket count is rejected") {
+    spark.sql("DROP TABLE IF EXISTS neg_bucket_zero")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE neg_bucket_zero (a INT) USING parquet " +
+        "CLUSTERED BY (a) INTO 0 BUCKETS")
+    }
+    assert(e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
+  }
+
+  // ---- window-frame violations (windowing_*, distinct_windowing_*) ---
+
+  test("window function nested inside an aggregate is rejected (windowing_leadlag_in_udaf)") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part")
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT sum(lead(p_retailprice, 1) OVER (ORDER BY p_partkey)) FROM neg_part").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("window"), e.getMessage)
+  }
+
+  test("an unknown function used with OVER is a clean unresolved-routine error") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT nonexistfunc(p_partkey) OVER () FROM neg_part").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nonexistfunc"), e.getMessage)
+  }
+
+  test("inverted frame bounds are rejected (ROWS BETWEEN n FOLLOWING AND m PRECEDING)") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part")
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT sum(p_size) OVER (ORDER BY p_partkey
+                  |ROWS BETWEEN 3 FOLLOWING AND 1 PRECEDING) FROM neg_part""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("frame") ||
+           e.getMessage.toLowerCase.contains("boundary"), e.getMessage)
+  }
+
+  test("DISTINCT inside a window aggregate is rejected (distinct_windowing_failure)") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT count(DISTINCT p_brand) OVER (PARTITION BY p_type) FROM neg_part")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("distinct"), e.getMessage)
+  }
+
+  // ---- UDTF misuse (udtf_not_supported*, lateral_view_alias) ---------
+
+  test("a generator nested inside another expression is rejected") {
+    // (Spark 4 accepts multiple top-level generators per SELECT — an
+    // engine extension over the reference, which rejects even that; the
+    // hard error both engines share is nesting one in an expression.)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT explode(array(1,2)) + 1").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("generator"), e.getMessage)
+  }
+
+  test("a generator in the WHERE clause is rejected") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT 1 WHERE explode(array(true, false))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("generator") ||
+           e.getMessage.toLowerCase.contains("explode"), e.getMessage)
+  }
+
+  test("LATERAL VIEW alias count must match the generator arity (lateral_view_alias)") {
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT k FROM (SELECT 1 AS id)
+                  |LATERAL VIEW explode(map('a', 1)) t AS k""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("alias"), e.getMessage)
+  }
+
+  // ---- grouping / ordering misuse (groupby_*, clusterbyorderby,
+  // orderby_invalid_position, subquery_*) ------------------------------
+
+  test("grouping_id outside GROUPING SETS/ROLLUP/CUBE is rejected") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT p_brand, grouping_id() FROM neg_part GROUP BY p_brand").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("grouping"), e.getMessage)
+  }
+
+  test("ORDER BY ordinal out of range is rejected (orderby_invalid_position)") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT p_brand FROM neg_part ORDER BY 99").collect()
+    }
+    assert(e.getMessage.contains("99"), e.getMessage)
+  }
+
+  test("CLUSTER BY cannot be combined with ORDER BY (clusterbyorderby)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT p_brand FROM neg_part CLUSTER BY p_brand ORDER BY p_brand").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("ORDER BY") ||
+           e.getMessage.toUpperCase.contains("CLUSTER"), e.getMessage)
+  }
+
+  test("IN subquery with mismatched column count is rejected (subquery_multiple_cols)") {
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT p_partkey FROM neg_part
+                  |WHERE p_partkey IN (SELECT p_partkey, p_brand FROM neg_part)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("subquery") ||
+           e.getMessage.toLowerCase.contains("column"), e.getMessage)
+  }
+
+  test("non-deterministic scalar-subquery misuse: multi-row scalar subquery errors at runtime") {
+    val e = intercept[Throwable] {
+      spark.sql("SELECT (SELECT p_brand FROM neg_part) AS b").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("more than one row") ||
+           e.getMessage.toLowerCase.contains("scalar"), e.getMessage)
+  }
 }
