@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * Each query is fully evaluated through the noop sink (count() would let
-  * Catalyst prune every computed column and time only the scan). One
-  * untimed warmup amortizes JVM/codegen/file-listing startup so per-query
-  * numbers reflect steady-state throughput — what matters at 100 TB.
+  * Catalyst prune every computed column and time only the scan). Two timed
+  * passes: the first is reported as cold-start ("queries_cold"), the
+  * second — steady state, the regime a long-lived cluster session runs
+  * in — is the headline metric.
   */
 object Bench {
 
@@ -32,6 +33,7 @@ object Bench {
     "q123_dedup_clusters",// connected-components clustering
     "q125_asof_attribution", // custom as-of join operator
     "q134_repetition",    // repetition quality signals
+    "q139_ds_rollup_report", // TPC-DS-shaped rollup over snowflake join
     "q68_cosine_topk",    // similarity
     "q71_tumbling_window",// event windows
     "q73_sessionize",     // sessionization
@@ -52,29 +54,33 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Untimed warmup pass over the FULL headline set: JVM JIT, per-query
-    // codegen compilation, parquet footer/file-listing caches. The timed
-    // pass then measures steady-state throughput — the regime a
-    // long-lived 100 TB cluster session actually runs in, and the only
-    // regime where run-to-run numbers are comparable across machines
-    // under load (round-1's 12x gate-vs-local q65 gap was cold-start +
-    // block-manager noise, not query cost).
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
-      try evaluate(name) catch { case _: Throwable => () }
-    }
-
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      try evaluate(name)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Two passes, BOTH timed. Pass 1 is cold (JVM JIT, per-query codegen
+    // compilation, parquet footer/file-listing caches all cold) — the
+    // first-run regime. Pass 2 is steady state — the regime a long-lived
+    // 100 TB cluster session actually runs in, and the only regime where
+    // run-to-run numbers are comparable across machines under load
+    // (round-1's 12x gate-vs-local q65 gap was cold-start +
+    // block-manager noise, not query cost). The headline metric stays
+    // steady-state; the cold numbers ride along so the ledger never
+    // needs a methodology footnote.
+    def timedPass(): Seq[(String, Double)] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
+        val t0 = System.nanoTime()
+        try evaluate(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val cold = timedPass()
+    val results = timedPass()
+    def json(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = cold.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
+      s""""value_cold":$coldTotal,"queries_cold":${json(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
