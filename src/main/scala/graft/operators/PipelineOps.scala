@@ -7,9 +7,11 @@ import graft.{Q, Tables}
 
 /** Training-data pipeline operators beyond dedup/similarity: context-
   * window token packing, PII-style redaction, Gopher-style repetition
-  * signals, and deterministic stratified sampling. Scale notes per op in
-  * the scaladocs; all are one- or two-shuffle plans keyed on high-
-  * cardinality columns (doc_id / source / stratum), no driver loops.
+  * signals, deterministic stratified sampling, token-window chunking,
+  * reproducible training-order sharding, and benchmark decontamination.
+  * Scale notes per op in the scaladocs; all are zero- to two-shuffle
+  * plans keyed on high-cardinality columns (doc_id / source / stratum),
+  * no driver loops.
   */
 object PipelineOps {
 
@@ -158,11 +160,102 @@ object PipelineOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Token-window document chunking with overlap (sequence construction
+    * for training): window=16 tokens, stride=12, so consecutive chunks
+    * share 4 tokens. Pure per-row explode — tokenize, generate start
+    * offsets, slice — no shuffle anywhere except the presentation
+    * ORDER BY; streams at scan speed and parallelizes by input split at
+    * any corpus size. */
+  val q146_doc_chunking: Q = (s, d) => {
+    val (window, stride) = (16, 12)
+    Tables.documents(s, d)
+      .withColumn("ts", split(trim(col("text")), " +"))
+      .withColumn("ntok", size(col("ts")))
+      .select(col("doc_id"), col("ts"), col("ntok"),
+        explode(expr(s"sequence(1, ntok, $stride)")).as("st"))
+      .select(col("doc_id"), col("st"),
+        expr(s"slice(ts, st, $window)").as("chunk"))
+      .select(col("doc_id"), col("st"),
+        size(col("chunk")).as("chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("st"))
+  }
+
+  /** Deterministic training-order shard assignment: shard =
+    * multiplicative-hash bucket, order within shard = hash order — a
+    * reproducible global shuffle with no RNG (the property training
+    * pipelines need for resumable, engine-independent data ordering).
+    *
+    * Scale shape: the per-shard counts aggregate without windows, and the
+    * order PREVIEW (first k docs per shard) reuses q135's two-pass trick —
+    * a broadcast hash cutoff keeps ~mult*k candidates per shard, so the
+    * shard-partitioned rank window sees a bounded sliver, never a full
+    * shard (shards are few: the full-shard window would be the q132
+    * anti-pattern). The full training order is never materialized as a
+    * ranked table at scale — the writer emits
+    * repartition(shard).sortWithinPartitions(hkey) files; rank is only
+    * computed here on the preview sliver where it is the observable. */
+  val q147_training_order: Q = (s, d) => {
+    val (nShards, k, mult) = (16L, 5L, 8L)
+    val m = 1000000007L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(m)).as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(nShards)))
+    val stats = docs.groupBy(col("shard")).agg(count(lit(1)).as("n_in_shard"))
+      .withColumn("cutoff",
+        when(col("n_in_shard") <= lit(mult * k), lit(m.toDouble))
+          .otherwise(lit((mult * k * m).toDouble) / col("n_in_shard") + lit(1.0)))
+    docs.join(broadcast(stats), Seq("shard"))
+      .filter(col("hkey") < col("cutoff"))
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))))
+      .withColumn("survivors", count(lit(1)).over(Window.partitionBy(col("shard"))))
+      .filter(
+        when(col("survivors") < least(lit(k), col("n_in_shard")),
+          raise_error(concat(lit("q147_training_order: shard "), col("shard"),
+            lit(" under-filled by the hash pre-filter; raise mult"))).cast("boolean"))
+        .otherwise(col("position") <= lit(k)))
+      .select(col("shard"), col("position"), col("doc_id"), col("n_in_shard"))
+      .orderBy(col("shard"), col("position"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 4-token shingle with the held-out eval slice (here: doc_id % 97 == 0,
+    * standing in for a benchmark suite; production uses 8-13-gram windows —
+    * 4 matches this fixture's vocabulary so the overlap path actually
+    * exercises, rather than passing on an empty result). The real-world asymmetry does the
+    * heavy lifting: the eval side is tiny, so its distinct shingle set
+    * BROADCASTS and the train side never shuffles — one scan-side
+    * explode + broadcast semi-style join + doc_id re-aggregate (partial
+    * aggs map-side). At 100 TB the eval shingle set rides along as a
+    * broadcast (or a bloom filter in front of it); train-side cost stays
+    * one pass. */
+  val q148_decontamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", split(trim(col("text")), " +"))
+      .filter(size(col("ts")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 3), i -> array_join(slice(ts, i, 4), ' '))"))
+        .as("sh"))
+    val evalSh = shingles(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("sh")).distinct()
+    shingles(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q132_token_packing" -> q132_token_packing,
     "q133_pii_redaction" -> q133_pii_redaction,
     "q134_repetition" -> q134_repetition,
     "q135_stratified_sample" -> q135_stratified_sample,
+    "q146_doc_chunking" -> q146_doc_chunking,
+    "q147_training_order" -> q147_training_order,
+    "q148_decontamination" -> q148_decontamination,
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,5 +311,42 @@ object PipelineOps {
         |  FROM h)
         |SELECT lang, rn, doc_id FROM r WHERE rn <= 50
         |ORDER BY lang, rn""".stripMargin,
+    "q146_doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, s, unnest(range(1, len(s) + 1, 12)) AS st
+        |  FROM t)
+        |SELECT doc_id, CAST(st AS INT) AS st,
+        |  CAST(len(s[st:st+15]) AS INT) AS chunk_tokens,
+        |  array_to_string(s[st:st+15], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, st""".stripMargin,
+    "q147_training_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS hkey
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, hkey, hkey % 16 AS shard FROM h),
+        |r AS (
+        |  SELECT shard, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS position,
+        |    COUNT(1) OVER (PARTITION BY shard) AS n_in_shard
+        |  FROM sh)
+        |SELECT shard, CAST(position AS INT) AS position, doc_id, n_in_shard
+        |FROM r WHERE position <= 5
+        |ORDER BY shard, position""".stripMargin,
+    "q148_decontamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(s[i:i+3], ' ') for i in range(1, len(s) - 2)]) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s
+        |        FROM documents)
+        |  WHERE len(s) >= 4),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, COUNT(DISTINCT s.sh) AS n_overlap
+        |FROM sh s JOIN ev ON s.sh = ev.sh
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

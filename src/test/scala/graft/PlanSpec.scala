@@ -128,4 +128,46 @@ class PlanSpec extends AnyFunSuite {
         s"stratum window without the hkey<cutoff pre-filter below it: ${w.partitionSpec}")
     }
   }
+
+  test("q146 chunking is shuffle-free below the presentation sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("q146_doc_chunking")(spark, sf).queryExecution.sparkPlan
+    // the only exchange allowed is the range partitioning for ORDER BY;
+    // tokenize/explode/slice must all run scan-side
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"chunking should not shuffle data: ${shuffles.size} exchanges")
+    shuffles.foreach { e =>
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"non-sort exchange in chunk pipeline: ${e.outputPartitioning}")
+    }
+    assert(p.collect { case s: SortExec => s }.nonEmpty)
+  }
+
+  test("q147 training-order rank sees only the hash-pre-filtered sliver per shard") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = SparkEntry.queries("q147_training_order")(spark, sf).queryExecution.sparkPlan
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in q147")
+    def isPrefilter(s: String) = s.contains("hkey") && s.contains("cutoff")
+    wins.foreach { w =>
+      val pref = w.collect {
+        case f: FilterExec if isPrefilter(f.condition.toString) => f
+        case j: BroadcastHashJoinExec if j.condition.exists(c => isPrefilter(c.toString)) => j
+      }
+      assert(pref.nonEmpty,
+        s"shard window without the hkey<cutoff pre-filter below it: ${w.partitionSpec}")
+    }
+  }
+
+  test("q148 decontamination broadcasts the eval shingle set; train side never shuffles pre-agg") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val p = SparkEntry.queries("q148_decontamination")(spark, sf).queryExecution.sparkPlan
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "eval shingles must broadcast")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "a sort-merge join here means the train side shuffled on shingle")
+  }
 }
