@@ -35,6 +35,7 @@ object SparkEntry {
     (operators.MatchPath.queries, operators.MatchPath.oracles),
     (functions.HiveCompat.queries, functions.HiveCompat.oracles),
     (sources.Formats.queries, sources.Formats.oracles),
+    (operators.StorageOps.queries, operators.StorageOps.oracles),
     (functions.TypeSystem.queries, functions.TypeSystem.oracles),
   )
 

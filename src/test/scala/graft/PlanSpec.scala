@@ -162,6 +162,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 bucketed join reads shuffle-free below the final aggregate") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("q149_smb_join")(spark, sf).queryExecution.sparkPlan
+    // both sides are bucketed+sorted on the join key: the join itself
+    // must not shuffle; the only exchanges allowed sit above the
+    // (3-row) aggregate for the final ORDER BY / merge
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+    val joinRowsShuffled = shuffles.exists(_.collectLeaves().exists(
+      _.toString.contains("lineitem_smb")))
+    assert(!joinRowsShuffled, s"bucketed join shuffled fact rows:\n$p")
+  }
+
+  test("q150 partitioned read prunes to the filtered partition") {
+    val p = SparkEntry.queries("q150_partitioned_sink")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderstatus"),
+      s"expected a partition filter on o_orderstatus: $scanLine")
+  }
+
   test("q148 decontamination broadcasts the eval shingle set; train side never shuffles pre-agg") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     val p = SparkEntry.queries("q148_decontamination")(spark, sf).queryExecution.sparkPlan
