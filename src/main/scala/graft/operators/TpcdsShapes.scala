@@ -74,9 +74,15 @@ object TpcdsShapes {
       .orderBy(col("gid"), col("r_name"), col("n_name"))
   }
 
-  /** DS query31-shape: aggregate once per (nation, year), then self-join
-    * consecutive periods for growth ratios. The self-join runs on the
-    * aggregated sliver (|nations| x |years| rows), never on fact data. */
+  /** DS query31-shape: per-(nation, year) growth ratios. DS spells this
+    * as a self-join of the aggregated CTE; that plan scans and joins the
+    * FACT tables once per branch (Catalyst reuses exchanges only when AQE
+    * later proves the subtrees identical). The Spark-first spelling is
+    * lag() over the aggregated sliver — one fact scan, and the window
+    * partitions hold only |years| rows per nation. Semantically identical
+    * to the self-join (a year-1 row exists iff it is the immediately
+    * preceding existing year), which the oracle proves by keeping the
+    * self-join formulation. */
   val q140_ds_yoy: Q = (s, d) => {
     val byYear = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -84,11 +90,11 @@ object TpcdsShapes {
       .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(revenue()).as("rev"))
-    val cur = byYear.select(col("n_name"), col("o_year"), col("rev"))
-    val prev = byYear.select(col("n_name").as("p_name"), col("o_year").as("p_year"),
-                             col("rev").as("p_rev"))
-    cur.join(prev, col("n_name") === col("p_name") &&
-                   col("o_year") === col("p_year") + 1)
+    val w = Window.partitionBy(col("n_name")).orderBy(col("o_year"))
+    byYear
+      .withColumn("p_year", lag(col("o_year"), 1).over(w))
+      .withColumn("p_rev", lag(col("rev"), 1).over(w))
+      .filter(col("p_year") === col("o_year") - 1)
       .select(col("n_name"), col("o_year"),
               col("rev").cast("double").as("rev"),
               (col("rev").cast("double") / col("p_rev").cast("double")).as("yoy_ratio"))
