@@ -166,9 +166,9 @@ object PipelineOps {
     * offsets, slice — no shuffle anywhere except the presentation
     * ORDER BY; streams at scan speed and parallelizes by input split at
     * any corpus size. */
-  val q146_doc_chunking: Q = (s, d) => {
-    val (window, stride) = (16, 12)
-    Tables.documents(s, d)
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame,
+                window: Int, stride: Int): org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("ts", split(trim(col("text")), " +"))
       .withColumn("ntok", size(col("ts")))
       .select(col("doc_id"), col("ts"), col("ntok"),
@@ -178,8 +178,10 @@ object PipelineOps {
       .select(col("doc_id"), col("st"),
         size(col("chunk")).as("chunk_tokens"),
         array_join(col("chunk"), " ").as("chunk_text"))
+
+  val q146_doc_chunking: Q = (s, d) =>
+    chunkDocs(Tables.documents(s, d), window = 16, stride = 12)
       .orderBy(col("doc_id"), col("st"))
-  }
 
   /** Deterministic training-order shard assignment: shard =
     * multiplicative-hash bucket, order within shard = hash order — a
@@ -195,10 +197,10 @@ object PipelineOps {
     * ranked table at scale — the writer emits
     * repartition(shard).sortWithinPartitions(hkey) files; rank is only
     * computed here on the preview sliver where it is the observable. */
-  val q147_training_order: Q = (s, d) => {
-    val (nShards, k, mult) = (16L, 5L, 8L)
+  def trainingOrder(src: org.apache.spark.sql.DataFrame,
+                    nShards: Long, k: Long, mult: Long): org.apache.spark.sql.DataFrame = {
     val m = 1000000007L
-    val docs = Tables.documents(s, d)
+    val docs = src
       .select(col("doc_id"),
         pmod(col("doc_id") * lit(2654435761L), lit(m)).as("hkey"))
       .withColumn("shard", pmod(col("hkey"), lit(nShards)))
@@ -217,8 +219,11 @@ object PipelineOps {
             lit(" under-filled by the hash pre-filter; raise mult"))).cast("boolean"))
         .otherwise(col("position") <= lit(k)))
       .select(col("shard"), col("position"), col("doc_id"), col("n_in_shard"))
-      .orderBy(col("shard"), col("position"))
   }
+
+  val q147_training_order: Q = (s, d) =>
+    trainingOrder(Tables.documents(s, d), nShards = 16L, k = 5L, mult = 8L)
+      .orderBy(col("shard"), col("position"))
 
   /** Benchmark decontamination: flag training documents sharing any
     * 4-token shingle with the held-out eval slice (here: doc_id % 97 == 0,
@@ -231,22 +236,25 @@ object PipelineOps {
     * aggs map-side). At 100 TB the eval shingle set rides along as a
     * broadcast (or a bloom filter in front of it); train-side cost stays
     * one pass. */
-  val q148_decontamination: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  def decontaminate(docs: org.apache.spark.sql.DataFrame,
+                    isEval: org.apache.spark.sql.Column,
+                    width: Int): org.apache.spark.sql.DataFrame = {
     def shingles(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("ts", split(trim(col("text")), " +"))
-      .filter(size(col("ts")) >= 4)
+      .filter(size(col("ts")) >= width)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ts) - 3), i -> array_join(slice(ts, i, 4), ' '))"))
+        s"transform(sequence(1, size(ts) - ${width - 1}), i -> array_join(slice(ts, i, $width), ' '))"))
         .as("sh"))
-    val evalSh = shingles(docs.filter(col("doc_id") % 97 === 0))
-      .select(col("sh")).distinct()
-    shingles(docs.filter(col("doc_id") % 97 =!= 0))
+    val evalSh = shingles(docs.filter(isEval)).select(col("sh")).distinct()
+    shingles(docs.filter(!isEval))
       .join(broadcast(evalSh), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("n_overlap"))
-      .orderBy(col("doc_id"))
   }
+
+  val q148_decontamination: Q = (s, d) =>
+    decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0, width = 4)
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "q132_token_packing" -> q132_token_packing,

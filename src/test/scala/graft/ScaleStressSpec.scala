@@ -74,6 +74,57 @@ class ScaleStressSpec extends AnyFunSuite {
       s"only $basesPresent of ~${nDocs / 10} cliques present in the edge set")
   }
 
+  test("10x corpus: decontamination volume stays linear, plan stays broadcast equi-join") {
+    import graft.operators.PipelineOps
+    val out = PipelineOps.decontaminate(docs10, col("doc_id") % 97 === 0, width = 4)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay an equi-join at 10x volume")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "eval shingle set must broadcast")
+    val flagged = out.count()
+    // every flagged doc is one output row; at 10x the replicas of a
+    // contaminated base doc are all contaminated, so the flagged count
+    // scales ~linearly with volume, never quadratically
+    assert(flagged > 0, "stress corpus produced no contamination — vacuous")
+    assert(flagged <= nDocs, s"more flagged docs than docs: $flagged > $nDocs")
+  }
+
+  test("10x corpus: chunking output matches the closed-form count, shuffle-free") {
+    import graft.operators.PipelineOps
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val (window, stride) = (16, 12)
+    val chunks = PipelineOps.chunkDocs(docs10, window, stride)
+    assert(chunks.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "chunking shuffled data at 10x volume")
+    val expected = docs10
+      .select(size(split(trim(col("text")), " +")).as("ntok"))
+      .agg(sum(ceil(col("ntok").cast("double") / stride)).cast("long")).collect()(0).getLong(0)
+    assert(chunks.count() == expected,
+      s"chunk count diverged from ceil(ntok/stride) closed form")
+  }
+
+  test("10x corpus: training-order preview equals the full-sort reference per shard") {
+    import graft.operators.PipelineOps
+    import org.apache.spark.sql.expressions.Window
+    val (nShards, k) = (16L, 5L)
+    val got = PipelineOps.trainingOrder(docs10.select(col("doc_id")), nShards, k, mult = 8L)
+      .select(col("shard"), col("position"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val m = 1000000007L
+    // brute-force reference: rank EVERY doc per shard (fine in a test)
+    val ref = docs10.select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(m)).as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(nShards)))
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))))
+      .filter(col("position") <= k)
+      .select(col("shard"), col("position"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == ref, "two-pass preview diverged from the full-sort reference")
+  }
+
   test("10x corpus: SimHash banded join overflows buckets and stays equi-join") {
     val sigs = Dedup.simhashSignatures(docs10).localCheckpoint(true)
     val capped = Dedup.simhashPairs(sigs, maxBucket = 8)
