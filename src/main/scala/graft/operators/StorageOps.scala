@@ -37,6 +37,16 @@ object StorageOps {
   val q149_smb_join: Q = (s, d) => {
     val db = dbFor(d)
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // an in-memory catalog forgets tables across JVMs but their warehouse
+    // directories persist — drop AND clear the stale locations, or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS on the next session
+    val dbLoc = new org.apache.hadoop.fs.Path(s.catalog.getDatabase(db).locationUri)
+    val fs = dbLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("orders_smb", "lineitem_smb").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $db.$t")
+      val loc = new org.apache.hadoop.fs.Path(dbLoc, t)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     Tables.orders(s, d).write.mode(SaveMode.Overwrite)
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable(s"$db.orders_smb")
