@@ -268,7 +268,15 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach { dir =>
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // setCheckpointDir stores a fully-qualified '<dir>/<uuid>' subdir,
+      // so compare against the qualified prefix — a raw contains(dir)
+      // never matches and would repoint (and orphan) a fresh UUID dir on
+      // every call
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val qualified = p.getFileSystem(sc.hadoopConfiguration)
+        .makeQualified(p).toString
+      if (!sc.getCheckpointDir.exists(_.startsWith(qualified)))
+        sc.setCheckpointDir(dir)
     }
     def pin(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager)

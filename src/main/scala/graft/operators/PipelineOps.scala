@@ -54,9 +54,13 @@ object PipelineOps {
     // per-(source, chunk) subtotals -> exclusive prefix sum over chunks.
     // This source-only window is over the AGGREGATED table (metadata-
     // sized), which is the whole point of the two-pass formulation.
-    val offsets = localled
+    // Subtotals come from the PRE-window rows (sum(ntok) == max(lcum) by
+    // construction): aggregating the windowed table instead would force
+    // the full-corpus sort+window to execute a second time just to feed
+    // the broadcast build.
+    val offsets = chunked
       .groupBy(col("source"), col("chunk"))
-      .agg(max(col("lcum")).as("subtotal"))
+      .agg(sum(col("ntok")).as("subtotal"))
       .withColumn("offset", coalesce(
         sum(col("subtotal")).over(
           Window.partitionBy(col("source")).orderBy(col("chunk"))

@@ -107,8 +107,10 @@ object StorageOps {
     base.write.mode(SaveMode.Overwrite).parquet(path)
     val updates = base.filter(col("c_mktsegment") === "BUILDING")
       .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    // negated keys are disjoint from real custkeys at ANY scale factor
+    // (an additive offset collides once max(c_custkey) exceeds it)
     val inserts = base.filter(col("c_mktsegment") === "AUTOMOBILE")
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+      .select((-col("c_custkey") - 1L).as("c_custkey"),
               concat(lit("NEW#"), col("c_custkey")).as("c_name"),
               col("c_nationkey"),
               lit(0.0).as("c_acctbal"),
@@ -152,7 +154,7 @@ object StorageOps {
         |    c_mktsegment
         |  FROM customer
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, 0.0, 'NEWSEG'
+        |  SELECT -c_custkey - 1, 0.0, 'NEWSEG'
         |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
         |SELECT c_mktsegment, COUNT(1) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_bal

@@ -128,7 +128,15 @@ object AvroIO {
 
   // ---- writer ------------------------------------------------------------
 
-  /** Write `df` as a directory of Avro container files, one per partition. */
+  /** Write `df` as a directory of Avro container files, one per partition.
+    *
+    * Commit protocol (the part a naive writer gets wrong): each task
+    * streams to an attempt-private temp name and RENAMES to the final
+    * part file only on successful completion, so failed/zombie/speculative
+    * attempts never leave a partial or interleaved container under a
+    * final name; the driver then writes a `_SUCCESS` marker, and
+    * [[read]] refuses a directory without one — a half-finished job
+    * reads as an error, not as silently missing rows. */
   def write(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
@@ -142,23 +150,39 @@ object AvroIO {
     fs.mkdirs(dir)
 
     df.rdd.foreachPartition { rows =>
-      val part = TaskContext.getPartitionId()
+      val ctx = TaskContext.get()
+      val part = ctx.partitionId()
       val avroSchema = new Schema.Parser().parse(avroJson)
       val conf = hconf.value.value
-      val out = new Path(path, f"part-$part%05d.avro")
-        .getFileSystem(conf).create(new Path(path, f"part-$part%05d.avro"), true)
+      val fsx = new Path(path).getFileSystem(conf)
+      val finalPath = new Path(path, f"part-$part%05d.avro")
+      val tmpPath = new Path(path,
+        f".part-$part%05d-attempt-${ctx.taskAttemptId()}%d.avro.tmp")
+      val out = fsx.create(tmpPath, true)
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
       writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
       writer.create(avroSchema, out)
-      try rows.foreach { row =>
-        val rec = new GenericData.Record(avroSchema)
-        var i = 0
-        while (i < schema.length) {
-          rec.put(i, toAvro(row.get(i), schema(i).dataType)); i += 1
+      var committed = false
+      try {
+        rows.foreach { row =>
+          val rec = new GenericData.Record(avroSchema)
+          var i = 0
+          while (i < schema.length) {
+            rec.put(i, toAvro(row.get(i), schema(i).dataType)); i += 1
+          }
+          writer.append(rec)
         }
-        writer.append(rec)
-      } finally writer.close()
+        writer.close()
+        // last attempt to commit wins; both attempts hold identical data
+        fsx.delete(finalPath, false)
+        committed = fsx.rename(tmpPath, finalPath)
+        if (!committed) throw new java.io.IOException(s"commit rename failed: $tmpPath")
+      } finally {
+        if (!committed) { try writer.close() catch { case _: Exception => () }
+                          fsx.delete(tmpPath, false); () }
+      }
     }
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
   // ---- reader ------------------------------------------------------------
@@ -170,6 +194,9 @@ object AvroIO {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    require(fs.exists(new Path(dir, "_SUCCESS")),
+      s"AvroIO.read: $path has no _SUCCESS marker — refusing a (possibly " +
+        "partial) uncommitted write")
     val files = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
       .map(_.getPath.toString).sorted
@@ -184,6 +211,12 @@ object AvroIO {
       .flatMap { file =>
         val in = new FsInput(new Path(file), hconf.value.value)
         val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+        // close on task completion, not only on iterator exhaustion — a
+        // short-circuiting consumer (limit, take) abandons the iterator
+        // mid-stream and would otherwise leak the file handle
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          try reader.close() catch { case _: Exception => () }
+        })
         new Iterator[Row] {
           def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
           def next(): Row = {

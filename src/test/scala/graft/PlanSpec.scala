@@ -11,6 +11,19 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Executed plan with AQE off: ShuffleExchangeExec nodes are inserted
+    * by EnsureRequirements into the EXECUTED plan only (sparkPlan never
+    * has them, so asserting on it is vacuous), and with AQE on the whole
+    * query hides inside an AdaptiveSparkPlanExec leaf whenever it
+    * contains an exchange — exactly the case shuffle assertions exist to
+    * catch. */
+  private def nonAdaptivePlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -132,11 +145,11 @@ class PlanSpec extends AnyFunSuite {
   test("q146 chunking is shuffle-free below the presentation sort") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val p = SparkEntry.queries("q146_doc_chunking")(spark, sf).queryExecution.sparkPlan
+    val p = nonAdaptivePlan("q146_doc_chunking")
     // the only exchange allowed is the range partitioning for ORDER BY;
     // tokenize/explode/slice must all run scan-side
     val shuffles = p.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size <= 1, s"chunking should not shuffle data: ${shuffles.size} exchanges")
+    assert(shuffles.size == 1, s"expected exactly the ORDER BY exchange: ${shuffles.size}")
     shuffles.foreach { e =>
       assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
         s"non-sort exchange in chunk pipeline: ${e.outputPartitioning}")
@@ -164,14 +177,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("q149 bucketed join reads shuffle-free below the final aggregate") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val p = SparkEntry.queries("q149_smb_join")(spark, sf).queryExecution.sparkPlan
-    // both sides are bucketed+sorted on the join key: the join itself
-    // must not shuffle; the only exchanges allowed sit above the
-    // (3-row) aggregate for the final ORDER BY / merge
-    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
-    val joinRowsShuffled = shuffles.exists(_.collectLeaves().exists(
-      _.toString.contains("lineitem_smb")))
-    assert(!joinRowsShuffled, s"bucketed join shuffled fact rows:\n$p")
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = nonAdaptivePlan("q149_smb_join")
+    // both sides are bucketed+sorted on the join key: NOTHING inside the
+    // join's subtree may be an exchange (exchanges above the 3-row
+    // aggregate are the ORDER BY's business)
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    val factJoin = joins.find(_.toString.contains("lineitem_smb"))
+    assert(factJoin.isDefined, s"no join over the bucketed tables found:\n$p")
+    val inJoin = factJoin.get.collect { case e: ShuffleExchangeExec => e }
+    assert(inJoin.isEmpty, s"bucketed join shuffled fact rows:\n${factJoin.get}")
   }
 
   test("q150 partitioned read prunes to the filtered partition") {

@@ -95,9 +95,17 @@ class ScaleStressSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val (window, stride) = (16, 12)
     val chunks = PipelineOps.chunkDocs(docs10, window, stride)
-    assert(chunks.queryExecution.executedPlan
-      .collect { case e: ShuffleExchangeExec => e }.isEmpty,
-      "chunking shuffled data at 10x volume")
+    // AQE off for the plan assertion: with AQE on, a plan containing any
+    // exchange hides inside an AdaptiveSparkPlanExec leaf and the
+    // collect below would return empty exactly when a shuffle exists
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffleFree =
+      try PipelineOps.chunkDocs(docs10, window, stride)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.isEmpty
+      finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert(shuffleFree, "chunking shuffled data at 10x volume")
     val expected = docs10
       .select(size(split(trim(col("text")), " +")).as("ntok"))
       .agg(sum(ceil(col("ntok").cast("double") / stride)).cast("long")).collect()(0).getLong(0)
