@@ -129,6 +129,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.count() == src.count())
   }
 
+  test("Avro read refuses an uncommitted directory (no _SUCCESS)") {
+    val src = Tables.region(spark, sf)
+    val path = "target/fmtspec/region_avro_commit"
+    sources.AvroIO.write(src, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
+    val e = intercept[IllegalArgumentException] {
+      sources.AvroIO.read(spark, path, src.schema)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    // no stray temp files survive a successful commit either
+    sources.AvroIO.write(src, path)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    assert(sources.AvroIO.read(spark, path, src.schema).count() == src.count())
+  }
+
   test("Avro rejects unsupported types loudly at write time") {
     import spark.implicits._
     val bad = Seq((1, Map("k" -> 1))).toDF("id", "m")
