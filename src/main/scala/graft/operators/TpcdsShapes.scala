@@ -20,6 +20,9 @@ import graft.{Q, Tables}
   *  - q143: INTERSECT of per-channel customer sets     (perf/query38.q)
   *  - q144: monthly pivot columns over a join          (perf/query66.q)
   *  - q145: above-nation-average filter on an agg CTE  (perf/query1.q)
+  *  - q153: cumulative channel comparison over a gap-filled
+  *          full-outer join of two windowed series          (perf/query51.q)
+  *  - q154: count-band HAVING with dimension join-back   (perf/query34.q, query46.q)
   *
   * Scale shapes: every fact scan joins dims that broadcast (nation/region/
   * part slices), aggregates are two-phase (map-side partials), the UNION
@@ -197,6 +200,53 @@ object TpcdsShapes {
       .limit(100)
   }
 
+  /** DS query51-shape: two channels' cumulative series, full-outer-joined
+    * on (key, date), gap-filled with a running max (cumulative sums are
+    * nondecreasing), then compared. Every window partitions on the
+    * high-cardinality customer key — bounded partitions at any scale.
+    * Output is the distribution of ahead-day counts, so the result stays
+    * tiny while the full comparison runs distributed. */
+  val q153_ds_cumulative_channels: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def channel(cond: Column, cumName: String): DataFrame = o.filter(cond)
+      .groupBy(col("o_custkey").as("ck"), col("o_orderdate").as("dt"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(25, 2))).as("day_amt"))
+      .select(col("ck"), col("dt"),
+        sum(col("day_amt")).over(Window.partitionBy(col("ck")).orderBy(col("dt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as(cumName))
+    val hi = channel(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "cum_hi")
+    val lo = channel(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "cum_lo")
+    val joined = hi.as("h").join(lo.as("l"),
+        col("h.ck") === col("l.ck") && col("h.dt") === col("l.dt"), "full_outer")
+      .select(coalesce(col("h.ck"), col("l.ck")).as("ck"),
+              coalesce(col("h.dt"), col("l.dt")).as("dt"),
+              col("cum_hi"), col("cum_lo"))
+    val fillW = Window.partitionBy(col("ck")).orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("hi_f", max(col("cum_hi")).over(fillW))
+      .withColumn("lo_f", max(col("cum_lo")).over(fillW))
+      .filter(col("hi_f") > col("lo_f"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("n_ahead"))
+      .groupBy(col("n_ahead")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_ahead"))
+  }
+
+  /** DS query34-shape: customers whose order count in a year falls in a
+    * band, joined back to the dimension for attributes. The HAVING band
+    * runs on the aggregated sliver; the join-back is broadcast-sized. */
+  val q154_ds_count_band: Q = (s, d) => {
+    val counts = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders").between(2, 4))
+    counts.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q138_ds_channel_union" -> q138_ds_channel_union,
     "q139_ds_rollup_report" -> q139_ds_rollup_report,
@@ -206,6 +256,8 @@ object TpcdsShapes {
     "q143_ds_cross_channel" -> q143_ds_cross_channel,
     "q144_ds_monthly_pivot" -> q144_ds_monthly_pivot,
     "q145_ds_returns_above_avg" -> q145_ds_returns_above_avg,
+    "q153_ds_cumulative_channels" -> q153_ds_cumulative_channels,
+    "q154_ds_count_band" -> q154_ds_count_band,
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,5 +371,41 @@ object TpcdsShapes {
         |FROM win
         |WHERE CAST(ret AS DOUBLE) * nation_n > 1.2 * CAST(nation_sum AS DOUBLE)
         |ORDER BY return_total DESC, c_custkey LIMIT 100""".stripMargin,
+    "q153_ds_cumulative_channels" ->
+      """WITH hi AS (
+        |  SELECT o_custkey AS ck, o_orderdate AS dt,
+        |    SUM(SUM(CAST(o_totalprice AS DECIMAL(25,2))))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |            ROWS UNBOUNDED PRECEDING) AS cum_hi
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY o_custkey, o_orderdate),
+        |lo AS (
+        |  SELECT o_custkey AS ck, o_orderdate AS dt,
+        |    SUM(SUM(CAST(o_totalprice AS DECIMAL(25,2))))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |            ROWS UNBOUNDED PRECEDING) AS cum_lo
+        |  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY o_custkey, o_orderdate),
+        |j AS (
+        |  SELECT COALESCE(hi.ck, lo.ck) AS ck, COALESCE(hi.dt, lo.dt) AS dt,
+        |         cum_hi, cum_lo
+        |  FROM hi FULL OUTER JOIN lo ON hi.ck = lo.ck AND hi.dt = lo.dt),
+        |f AS (
+        |  SELECT ck,
+        |    MAX(cum_hi) OVER (PARTITION BY ck ORDER BY dt ROWS UNBOUNDED PRECEDING) AS hi_f,
+        |    MAX(cum_lo) OVER (PARTITION BY ck ORDER BY dt ROWS UNBOUNDED PRECEDING) AS lo_f
+        |  FROM j),
+        |per_cust AS (
+        |  SELECT ck, COUNT(1) AS n_ahead FROM f WHERE hi_f > lo_f GROUP BY ck)
+        |SELECT n_ahead, COUNT(1) AS n_customers
+        |FROM per_cust GROUP BY n_ahead ORDER BY n_ahead""".stripMargin,
+    "q154_ds_count_band" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_orders FROM (
+        |  SELECT o_custkey, COUNT(1) AS n_orders
+        |  FROM orders WHERE year(o_orderdate) = 1997
+        |  GROUP BY o_custkey
+        |  HAVING COUNT(1) BETWEEN 2 AND 4) t
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY n_orders DESC, c_custkey LIMIT 50""".stripMargin,
   )
 }
