@@ -103,4 +103,34 @@ class ScaleSpec extends AnyFunSuite {
         "skewed partition must be split at runtime:\n" + plan.take(3000))
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("runtime bloom-filter pruning fires on a selective shuffle join") {
+    // the reference's semijoin-reduction optimization
+    // (DynamicPartitionPruningOptimization's non-partition-column branch:
+    // min/max + bloom runtime filters on the probe side); Catalyst's
+    // InjectRuntimeFilter is the same idea — assert it actually fires,
+    // thresholds scaled down to fixture size
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.flatMap(k => scala.util.Try(k -> conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"))
+      val q = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        "probe side must carry a runtime bloom filter:\n" + plan.take(3000))
+      assert(q.collect()(0).getLong(0) >= 0)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
