@@ -247,6 +247,35 @@ object TpcdsShapes {
       .limit(50)
   }
 
+  /** DS query47-shape: monthly revenue vs the group's period average,
+    * ranked by deviation. The comparison multiplies through by the month
+    * count (sum x n instead of avg — decimal AVG scale rules differ
+    * across engines, SUM does not), and the deviation rank carries a
+    * deterministic tiebreak. Windows run over the (nation x month)
+    * aggregate sliver. */
+  val q155_ds_monthly_deviation: Q = (s, d) => {
+    val monthly = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("n_name"), month(col("o_orderdate")).as("mo"))
+      .agg(sum(revenue()).as("rev"))
+    val w = Window.partitionBy(col("n_name"))
+    monthly
+      .withColumn("year_sum", sum(col("rev")).over(w))
+      .withColumn("n_months", count(lit(1)).over(w))
+      .withColumn("dev_ratio",
+        col("rev").cast("double") * col("n_months") / col("year_sum").cast("double"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_name"))
+          .orderBy(abs(col("dev_ratio") - 1.0).desc, col("mo"))))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("mo"), col("rev").cast("double").as("rev"),
+              col("dev_ratio"), col("rk"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q138_ds_channel_union" -> q138_ds_channel_union,
     "q139_ds_rollup_report" -> q139_ds_rollup_report,
@@ -258,6 +287,7 @@ object TpcdsShapes {
     "q145_ds_returns_above_avg" -> q145_ds_returns_above_avg,
     "q153_ds_cumulative_channels" -> q153_ds_cumulative_channels,
     "q154_ds_count_band" -> q154_ds_count_band,
+    "q155_ds_monthly_deviation" -> q155_ds_monthly_deviation,
   )
 
   val oracles: Map[String, String] = Map(
@@ -407,5 +437,27 @@ object TpcdsShapes {
         |  HAVING COUNT(1) BETWEEN 2 AND 4) t
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY n_orders DESC, c_custkey LIMIT 50""".stripMargin,
+    "q155_ds_monthly_deviation" ->
+      """WITH monthly AS (
+        |  SELECT n_name, CAST(month(o_orderdate) AS INT) AS mo,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS rev
+        |  FROM lineitem
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation   ON c_nationkey = n_nationkey
+        |  WHERE year(o_orderdate) = 1997
+        |  GROUP BY n_name, month(o_orderdate)),
+        |win AS (
+        |  SELECT n_name, mo, CAST(rev AS DOUBLE) AS rev,
+        |    CAST(rev AS DOUBLE) * COUNT(1) OVER (PARTITION BY n_name) /
+        |      CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE) AS dev_ratio
+        |  FROM monthly),
+        |ranked AS (
+        |  SELECT n_name, mo, rev, dev_ratio,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+        |      ORDER BY abs(dev_ratio - 1.0) DESC, mo) AS INT) AS rk
+        |  FROM win)
+        |SELECT n_name, mo, rev, dev_ratio, rk FROM ranked WHERE rk <= 3
+        |ORDER BY n_name, rk""".stripMargin,
   )
 }
