@@ -276,6 +276,24 @@ object TpcdsShapes {
       .orderBy(col("n_name"), col("rk"))
   }
 
+  /** DS query88/query90-shape: independent scalar aggregates ("lanes")
+    * cross-joined into one row, plus a lane ratio. Each lane is its own
+    * filtered scan+agg reduced to a single row, so the cross joins are
+    * 1x1 — the one place a cross join is the RIGHT plan. DS spells q28/
+    * q88 this way; the conditional-aggregate spelling (q141) is the
+    * one-scan alternative, and having both oracle-checked pins that the
+    * two formulations agree. */
+  val q156_ds_scalar_lanes: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def lane(lo: Int, hi: Int, name: String): DataFrame =
+      li.filter(col("l_quantity") >= lo && col("l_quantity") < hi)
+        .agg(count(lit(1)).as(name))
+    lane(0, 10, "lane1").crossJoin(lane(10, 20, "lane2"))
+      .crossJoin(lane(20, 35, "lane3")).crossJoin(lane(35, 51, "lane4"))
+      .withColumn("small_large_ratio",
+        col("lane1").cast("double") / col("lane4").cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q138_ds_channel_union" -> q138_ds_channel_union,
     "q139_ds_rollup_report" -> q139_ds_rollup_report,
@@ -288,6 +306,7 @@ object TpcdsShapes {
     "q153_ds_cumulative_channels" -> q153_ds_cumulative_channels,
     "q154_ds_count_band" -> q154_ds_count_band,
     "q155_ds_monthly_deviation" -> q155_ds_monthly_deviation,
+    "q156_ds_scalar_lanes" -> q156_ds_scalar_lanes,
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,5 +478,13 @@ object TpcdsShapes {
         |  FROM win)
         |SELECT n_name, mo, rev, dev_ratio, rk FROM ranked WHERE rk <= 3
         |ORDER BY n_name, rk""".stripMargin,
+    "q156_ds_scalar_lanes" ->
+      """SELECT l1.lane1, l2.lane2, l3.lane3, l4.lane4,
+        |  CAST(l1.lane1 AS DOUBLE) / CAST(l4.lane4 AS DOUBLE) AS small_large_ratio
+        |FROM
+        |  (SELECT COUNT(1) AS lane1 FROM lineitem WHERE l_quantity >= 0  AND l_quantity < 10) l1,
+        |  (SELECT COUNT(1) AS lane2 FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20) l2,
+        |  (SELECT COUNT(1) AS lane3 FROM lineitem WHERE l_quantity >= 20 AND l_quantity < 35) l3,
+        |  (SELECT COUNT(1) AS lane4 FROM lineitem WHERE l_quantity >= 35 AND l_quantity < 51) l4""".stripMargin,
   )
 }

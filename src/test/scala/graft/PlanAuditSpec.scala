@@ -18,6 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q67_ngram_jaccard" -> "deliberate all-pairs exact oracle path, capped at 1000 docs",
     "q68_cosine_topk" -> "brute-force baseline: broadcast 5-query set x corpus scan",
     "q87_ann_ivf" -> "corpus x broadcast(16 centroids) assignment pass",
+    "q156_ds_scalar_lanes" -> "DS query88 shape: 1x1 cross joins of singleton aggregates",
   )
 
   test("no query plans a CartesianProduct; BNLJ only where justified") {
