@@ -32,11 +32,13 @@ object SparkEntry {
     (functions.NGrams.queries, functions.NGrams.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.TpcdsShapes.queries, operators.TpcdsShapes.oracles),
+    (operators.TpcdsShapes2.queries, operators.TpcdsShapes2.oracles),
     (operators.MatchPath.queries, operators.MatchPath.oracles),
     (functions.HiveCompat.queries, functions.HiveCompat.oracles),
     (sources.Formats.queries, sources.Formats.oracles),
     (operators.StorageOps.queries, operators.StorageOps.oracles),
     (functions.TypeSystem.queries, functions.TypeSystem.oracles),
+    (functions.LongTail.queries, functions.LongTail.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

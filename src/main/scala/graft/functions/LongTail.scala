@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Long-tail scalar builtins from the reference's function registry
+  * (ql/src/java/org/apache/hadoop/hive/ql/exec/FunctionRegistry.java:200-420)
+  * that earlier query slices had not touched: trig/root/log variants
+  * (atan, cbrt, degrees, radians, log2, power), the ceiling/lcase/ucase
+  * aliases, nvl, rlike, date_sub, from_unixtime/to_unix_timestamp,
+  * unbase64, and complex-type accessors (named_struct, map_keys,
+  * map_values).
+  *
+  * All are Spark builtins (codegen'd, no UDFs). Parity contract: libm
+  * functions differ by 1 ulp across engines → round(..., 9); LONG-vs-
+  * DOUBLE return types (ceil) cast to BIGINT on both sides; timestamps
+  * compare through the UTC session zone; complex values are emitted as
+  * derived scalars (concat_ws over keys/values) so the gate compares
+  * plain strings.
+  */
+object LongTail {
+
+  /** Math/string/date long tail, one row per sampled order. */
+  val q167_longtail_scalars: Q = (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey"),
+        round(atan(col("o_totalprice")), 9).as("v_atan"),
+        round(cbrt(col("o_totalprice")), 9).as("v_cbrt"),
+        ceil(col("o_totalprice")).cast("long").as("v_ceiling"),
+        round(degrees(col("o_totalprice") / 10000.0), 9).as("v_degrees"),
+        round(radians(col("o_totalprice") / 10000.0), 9).as("v_radians"),
+        round(log2(col("o_totalprice")), 9).as("v_log2"),
+        round(pow(col("o_totalprice"), lit(0.5)), 9).as("v_power"),
+        ltrim(concat(lit("  "), col("o_orderpriority"))).as("v_ltrim"),
+        rtrim(concat(col("o_orderpriority"), lit("  "))).as("v_rtrim"),
+        lower(col("o_orderpriority")).as("v_lcase"),
+        upper(col("o_orderpriority")).as("v_ucase"),
+        expr("nvl(nullif(o_orderpriority, '1-URGENT'), 'URGENTISH')").as("v_nvl"),
+        col("o_orderpriority").rlike("^[12]").as("v_rlike"),
+        date_sub(col("o_orderdate").cast("date"), 30).as("v_date_sub"),
+        from_unixtime(col("o_orderkey") % 100000 + 1500000000L).as("v_from_unixtime"),
+        to_unix_timestamp(col("o_orderdate")).as("v_to_unix"),
+        unbase64(base64(col("o_orderpriority").cast("binary"))).cast("string")
+          .as("v_unbase64"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Complex-type accessors: named_struct field access, map_keys /
+    * map_values flattened to CSV scalars. */
+  val q168_complex_access: Q = (s, d) => {
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        expr("named_struct('sz', p_size, 'brand', p_brand).brand").as("v_struct"),
+        concat_ws(",", map_keys(map(lit("sz"), col("p_size"),
+                                    lit("sz2"), col("p_size") * 2))).as("keys_csv"),
+        concat_ws(",", transform(
+          map_values(map(lit("sz"), col("p_size"), lit("sz2"), col("p_size") * 2)),
+          v => v.cast("string"))).as("vals_csv"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q167_longtail_scalars" -> q167_longtail_scalars,
+    "q168_complex_access" -> q168_complex_access,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q167_longtail_scalars" ->
+      """SELECT o_orderkey,
+        |  round(atan(o_totalprice), 9) AS v_atan,
+        |  round(cbrt(o_totalprice), 9) AS v_cbrt,
+        |  CAST(ceiling(o_totalprice) AS BIGINT) AS v_ceiling,
+        |  round(degrees(o_totalprice / 10000.0), 9) AS v_degrees,
+        |  round(radians(o_totalprice / 10000.0), 9) AS v_radians,
+        |  round(log2(o_totalprice), 9) AS v_log2,
+        |  round(power(o_totalprice, 0.5), 9) AS v_power,
+        |  ltrim('  ' || o_orderpriority) AS v_ltrim,
+        |  rtrim(o_orderpriority || '  ') AS v_rtrim,
+        |  lcase(o_orderpriority) AS v_lcase,
+        |  ucase(o_orderpriority) AS v_ucase,
+        |  COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENTISH') AS v_nvl,
+        |  regexp_matches(o_orderpriority, '^[12]') AS v_rlike,
+        |  CAST(o_orderdate AS DATE) - 30 AS v_date_sub,
+        |  strftime(make_timestamp((o_orderkey % 100000 + 1500000000) * 1000000),
+        |           '%Y-%m-%d %H:%M:%S') AS v_from_unixtime,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS v_to_unix,
+        |  decode(from_base64(to_base64(encode(o_orderpriority)))) AS v_unbase64
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q168_complex_access" ->
+      """SELECT p_partkey,
+        |  struct_extract({'sz': p_size, 'brand': p_brand}, 'brand') AS v_struct,
+        |  array_to_string(map_keys(MAP {'sz': p_size, 'sz2': p_size * 2}), ',') AS keys_csv,
+        |  array_to_string(list_transform(
+        |    map_values(MAP {'sz': p_size, 'sz2': p_size * 2}),
+        |    v -> CAST(v AS VARCHAR)), ',') AS vals_csv
+        |FROM part WHERE p_partkey <= 200
+        |ORDER BY p_partkey""".stripMargin,
+  )
+}

@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Second slice of TPC-DS-shaped plan patterns (reference perf corpus,
+  * ql/src/test/queries/clientpositive/perf/query*.q), re-expressed on the
+  * TPC-H-ish fixture tables. Complements [[TpcdsShapes]] with the patterns
+  * that slice did not exercise:
+  *
+  *  - q157: aligned-week self-join ratio pivot            (perf/query2.q, query59.q)
+  *  - q158: per-key average sliver joined back to the fact (perf/query32.q, query92.q)
+  *  - q159: coefficient-of-variation month-over-month join (perf/query39.q)
+  *  - q160: best/worst rank-to-rank join                   (perf/query44.q)
+  *  - q161: equal-share band filter across lanes           (perf/query58.q, query83.q)
+  *  - q162: rank within rollup hierarchy levels            (perf/query36.q, query70.q)
+  *  - q163: fact left-joined to a filtered fact aggregate  (perf/query93.q, query80.q)
+  *  - q164: chained fact-to-fact repeat-purchase join      (perf/query17.q, query25.q, query29.q)
+  *  - q165: derived-measure band pivot (ship latency)      (perf/query62.q, query99.q, query50.q)
+  *  - q166: before/after pivot-date ratio band             (perf/query21.q, query40.q)
+  *
+  * Scale notes: every sliver the patterns join back to the fact is keyed on
+  * a dimension-cardinality column (part, supplier, brand, week), so the
+  * second join is broadcast- or at worst dim-shuffle-sized; the fact is
+  * scanned once per branch with map-side partial aggregation; windows run
+  * over aggregate slivers, never raw fact rows. Money math follows the
+  * repo-wide oracle-parity contract (exact decimal until one final cast to
+  * double; comparisons multiply through instead of dividing).
+  */
+object TpcdsShapes2 {
+
+  private def dsum(c: Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(25, scale))).cast("double")
+
+  private def revenue(c: Column = col("l_extendedprice"), d: Column = col("l_discount")) =
+    (c * (lit(1.0) - d)).cast(DecimalType(25, 6))
+
+  /** DS query2/query59-shape: revenue pivoted by day-of-week per week
+    * sequence, the series self-joined 52 weeks apart, per-weekday ratios.
+    * The week sequence is days-since-epoch div 7 (DS's d_week_seq); the
+    * self-join runs on the weekly sliver (|weeks| rows), not orders. */
+  val q157_ds_week_ratio: Q = (s, d) => {
+    val days = datediff(to_date(col("o_orderdate")), lit("1996-01-01").cast("date"))
+    val weekly = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .withColumn("wk", floor(days / 7).cast("long"))
+      .withColumn("dow", days % 7)
+      .groupBy(col("wk"))
+      .agg(
+        sum(when(col("dow") === 0, col("o_totalprice")).cast(DecimalType(25, 2)))
+          .cast("double").as("d0"),
+        (1 to 6).map(i =>
+          sum(when(col("dow") === i, col("o_totalprice")).cast(DecimalType(25, 2)))
+            .cast("double").as(s"d$i")): _*)
+    val cur = weekly.as("c")
+    val nxt = weekly.as("n")
+    cur.join(nxt, col("n.wk") === col("c.wk") + 52)
+      .select(col("c.wk").as("wk") +:
+        (0 to 6).map(i => (col(s"n.d$i") / col(s"c.d$i")).as(s"r$i")): _*)
+      .orderBy(col("wk"))
+  }
+
+  /** DS query32/query92-shape ("excess discount"): rows whose discount
+    * exceeds 1.3x their part's average, summed per brand. The per-part
+    * average is an aggregate sliver (|parts| rows) joined back to the
+    * fact on its own key; the comparison multiplies through by the group
+    * count so both sides stay exact-decimal-derived. */
+  val q158_ds_excess_discount: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_part"),
+           sum(col("l_discount").cast(DecimalType(25, 6))).as("disc_sum"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_discount") * col("n_part") >
+              lit(1.3) * col("disc_sum").cast("double"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_extendedprice")).as("excess_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** DS query39-shape: per (brand, month) coefficient of variation of
+    * quantity, consecutive months joined where both are volatile. Stats
+    * drift in the last float bits across engines, so cov is rounded to 6
+    * before the filter and the output (the repo-wide stddev contract). */
+  val q159_ds_quantity_cov: Q = (s, d) => {
+    val m = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(year(col("l_shipdate")) === 1996)
+      .groupBy(col("p_brand"), month(col("l_shipdate")).as("mo"))
+      .agg(stddev(col("l_quantity")).as("sd"), avg(col("l_quantity")).as("mean"),
+           count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("p_brand"), col("mo"), round(col("sd") / col("mean"), 6).as("cov"))
+    val cur = m.as("c")
+    val nxt = m.as("n")
+    cur.join(nxt, col("c.p_brand") === col("n.p_brand") && col("n.mo") === col("c.mo") + 1)
+      .filter(col("c.cov") > 0.5 && col("n.cov") > 0.5)
+      .select(col("c.p_brand").as("p_brand"), col("c.mo").as("mo"),
+              col("c.cov").as("cov1"), col("n.cov").as("cov2"))
+      .orderBy(col("p_brand"), col("mo"))
+  }
+
+  /** DS query44-shape: top-10 best and worst parts by average item
+    * revenue, paired rank-to-rank. Both rankings are global windows over
+    * the per-part aggregate sliver (|parts| rows — dimension-sized at any
+    * fact scale, so the single-partition sort is safe by construction). */
+  val q160_ds_best_worst: Q = (s, d) => {
+    val stats = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg((dsum(revenue(), 6) / count(lit(1))).as("avgrev"))
+    val best = stats
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("avgrev").desc, col("l_partkey"))))
+      .filter(col("rk") <= 10)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("rk"), col("p_name").as("best_part"))
+    val worst = stats
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("avgrev").asc, col("l_partkey"))))
+      .filter(col("rk") <= 10)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("rk").as("wrk"), col("p_name").as("worst_part"))
+    best.join(worst, col("rk") === col("wrk"))
+      .select(col("rk"), col("best_part"), col("worst_part"))
+      .orderBy(col("rk"))
+  }
+
+  /** DS query58/query83-shape: parts whose revenue is evenly spread
+    * across the three return-flag lanes (each within 10% of the lane
+    * average). DS spells this as a three-way join of per-lane subqueries;
+    * the Spark-first spelling is one scan with conditional lane sums —
+    * the oracle keeps DS's join form, proving the two agree. Band checks
+    * multiply through by 3 instead of dividing by the average. */
+  val q161_ds_equal_share: Q = (s, d) => {
+    def lane(flag: String) =
+      coalesce(sum(when(col("l_returnflag") === flag, revenue())), lit(0))
+        .cast("double")
+    val lanes = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(lane("A").as("a"), lane("N").as("n"), lane("R").as("r"))
+      .withColumn("tot", col("a") + col("n") + col("r"))
+    def inBand(c: Column) =
+      c * 3 >= lit(0.9) * col("tot") && c * 3 <= lit(1.1) * col("tot")
+    lanes
+      .filter(inBand(col("a")) && inBand(col("n")) && inBand(col("r")))
+      .select(col("l_partkey"), col("a"), col("n"), col("r"), col("tot"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** DS query36/query70-shape: margin ratio over a region/nation ROLLUP,
+    * ranked WITHIN each hierarchy level (rank partitions on the grouping
+    * id plus the parent key, exactly DS's lochierarchy trick). The window
+    * runs over the rollup output sliver. */
+  val q162_ds_hierarchy_rank: Q = (s, d) => {
+    val rolled = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(revenue(), 6).as("rev"), dsum(col("l_extendedprice")).as("base"),
+           grouping_id().as("gid"))
+      .withColumn("margin", col("rev") / col("base"))
+    rolled
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("gid"), when(col("gid") === 0, col("r_name")))
+          .orderBy(col("margin").desc, col("r_name"), col("n_name"))))
+      .filter(col("rk") <= 3)
+      .select(col("gid"), col("r_name"), col("n_name"), col("margin"), col("rk"))
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
+  }
+
+  /** DS query93/query80-shape: the fact left-joined to a filtered fact
+    * aggregate (returns per order), net amount summed per customer. The
+    * returns side reduces to |orders with returns| rows before the join;
+    * decimal subtraction stays exact until the final cast. */
+  val q163_ds_net_sales: Q = (s, d) => {
+    val rets = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey").as("ret_key"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(25, 2))).as("ret_amt"))
+    Tables.orders(s, d)
+      .join(rets, col("o_orderkey") === col("ret_key"), "left")
+      .withColumn("net", col("o_totalprice").cast(DecimalType(25, 2)) -
+                         coalesce(col("ret_amt"), lit(0).cast(DecimalType(25, 2))))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("net")).cast("double").as("net_sales"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("net_sales"))
+      .orderBy(col("net_sales").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  /** DS query17/query25/query29-shape: chained fact-to-fact join — a 1996
+    * purchase joined to the same customer re-buying the same part in 1997.
+    * The join key (custkey, partkey) is a compound derived on both sides
+    * of the fact; output aggregates per brand. */
+  val q164_ds_repeat_chain: Q = (s, d) => {
+    def sales(yr: Int, qn: String) = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey").as(s"ck_$yr"), col("l_partkey").as(s"pk_$yr"),
+              col("l_quantity").as(qn))
+    val pairs = sales(1996, "q1").join(sales(1997, "q2"),
+      col("ck_1996") === col("ck_1997") && col("pk_1996") === col("pk_1997"))
+    pairs
+      .join(Tables.part(s, d), col("pk_1996") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+           dsum(col("q1")).as("qty_first"), dsum(col("q2")).as("qty_repeat"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** DS query62/query99/query50-shape: a measure derived in the join
+    * (ship latency in days) banded into pivot columns per order priority —
+    * one scan, conditional counts. */
+  val q165_ds_latency_pivot: Q = (s, d) => {
+    val lat = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    def band(cond: Column, name: String) = count(when(cond, 1)).as(name)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat", lat)
+      .groupBy(col("o_orderpriority"))
+      .agg(band(col("lat") <= 30, "d30"),
+           band(col("lat") > 30 && col("lat") <= 60, "d60"),
+           band(col("lat") > 60 && col("lat") <= 90, "d90"),
+           band(col("lat") > 90 && col("lat") <= 120, "d120"),
+           band(col("lat") > 120, "dmore"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DS query21/query40-shape: per-supplier quantity shipped in the 60
+    * days before vs after a pivot date, kept when the ratio sits in
+    * [2/3, 3/2]. Conditional sums in one scan; the band check multiplies
+    * through (2*after <= 3*before etc.) to avoid division. */
+  val q166_ds_before_after: Q = (s, d) => {
+    val pivotLo = lit("1997-04-02").cast("timestamp")
+    val pivotMid = lit("1997-06-01").cast("timestamp")
+    val pivotHi = lit("1997-07-31").cast("timestamp")
+    def win(lo: Column, hi: Column) =
+      sum(when(col("l_shipdate") >= lo && col("l_shipdate") < hi,
+               col("l_quantity")).cast(DecimalType(25, 2))).cast("double")
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(win(pivotLo, pivotMid).as("qty_before"),
+           win(pivotMid, pivotHi).as("qty_after"))
+      .filter(col("qty_before").isNotNull && col("qty_after").isNotNull &&
+              col("qty_after") * 2 <= col("qty_before") * 3 &&
+              col("qty_before") * 2 <= col("qty_after") * 3)
+      .orderBy(col("s_suppkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q157_ds_week_ratio" -> q157_ds_week_ratio,
+    "q158_ds_excess_discount" -> q158_ds_excess_discount,
+    "q159_ds_quantity_cov" -> q159_ds_quantity_cov,
+    "q160_ds_best_worst" -> q160_ds_best_worst,
+    "q161_ds_equal_share" -> q161_ds_equal_share,
+    "q162_ds_hierarchy_rank" -> q162_ds_hierarchy_rank,
+    "q163_ds_net_sales" -> q163_ds_net_sales,
+    "q164_ds_repeat_chain" -> q164_ds_repeat_chain,
+    "q165_ds_latency_pivot" -> q165_ds_latency_pivot,
+    "q166_ds_before_after" -> q166_ds_before_after,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q157_ds_week_ratio" ->
+      """WITH weekly AS (
+        |  SELECT CAST(FLOOR(datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) % 7 = 0 THEN CAST(o_totalprice AS DECIMAL(25,2)) END) AS DOUBLE) AS d0,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) % 7 = 1 THEN CAST(o_totalprice AS DECIMAL(25,2)) END) AS DOUBLE) AS d1,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) % 7 = 2 THEN CAST(o_totalprice AS DECIMAL(25,2)) END) AS DOUBLE) AS d2,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) % 7 = 3 THEN CAST(o_totalprice AS DECIMAL(25,2)) END) AS DOUBLE) AS d3,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) % 7 = 4 THEN CAST(o_totalprice AS DECIMAL(25,2)) END) AS DOUBLE) AS d4,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) % 7 = 5 THEN CAST(o_totalprice AS DECIMAL(25,2)) END) AS DOUBLE) AS d5,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) % 7 = 6 THEN CAST(o_totalprice AS DECIMAL(25,2)) END) AS DOUBLE) AS d6
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1)
+        |SELECT c.wk AS wk,
+        |  n.d0 / c.d0 AS r0, n.d1 / c.d1 AS r1, n.d2 / c.d2 AS r2,
+        |  n.d3 / c.d3 AS r3, n.d4 / c.d4 AS r4, n.d5 / c.d5 AS r5,
+        |  n.d6 / c.d6 AS r6
+        |FROM weekly c JOIN weekly n ON n.wk = c.wk + 52
+        |ORDER BY wk""".stripMargin,
+    "q158_ds_excess_discount" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS pk, COUNT(1) AS n_part,
+        |         SUM(CAST(l_discount AS DECIMAL(25,6))) AS disc_sum
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS excess_price
+        |FROM lineitem
+        |  JOIN per_part ON l_partkey = pk
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE l_discount * n_part > 1.3 * CAST(disc_sum AS DOUBLE)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q159_ds_quantity_cov" ->
+      """WITH m AS (
+        |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mo,
+        |         round(stddev(l_quantity) / avg(l_quantity), 6) AS cov
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1996
+        |  GROUP BY 1, 2 HAVING COUNT(1) >= 2)
+        |SELECT c.p_brand AS p_brand, c.mo AS mo, c.cov AS cov1, n.cov AS cov2
+        |FROM m c JOIN m n ON c.p_brand = n.p_brand AND n.mo = c.mo + 1
+        |WHERE c.cov > 0.5 AND n.cov > 0.5
+        |ORDER BY p_brand, mo""".stripMargin,
+    "q160_ds_best_worst" ->
+      """WITH stats AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        |      / COUNT(1) AS avgrev
+        |  FROM lineitem GROUP BY 1),
+        |best AS (
+        |  SELECT p_name AS best_part, CAST(ROW_NUMBER() OVER (ORDER BY avgrev DESC, l_partkey) AS INT) AS rk
+        |  FROM stats JOIN part ON l_partkey = p_partkey),
+        |worst AS (
+        |  SELECT p_name AS worst_part, CAST(ROW_NUMBER() OVER (ORDER BY avgrev ASC, l_partkey) AS INT) AS rk
+        |  FROM stats JOIN part ON l_partkey = p_partkey)
+        |SELECT best.rk AS rk, best_part, worst_part
+        |FROM best JOIN worst ON best.rk = worst.rk
+        |WHERE best.rk <= 10 ORDER BY rk""".stripMargin,
+    "q161_ds_equal_share" ->
+      """WITH lanes AS (
+        |  SELECT l_partkey,
+        |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS a,
+        |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS n,
+        |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS r
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT *, a + n + r AS tot FROM lanes)
+        |SELECT l_partkey, a, n, r, tot FROM t
+        |WHERE a * 3 >= 0.9 * tot AND a * 3 <= 1.1 * tot
+        |  AND n * 3 >= 0.9 * tot AND n * 3 <= 1.1 * tot
+        |  AND r * 3 >= 0.9 * tot AND r * 3 <= 1.1 * tot
+        |ORDER BY l_partkey""".stripMargin,
+    "q162_ds_hierarchy_rank" ->
+      """WITH rolled AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS margin,
+        |    GROUPING(r_name, n_name) AS gid
+        |  FROM lineitem
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation   ON c_nationkey = n_nationkey
+        |    JOIN region   ON n_regionkey = r_regionkey
+        |  GROUP BY ROLLUP (r_name, n_name)),
+        |ranked AS (
+        |  SELECT gid, r_name, n_name, margin,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY gid, CASE WHEN gid = 0 THEN r_name END
+        |      ORDER BY margin DESC, r_name NULLS FIRST, n_name NULLS FIRST) AS INT) AS rk
+        |  FROM rolled)
+        |SELECT gid, r_name, n_name, margin, rk FROM ranked WHERE rk <= 3
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q163_ds_net_sales" ->
+      """WITH rets AS (
+        |  SELECT l_orderkey AS ret_key,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS ret_amt
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |net AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(25,2)) -
+        |        COALESCE(ret_amt, CAST(0 AS DECIMAL(25,2)))) AS net_amt
+        |  FROM orders LEFT JOIN rets ON o_orderkey = ret_key
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, CAST(net_amt AS DOUBLE) AS net_sales
+        |FROM net JOIN customer ON o_custkey = c_custkey
+        |ORDER BY net_sales DESC, c_custkey LIMIT 100""".stripMargin,
+    "q164_ds_repeat_chain" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS q1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1996),
+        |s2 AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS q2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1997)
+        |SELECT p_brand, COUNT(1) AS n_pairs,
+        |  CAST(SUM(CAST(q1 AS DECIMAL(25,2))) AS DOUBLE) AS qty_first,
+        |  CAST(SUM(CAST(q2 AS DECIMAL(25,2))) AS DOUBLE) AS qty_repeat
+        |FROM s1 JOIN s2 ON s1.ck = s2.ck AND s1.pk = s2.pk
+        |  JOIN part ON s1.pk = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q165_ds_latency_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN lat <= 30 THEN 1 END) AS d30,
+        |  COUNT(CASE WHEN lat > 30 AND lat <= 60 THEN 1 END) AS d60,
+        |  COUNT(CASE WHEN lat > 60 AND lat <= 90 THEN 1 END) AS d90,
+        |  COUNT(CASE WHEN lat > 90 AND lat <= 120 THEN 1 END) AS d120,
+        |  COUNT(CASE WHEN lat > 120 THEN 1 END) AS dmore
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q166_ds_before_after" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-04-02 00:00:00'
+        |                 AND l_shipdate <  TIMESTAMP '1997-06-01 00:00:00'
+        |            THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS qty_before,
+        |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |                 AND l_shipdate <  TIMESTAMP '1997-07-31 00:00:00'
+        |            THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS qty_after
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |HAVING qty_before IS NOT NULL AND qty_after IS NOT NULL
+        |  AND qty_after * 2 <= qty_before * 3
+        |  AND qty_before * 2 <= qty_after * 3
+        |ORDER BY s_suppkey""".stripMargin,
+  )
+}
