@@ -65,9 +65,31 @@ object LongTail {
       .orderBy(col("p_partkey"))
   }
 
+  /** Bitmap-index surface (reference GenericUDAFEWAHBitmap +
+    * UDFEWAHBitmapAnd/Or/Empty) proven against DuckDB set semantics:
+    * bitmap cardinalities equal COUNT(DISTINCT), AND equals INTERSECT,
+    * OR equals UNION. Each lane aggregates to one bitmap row; the cross
+    * joins are 1x1. */
+  val q169_bitmap_index: Q = (s, d) => {
+    import BitmapIndex._
+    val li = Tables.lineitem(s, d)
+    def lane(flag: String) =
+      li.filter(col("l_returnflag") === flag)
+        .agg(bitmapAgg(col("l_orderkey")).as(s"bm_$flag"))
+    lane("A").crossJoin(lane("N")).crossJoin(lane("R"))
+      .select(
+        bitmapCount(col("bm_A")).as("n_a"),
+        bitmapCount(col("bm_N")).as("n_n"),
+        bitmapCount(col("bm_R")).as("n_r"),
+        bitmapCount(bitmapAnd(col("bm_A"), col("bm_N"))).as("n_and_an"),
+        bitmapCount(bitmapOr(col("bm_A"), col("bm_R"))).as("n_or_ar"),
+        bitmapEmpty(bitmapAnd(col("bm_A"), col("bm_N"))).as("and_empty"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_longtail_scalars" -> q167_longtail_scalars,
     "q168_complex_access" -> q168_complex_access,
+    "q169_bitmap_index" -> q169_bitmap_index,
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +124,23 @@ object LongTail {
         |    v -> CAST(v AS VARCHAR)), ',') AS vals_csv
         |FROM part WHERE p_partkey <= 200
         |ORDER BY p_partkey""".stripMargin,
+    "q169_bitmap_index" ->
+      """SELECT
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag = 'A') AS n_a,
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag = 'N') AS n_n,
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag = 'R') AS n_r,
+        |  (SELECT COUNT(1) FROM (
+        |     SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |     INTERSECT
+        |     SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N')) AS n_and_an,
+        |  (SELECT COUNT(1) FROM (
+        |     SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |     UNION
+        |     SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')) AS n_or_ar,
+        |  (SELECT COUNT(1) FROM (
+        |     SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |     INTERSECT
+        |     SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N')) = 0 AS and_empty
+        |""".stripMargin,
   )
 }
