@@ -22,6 +22,10 @@ import graft.{Q, Tables}
   *  - q164: chained fact-to-fact repeat-purchase join      (perf/query17.q, query25.q, query29.q)
   *  - q165: derived-measure band pivot (ship latency)      (perf/query62.q, query99.q, query50.q)
   *  - q166: before/after pivot-date ratio band             (perf/query21.q, query40.q)
+  *  - q170: double semi-join + scalar spend threshold      (perf/query23.q)
+  *  - q171: iceberg — INTERSECT gate + scalar avg + rollup (perf/query14.q)
+  *  - q172: channel sales/returns full-outer + rollup      (perf/query77.q, query5.q)
+  *  - q173: date-offset non-equi self join                 (perf/query72.q)
   *
   * Scale notes: every sliver the patterns join back to the fact is keyed on
   * a dimension-cardinality column (part, supplier, brand, week), so the
@@ -257,7 +261,90 @@ object TpcdsShapes2 {
       .orderBy(col("s_suppkey"))
   }
 
+  /** DS query23-shape: revenue restricted by TWO aggregate-derived
+    * filters — frequent parts (semi-join on a HAVING sliver) and
+    * best customers (semi-join gated by a scalar threshold off max
+    * spend). Both slivers are dimension-cardinality; the scalar is a
+    * 1x1 cross join. */
+  val q170_ds_double_semi: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val lo = li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    val freq = li.groupBy(col("l_partkey").as("fpk"))
+      .agg(countDistinct(col("l_orderkey")).as("nord"))
+      .filter(col("nord") > 20).select(col("fpk"))
+    val spend = lo.groupBy(col("o_custkey").as("sck"))
+      .agg(dsum(revenue(), 6).as("sp"))
+    val thr = spend.agg((max(col("sp")) * 0.5).as("thr"))
+    val best = spend.crossJoin(thr).filter(col("sp") > col("thr")).select(col("sck"))
+    lo.join(freq, col("l_partkey") === col("fpk"), "left_semi")
+      .join(best, col("o_custkey") === col("sck"), "left_semi")
+      .agg(count(lit(1)).as("n_items"), dsum(revenue(), 6).as("total_rev"))
+  }
+
+  /** DS query14-shape (iceberg): parts present in ALL three lanes
+    * (INTERSECT of distinct key sets), lineitems above a scalar average
+    * price, rolled up by brand/type — set op + scalar gate + rollup in
+    * one plan. */
+  val q171_ds_iceberg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def laneParts(flag: String) =
+      li.filter(col("l_returnflag") === flag).select(col("l_partkey")).distinct()
+    val common = laneParts("A").intersect(laneParts("N")).intersect(laneParts("R"))
+    val avgThr = li.agg((dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+    li.join(common, Seq("l_partkey"), "left_semi")
+      .crossJoin(avgThr)
+      .filter(col("l_extendedprice") > col("avg_price"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .rollup(col("p_brand"), col("p_type"))
+      .agg(dsum(revenue(), 6).as("rev"), count(lit(1)).as("n_items"),
+           grouping_id().as("gid"))
+      .orderBy(col("gid"), col("p_brand"), col("p_type"))
+  }
+
+  /** DS query77-shape: per-channel sales and returns slivers full-outer
+    * joined on the channel key, then a ROLLUP grand total over the joined
+    * sliver (channels here are order priorities). */
+  val q172_ds_channel_profit: Q = (s, d) => {
+    val sales = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("sp"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(25, 2))).as("sales"))
+    val rets = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("rp"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(25, 2))).as("returns"))
+    sales.join(rets, col("sp") === col("rp"), "full_outer")
+      .select(coalesce(col("sp"), col("rp")).as("channel"),
+              col("sales"), col("returns"))
+      .rollup(col("channel"))
+      .agg(sum(col("sales")).cast("double").as("sales_total"),
+           sum(col("returns")).cast("double").as("returns_total"),
+           (sum(col("sales")) - sum(col("returns"))).cast("double").as("profit"),
+           grouping_id().as("gid"))
+      .orderBy(col("gid"), col("channel"))
+  }
+
+  /** DS query72-shape: date-offset non-equi self join — follow-up orders
+    * by the same customer within 30 days. Equi key (custkey) drives the
+    * shuffle; the date band filters inside each (small) customer group. */
+  val q173_ds_follow_up: Q = (s, d) => {
+    val o1 = Tables.orders(s, d).as("o1")
+    val o2 = Tables.orders(s, d).as("o2")
+    o1.join(o2,
+        col("o1.o_custkey") === col("o2.o_custkey") &&
+        col("o2.o_orderdate") > col("o1.o_orderdate") &&
+        col("o2.o_orderdate") <= col("o1.o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(year(col("o1.o_orderdate")).as("yr"), month(col("o1.o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_followups"),
+           countDistinct(col("o1.o_custkey")).as("n_customers"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_ds_double_semi" -> q170_ds_double_semi,
+    "q171_ds_iceberg" -> q171_ds_iceberg,
+    "q172_ds_channel_profit" -> q172_ds_channel_profit,
+    "q173_ds_follow_up" -> q173_ds_follow_up,
     "q157_ds_week_ratio" -> q157_ds_week_ratio,
     "q158_ds_excess_discount" -> q158_ds_excess_discount,
     "q159_ds_quantity_cov" -> q159_ds_quantity_cov,
@@ -271,6 +358,68 @@ object TpcdsShapes2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_ds_double_semi" ->
+      """WITH freq AS (
+        |  SELECT l_partkey FROM lineitem GROUP BY 1
+        |  HAVING COUNT(DISTINCT l_orderkey) > 20),
+        |spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        |thr AS (SELECT MAX(sp) * 0.5 AS t FROM spend),
+        |best AS (SELECT o_custkey FROM spend, thr WHERE sp > t)
+        |SELECT COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin,
+    "q171_ds_iceberg" ->
+      """WITH common AS (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |thr AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(1) AS avg_price
+        |  FROM lineitem)
+        |SELECT p_brand, p_type,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev,
+        |  COUNT(1) AS n_items,
+        |  GROUPING(p_brand, p_type) AS gid
+        |FROM lineitem JOIN part ON l_partkey = p_partkey, thr
+        |WHERE l_partkey IN (SELECT l_partkey FROM common)
+        |  AND l_extendedprice > avg_price
+        |GROUP BY ROLLUP (p_brand, p_type)
+        |ORDER BY gid, p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin,
+    "q172_ds_channel_profit" ->
+      """WITH sales AS (
+        |  SELECT o_orderpriority AS sp, SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS sales
+        |  FROM orders GROUP BY 1),
+        |rets AS (
+        |  SELECT o_orderpriority AS rp, SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS returns
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(sp, rp) AS channel, sales, returns
+        |  FROM sales FULL OUTER JOIN rets ON sp = rp)
+        |SELECT channel,
+        |  CAST(SUM(sales) AS DOUBLE) AS sales_total,
+        |  CAST(SUM(returns) AS DOUBLE) AS returns_total,
+        |  CAST(SUM(sales) - SUM(returns) AS DOUBLE) AS profit,
+        |  GROUPING(channel) AS gid
+        |FROM j GROUP BY ROLLUP (channel)
+        |ORDER BY gid, channel NULLS FIRST""".stripMargin,
+    "q173_ds_follow_up" ->
+      """SELECT CAST(year(o1.o_orderdate) AS INT) AS yr,
+        |  CAST(month(o1.o_orderdate) AS INT) AS mo,
+        |  COUNT(1) AS n_followups,
+        |  COUNT(DISTINCT o1.o_custkey) AS n_customers
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        |  AND o2.o_orderdate > o1.o_orderdate
+        |  AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "q157_ds_week_ratio" ->
       """WITH weekly AS (
         |  SELECT CAST(FLOOR(datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
