@@ -22,6 +22,20 @@ import graft.{Q, Tables}
   */
 object LongTail {
 
+  /** Hive `in_file(str, filename)` (ql/src/java/org/apache/hadoop/hive/ql/
+    * udf/UDFInFile.java): true iff the string equals some line of the
+    * file. Spark-first: the file is read ONCE at plan construction and
+    * becomes a codegen'd `isin` literal set — no per-row file IO (the
+    * reference caches the line set per JVM for the same reason). Callers
+    * with membership sets too large for an In-literal should join against
+    * `spark.read.textFile(path)` instead; this surface mirrors the
+    * reference's small-lookup-file use. */
+  def inFile(c: org.apache.spark.sql.Column, path: String): org.apache.spark.sql.Column = {
+    val src = scala.io.Source.fromFile(path)
+    val lines = try src.getLines().toList finally src.close()
+    c.isin(lines: _*)
+  }
+
   /** Math/string/date long tail, one row per sampled order. */
   val q167_longtail_scalars: Q = (s, d) => {
     Tables.orders(s, d)

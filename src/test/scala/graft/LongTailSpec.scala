@@ -64,6 +64,19 @@ class LongTailSpec extends AnyFunSuite {
     assert(!r.getBoolean(5))
   }
 
+  test("in_file matches exact lines only (UDFInFile contract)") {
+    import graft.functions.LongTail.inFile
+    import spark.implicits._
+    val f = java.io.File.createTempFile("infile", ".txt")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, "alpha\nbeta\ngam ma\n")
+    val r = Seq("alpha", "beta ", "gam ma", "delta").toDF("s")
+      .select($"s", inFile($"s", f.getPath).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(r("alpha") && r("gam ma"))
+    assert(!r("beta ") && !r("delta")) // no trimming, no partial match
+  }
+
   test("bitmap AND of disjoint sets is empty; encoding stays sorted-sparse") {
     import graft.functions.BitmapIndex._
     import spark.implicits._
