@@ -26,6 +26,8 @@ import graft.{Q, Tables}
   *  - q171: iceberg — INTERSECT gate + scalar avg + rollup (perf/query14.q)
   *  - q172: channel sales/returns full-outer + rollup      (perf/query77.q, query5.q)
   *  - q173: date-offset non-equi self join                 (perf/query72.q)
+  *  - q174: aggregate-of-aggregate spend histogram         (perf/query54.q)
+  *  - q175: per-row EXISTS + NOT EXISTS activity profile   (perf/query35.q, query69.q)
   *
   * Scale notes: every sliver the patterns join back to the fact is keyed on
   * a dimension-cardinality column (part, supplier, brand, week), so the
@@ -340,7 +342,45 @@ object TpcdsShapes2 {
       .orderBy(col("yr"), col("mo"))
   }
 
+  /** DS query54-shape: aggregate-of-aggregate histogram — per-customer
+    * revenue bucketed, then customers counted per bucket. Both group-bys
+    * run on shrinking slivers (fact -> |customers| -> |buckets|). */
+  val q174_ds_spend_histogram: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(revenue(), 6).as("spend"))
+      .select(floor(col("spend") / 50000).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DS query35/query69-shape: per-row EXISTS and NOT EXISTS against two
+    * different activity sets (ordered in 1996, no returns in 1997),
+    * profiled by segment. Semi + anti joins on the customer key — both
+    * activity sets reduce to distinct keys before joining. */
+  val q175_ds_profile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val active96 = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("ak"))
+    val returned97 = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")) === 1997)
+      .select(col("o_custkey").as("rk"))
+    Tables.customer(s, d)
+      .join(active96, col("c_custkey") === col("ak"), "left_semi")
+      .join(returned97, col("c_custkey") === col("rk"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("acctbal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_ds_spend_histogram" -> q174_ds_spend_histogram,
+    "q175_ds_profile" -> q175_ds_profile,
     "q170_ds_double_semi" -> q170_ds_double_semi,
     "q171_ds_iceberg" -> q171_ds_iceberg,
     "q172_ds_channel_profit" -> q172_ds_channel_profit,
@@ -358,6 +398,23 @@ object TpcdsShapes2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_ds_spend_histogram" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT CAST(FLOOR(sp / 50000) AS BIGINT) AS bucket, COUNT(1) AS n_customers
+        |FROM spend GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q175_ds_profile" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1996)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |                  WHERE o_custkey = c_custkey AND l_returnflag = 'R'
+        |                    AND year(o_orderdate) = 1997)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q170_ds_double_semi" ->
       """WITH freq AS (
         |  SELECT l_partkey FROM lineitem GROUP BY 1
