@@ -17,9 +17,15 @@ import graft.{Q, Tables}
   */
 object Sampling {
 
-  /** BUCKET x OUT OF y ON key — deterministic modulo sampling. */
-  def bucketSample(df: DataFrame, key: Column, x: Int, y: Int): DataFrame =
+  /** BUCKET x OUT OF y ON key — deterministic modulo sampling. The
+    * reference rejects a bucket numerator above the denominator at
+    * semantic-analysis time (SemanticAnalyzer's sample clause check);
+    * without this guard the filter is silently empty. */
+  def bucketSample(df: DataFrame, key: Column, x: Int, y: Int): DataFrame = {
+    require(x >= 1 && y >= 1 && x <= y,
+      s"bucket numerator must be in [1, $y], got $x (TABLESAMPLE BUCKET $x OUT OF $y)")
     df.filter(pmod(key, lit(y)) === (x - 1))
+  }
 
   /** Bucket-sample lineitem 1 OUT OF 7 on orderkey, then aggregate. */
   val q55_bucket_sample: Q = (s, d) => {

@@ -257,4 +257,82 @@ class NegativeSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("more than one row") ||
            e.getMessage.toLowerCase.contains("scalar"), e.getMessage)
   }
+
+  test("UNION with mismatched column counts is rejected (union2/union3 analog)") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part_u")
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT p_partkey FROM neg_part_u
+                  |UNION ALL SELECT p_partkey, p_brand FROM neg_part_u""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("number of columns") ||
+           e.getMessage.toLowerCase.contains("union"), e.getMessage)
+  }
+
+  test("INSERT with mismatched column count is rejected (insert arity analog)") {
+    spark.sql("DROP TABLE IF EXISTS neg_ins_t")
+    spark.sql("CREATE TABLE neg_ins_t (a INT, b STRING) USING parquet")
+    try {
+      val e = intercept[AnalysisException] {
+        spark.sql("INSERT INTO neg_ins_t VALUES (1, 'x', 99)")
+      }
+      assert(e.getMessage.toLowerCase.contains("column") ||
+             e.getMessage.toLowerCase.contains("data"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS neg_ins_t")
+  }
+
+  test("TABLESAMPLE BUCKET x OUT OF y with x > y is rejected") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part_ts")
+    val e = intercept[Throwable] {
+      graft.operators.Sampling.bucketSample(
+        spark.table("neg_part_ts"), col("p_partkey"), 9, 4).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bucket") ||
+           e.getMessage.toLowerCase.contains("requirement"), e.getMessage)
+  }
+
+  test("an invalid date literal yields NULL under the cast path (date_literal analog)") {
+    val r = one("CAST('2024-13-45' AS DATE)")
+    assert(r.isNullAt(0))
+    val r2 = one("CAST('not-a-date' AS TIMESTAMP)")
+    assert(r2.isNullAt(0))
+  }
+
+  test("LATERAL VIEW over a non-generator expression is rejected") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part_lv")
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT x FROM neg_part_lv
+                  |LATERAL VIEW upper(p_brand) t AS x""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("generator") ||
+           e.getMessage.toLowerCase.contains("upper"), e.getMessage)
+  }
+
+  test("GROUP BY ordinal out of range is rejected (groupby_position analog)") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part_gb")
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT p_brand, COUNT(1) FROM neg_part_gb GROUP BY 7").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("position") ||
+           e.getMessage.toLowerCase.contains("group"), e.getMessage)
+  }
+
+  test("aggregate nested inside another aggregate is rejected (nested_agg analog)") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part_na")
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT MAX(COUNT(p_size)) FROM neg_part_na").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nested") ||
+           e.getMessage.toLowerCase.contains("aggregate"), e.getMessage)
+  }
+
+  test("HAVING references a non-grouped, non-aggregated column -> rejected") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part_hv")
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT p_brand, COUNT(1) FROM neg_part_hv
+                  |GROUP BY p_brand HAVING p_size > 3""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("group") ||
+           e.getMessage.toLowerCase.contains("aggregate"), e.getMessage)
+  }
 }
