@@ -163,7 +163,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before tokenization. Patterns are plain character classes (no
+    * backslash escapes — they survive both engines' string literals
+    * identically); replacement is anchored markers so downstream dedup
+    * keys stay stable. The PII-bearing text is derived deterministically
+    * from customer fields (the fixture corpus is synthetic word soup with
+    * no digits), so the regexes exercise real matches, not a vacuous
+    * zero-hit scan. Pure projection: codegen'd, scan-speed at 100 TB. */
+  val q176_pii_scrub: Q = (s, d) => {
+    val raw = concat(
+      col("c_name"), lit(" <"),
+      lower(translate(col("c_name"), "#", "")), lit("@example.com> phone 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(raw, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "[EMAIL]"),
+      "[0-9]{3}-[0-9]{4}", "[PHONE]")
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"), scrubbed.as("scrubbed"),
+              raw.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+").as("had_email"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_pii_scrub" -> q176_pii_scrub,
     "q121_curation" -> q121_curation,
     "q60_token_count" -> q60_token_count,
     "q61_quality_score" -> q61_quality_score,
@@ -175,6 +199,19 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q176_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <' || lower(replace(c_name, '#', '')) ||
+        |    '@example.com> phone 555-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS r
+        |  FROM customer WHERE c_custkey <= 500)
+        |SELECT c_custkey,
+        |  regexp_replace(
+        |    regexp_replace(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed,
+        |  regexp_matches(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+') AS had_email
+        |FROM raw ORDER BY c_custkey""".stripMargin,
     "q121_curation" -> {
       val toksSql = "regexp_split_to_array(trim(text), ' +')"
       val toksLowerSql = "regexp_split_to_array(lower(text), ' +')"
