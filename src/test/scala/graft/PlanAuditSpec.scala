@@ -19,6 +19,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q68_cosine_topk" -> "brute-force baseline: broadcast 5-query set x corpus scan",
     "q87_ann_ivf" -> "corpus x broadcast(16 centroids) assignment pass",
     "q156_ds_scalar_lanes" -> "DS query88 shape: 1x1 cross joins of singleton aggregates",
+    "q169_bitmap_index" -> "three singleton bitmap lanes cross-joined 1x1",
+    "q170_ds_double_semi" -> "scalar spend threshold: 1x1 broadcast of a singleton max",
+    "q171_ds_iceberg" -> "scalar average-price gate: 1x1 broadcast of a singleton agg",
   )
 
   test("no query plans a CartesianProduct; BNLJ only where justified") {
