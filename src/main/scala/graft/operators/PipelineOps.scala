@@ -260,7 +260,35 @@ object PipelineOps {
     decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0, width = 4)
       .orderBy(col("doc_id"))
 
+  /** Curriculum mixing: sample each language toward a target mixture
+    * share under a document budget. The plan (per-lang target, capped
+    * sampling rate) is an aggregate sliver joined to a tiny weights
+    * table; membership is a deterministic hash-mod gate on doc_id
+    * (reproducible across runs/cluster layouts — no rand()). At 100 TB
+    * the weights and plan broadcast; the corpus pass is one scan with a
+    * codegen'd filter. Mirrors how training mixes (e.g. The Pile /
+    * Gopher-style source weights) are materialized. */
+  val q177_source_mixing: Q = (s, d) => {
+    import s.implicits._
+    val weights = Seq(("en", 0.5), ("de", 0.2), ("fr", 0.1), ("es", 0.1), ("zh", 0.1))
+      .toDF("w_lang", "share")
+    val docs = Tables.documents(s, d)
+    val plan = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_avail"))
+      .join(weights, col("lang") === col("w_lang"))
+      .select(col("lang").as("p_lang"), col("n_avail"),
+              floor(lit(200) * col("share")).cast("long").as("n_target"))
+      .withColumn("thr", floor(
+        least(lit(1.0), col("n_target").cast("double") / col("n_avail")) * 10000))
+    docs.join(broadcast(plan), col("lang") === col("p_lang"))
+      .groupBy(col("lang"), col("n_avail"), col("n_target"))
+      .agg(count(when((col("doc_id") * 2654435761L) % 10000 < col("thr"), 1))
+        .as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_source_mixing" -> q177_source_mixing,
     "q132_token_packing" -> q132_token_packing,
     "q133_pii_redaction" -> q133_pii_redaction,
     "q134_repetition" -> q134_repetition,
@@ -271,6 +299,21 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q177_source_mixing" ->
+      """WITH w AS (
+        |  SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.1),
+        |                        ('es', 0.1), ('zh', 0.1)) AS t(w_lang, share)),
+        |plan AS (
+        |  SELECT lang, COUNT(1) AS n_avail,
+        |    CAST(FLOOR(200 * share) AS BIGINT) AS n_target,
+        |    FLOOR(LEAST(1.0, CAST(CAST(FLOOR(200 * share) AS BIGINT) AS DOUBLE)
+        |                      / COUNT(1)) * 10000) AS thr
+        |  FROM documents JOIN w ON lang = w_lang
+        |  GROUP BY lang, share)
+        |SELECT d.lang, n_avail, n_target,
+        |  COUNT(CASE WHEN (d.doc_id * 2654435761) % 10000 < thr THEN 1 END) AS n_sampled
+        |FROM documents d JOIN plan p ON d.lang = p.lang
+        |GROUP BY d.lang, n_avail, n_target ORDER BY d.lang""".stripMargin,
     "q132_token_packing" ->
       """WITH t AS (
         |  SELECT doc_id, source,
