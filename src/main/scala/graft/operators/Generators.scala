@@ -105,7 +105,26 @@ object Generators {
       .orderBy(col("c_custkey"))
   }
 
+  /** Chained LATERAL VIEWs — Hive's multi-generator statement form
+    * (LateralViewJoinOperator stacked twice; ql/src/test/queries/
+    * clientpositive/lateral_view.q exercises exactly this). Spark parses
+    * the same syntax; each generator stays inside codegen, and the
+    * per-row fan-out is the product of the two small generator arities
+    * (words × mfgr fields), not a shuffle. */
+  val q181_lateral_chain: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT w, m, COUNT(1) AS n
+        |FROM part
+        |LATERAL VIEW explode(split(p_name, ' ')) t1 AS w
+        |LATERAL VIEW explode(split(p_type, ' ')) t2 AS m
+        |WHERE p_partkey <= 500
+        |GROUP BY w, m
+        |ORDER BY n DESC, w, m""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q181_lateral_chain" -> q181_lateral_chain,
     "q105_inline" -> q105_inline,
     "q106_parse_url_tuple" -> q106_parse_url_tuple,
     "q46_explode" -> q46_explode,
@@ -131,6 +150,13 @@ object Generators {
         |  'cust=' || c_custkey || '&seg=' || c_mktsegment AS query,
         |  CAST(c_custkey AS VARCHAR) AS query_cust
         |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+    "q181_lateral_chain" ->
+      """WITH t1 AS (SELECT p_type, unnest(string_split(p_name, ' ')) AS w
+        |  FROM part WHERE p_partkey <= 500),
+        |t2 AS (SELECT w, unnest(string_split(p_type, ' ')) AS m FROM t1)
+        |SELECT w, m, COUNT(1) AS n FROM t2
+        |GROUP BY w, m
+        |ORDER BY n DESC, w, m""".stripMargin,
     "q46_explode" ->
       """SELECT word, COUNT(1) AS n FROM (
         |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t

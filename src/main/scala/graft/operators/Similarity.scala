@@ -253,7 +253,61 @@ object Similarity {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** SemDeDup-style quantized-cell canonicalization — the cheap first
+    * stage of embedding dedup at corpus scale: sign-quantize the leading
+    * `bits` dimensions into a cell code, then canonicalize per cell
+    * (min vec_id) with membership stats. One map-side-combinable shuffle
+    * keyed by the cell code; no pairwise work at all, so it streams at
+    * scan speed on 100 TB. Production tuning raises `bits` (16–24 over
+    * PCA'd dims) so cells stay small; the within-cell exact-cosine
+    * verify that follows is exactly the q70/q111 machinery applied per
+    * cell. Complements LSH near-dup: cells partition the corpus (every
+    * vector lands in exactly one), so downstream jobs can shard by cell
+    * with no candidate blow-up. */
+  def quantizedCells(emb: org.apache.spark.sql.DataFrame, bits: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val cell = concat((0 until bits).map(i =>
+      when(col("embedding").getItem(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    emb.select(col("vec_id"), col("label"), cell.as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("vec_id")).as("canonical_id"),
+           countDistinct(col("label")).as("n_labels"))
+      .withColumn("has_dups", col("n_members") >= 2)
+  }
+
+  val q179_quantized_cells: Q = (s, d) =>
+    quantizedCells(Tables.embeddings(s, d), bits = 8).orderBy(col("cell"))
+
+  /** SemDeDup proper: exact-cosine near-dup pairs WITHIN the quantized
+    * cells of q179. The cells partition the corpus (each vector is in
+    * exactly one), so pairwise work is bounded by sum(|cell|²) — with
+    * `bits` sized so cells stay O(corpus/2^bits), this is the
+    * linear-ish scale path that q70's label-blocked all-pairs ground
+    * truth is not, and unlike the banded-LSH q111 it is fully
+    * SQL-expressible, hence oracle-checked end to end. The join is an
+    * equi-join on the cell code (shuffle hash/SMJ, never cartesian);
+    * the 0.3 threshold reflects that sharing 8 sign bits already
+    * implies mild positive cosine — production raises both `bits` and
+    * the threshold together. */
+  val q180_semdedup: Q = (s, d) => {
+    val bits = 8
+    val cellCode = concat((0 until bits).map(i =>
+      when(col("embedding").getItem(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val coded = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), cellCode.as("cell"))
+    coded.as("a").join(coded.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("score") >= 0.3)
+      .select(col("a.cell").as("cell"),
+              col("a.vec_id").as("ida"), col("b.vec_id").as("idb"), col("score"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_quantized_cells" -> q179_quantized_cells,
+    "q180_semdedup" -> q180_semdedup,
     "q68_cosine_topk" -> q68_cosine_topk,
     "q69_ann_lsh" -> q69_ann_lsh,
     "q70_embedding_neardup" -> q70_embedding_neardup,
@@ -270,6 +324,15 @@ object Similarity {
       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q179_quantized_cells" -> {
+      val cellSql = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH c AS (
+         |  SELECT vec_id, label, $cellSql AS cell FROM embeddings)
+         |SELECT cell, count(*) AS n_members, min(vec_id) AS canonical_id,
+         |  count(DISTINCT label) AS n_labels, count(*) >= 2 AS has_dups
+         |FROM c GROUP BY cell ORDER BY cell""".stripMargin
+    },
     "q68_cosine_topk" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
@@ -289,5 +352,15 @@ object Similarity {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round($cosSql, 6) >= 0.8
          |ORDER BY ida, idb""".stripMargin,
+    "q180_semdedup" -> {
+      val cellSql = (i: String) => (0 until 8).map(j =>
+        s"CASE WHEN $i.embedding[${j + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""SELECT ${cellSql("a")} AS cell, a.vec_id AS ida, b.vec_id AS idb,
+         |  round($cosSql, 6) AS score
+         |FROM embeddings a JOIN embeddings b
+         |  ON ${cellSql("a")} = ${cellSql("b")} AND a.vec_id < b.vec_id
+         |WHERE round($cosSql, 6) >= 0.3
+         |ORDER BY ida, idb""".stripMargin
+    },
   )
 }

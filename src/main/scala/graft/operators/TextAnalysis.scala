@@ -133,6 +133,43 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
   }
 
+  /** BM25 relevance scoring against a fixed query-term set — the
+    * retrieval primitive behind corpus search, decontamination triage,
+    * and RAG indexing (Robertson–Spärck Jones defaults k1=1.2, b=0.75).
+    * With a constant query, per-term tf extraction is a codegen'd scalar
+    * filter over the token array — no explode, no per-token shuffle — so
+    * the data-scaled cost is one scan plus a 1-row corpus-stats
+    * broadcast (the same singleton scalar-gate shape as the DS queries;
+    * at 100 TB the stats pass and the scoring pass each stream at scan
+    * speed). Extends the reference's string/ngram surface
+    * (GenericUDAFnGrams.java) with the ranking function built on it. */
+  val q178_bm25: Q = (s, d) => {
+    val terms = Seq("spark", "join", "filter")
+    val k1 = 1.2
+    val b = 0.75
+    val toks = split(trim(col("text")), " +")
+    val proj = Tables.documents(s, d).select(
+      Seq(col("doc_id"), size(toks).cast("double").as("dl")) ++
+        terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("double").as(s"tf_$t")): _*)
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")) ++
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t"))
+    val stats = proj.agg(statCols.head, statCols.tail: _*)
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t")
+      val df = col(s"df_$t")
+      val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    proj.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The end-to-end curation pass a training-data pipeline runs nightly:
     * keep each document iff it is (a) the canonical copy of its exact
     * text (min doc_id), (b) above the quality bar, (c) predicted English,
@@ -188,6 +225,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q176_pii_scrub" -> q176_pii_scrub,
+    "q178_bm25" -> q178_bm25,
     "q121_curation" -> q121_curation,
     "q60_token_count" -> q60_token_count,
     "q61_quality_score" -> q61_quality_score,
@@ -199,6 +237,30 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q178_bm25" -> {
+      val terms = Seq("spark", "join", "filter")
+      val toksSql = "regexp_split_to_array(trim(text), ' +')"
+      val tfCols = terms.map(t =>
+        s"CAST(len(list_filter($toksSql, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(",\n    ")
+      val dfCols = terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n    ")
+      val score = terms.map(t =>
+        s"ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * 2.2 " +
+          s"/ (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString("\n    + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS DOUBLE) AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |    $dfCols
+         |  FROM t)
+         |SELECT doc_id, round($score, 6) AS bm25
+         |FROM t, st
+         |WHERE ${terms.map(t => s"tf_$t").mkString(" + ")} > 0
+         |ORDER BY doc_id""".stripMargin
+    },
     "q176_pii_scrub" ->
       """WITH raw AS (
         |  SELECT c_custkey,

@@ -335,4 +335,102 @@ class NegativeSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("group") ||
            e.getMessage.toLowerCase.contains("aggregate"), e.getMessage)
   }
+
+  // ---- round-4 continuation: ambiguity, wrong-object DDL, self-read
+  // overwrite, runtime asserts (ambiguous_col*, drop_table_failure*,
+  // alter_non_existent, udf_assert_true2, cte dup, analyze missing) ----
+
+  test("ambiguous column reference across a self-join is rejected (ambiguous_col)") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_amb")
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT p_size FROM neg_amb a
+                  |JOIN neg_amb b ON a.p_partkey = b.p_partkey""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("ambiguous"), e.getMessage)
+  }
+
+  test("casting an array to a numeric type is rejected (wrong_column_type analog)") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT CAST(array(1, 2) AS INT)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cast"), e.getMessage)
+  }
+
+  test("assert_true(false) raises at runtime, true side is free (udf_assert_true2)") {
+    assert(spark.sql("SELECT assert_true(1 < 2) IS NULL AS ok").collect()(0).getBoolean(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT assert_true(2 < 1)").collect()
+    }
+    assert(e.getMessage.contains("2 < 1") || e.getMessage.toLowerCase.contains("assert"),
+      e.getMessage)
+  }
+
+  test("ALTER TABLE on a non-existent table is rejected (alter_non_existent_table)") {
+    val e = ddlError("ALTER TABLE no_such_tbl_xyz ADD COLUMNS (z INT)")
+    assert(e.getMessage.toLowerCase.contains("no_such_tbl_xyz") ||
+           e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+
+  test("DROP TABLE on a view and DROP VIEW on a table are both rejected (drop_table_failure)") {
+    spark.sql("DROP TABLE IF EXISTS neg_obj_tbl")
+    spark.sql("CREATE TABLE neg_obj_tbl (a INT) USING parquet")
+    spark.sql("CREATE OR REPLACE VIEW neg_obj_view AS SELECT 1 AS one")
+    try {
+      val e1 = ddlError("DROP TABLE neg_obj_view")
+      assert(e1.getMessage.toLowerCase.contains("view"), e1.getMessage)
+      val e2 = ddlError("DROP VIEW neg_obj_tbl")
+      assert(e2.getMessage.toLowerCase.contains("table") ||
+             e2.getMessage.toLowerCase.contains("view"), e2.getMessage)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS neg_obj_view")
+      spark.sql("DROP TABLE IF EXISTS neg_obj_tbl")
+    }
+  }
+
+  test("INSERT OVERWRITE into a table being read in the same query is rejected") {
+    spark.sql("DROP TABLE IF EXISTS neg_self_rw")
+    spark.sql("CREATE TABLE neg_self_rw USING parquet AS SELECT 1 AS a")
+    try {
+      val e = intercept[AnalysisException] {
+        spark.sql("INSERT OVERWRITE TABLE neg_self_rw SELECT a + 1 FROM neg_self_rw")
+      }
+      assert(e.getMessage.toLowerCase.contains("read") ||
+             e.getMessage.toLowerCase.contains("overwrit"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS neg_self_rw")
+  }
+
+  test("ANALYZE TABLE on a missing table is rejected (columnstats_tbllvl analog)") {
+    val e = ddlError("ANALYZE TABLE missing_stats_tbl COMPUTE STATISTICS")
+    assert(e.getMessage.toLowerCase.contains("missing_stats_tbl") ||
+           e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+
+  test("an invalid datetime pattern is a clean error, not garbage output") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT date_format(date'2020-01-01', 'qq-ww-!')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("pattern") ||
+           e.getMessage.toLowerCase.contains("illegal") ||
+           e.getMessage.toLowerCase.contains("format"), e.getMessage)
+  }
+
+  test("duplicate CTE names in one WITH clause are rejected") {
+    val e = intercept[AnalysisException] {
+      spark.sql("WITH c AS (SELECT 1 AS x), c AS (SELECT 2 AS x) SELECT * FROM c").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("c") &&
+           (e.getMessage.toLowerCase.contains("duplicate") ||
+            e.getMessage.toLowerCase.contains("defined")), e.getMessage)
+  }
+
+  test("RANGE frame with an offset over a string sort key is rejected") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_part_rf")
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT sum(p_size) OVER (ORDER BY p_brand
+                  |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) FROM neg_part_rf""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("range") ||
+           e.getMessage.toLowerCase.contains("data type"), e.getMessage)
+  }
 }

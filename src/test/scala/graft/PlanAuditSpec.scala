@@ -22,6 +22,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q169_bitmap_index" -> "three singleton bitmap lanes cross-joined 1x1",
     "q170_ds_double_semi" -> "scalar spend threshold: 1x1 broadcast of a singleton max",
     "q171_ds_iceberg" -> "scalar average-price gate: 1x1 broadcast of a singleton agg",
+    "q178_bm25" -> "corpus x broadcast(1-row N/avgdl/df stats) — BM25 scalar gate",
   )
 
   test("no query plans a CartesianProduct; BNLJ only where justified") {
