@@ -290,20 +290,22 @@ object Similarity {
     * the 0.3 threshold reflects that sharing 8 sign bits already
     * implies mild positive cosine — production raises both `bits` and
     * the threshold together. */
-  val q180_semdedup: Q = (s, d) => {
-    val bits = 8
+  def withinCellPairs(emb: org.apache.spark.sql.DataFrame, bits: Int,
+                      threshold: Double): org.apache.spark.sql.DataFrame = {
     val cellCode = concat((0 until bits).map(i =>
       when(col("embedding").getItem(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
-    val coded = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), cellCode.as("cell"))
+    val coded = emb.select(col("vec_id"), col("embedding"), cellCode.as("cell"))
     coded.as("a").join(coded.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("score", round(cosine(col("a.embedding"), col("b.embedding")), 6))
-      .filter(col("score") >= 0.3)
+      .filter(col("score") >= threshold)
       .select(col("a.cell").as("cell"),
               col("a.vec_id").as("ida"), col("b.vec_id").as("idb"), col("score"))
-      .orderBy(col("ida"), col("idb"))
   }
+
+  val q180_semdedup: Q = (s, d) =>
+    withinCellPairs(Tables.embeddings(s, d), bits = 8, threshold = 0.3)
+      .orderBy(col("ida"), col("idb"))
 
   val queries: Map[String, Q] = Map(
     "q179_quantized_cells" -> q179_quantized_cells,

@@ -170,6 +170,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF distinguishing terms per language: token explode (inherent
+    * token-volume cost, map-side combined), document frequency over docs,
+    * then a top-5-per-language window over the tiny (lang, term) agg
+    * sliver — the window never sees raw data, so the only data-scaled
+    * stages are the two keyed aggregations. The per-language vocabulary
+    * report every multilingual corpus audit starts from. */
+  val q182_tfidf_terms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(lower(trim(col("text"))), " +")).as("term"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val df = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tok.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("term"), col("tf"), col("score"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** Character-distribution entropy — the gibberish/noise signal quality
+    * pipelines compute per document. No explode: per-character counts
+    * over the fixed [a-z ] alphabet come from the length-after-replace
+    * identity, 27 codegen'd scalar expressions evaluated in one scan —
+    * entropy is then a fixed-order fold over those counts. Pure
+    * projection; streams at scan speed on 100 TB. */
+  val q183_char_entropy: Q = (s, d) => {
+    val alphabet = ('a' to 'z').map(_.toString) :+ " "
+    val cnt = alphabet.map(ch =>
+      (length(col("text")) - length(replace(col("text"), lit(ch), lit("")))).cast("double"))
+    val total = cnt.reduce(_ + _)
+    val entropy = cnt.map(c =>
+      when(c > 0, -(c / total) * log(c / total)).otherwise(lit(0.0))).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), total.cast("long").as("n_alpha"),
+              round(entropy, 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The end-to-end curation pass a training-data pipeline runs nightly:
     * keep each document iff it is (a) the canonical copy of its exact
     * text (min doc_id), (b) above the quality bar, (c) predicted English,
@@ -226,6 +272,8 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q176_pii_scrub" -> q176_pii_scrub,
     "q178_bm25" -> q178_bm25,
+    "q182_tfidf_terms" -> q182_tfidf_terms,
+    "q183_char_entropy" -> q183_char_entropy,
     "q121_curation" -> q121_curation,
     "q60_token_count" -> q60_token_count,
     "q61_quality_score" -> q61_quality_score,
@@ -237,6 +285,36 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q182_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS term
+        |  FROM documents),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |tfq AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+        |j AS (
+        |  SELECT tfq.lang, tfq.term, tfq.tf,
+        |    round(tfq.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfq.df), 6) AS score
+        |  FROM tfq JOIN dfq USING (term)),
+        |r AS (
+        |  SELECT lang, term, tf, score,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk
+        |  FROM j)
+        |SELECT lang, rnk, term, tf, score FROM r
+        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "q183_char_entropy" -> {
+      val alphabet = ('a' to 'z').map(_.toString) :+ " "
+      val cnts = alphabet.map(ch =>
+        s"CAST(length(text) - length(replace(text, '$ch', '')) AS DOUBLE)")
+      val total = cnts.mkString("(", " + ", ")")
+      val entropy = cnts.map(c =>
+        s"CASE WHEN $c > 0 THEN -($c / t.tot) * ln($c / t.tot) ELSE 0.0 END")
+        .mkString("\n    + ")
+      s"""SELECT doc_id, CAST(t.tot AS BIGINT) AS n_alpha,
+         |  round($entropy, 6) AS entropy
+         |FROM (SELECT doc_id, text, $total AS tot FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
     "q178_bm25" -> {
       val terms = Seq("spark", "join", "filter")
       val toksSql = "regexp_split_to_array(trim(text), ' +')"

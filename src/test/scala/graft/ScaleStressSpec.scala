@@ -145,4 +145,47 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(capN < uncN, s"no simhash bucket exceeded the cap (cap=$capN unc=$uncN)")
     assert(capN <= 30L * nDocs, s"capped simhash pairs superlinear: $capN for $nDocs docs")
   }
+
+  test("20x embeddings: quantized cells partition exactly; within-cell pairs are " +
+       "closed-form-bounded, equi-join planned, and find every planted twin") {
+    import graft.operators.Similarity
+    val base = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // 20 replicas per vector: k=0 original; k>0 scaled by a positive,
+    // index-alternating factor — signs (hence cells) preserved, cosine vs
+    // the original ~0.998, so every (base, twin) pair is a true near-dup
+    // that MUST surface through the cell path.
+    val emb20 = (0 until 20).map { k =>
+      if (k == 0) base
+      else base.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) + lit(0.05f * k / 20) *
+            when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    val nBase = base.count()
+    val n20 = emb20.count()
+
+    // cells partition the corpus: member counts sum back to corpus size
+    val cells = Similarity.quantizedCells(emb20, bits = 8)
+      .select(col("cell"), col("n_members")).localCheckpoint(true)
+    assert(cells.agg(sum(col("n_members"))).collect()(0).getLong(0) == n20)
+
+    val pairs = Similarity.withinCellPairs(emb20, bits = 8, threshold = -1.0)
+    val plan = pairs.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must stay an equi-join at 20x volume")
+    // exact closed form: sum over cells of C(n,2) — proves no cross-cell
+    // leakage and no within-cell loss
+    val expected = cells.agg(sum(col("n_members") * (col("n_members") - 1) / 2))
+      .collect()(0).getDouble(0).toLong
+    assert(pairs.count() == expected,
+      s"pair count != sum-over-cells C(n,2): got ${pairs.count()} want $expected")
+    // every planted twin shares its base's cell and cos ~0.998 >= 0.3
+    val found = Similarity.withinCellPairs(emb20, bits = 8, threshold = 0.3)
+      .filter(col("idb") - col("ida") === 1000000L && col("ida") < 1000000L)
+      .count()
+    assert(found == nBase, s"only $found/$nBase planted twin pairs surfaced")
+  }
 }
