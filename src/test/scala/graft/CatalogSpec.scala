@@ -126,4 +126,34 @@ class CatalogSpec extends AnyFunSuite {
       assert(rows.contains("Location"), rows)
     } finally spark.sql("DROP TABLE IF EXISTS graft_dfmt")
   }
+
+  test("MSCK REPAIR TABLE discovers partitions written outside the catalog") {
+    // the reference's metastore-check path (DDLTask msck / HIVE-17824
+    // lineage): files land in partition directories out-of-band, MSCK
+    // reconciles the catalog. Spark's MSCK REPAIR TABLE is the same
+    // surface; ALTER TABLE ... RECOVER PARTITIONS is its alias.
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft_msck").toString
+    // partition files written directly to p=.../ paths, no catalog involved
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$loc/p=1")
+    Seq((2L, "b"), (3L, "c")).toDF("id", "s").write.parquet(s"$loc/p=2")
+    spark.sql("DROP TABLE IF EXISTS graft_msck")
+    spark.sql(
+      s"""CREATE TABLE graft_msck (id BIGINT, s STRING, p INT)
+         |USING parquet PARTITIONED BY (p) LOCATION '$loc'""".stripMargin)
+    try {
+      assert(spark.sql("SHOW PARTITIONS graft_msck").count() == 0,
+        "catalog should start empty — partitions were written out-of-band")
+      spark.sql("MSCK REPAIR TABLE graft_msck")
+      val parts = spark.sql("SHOW PARTITIONS graft_msck")
+        .collect().map(_.getString(0)).sorted
+      assert(parts.sameElements(Array("p=1", "p=2")), parts.mkString(","))
+      assert(spark.table("graft_msck").count() == 3)
+      // late-arriving partition + the RECOVER PARTITIONS alias
+      Seq((4L, "d")).toDF("id", "s").write.parquet(s"$loc/p=3")
+      spark.sql("ALTER TABLE graft_msck RECOVER PARTITIONS")
+      assert(spark.sql("SHOW PARTITIONS graft_msck").count() == 3)
+      assert(spark.table("graft_msck").filter($"p" === 3).count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_msck")
+  }
 }

@@ -63,4 +63,44 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(ids.sameElements(Array(1L, 2L, 3L)),
       s"sink shows ${ids.mkString(",")} — replayed batch or orphan leaked in")
   }
+
+  test("streaming upserts into a copy-on-write table; replayed batch leaves state unchanged") {
+    // The reference's second ingest mode writes streams into ACID tables
+    // (hcatalog streaming mutate API / MERGE on the transactional line).
+    // Spark-first analog: foreachBatch + CopyOnWrite.merge. Keyed upserts
+    // are idempotent by construction — re-merging an already-applied
+    // batch replaces rows with themselves — so a foreachBatch replay
+    // after a checkpoint-less restart converges to the same state.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = Files.createTempDirectory("graft_eo_cow").toString + "/t"
+    Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0), (5L, 0.0))
+      .toDF("id", "v").write.parquet(tbl)
+
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDS().toDF("id", "v").writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acid.CopyOnWrite.merge(spark, tbl, batch, Seq("id")); ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("graft_eo_cowc").toString)
+      .start()
+    try {
+      in.addData((3L, 10.0), (4L, 10.0), (6L, 10.0)); q.processAllAvailable()
+      in.addData((6L, 20.0), (7L, 20.0)); q.processAllAvailable()
+    } finally q.stop()
+
+    def state() = spark.read.parquet(tbl).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = Map(1L -> 0.0, 2L -> 0.0, 3L -> 10.0, 4L -> 10.0,
+                       5L -> 0.0, 6L -> 20.0, 7L -> 20.0)
+    assert(state() == expected, s"streamed merge state diverged: ${state()}")
+
+    // simulate the failure mode foreachBatch documents: the LAST batch
+    // re-fires after a restart — state must not change
+    val (upd, ins) = acid.CopyOnWrite.merge(spark, tbl,
+      Seq((6L, 20.0), (7L, 20.0)).toDF("id", "v"), Seq("id"))
+    assert(upd == 2 && ins == 0, s"replay should re-match, got upd=$upd ins=$ins")
+    assert(state() == expected, "replayed batch mutated the table")
+  }
 }
