@@ -216,6 +216,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Winsorized token-count statistics per language — the outlier-robust
+    * length report corpus audits use instead of raw means. Clip bounds
+    * are integerized percentiles (floor(p05), ceil(p95)), so every
+    * clipped value is an exact integer-in-double and the final mean is
+    * bit-identical regardless of partition summation order — the same
+    * trick as the decimal-sum convention for money. Two data passes:
+    * an exact-percentile agg producing a per-language sliver, broadcast
+    * back for the clipped aggregate; raw data never sorts globally. */
+  val q184_winsorized: Q = (s, d) => {
+    val ntok = size(split(trim(col("text")), " +")).cast("double")
+    val proj = Tables.documents(s, d).select(col("lang"), ntok.as("n_tokens"))
+    val bounds = proj.groupBy(col("lang")).agg(
+      floor(expr("percentile(n_tokens, 0.05)")).as("lo"),
+      ceil(expr("percentile(n_tokens, 0.95)")).as("hi"))
+    proj.join(broadcast(bounds), Seq("lang"))
+      .select(col("lang"), col("lo"), col("hi"),
+        least(greatest(col("n_tokens"), col("lo")), col("hi")).as("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("lo")).as("p05_floor"), max(col("hi")).as("p95_ceil"),
+           round(avg(col("w")), 6).as("wins_mean"))
+      .orderBy(col("lang"))
+  }
+
+  /** Power-of-two document-length histogram per source — the corpus
+    * shape report (bucket = bit length of the char count, an
+    * integer-exact floor(log2)+1 that cannot flip at bucket boundaries
+    * the way float log2 can). Pure map-side-combinable aggregate. */
+  val q185_length_histogram: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), length(col("text")).cast("bigint").as("len"))
+      .withColumn("bucket", length(bin(col("len"))))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** The end-to-end curation pass a training-data pipeline runs nightly:
     * keep each document iff it is (a) the canonical copy of its exact
     * text (min doc_id), (b) above the quality bar, (c) predicted English,
@@ -274,6 +312,8 @@ object TextAnalysis {
     "q178_bm25" -> q178_bm25,
     "q182_tfidf_terms" -> q182_tfidf_terms,
     "q183_char_entropy" -> q183_char_entropy,
+    "q184_winsorized" -> q184_winsorized,
+    "q185_length_histogram" -> q185_length_histogram,
     "q121_curation" -> q121_curation,
     "q60_token_count" -> q60_token_count,
     "q61_quality_score" -> q61_quality_score,
@@ -285,6 +325,26 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q184_winsorized" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, CAST(floor(quantile_cont(n_tokens, 0.05)) AS BIGINT) AS lo,
+        |         CAST(ceil(quantile_cont(n_tokens, 0.95)) AS BIGINT) AS hi
+        |  FROM t GROUP BY lang)
+        |SELECT t.lang, count(*) AS n_docs,
+        |  min(b.lo) AS p05_floor, max(b.hi) AS p95_ceil,
+        |  round(avg(least(greatest(t.n_tokens, b.lo), b.hi)), 6) AS wins_mean
+        |FROM t JOIN b USING (lang)
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+    "q185_length_histogram" ->
+      """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS INT) AS bucket,
+        |  count(*) AS n_docs, min(length(text)) AS min_len, max(length(text)) AS max_len
+        |FROM documents
+        |GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
     "q182_tfidf_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
