@@ -254,6 +254,35 @@ object TextAnalysis {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Trigram novelty score — the share of a document's distinct trigrams
+    * that occur in no other document. Low novelty = boilerplate /
+    * near-duplicate content the dedup family should have caught; the
+    * standard cross-check signal next to MinHash. (Trigrams, not
+    * bigrams: this corpus's vocabulary is small enough that nearly every
+    * bigram repeats, which would make the score degenerate.) Costs one
+    * trigram explode (inherent token volume, map-side combined), a
+    * document-frequency aggregate keyed on the trigram (high cardinality
+    * — no skew), and a join back from the df sliver; no pairwise work,
+    * so it scales like q63/q134, not like all-pairs dedup. */
+  val q186_novelty: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .withColumn("ts", split(trim(col("text")), " +"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(ts) - 3), " +
+          "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))")).as("trigram"))
+    val df = grams.groupBy(col("trigram"))
+      .agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("trigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_trigrams"), 6))
+      .select(col("doc_id"), col("n_trigrams"), col("n_unique"), col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The end-to-end curation pass a training-data pipeline runs nightly:
     * keep each document iff it is (a) the canonical copy of its exact
     * text (min doc_id), (b) above the quality bar, (c) predicted English,
@@ -314,6 +343,7 @@ object TextAnalysis {
     "q183_char_entropy" -> q183_char_entropy,
     "q184_winsorized" -> q184_winsorized,
     "q185_length_histogram" -> q185_length_histogram,
+    "q186_novelty" -> q186_novelty,
     "q121_curation" -> q121_curation,
     "q60_token_count" -> q60_token_count,
     "q61_quality_score" -> q61_quality_score,
@@ -325,6 +355,21 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q186_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+        |e AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |  FROM w WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT doc_id,
+        |        ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS trigram FROM e),
+        |dfq AS (SELECT trigram, count(*) AS df FROM g GROUP BY trigram)
+        |SELECT g.doc_id, count(*) AS n_trigrams,
+        |  CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS novelty
+        |FROM g JOIN dfq USING (trigram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q184_winsorized" ->
       """WITH t AS (
         |  SELECT lang,
