@@ -36,6 +36,8 @@ object Bench {
     "q134_repetition",    // repetition quality signals
     "q139_ds_rollup_report", // TPC-DS-shaped rollup over snowflake join
     "q68_cosine_topk",    // similarity
+    "q178_bm25",          // BM25 scoring (scan + 1-row stats broadcast)
+    "q180_semdedup",      // quantized-cell within-cell near-dup
     "q71_tumbling_window",// event windows
     "q73_sessionize",     // sessionization
     "q75_fingerprint",    // custom expressions

@@ -96,6 +96,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch > 0, "fixture should contain attributable purchases")
   }
 
+  test("streaming document curation converges to the batch gate") {
+    // the nightly q121-style curation (quality bar + first-copy-wins
+    // exact dedup) run as a stream: micro-batched documents, dedup on
+    // the text key via dropDuplicates, quality as a scan-side filter.
+    // Once all input is processed the kept doc_id set must equal the
+    // batch spelling's. Documents carry no event time, so this is the
+    // unbounded-state variant — the watermark-bounded form is the
+    // events-path dedup test above.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text")
+      .filter(graft.operators.TextAnalysis.qualityExpr >= 0.5)
+      .dropDuplicates("text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated_stream")
+      .start()
+    try {
+      docs.grouped(100).foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // which doc_id survives per duplicate text depends on intra-batch
+    // scheduling, but the kept TEXT set is deterministic: exactly one
+    // representative per distinct above-bar text
+    val streamed = spark.table("curated_stream")
+      .select("text").collect().map(_.getString(0)).toSet
+    val batch = Tables.documents(spark, sf)
+      .filter(graft.operators.TextAnalysis.qualityExpr >= 0.5)
+      .select("text").distinct().collect().map(_.getString(0)).toSet
+    assert(streamed == batch,
+      s"streamed curation kept ${streamed.size} texts, batch kept ${batch.size}")
+    assert(spark.table("curated_stream").count() == batch.size,
+      "stream emitted more than one representative for some text")
+    assert(batch.nonEmpty, "curation gate should keep some documents")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     import spark.implicits._
     val events = EventsStream.readEvents(spark, sf).as[EventsStream.Event]
