@@ -127,6 +127,31 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dfmt")
   }
 
+  test("SHOW COLUMNS, TBLPROPERTIES round-trip, and ALTER TABLE RENAME") {
+    spark.sql("DROP TABLE IF EXISTS graft_props")
+    spark.sql("DROP TABLE IF EXISTS graft_props2")
+    spark.sql("CREATE TABLE graft_props (a INT, b STRING) USING parquet " +
+      "TBLPROPERTIES ('owner.team' = 'data-eng', 'retention.days' = '30')")
+    try {
+      val cols = spark.sql("SHOW COLUMNS IN graft_props")
+        .collect().map(_.getString(0)).sorted
+      assert(cols.sameElements(Array("a", "b")), cols.mkString(","))
+      def props() = spark.sql("SHOW TBLPROPERTIES graft_props")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props()("owner.team") == "data-eng" && props()("retention.days") == "30")
+      spark.sql("ALTER TABLE graft_props SET TBLPROPERTIES ('retention.days' = '90')")
+      assert(props()("retention.days") == "90")
+      spark.sql("ALTER TABLE graft_props UNSET TBLPROPERTIES ('owner.team')")
+      assert(!props().contains("owner.team"))
+      spark.sql("ALTER TABLE graft_props RENAME TO graft_props2")
+      assert(spark.catalog.tableExists("graft_props2") &&
+             !spark.catalog.tableExists("graft_props"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_props")
+      spark.sql("DROP TABLE IF EXISTS graft_props2")
+    }
+  }
+
   test("MSCK REPAIR TABLE discovers partitions written outside the catalog") {
     // the reference's metastore-check path (DDLTask msck / HIVE-17824
     // lineage): files land in partition directories out-of-band, MSCK

@@ -423,6 +423,82 @@ class NegativeSpec extends AnyFunSuite {
             e.getMessage.toLowerCase.contains("defined")), e.getMessage)
   }
 
+  test("set operations with mismatched column counts are rejected (union-family)") {
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT 1, 2 INTERSECT SELECT 1").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("column"), e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT 1 EXCEPT SELECT 1, 2").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("column"), e2.getMessage)
+  }
+
+  test("set operation over incompatible types is rejected") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT array(1) AS a INTERSECT SELECT map('k', 1) AS a").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("compatible") ||
+           e.getMessage.toLowerCase.contains("type"), e.getMessage)
+  }
+
+  test("USING join on a column absent from one side is rejected") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_using_p")
+    Tables.supplier(spark, sf).createOrReplaceTempView("neg_using_s")
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM neg_using_p JOIN neg_using_s USING (p_partkey)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("p_partkey"), e.getMessage)
+  }
+
+  test("explode over a non-collection column is a clean type error") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_expl")
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT explode(p_brand) FROM neg_expl").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type") ||
+           e.getMessage.toLowerCase.contains("array"), e.getMessage)
+  }
+
+  test("percentile fraction outside [0,1] and ntile(0) are rejected") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_pctl")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT percentile(p_size, 1.5) FROM neg_pctl").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("percentage") ||
+           e1.getMessage.toLowerCase.contains("between"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT ntile(0) OVER (ORDER BY p_size) FROM neg_pctl").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("ntile") ||
+           e2.getMessage.toLowerCase.contains("positive") ||
+           e2.getMessage.toLowerCase.contains("greater"), e2.getMessage)
+  }
+
+  test("negative LIMIT is rejected; out-of-range array index yields NULL (ANSI off)") {
+    Tables.part(spark, sf).createOrReplaceTempView("neg_lim")
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT p_partkey FROM neg_lim LIMIT -1").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("limit"), e.getMessage)
+    val r = spark.sql("SELECT array(1, 2)[5] AS v").collect()(0)
+    assert(r.isNullAt(0), "out-of-range index must be NULL with ANSI off")
+  }
+
+  test("ALTER TABLE RENAME COLUMN on a v1 parquet table is rejected, not corrupting") {
+    spark.sql("DROP TABLE IF EXISTS neg_rencol")
+    spark.sql("CREATE TABLE neg_rencol (a INT, b STRING) USING parquet")
+    try {
+      val e = intercept[AnalysisException] {
+        spark.sql("ALTER TABLE neg_rencol RENAME COLUMN a TO z")
+      }
+      assert(e.getMessage.toLowerCase.contains("rename") ||
+             e.getMessage.toLowerCase.contains("support"), e.getMessage)
+      // table remains intact and queryable after the rejected DDL
+      assert(spark.table("neg_rencol").columns.sameElements(Array("a", "b")))
+    } finally spark.sql("DROP TABLE IF EXISTS neg_rencol")
+  }
+
   test("RANGE frame with an offset over a string sort key is rejected") {
     Tables.part(spark, sf).createOrReplaceTempView("neg_part_rf")
     val e = intercept[AnalysisException] {
