@@ -131,7 +131,27 @@ object MiscFunctions {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The full mask_* family (GenericUDFMask*.java), promoted from
+    * spec-only pins to an oracle row: DuckDB has no mask(), but Hive's
+    * default masking IS three character-class substitutions (upper→X,
+    * lower→x, digit→n, other kept), so the oracle replicates it with
+    * regexp_replace chains and substr splits — an independent spelling,
+    * not a shared implementation. Scan-side projection, codegen'd. */
+  val q187_masking: Q = (s, d) => {
+    val c = col("c_name")
+    Tables.customer(s, d).filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"),
+        expr("mask(c_name)").as("m_all"),
+        mask_first_n(c, 4).as("m_first4"),
+        mask_last_n(c, 4).as("m_last4"),
+        mask_show_first_n(c, 4).as("m_show_first4"),
+        mask_show_last_n(c, 4).as("m_show_last4"),
+        mask_hash(c).as("m_hash"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_masking" -> q187_masking,
     "q78_encodings" -> q78_encodings,
     "q79_hive_compat" -> q79_hive_compat,
     "q80_approx_aggs" -> q80_approx_aggs,
@@ -140,6 +160,21 @@ object MiscFunctions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_masking" -> {
+      def mk(s: String) =
+        s"regexp_replace(regexp_replace(regexp_replace($s, '[A-Z]', 'X', 'g'), " +
+          s"'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')"
+      val keep = "greatest(length(c_name) - 4, 0)"
+      s"""SELECT c_custkey,
+         |  ${mk("c_name")} AS m_all,
+         |  ${mk("substr(c_name, 1, 4)")} || substr(c_name, 5) AS m_first4,
+         |  substr(c_name, 1, $keep) || ${mk(s"substr(c_name, $keep + 1)")} AS m_last4,
+         |  substr(c_name, 1, 4) || ${mk("substr(c_name, 5)")} AS m_show_first4,
+         |  ${mk(s"substr(c_name, 1, $keep)")} || substr(c_name, $keep + 1) AS m_show_last4,
+         |  md5(c_name) AS m_hash
+         |FROM customer WHERE c_custkey <= 300
+         |ORDER BY c_custkey""".stripMargin
+    },
     "q78_encodings" ->
       """SELECT p_partkey,
         |  hex(CAST(p_name AS BLOB)) AS name_hex,
