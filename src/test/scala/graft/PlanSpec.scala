@@ -209,4 +209,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
       "a sort-merge join here means the train side shuffled on shingle")
   }
+
+  test("q178 BM25 never shuffles the corpus: stats broadcast + scan-side scoring") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("q178_bm25")(spark, sf).queryExecution.sparkPlan
+    // allowed exchanges: the singleton stats aggregate's partial->final
+    // hop and the terminal presentation sort — NOT a shuffle of the
+    // scored corpus keyed on anything
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"q178 planned ${shuffles.size} shuffles — corpus-side shuffle crept in:\n$p")
+    assert(p.toString.contains("BroadcastNestedLoopJoin") ||
+           p.toString.contains("BroadcastExchange"),
+      "the 1-row stats must broadcast, not co-partition")
+  }
+
+  test("q183 char entropy is a pure projection: ordering is its only exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val p = SparkEntry.queries("q183_char_entropy")(spark, sf).queryExecution.sparkPlan
+    assert(p.collect { case s: ShuffleExchangeExec => s }.size <= 1,
+      s"q183 must only exchange for the presentation sort:\n$p")
+    assert(p.collect { case a: HashAggregateExec => a
+                       case a: ObjectHashAggregateExec => a }.isEmpty,
+      "q183 has no aggregation — the 27 counts are scalar expressions")
+  }
+
+  test("q179 quantized cells is one map-combinable aggregation over the scan") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val p = SparkEntry.queries("q179_quantized_cells")(spark, sf).queryExecution.sparkPlan
+    val aggs = p.collect { case a: HashAggregateExec => a
+                           case a: ObjectHashAggregateExec => a }
+    assert(aggs.size >= 2, "cell aggregation must run partial->final (map-side combine)")
+    assert(p.collect { case j: SortMergeJoinExec => j
+                       case j: BroadcastHashJoinExec => j }.isEmpty,
+      "q179 joins nothing — cells come straight off the scan")
+  }
 }
