@@ -150,7 +150,27 @@ object MiscFunctions {
       .orderBy(col("c_custkey"))
   }
 
+  /** Second string long-tail oracle slice: levenshtein / find_in_set /
+    * elt / translate / instr / ascii / chr (FunctionRegistry.java:
+    * 191-269), each checked against an independent DuckDB spelling
+    * (find_in_set -> list_position over a split list, elt -> CASE).
+    * Complements q112's substring_index/locate/printf/space slice so
+    * the whole Hive string surface is oracle-checked, not just pinned. */
+  val q188_string_tail2: Q = (s, d) => {
+    Tables.part(s, d).filter(col("p_partkey") <= 400)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev"),
+        expr("find_in_set(p_brand, 'Brand#1,Brand#12,Brand#23,Brand#34,Brand#45')").as("fis"),
+        expr("elt(1 + pmod(p_partkey, 2), p_brand, p_type)").as("elted"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("transl"),
+        instr(col("p_name"), "a").as("ins"),
+        ascii(col("p_brand")).as("asc"),
+        expr("chr(65 + pmod(p_partkey, 26))").as("ch"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_string_tail2" -> q188_string_tail2,
     "q187_masking" -> q187_masking,
     "q78_encodings" -> q78_encodings,
     "q79_hive_compat" -> q79_hive_compat,
@@ -160,6 +180,19 @@ object MiscFunctions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_string_tail2" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, p_type) AS INT) AS lev,
+        |  CAST(coalesce(list_position(
+        |    string_split('Brand#1,Brand#12,Brand#23,Brand#34,Brand#45', ','),
+        |    p_brand), 0) AS INT) AS fis,
+        |  CASE WHEN 1 + (p_partkey % 2) = 1 THEN p_brand ELSE p_type END AS elted,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS transl,
+        |  CAST(strpos(p_name, 'a') AS INT) AS ins,
+        |  ascii(p_brand) AS asc,
+        |  chr(CAST(65 + (p_partkey % 26) AS INT)) AS ch
+        |FROM part WHERE p_partkey <= 400
+        |ORDER BY p_partkey""".stripMargin,
     "q187_masking" -> {
       def mk(s: String) =
         s"regexp_replace(regexp_replace(regexp_replace($s, '[A-Z]', 'X', 'g'), " +
