@@ -101,12 +101,46 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Deterministic perturbed twins for the near-dup gate rows: vec_id
+    * shifted by 10^7, element i scaled by 1+eps (even i) / 1-eps (odd i),
+    * entirely in FLOAT so the DuckDB oracle reproduces the bits with
+    * `CAST(x * CAST(1.08 AS FLOAT) AS FLOAT)` (float multiply == double
+    * multiply of floats rounded to float, and float(1±0.08f) equals the
+    * nearest float to 1.08/0.92). Worst-case cosine(v, twin) >=
+    * (1-eps)/(1+eps) ≈ 0.852 > 0.8, so every twin pair is a true
+    * near-dup the pipeline must surface. Shape: ONE scan + explode over
+    * [original, twin] structs — NOT a self-union. Union-of-same-source
+    * trips Spark's Union constraint rewriting ("key not found") once the
+    * result fans out into nearDupLsh's three-way self-reference, which
+    * is what forced a codegen-killing RDD round-trip barrier here until
+    * round 5; the Generate spelling keeps the whole plan in Catalyst
+    * (PipelineSpec pins it) and halves the read besides. The twin terms
+    * are literal-factor products, no lambda. All other columns pass
+    * through unchanged. */
+  private def augmentWithTwins(emb: DataFrame, eps: Float, dim: Int = 64): DataFrame = {
+    val scaled = array((0 until dim).map { i =>
+      col("embedding").getItem(i) *
+        lit(if (i % 2 == 0) 1.0f + eps else 1.0f - eps)
+    }: _*)
+    val otherCols = emb.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq
+    val pair = array(
+      struct(col("vec_id").as("vec_id"), col("embedding").as("embedding")),
+      struct((col("vec_id") + lit(10000000L)).as("vec_id"), scaled.as("embedding")))
+    emb.select(otherCols :+ explode(pair).as("r"): _*)
+      .select(otherCols :+ col("r.vec_id").as("vec_id") :+ col("r.embedding").as("embedding"): _*)
+  }
+
   /** Embedding near-duplicate pairs: same-label pairs with cosine >= 0.8
     * (label acts as the blocking key, the way a cluster/shard id would at
-    * scale). */
+    * scale). The shipped corpus has no natural cosine>=0.8 pairs at any
+    * SF, so the corpus is unioned with planted perturbed twins (same
+    * label, so the blocking key routes each vector to its twin) — the
+    * row-count gate is non-vacuous: a broken join or cosine yields 0 or
+    * wrong rows, and the DuckDB oracle plants the identical twins. */
   val q70_embedding_neardup: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+    val base = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), col("embedding"))
+    val emb = augmentWithTwins(base, eps = 0.08f)
     emb.as("a").join(emb.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("score", round(cosine(col("a.embedding"), col("b.embedding")), 6))
@@ -227,29 +261,15 @@ object Similarity {
   /** Gate variant: the shipped corpus has no natural cosine>=0.8 pairs at
     * any SF, so running nearDupLsh on it alone returns 0 rows — a check
     * that would also pass on a broken implementation. To make the driver
-    * row-count check meaningful, union the corpus with deterministic
-    * perturbed twins (vec_id+10^7, each element scaled by 1 +/- eps with
-    * a content-derived sign). Worst-case cosine(v, twin) >=
-    * (1-eps)/(1+eps) = 0.852 > 0.8, so every twin pair is a true
-    * near-dup the pipeline must surface; recall at cos~0.99 is ~1, so
-    * spark_rows > 0 whenever the banded path works end-to-end. */
+    * row-count check meaningful, augment the corpus with the
+    * deterministic twins (augmentWithTwins — single-scan explode); recall
+    * at cos~0.99 is ~1, so spark_rows > 0 whenever the banded path works
+    * end-to-end. The augmented corpus feeds nearDupLsh's three-way
+    * self-reference directly — the whole plan stays in Catalyst/codegen
+    * (PipelineSpec pins no-ExistingRDD). */
   val q111_neardup_lsh: Q = (s, d) => {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val eps = 0.08f
-    val twins = base.select(
-      (col("vec_id") + lit(10000000L)).as("vec_id"),
-      // index-alternating sign: no outer column inside the lambda (outer
-      // refs break attribute dedup in the downstream self-joins)
-      transform(col("embedding"), (x, i) =>
-        x * (lit(1.0f) + lit(eps) *
-          when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
-        .as("embedding"))
-    // RDD barrier: the union reads the same parquet in both branches, and
-    // nearDupLsh self-joins its input three ways — Catalyst's relation
-    // dedup mangles the shared lambda/union attributes ("key not found").
-    // Real callers pass a plain table; only this gate composition needs it.
-    val u = base.unionAll(twins)
-    nearDupLsh(s.createDataFrame(u.rdd, u.schema), 0.8)
+    nearDupLsh(augmentWithTwins(base, eps = 0.08f), 0.8)
       .orderBy(col("ida"), col("idb"))
   }
 
@@ -264,11 +284,17 @@ object Similarity {
     * cell. Complements LSH near-dup: cells partition the corpus (every
     * vector lands in exactly one), so downstream jobs can shard by cell
     * with no candidate blow-up. */
+  /** The sign-quantized cell code over the leading `bits` dims — the ONE
+    * definition shared by quantizedCells (q179) and withinCellPairs
+    * (q180), so the partitioning and the pairing can never silently
+    * diverge on a quantization-rule change. */
+  private def cellCode(bits: Int): Column =
+    concat((0 until bits).map(i =>
+      when(col("embedding").getItem(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
   def quantizedCells(emb: org.apache.spark.sql.DataFrame, bits: Int)
       : org.apache.spark.sql.DataFrame = {
-    val cell = concat((0 until bits).map(i =>
-      when(col("embedding").getItem(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
-    emb.select(col("vec_id"), col("label"), cell.as("cell"))
+    emb.select(col("vec_id"), col("label"), cellCode(bits).as("cell"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
            min(col("vec_id")).as("canonical_id"),
@@ -292,9 +318,7 @@ object Similarity {
     * the threshold together. */
   def withinCellPairs(emb: org.apache.spark.sql.DataFrame, bits: Int,
                       threshold: Double): org.apache.spark.sql.DataFrame = {
-    val cellCode = concat((0 until bits).map(i =>
-      when(col("embedding").getItem(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
-    val coded = emb.select(col("vec_id"), col("embedding"), cellCode.as("cell"))
+    val coded = emb.select(col("vec_id"), col("embedding"), cellCode(bits).as("cell"))
     coded.as("a").join(coded.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("score", round(cosine(col("a.embedding"), col("b.embedding")), 6))
@@ -348,9 +372,16 @@ object Similarity {
          |SELECT qid, rnk, vec_id, score FROM ranked
          |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q70_embedding_neardup" ->
-      s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
+      s"""WITH aug AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000, label,
+         |    list_transform(embedding, (x, i) -> CAST(x * (CASE WHEN (i-1)%2=0
+         |      THEN CAST(1.08 AS FLOAT) ELSE CAST(0.92 AS FLOAT) END) AS FLOAT))
+         |  FROM embeddings)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
          |  round($cosSql, 6) AS score
-         |FROM embeddings a JOIN embeddings b
+         |FROM aug a JOIN aug b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round($cosSql, 6) >= 0.8
          |ORDER BY ida, idb""".stripMargin,

@@ -22,11 +22,13 @@ object Subqueries {
   private val avgBrandPrice =
     """CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(1)"""
 
-  /** Correlated scalar subquery: parts priced above their brand average. */
+  /** Correlated scalar subquery: parts priced above their brand average.
+    * Thresholds here and in q54 are tuned so sf0.01 yields rows on both
+    * engines — a 0-row gate row proves schema only (round-4 verdict). */
   val q50_correlated_scalar: Q = run(
     s"""SELECT p_partkey, p_brand, p_retailprice
        |FROM part p1
-       |WHERE p_retailprice > 1.2 * (
+       |WHERE p_retailprice > 1.05 * (
        |  SELECT $avgBrandPrice
        |  FROM part p2 WHERE p2.p_brand = p1.p_brand)
        |ORDER BY p_partkey""".stripMargin)
@@ -65,7 +67,7 @@ object Subqueries {
       |  o_totalprice - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
       |                         / COUNT(1) FROM orders o2) AS delta_vs_avg
       |FROM orders
-      |WHERE o_totalprice > 4 * (SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+      |WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
       |                                 / COUNT(1) FROM orders o3)
       |ORDER BY o_orderkey""".stripMargin)
 
@@ -83,7 +85,7 @@ object Subqueries {
     "q50_correlated_scalar" ->
       s"""SELECT p_partkey, p_brand, p_retailprice
          |FROM part p1
-         |WHERE p_retailprice > 1.2 * (
+         |WHERE p_retailprice > 1.05 * (
          |  SELECT $avgBrandPrice
          |  FROM part p2 WHERE p2.p_brand = p1.p_brand)
          |ORDER BY p_partkey""".stripMargin,
@@ -114,7 +116,7 @@ object Subqueries {
         |  o_totalprice - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
         |                         / COUNT(1) FROM orders o2) AS delta_vs_avg
         |FROM orders
-        |WHERE o_totalprice > 4 * (SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+        |WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
         |                                 / COUNT(1) FROM orders o3)
         |ORDER BY o_orderkey""".stripMargin,
   )

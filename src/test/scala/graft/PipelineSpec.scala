@@ -101,6 +101,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall over ${exact.size} planted pairs")
   }
 
+  test("q111 gate path is plan-native: no RDD barrier, codegen kept, non-vacuous") {
+    // round-4 verdict: the twin-union used to detour through
+    // createDataFrame(u.rdd, u.schema) to dodge a lambda/attribute-dedup
+    // failure, losing whole-stage codegen and AQE on the gate path. The
+    // lambda-free perturbedTwins must keep the whole plan in Catalyst.
+    val df = SparkEntry.queries("q111_neardup_lsh")(spark, sf)
+    val n = df.collect().length
+    // post-execution so AQE has materialized the final codegen'd stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      "gate path must not round-trip through an RDD scan")
+    assert(plan.contains("*("), // WholeStageCodegen prints as "*(n)" in simpleString
+      "gate path must keep whole-stage codegen")
+    assert(n >= 450, s"planted twins must surface (got $n pairs)")
+  }
+
+  test("q70 planted twins stay within the blocking contract") {
+    // every corpus vector pairs with exactly its own twin: natural pairs
+    // don't reach 0.8 and twin-twin / cross pairs stay below threshold,
+    // so |result| == |corpus| and each pair is (v, v + 10^7).
+    val rows = SparkEntry.queries("q70_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall { case (a, b) => b == a + 10000000L },
+      s"expected only (v, twin(v)) pairs, got ${rows.take(5).mkString(",")}")
+    assert(rows.length == Tables.embeddings(spark, sf).count(),
+      "every vector must surface exactly one twin pair")
+  }
+
   test("over-cap LSH buckets emit star cliques; closure recovers the cluster") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -344,15 +344,16 @@ class RegistryAuditSpec extends AnyFunSuite {
     assert(constantNamed.size == 32, s"constant-named count drifted: ${constantNamed.size}")
 
     val p = Paths.get(refFile)
-    if (Files.isReadable(p)) {
-      val src = new String(Files.readAllBytes(p), "UTF-8")
-      val re = """register(?:GenericUDF|GenericUDAF|GenericUDTF|UDF|UDAF|Function)\("([^"]+)"""".r
-      val extracted = re.findAllMatchIn(src).map(_.group(1)).toSet
-      val classified = literal.map(_._1).toSet
-      assert(extracted == classified,
-        s"registry drift — unclassified: ${(extracted -- classified).toSeq.sorted.mkString(", ")}; " +
-          s"stale: ${(classified -- extracted).toSeq.sorted.mkString(", ")}")
-    }
+    // a machine without the reference checkout must report CANCELED, not
+    // quietly pass — a silent green here would void the no-drift contract
+    assume(Files.isReadable(p), s"reference registry not readable at $refFile")
+    val src = new String(Files.readAllBytes(p), "UTF-8")
+    val re = """register(?:GenericUDF|GenericUDAF|GenericUDTF|UDF|UDAF|Function)\("([^"]+)"""".r
+    val extracted = re.findAllMatchIn(src).map(_.group(1)).toSet
+    val classified = literal.map(_._1).toSet
+    assert(extracted == classified,
+      s"registry drift — unclassified: ${(extracted -- classified).toSeq.sorted.mkString(", ")}; " +
+        s"stale: ${(classified -- extracted).toSeq.sorted.mkString(", ")}")
   }
 
   test("every scalar surface evaluates in a graft session") {

@@ -146,25 +146,27 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(capN <= 30L * nDocs, s"capped simhash pairs superlinear: $capN for $nDocs docs")
   }
 
+  // 20 replicas per embedding: k=0 original; k>0 scaled by a positive,
+  // index-alternating factor — signs (hence cells) preserved, cosine vs
+  // the original ~0.998, so every (base, twin) pair is a true near-dup
+  // that MUST surface through the cell path. Shared by the 20x cell test
+  // and the bits sweep.
+  private lazy val embBase = Tables.embeddings(spark, sf01)
+    .select(col("vec_id"), col("embedding"), col("label"))
+  private lazy val emb20 = (0 until 20).map { k =>
+    if (k == 0) embBase
+    else embBase.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0f) + lit(0.05f * k / 20) *
+          when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+        .as("embedding"),
+      col("label"))
+  }.reduce(_ unionAll _).localCheckpoint(true)
+  private lazy val nBase = embBase.count()
+
   test("20x embeddings: quantized cells partition exactly; within-cell pairs are " +
        "closed-form-bounded, equi-join planned, and find every planted twin") {
     import graft.operators.Similarity
-    val base = Tables.embeddings(spark, sf01)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    // 20 replicas per vector: k=0 original; k>0 scaled by a positive,
-    // index-alternating factor — signs (hence cells) preserved, cosine vs
-    // the original ~0.998, so every (base, twin) pair is a true near-dup
-    // that MUST surface through the cell path.
-    val emb20 = (0 until 20).map { k =>
-      if (k == 0) base
-      else base.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          x * (lit(1.0f) + lit(0.05f * k / 20) *
-            when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
-          .as("embedding"),
-        col("label"))
-    }.reduce(_ unionAll _).localCheckpoint(true)
-    val nBase = base.count()
     val n20 = emb20.count()
 
     // cells partition the corpus: member counts sum back to corpus size
@@ -187,5 +189,38 @@ class ScaleStressSpec extends AnyFunSuite {
       .filter(col("idb") - col("ida") === 1000000L && col("ida") < 1000000L)
       .count()
     assert(found == nBase, s"only $found/$nBase planted twin pairs surfaced")
+  }
+
+  test("SemDeDup bits sweep: raising bits shrinks max-cell share and reducible " +
+       "pairs ~2^-Δbits, with zero twin loss at the finest cells") {
+    import graft.operators.Similarity
+    // "production raises bits" (Similarity scaladoc) as an executed claim:
+    // within-cell cost is sum(|cell|^2); each extra sign bit should
+    // roughly halve cells. Measured on this corpus the REDUCIBLE pair
+    // count (total minus the irreducible same-base 20-clique pairs, which
+    // no cell split can separate because replicas preserve signs) drops
+    // ~16x per 4 bits — assert >= 8x to leave distribution slack.
+    val cliquePairs = nBase * (20L * 19 / 2)
+    val stats = Seq(8, 12, 16).map { bits =>
+      val r = Similarity.quantizedCells(emb20, bits)
+        .agg(max(col("n_members")).as("maxn"),
+             sum(col("n_members") * (col("n_members") - 1) / lit(2)).as("pairs"))
+        .collect()(0)
+      bits -> ((r.getLong(0), r.getDouble(1).toLong - cliquePairs))
+    }.toMap
+    val (max8, red8) = stats(8)
+    val (max12, red12) = stats(12)
+    val (max16, red16) = stats(16)
+    assert(red8 > 0, "no reducible pairs at bits=8 — sweep corpus vacuous")
+    assert(max8 > max12 && max12 >= max16,
+      s"max cell members must shrink with bits: $max8 / $max12 / $max16")
+    assert(red12 <= red8 / 8, s"bits 8->12 reducible pairs only $red8 -> $red12")
+    assert(red16 <= red12 / 8, s"bits 12->16 reducible pairs only $red12 -> $red16")
+    // finest cells still hold every planted twin: same-sign scaling keeps
+    // each replica in its base's cell at ANY bits, so recall stays 1.0
+    val found = Similarity.withinCellPairs(emb20, bits = 16, threshold = 0.3)
+      .filter(col("idb") - col("ida") === 1000000L && col("ida") < 1000000L)
+      .count()
+    assert(found == nBase, s"bits=16 lost twins: $found/$nBase")
   }
 }
