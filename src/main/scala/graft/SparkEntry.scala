@@ -37,6 +37,7 @@ object SparkEntry {
     (functions.HiveCompat.queries, functions.HiveCompat.oracles),
     (sources.Formats.queries, sources.Formats.oracles),
     (operators.StorageOps.queries, operators.StorageOps.oracles),
+    (operators.JoinStrategies.queries, operators.JoinStrategies.oracles),
     (functions.TypeSystem.queries, functions.TypeSystem.oracles),
     (functions.LongTail.queries, functions.LongTail.oracles),
   )

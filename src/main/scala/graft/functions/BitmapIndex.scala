@@ -20,6 +20,17 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
   * reference's UDAF merges partial bitmaps per
   * GenericUDAFEWAHBitmap.java:141-160), so each group's bitmap is built
   * distributed with no row shuffle beyond the group-by itself.
+  *
+  * CONTRACT — combinator granularity: `bitmapAnd`/`bitmapOr`/
+  * `bitmapEmpty`/`bitmapCount` are Scala UDFs evaluated once per ROW of
+  * already-aggregated bitmaps, the reference's own usage shape (one
+  * bitmap per index key; set algebra over a handful of lanes, as in
+  * q169). That row count is the number of GROUPS, typically thousandsfold
+  * smaller than the corpus, so per-call serialization is noise there. Do
+  * NOT route per-event hot paths through these combinators — aggregate
+  * first with [[bitmapAgg]] (codegen'd input side, map-side partials),
+  * then combine the per-group results; a future native Expression upgrade
+  * would only matter if a caller violates this.
   */
 object BitmapIndex {
 

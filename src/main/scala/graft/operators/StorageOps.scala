@@ -123,11 +123,144 @@ object StorageOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** LOAD DATA INPATH + TRUNCATE TABLE PARTITION round-trip (reference
+    * LoadSemanticAnalyzer.java / DDLTask.truncateTable): stage each order
+    * status as raw parquet, LOAD each stage into its partition of an
+    * empty catalog table (file moves + ADD PARTITION — zero rewrite),
+    * then TRUNCATE the 'P' partition. The oracle recomputes the surviving
+    * state straight from orders, so a load that loses/duplicates files or
+    * a truncate that misses/overshoots its partition breaks the hash. */
+  val q189_load_data: Q = (s, d) => {
+    val db = dbFor(d)
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val dbLoc = new org.apache.hadoop.fs.Path(s.catalog.getDatabase(db).locationUri)
+    val fs = dbLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    s.sql(s"DROP TABLE IF EXISTS $db.orders_loaded")
+    val loc = new org.apache.hadoop.fs.Path(dbLoc, "orders_loaded")
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    val base = Tables.orders(s, d)
+    // empty partitioned table carrying the full schema
+    base.filter(lit(false)).write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus").saveAsTable(s"$db.orders_loaded")
+    Seq("F", "O", "P").foreach { st =>
+      val stage = tmp(d, s"load_stage_$st")
+      base.filter(col("o_orderstatus") === st).drop("o_orderstatus")
+        .write.mode(SaveMode.Overwrite).parquet(stage)
+      graft.etl.LoadData.sql(s,
+        s"LOAD DATA INPATH '$stage' INTO TABLE $db.orders_loaded " +
+          s"PARTITION (o_orderstatus='$st')")
+    }
+    s.sql(s"TRUNCATE TABLE $db.orders_loaded PARTITION (o_orderstatus='P')")
+    s.table(s"$db.orders_loaded")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** EXPORT/IMPORT round-trip (reference ExportSemanticAnalyzer.java /
+    * ImportSemanticAnalyzer.java): a partitioned copy of customer is
+    * exported (data + replayable DDL descriptor), replayed as a fresh
+    * table, and aggregated from the IMPORTED side — the oracle computes
+    * the same answer from the source table, so the descriptor, the data
+    * copy, and partition re-discovery must all be lossless. */
+  val q190_export_import: Q = (s, d) => {
+    val db = dbFor(d)
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val dbLoc = new org.apache.hadoop.fs.Path(s.catalog.getDatabase(db).locationUri)
+    val fs = dbLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("cust_exp", "cust_imp").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $db.$t")
+      val loc = new org.apache.hadoop.fs.Path(dbLoc, t)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val expDir = new org.apache.hadoop.fs.Path(tmp(d, "cust_export"))
+    val expFs = expDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (expFs.exists(expDir)) expFs.delete(expDir, true)
+
+    Tables.customer(s, d).write.mode(SaveMode.Overwrite)
+      .partitionBy("c_mktsegment").saveAsTable(s"$db.cust_exp")
+    graft.etl.ExportImport.exportTable(s, s"$db.cust_exp", expDir.toString)
+    graft.etl.ExportImport.importTable(s, expDir.toString, s"$db.cust_imp")
+    s.table(s"$db.cust_imp")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+           sum(col("c_acctbal").cast(DecimalType(25, 2))).cast("double").as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** INSERT OVERWRITE DIRECTORY, statement form (reference
+    * SemanticAnalyzer directory-target FileSink): the Hive multi-insert
+    * grammar writes a filtered projection to a directory; the query reads
+    * the directory back and aggregates, oracle recomputes from source. */
+  val q191_overwrite_directory: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    val dir = tmp(d, "iod_lineitem")
+    MultiInsert.sql(s,
+      s"""FROM lineitem
+         |INSERT OVERWRITE DIRECTORY '$dir'
+         |  SELECT l_linestatus, l_quantity, l_extendedprice
+         |  WHERE l_returnflag = 'R'""".stripMargin)
+    s.read.parquet(dir)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_quantity").cast(DecimalType(25, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** ACID UPDATE + DELETE (UpdateDeleteSemanticAnalyzer.java, copy-on-
+    * write flavor): flag indebted suppliers, delete one nation's rows,
+    * read the surviving state back. The oracle recomputes both mutations
+    * relationally, so predicate routing, the untouched-row passthrough,
+    * and the staged swap must all be exact. */
+  val q192_update_delete: Q = (s, d) => {
+    val path = tmp(d, "supplier_cow")
+    Tables.supplier(s, d).write.mode(SaveMode.Overwrite).parquet(path)
+    CopyOnWrite.update(s, path, col("s_acctbal") < 0,
+      Map("s_name" -> lit("IN_DEBT")))
+    CopyOnWrite.delete(s, path, col("s_nationkey") === 3)
+    s.read.parquet(path)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+           sum(col("s_acctbal").cast(DecimalType(25, 2))).cast("double").as("sum_bal"),
+           sum(when(col("s_name") === "IN_DEBT", 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** SequenceFile round-trip (HiveSequenceFileOutputFormat /
+    * SequenceFileInputFormat): the one format whose Spark mapping is
+    * genuinely the RDD layer (SURVEY §1.3 — key-value pairs, splittable,
+    * no DataFrame source). Write (doc_id, lang) pairs, read them back
+    * through sequenceFile[Long, String], aggregate — the oracle computes
+    * the same rollup from the parquet source, so the binary round trip
+    * must be lossless. */
+  val q193_seqfile_roundtrip: Q = (s, d) => {
+    val path = tmp(d, "docs_seq")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Tables.documents(s, d).select(col("doc_id"), col("lang")).rdd
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+      .saveAsSequenceFile(path)
+    val back = s.sparkContext.sequenceFile[Long, String](path)
+    s.createDataFrame(back).toDF("doc_id", "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("min_id"),
+           max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q149_smb_join" -> q149_smb_join,
     "q150_partitioned_sink" -> q150_partitioned_sink,
     "q151_multi_insert" -> q151_multi_insert,
     "q152_merge_upsert" -> q152_merge_upsert,
+    "q189_load_data" -> q189_load_data,
+    "q190_export_import" -> q190_export_import,
+    "q191_overwrite_directory" -> q191_overwrite_directory,
+    "q192_update_delete" -> q192_update_delete,
+    "q193_seqfile_roundtrip" -> q193_seqfile_roundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +279,32 @@ object StorageOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q189_load_data" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q190_export_import" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q191_overwrite_directory" ->
+      """SELECT l_linestatus, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q192_update_delete" ->
+      """WITH survivors AS (
+        |  SELECT s_nationkey, s_acctbal,
+        |    CASE WHEN s_acctbal < 0 THEN 'IN_DEBT' ELSE s_name END AS s_name
+        |  FROM supplier WHERE s_nationkey <> 3)
+        |SELECT s_nationkey, COUNT(1) AS n_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_bal,
+        |  CAST(SUM(CASE WHEN s_name = 'IN_DEBT' THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM survivors GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q193_seqfile_roundtrip" ->
+      """SELECT lang, COUNT(1) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q152_merge_upsert" ->
       """WITH merged AS (
         |  SELECT c_custkey,

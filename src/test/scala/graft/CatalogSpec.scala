@@ -181,4 +181,74 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.table("graft_msck").filter($"p" === 3).count() == 1)
     } finally spark.sql("DROP TABLE IF EXISTS graft_msck")
   }
+
+  test("LOAD DATA INPATH: file-move ingestion into managed and partitioned tables") {
+    // reference parse/LoadSemanticAnalyzer.java + MoveTask: ingestion is a
+    // rename + partition registration, never a rewrite
+    import spark.implicits._
+    import graft.etl.LoadData
+    val stage = java.nio.file.Files.createTempDirectory("graft_load_stage").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(s"$stage/b1")
+    Seq((3L, "c")).toDF("id", "s").write.parquet(s"$stage/b2")
+    Seq((9L, "z")).toDF("id", "s").write.parquet(s"$stage/b3")
+    spark.sql("DROP TABLE IF EXISTS graft_load")
+    spark.sql("DROP TABLE IF EXISTS graft_loadp")
+    spark.sql("CREATE TABLE graft_load (id BIGINT, s STRING) USING parquet")
+    try {
+      // plain INPATH moves the staged files away
+      assert(LoadData.sql(spark,
+        s"LOAD DATA INPATH '$stage/b1' INTO TABLE graft_load") >= 1)
+      assert(spark.table("graft_load").count() == 2)
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$stage/b1"))
+        .filter(p => p.toString.endsWith(".parquet")).count() == 0,
+        "INPATH must MOVE the source files, not copy them")
+      // INTO appends; LOCAL keeps the source
+      LoadData.sql(spark, s"LOAD DATA LOCAL INPATH '$stage/b2' INTO TABLE graft_load")
+      assert(spark.table("graft_load").count() == 3)
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$stage/b2"))
+        .filter(p => p.toString.endsWith(".parquet")).count() >= 1,
+        "LOCAL INPATH must keep the source files")
+      // OVERWRITE replaces the table contents
+      LoadData.sql(spark, s"LOAD DATA LOCAL INPATH '$stage/b2' OVERWRITE INTO TABLE graft_load")
+      assert(spark.table("graft_load").collect().map(_.getLong(0)).toSet == Set(3L))
+
+      // partitioned target: files land under p=7 and the partition registers
+      spark.sql(
+        """CREATE TABLE graft_loadp (id BIGINT, s STRING, p INT)
+          |USING parquet PARTITIONED BY (p)""".stripMargin)
+      LoadData.sql(spark, s"LOAD DATA INPATH '$stage/b3' INTO TABLE graft_loadp PARTITION (p='7')")
+      assert(spark.sql("SHOW PARTITIONS graft_loadp").collect()
+        .map(_.getString(0)).sameElements(Array("p=7")))
+      assert(spark.table("graft_loadp").filter($"p" === 7).count() == 1)
+      // spec must name the partition columns exactly
+      intercept[IllegalArgumentException] {
+        LoadData.load(spark, s"$stage/b2", "graft_loadp")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_load")
+      spark.sql("DROP TABLE IF EXISTS graft_loadp")
+    }
+  }
+
+  test("TRUNCATE TABLE empties data, preserves schema, and scopes to a partition") {
+    // reference exec/DDLTask.java truncateTable: Spark's native TRUNCATE
+    // covers datasource tables, so the surface needs coverage, not code
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_trunc")
+    spark.sql(
+      """CREATE TABLE graft_trunc (id BIGINT, s STRING, p INT)
+        |USING parquet PARTITIONED BY (p)""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft_trunc VALUES (1, 'a', 1), (2, 'b', 1), (3, 'c', 2)")
+      // partition-scoped truncate drops only p=1 rows, keeps both partitions' metadata path
+      spark.sql("TRUNCATE TABLE graft_trunc PARTITION (p=1)")
+      assert(spark.table("graft_trunc").collect().map(_.getLong(0)).toSet == Set(3L))
+      // full truncate: zero rows, schema + insertability intact
+      spark.sql("TRUNCATE TABLE graft_trunc")
+      assert(spark.table("graft_trunc").count() == 0)
+      assert(spark.table("graft_trunc").columns.sameElements(Array("id", "s", "p")))
+      spark.sql("INSERT INTO graft_trunc VALUES (9, 'z', 3)")
+      assert(spark.table("graft_trunc").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_trunc")
+  }
 }

@@ -509,4 +509,122 @@ class NegativeSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("range") ||
            e.getMessage.toLowerCase.contains("data type"), e.getMessage)
   }
+
+  // --- round-5 depth: the analysis families the reference stresses most
+  // (clientnegative subquery_* / acid-on-nonacid writes / TRANSFORM
+  // misuse / load-path misuse) ---
+
+  test("comparing a scalar against a multi-column subquery is rejected (subquery_select_aggregate analog)") {
+    Tables.registerAll(spark, sf)
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT n_name FROM nation
+                  |WHERE n_nationkey = (SELECT s_suppkey, s_nationkey FROM supplier)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("column") ||
+           e.getMessage.toLowerCase.contains("subquery"), e.getMessage)
+  }
+
+  test("scalar subquery producing more than one row fails loudly at runtime (subquery_scalar_multi_rows)") {
+    Tables.registerAll(spark, sf)
+    val e = intercept[Exception] {
+      spark.sql("SELECT (SELECT s_suppkey FROM supplier) AS one FROM nation").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("more than one row") ||
+           e.getMessage.contains("SCALAR_SUBQUERY_TOO_MANY_ROWS"), e.getMessage)
+  }
+
+  test("IN over a tuple with mismatched subquery column count is rejected (subquery_in_groupby kin)") {
+    Tables.registerAll(spark, sf)
+    val e = intercept[AnalysisException] {
+      spark.sql("""SELECT n_name FROM nation
+                  |WHERE (n_nationkey, n_name) IN (SELECT s_suppkey FROM supplier)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("column") ||
+           e.getMessage.toLowerCase.contains("mismatch"), e.getMessage)
+  }
+
+  test("TRANSFORM through a failing script surfaces the exit status (script_error analog)") {
+    Tables.registerAll(spark, sf)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.sql("""SELECT TRANSFORM (n_name) USING 'false' AS (x STRING)
+                  |FROM nation""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("exit") ||
+           e.getMessage.toLowerCase.contains("status"), e.getMessage)
+  }
+
+  test("TRANSFORM through a nonexistent binary is a clean job failure, not a hang") {
+    Tables.registerAll(spark, sf)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.sql("""SELECT TRANSFORM (n_name) USING '/no/such/graft_binary' AS (x STRING)
+                  |FROM nation""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("no such") ||
+           e.getMessage.toLowerCase.contains("cannot run") ||
+           e.getMessage.toLowerCase.contains("error"), e.getMessage)
+  }
+
+  test("UPDATE on a non-transactional parquet table is rejected (update_non_acid_table analog)") {
+    spark.sql("DROP TABLE IF EXISTS neg_nonacid_u")
+    spark.sql("CREATE TABLE neg_nonacid_u USING parquet AS SELECT id FROM range(3)")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE neg_nonacid_u SET id = 0 WHERE id = 1")
+      }
+      assert(e.getMessage.toLowerCase.contains("update") ||
+             e.getMessage.toLowerCase.contains("support"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS neg_nonacid_u")
+  }
+
+  test("DELETE on a non-transactional parquet table is rejected (delete_non_acid_table analog)") {
+    spark.sql("DROP TABLE IF EXISTS neg_nonacid_d")
+    spark.sql("CREATE TABLE neg_nonacid_d USING parquet AS SELECT id FROM range(3)")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM neg_nonacid_d WHERE id = 1")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete") ||
+             e.getMessage.toLowerCase.contains("support"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS neg_nonacid_d")
+  }
+
+  test("MERGE INTO a non-transactional parquet table is rejected; CopyOnWrite is the graft path") {
+    spark.sql("DROP TABLE IF EXISTS neg_nonacid_m")
+    spark.sql("CREATE TABLE neg_nonacid_m USING parquet AS SELECT id FROM range(3)")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO neg_nonacid_m t USING (SELECT 1 AS id) s
+                    |ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e.getMessage.toLowerCase.contains("merge") ||
+             e.getMessage.toLowerCase.contains("support"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS neg_nonacid_m")
+  }
+
+  test("LOAD DATA from a missing path and unparsable LOAD DATA are typed errors") {
+    spark.sql("DROP TABLE IF EXISTS neg_load_t")
+    spark.sql("CREATE TABLE neg_load_t (id BIGINT) USING parquet")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.etl.LoadData.load(spark, "/no/such/graft_load_dir", "neg_load_t")
+      }
+      assert(e.getMessage.contains("does not exist"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        graft.etl.LoadData.sql(spark, "LOAD DATA SIDEWAYS INTO neg_load_t")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS neg_load_t")
+  }
+
+  test("LOAD DATA into a view is rejected (load_view_failure analog)") {
+    spark.sql("DROP VIEW IF EXISTS neg_load_v")
+    // persistent view (temp-view references are themselves rejected)
+    spark.sql("CREATE VIEW neg_load_v AS SELECT 1 AS id")
+    try {
+      intercept[Exception] {
+        graft.etl.LoadData.load(spark, "/tmp", "neg_load_v")
+      }
+    } finally spark.sql("DROP VIEW IF EXISTS neg_load_v")
+  }
 }
