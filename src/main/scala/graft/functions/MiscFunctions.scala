@@ -169,7 +169,28 @@ object MiscFunctions {
       .orderBy(col("p_partkey"))
   }
 
+  /** xpath family promoted to an oracle row (reference
+    * ql/src/java/org/apache/hadoop/hive/ql/udf/xml/UDFXPathUtil.java +
+    * GenericUDFXPath: xpath_string/xpath_int/xpath_boolean and the
+    * node-list xpath). XML is synthesized in-query from nation, then
+    * parsed back with real XPath evaluation; the DuckDB oracle recomputes
+    * every field relationally with no XML at all — an independent
+    * spelling, so extraction must exactly invert construction. */
+  val q197_xpath: Q = (s, d) => {
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), concat(
+        lit("<n><k>"), col("n_nationkey"), lit("</k><nm>"), col("n_name"),
+        lit("</nm><r>"), col("n_regionkey"), lit("</r></n>")).as("xml"))
+      .select(
+        expr("xpath_int(xml, '/n/k/text()')").as("k"),
+        expr("xpath_string(xml, '/n/nm/text()')").as("nm"),
+        expr("xpath_boolean(xml, '/n/r[text()=\"0\"]')").as("in_r0"),
+        expr("size(xpath(xml, '/n/*/text()'))").as("n_children"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_xpath" -> q197_xpath,
     "q188_string_tail2" -> q188_string_tail2,
     "q187_masking" -> q187_masking,
     "q78_encodings" -> q78_encodings,
@@ -180,6 +201,10 @@ object MiscFunctions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_xpath" ->
+      """SELECT CAST(n_nationkey AS INT) AS k, n_name AS nm,
+        |  n_regionkey = 0 AS in_r0, 3 AS n_children
+        |FROM nation ORDER BY k""".stripMargin,
     "q188_string_tail2" ->
       """SELECT p_partkey,
         |  CAST(levenshtein(p_name, p_type) AS INT) AS lev,

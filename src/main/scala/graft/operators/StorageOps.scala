@@ -251,7 +251,27 @@ object StorageOps {
       .orderBy(col("lang"))
   }
 
+  /** Small-file compaction round-trip (the reference's merge-files task,
+    * DDLTask ALTER TABLE CONCATENATE kin / txn compactor Worker.java):
+    * write orders deliberately fragmented (32 splits), compact via
+    * CopyOnWrite.compact — a shuffle-free coalesce rewrite — and
+    * aggregate the compacted table. A compaction that loses or
+    * duplicates rows breaks the hash; the require makes a silent no-op
+    * impossible, so this gate row really exercises the rewrite. */
+  val q196_compaction: Q = (s, d) => {
+    val path = tmp(d, "orders_compact")
+    Tables.orders(s, d).repartition(32).write.mode(SaveMode.Overwrite).parquet(path)
+    val (before, after) = CopyOnWrite.compact(s, path)
+    require(after < before, s"compaction did not reduce files: $before -> $after")
+    s.read.parquet(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q196_compaction" -> q196_compaction,
     "q149_smb_join" -> q149_smb_join,
     "q150_partitioned_sink" -> q150_partitioned_sink,
     "q151_multi_insert" -> q151_multi_insert,
@@ -305,6 +325,10 @@ object StorageOps {
     "q193_seqfile_roundtrip" ->
       """SELECT lang, COUNT(1) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q196_compaction" ->
+      """SELECT o_orderpriority, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q152_merge_upsert" ->
       """WITH merged AS (
         |  SELECT c_custkey,

@@ -336,7 +336,34 @@ object TextAnalysis {
       .orderBy(col("c_custkey"))
   }
 
+  /** Rare-token ratio — the unigram-frequency quality signal corpus
+    * filters use (docs dominated by tokens the corpus has barely seen are
+    * OCR noise, codes, or foreign-script leakage). One token explode+agg
+    * builds the vocab counts (map-side combined); the corpus token total
+    * joins the vocab SLIVER (not the corpus) as a broadcast 1-row scalar;
+    * the vocab-with-flags then broadcasts back onto the token stream. A
+    * token is "rare" when its count is under 1/500th of the corpus total
+    * — relative, so the signal survives any scale factor. All aggregates
+    * are integer-exact; the single ratio division is one IEEE op, safe
+    * for the bit-exact oracle. */
+  val q198_token_rarity: Q = (s, d) => {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("tok"))
+    val counts = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val flagged = counts.crossJoin(broadcast(total))
+      .select(col("tok"), col("cnt"), (col("cnt") * 500 < col("total")).as("is_rare"))
+    tokens.join(broadcast(flagged), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("is_rare"), 1L).otherwise(0L)).as("n_rare"),
+           min(col("cnt")).as("rarest_cnt"))
+      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q198_token_rarity" -> q198_token_rarity,
     "q176_pii_scrub" -> q176_pii_scrub,
     "q178_bm25" -> q178_bm25,
     "q182_tfidf_terms" -> q182_tfidf_terms,
@@ -355,6 +382,18 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q198_token_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |f AS (SELECT tok, cnt, cnt * 500 < (SELECT sum(cnt) FROM c) AS is_rare FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  min(cnt) AS rarest_cnt,
+        |  CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
+        |FROM toks JOIN f USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q186_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q171_ds_iceberg" -> "scalar average-price gate: 1x1 broadcast of a singleton agg",
     "q178_bm25" -> "corpus x broadcast(1-row N/avgdl/df stats) — BM25 scalar gate",
     "q182_tfidf_terms" -> "agg sliver x broadcast(1-row corpus doc count) — idf scalar gate",
+    "q198_token_rarity" -> "vocab sliver x broadcast(1-row corpus token total) — rarity scalar gate",
   )
 
   test("no query plans a CartesianProduct; BNLJ only where justified") {
