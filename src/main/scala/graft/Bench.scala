@@ -45,6 +45,8 @@ object Bench {
     "q68_cosine_topk",    // similarity
     "q178_bm25",          // BM25 scoring (scan + 1-row stats broadcast)
     "q180_semdedup",      // quantized-cell within-cell near-dup
+    "q111_neardup_lsh",   // banded sign-LSH near-dup gate (plan-native twins)
+    "q198_token_rarity",  // unigram rarity quality signal
     "q71_tumbling_window",// event windows
     "q73_sessionize",     // sessionization
     "q75_fingerprint",    // custom expressions

@@ -136,7 +136,13 @@ object Similarity {
     * SF, so the corpus is unioned with planted perturbed twins (same
     * label, so the blocking key routes each vector to its twin) — the
     * row-count gate is non-vacuous: a broken join or cosine yields 0 or
-    * wrong rows, and the DuckDB oracle plants the identical twins. */
+    * wrong rows, and the DuckDB oracle plants the identical twins.
+    *
+    * Scaling contract: this is the GROUND-TRUTH row — within-block
+    * all-pairs, O(sum |block|^2), valid only while the blocking key keeps
+    * blocks small. When one block dominates (or there is no usable key),
+    * use the sub-quadratic paths instead: banded sign-LSH (q111 /
+    * nearDupLsh) or quantized cells (q180 / withinCellPairs). */
   val q70_embedding_neardup: Q = (s, d) => {
     val base = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), col("embedding"))
@@ -331,7 +337,30 @@ object Similarity {
     withinCellPairs(Tables.embeddings(s, d), bits = 8, threshold = 0.3)
       .orderBy(col("ida"), col("idb"))
 
+  /** Int8 embedding quantization — the store-ready compression step every
+    * large vector corpus runs before serving (4x size cut vs float32):
+    * per-vector max-abs scale to [-127, 127], elementwise floor. Pure
+    * projection, scan speed, no shuffle at all. The gate emits
+    * integer-exact digests (sum/min/max of the quantized values) so the
+    * oracle is bit-stable: floor() is specified identically in both
+    * engines, and every multiply/divide is one IEEE double op with
+    * identical association. */
+  val q200_embed_quantize: Q = (s, d) => {
+    val maxabs = expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+      .select(col("vec_id"), round(col("maxabs"), 6).as("maxabs_r"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT))").as("q"))
+      .select(col("vec_id"), col("maxabs_r"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q200_embed_quantize" -> q200_embed_quantize,
     "q179_quantized_cells" -> q179_quantized_cells,
     "q180_semdedup" -> q180_semdedup,
     "q68_cosine_topk" -> q68_cosine_topk,
@@ -350,6 +379,22 @@ object Similarity {
       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q200_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, round(maxabs, 6) AS maxabs_r,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)) AS qv
+        |  FROM m)
+        |SELECT vec_id, maxabs_r,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q179_quantized_cells" -> {
       val cellSql = (0 until 8).map(i =>
         s"CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")

@@ -350,7 +350,11 @@ object TextAnalysis {
     val tokens = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("tok"))
     val counts = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
+    // corpus token total from the doc-level sizes — same number as
+    // sum(cnt) but computed WITHOUT re-exploding the token stream, so the
+    // vocab-count subtree runs once (PlanSpec pins the shuffle budget)
+    val total = Tables.documents(s, d)
+      .agg(sum(size(split(trim(col("text")), " +"))).as("total"))
     val flagged = counts.crossJoin(broadcast(total))
       .select(col("tok"), col("cnt"), (col("cnt") * 500 < col("total")).as("is_rare"))
     tokens.join(broadcast(flagged), Seq("tok"))
@@ -362,7 +366,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style merge-candidate counting — the inner loop of tokenizer
+    * training: count adjacent token pairs across the corpus, rank the
+    * top merge candidates. One zip_with per document builds the pair
+    * array with NO join and no window; the explode+agg is map-side
+    * combined and keyed by pair, so the shuffle carries only (pair,
+    * partial count) — at 100 TB this is a scan plus one vocab-sized
+    * shuffle, exactly how distributed BPE rounds run. Deterministic
+    * top-20 via (count desc, pair asc). */
+  val q199_bpe_pairs: Q = (s, d) => {
+    val ws = split(trim(col("text")), " +")
+    val pairs = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(s, d)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q199_bpe_pairs" -> q199_bpe_pairs,
     "q198_token_rarity" -> q198_token_rarity,
     "q176_pii_scrub" -> q176_pii_scrub,
     "q178_bm25" -> q178_bm25,
@@ -382,12 +408,22 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q199_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+        |e AS (
+        |  SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT ws[i] || ' ' || ws[i + 1] AS pair, count(*) AS cnt
+        |FROM e GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q198_token_rarity" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
         |  FROM documents),
         |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-        |f AS (SELECT tok, cnt, cnt * 500 < (SELECT sum(cnt) FROM c) AS is_rare FROM c)
+        |t AS (SELECT sum(len(regexp_split_to_array(trim(text), ' +'))) AS total
+        |      FROM documents),
+        |f AS (SELECT tok, cnt, cnt * 500 < (SELECT total FROM t) AS is_rare FROM c)
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
         |  min(cnt) AS rarest_cnt,

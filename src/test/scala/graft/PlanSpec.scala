@@ -69,6 +69,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p40.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p40.take(1500))
   }
 
+  test("q194 merge hint really produces a sort-merge join; q195 salted join stays equi") {
+    val p194 = plan("q194_sortmerge_join")
+    assert(p194.contains("SortMergeJoin"), p194.take(1500))
+    assert(!p194.contains("BroadcastHashJoin"), "hint('merge') was ignored")
+    val p195 = plan("q195_salted_skew_join")
+    assert(!p195.contains("CartesianProduct") && !p195.contains("BroadcastNestedLoopJoin"),
+      "salted join must remain an equi-join")
+  }
+
+  test("q198 rarity join broadcasts the vocab sliver, never shuffles the token stream") {
+    val p = plan("q198_token_rarity")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    // the only hash-shuffles allowed are the two keyed aggregations
+    // (vocab count + per-doc rollup) — the token->vocab JOIN must not
+    // add a third repartitioning of the exploded token stream
+    val joinShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(joinShuffles <= 2, s"unexpected extra shuffle:\n${p.take(2000)}")
+  }
+
   test("q118 EXISTS/NOT EXISTS self-joins rewrite to semi/anti joins") {
     val p = plan("q118_waiting_supplier")
     assert(!p.contains("CartesianProduct"), p.take(2000))
