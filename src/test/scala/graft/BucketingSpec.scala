@@ -60,4 +60,34 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftdb.orders_b")
     spark.sql("DROP TABLE graftdb.lineitem_b")
   }
+
+  test("point filter on the bucket column prunes to one bucket at scan time") {
+    // bucket pruning (the reference's TABLESAMPLE-on-bucketed-table read
+    // path, ql/io/BucketizedHiveInputFormat kin): an equality filter on
+    // the bucketing column must read 1 of 8 bucket files, not the table —
+    // at 100 TB that is the difference between a point lookup and a scan
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
+    spark.sql("DROP TABLE IF EXISTS graftdb.cust_bucketed")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$wh/graftdb.db/cust_bucketed"))
+    Tables.customer(spark, sf)
+      .write.bucketBy(8, "c_custkey").saveAsTable("graftdb.cust_bucketed")
+    // autoBucketedScan drops bucketing when no join wants the
+    // distribution — but that also forfeits bucket pruning; disable it so
+    // the point filter can prune (the setting a lookup-heavy production
+    // table would run with)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = spark.table("graftdb.cust_bucketed").filter(col("c_custkey") === 42)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+      assert(q.collect().map(_.getAs[Number]("c_custkey").longValue()).forall(_ == 42L))
+    } finally {
+      spark.conf.set(key, old)
+      spark.sql("DROP TABLE IF EXISTS graftdb.cust_bucketed")
+    }
+  }
 }
