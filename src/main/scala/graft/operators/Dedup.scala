@@ -71,15 +71,24 @@ object Dedup {
     * found only via another band or the closure — that bounded gap
     * replaces the unbounded quadratic blowup. Cost: one
     * map-side-combinable count plus a join per path. */
-  def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
-                    maxBucket: Int = 4096): DataFrame = {
+  /** Persistable LSH band index: one (doc_id, band, bh) row per band.
+    * This IS the incremental-dedup state: write it partitioned/bucketed
+    * by (band, bh) once per corpus snapshot, and each day's new batch
+    * joins its own (tiny) index against it — no full-corpus re-pairing.
+    * See [[incrementalCandidates]]. */
+  def bandIndex(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
              xxhash64((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*).as("bh"))
     }
-    val exploded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                    maxBucket: Int = 4096): DataFrame = {
+    val exploded = bandIndex(sigs, bands, rowsPerBand)
     val stats = exploded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"))
     val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
@@ -91,6 +100,42 @@ object Dedup {
       .join(stats.filter(col("bsz") > maxBucket).select(col("band"), col("bh"), col("minid")),
             Seq("band", "bh"))
       .where(col("doc_id") =!= col("minid"))
+      .select(col("minid").as("ida"), col("doc_id").as("idb"))
+    pairwise.union(starred).distinct()
+  }
+
+  /** Incremental near-dup candidates: pairs sharing a band bucket where
+    * AT LEAST ONE side is in the new batch — old-vs-old pairs were
+    * already adjudicated when the old snapshot was indexed, so they are
+    * never re-enumerated. This is the daily-ingest shape at 100 TB: the
+    * corpus-side cost is ONE equi-join of the (tiny) new-batch index
+    * against the persisted [[bandIndex]], not a quadratic re-pairing.
+    *
+    * Over-cap buckets take the same star-edge path as [[lshCandidates]]
+    * (every member pairs with the bucket min), kept only when the member
+    * or the bucket min is new — the linear escape hatch for boilerplate
+    * cliques, with closure recovering the clique downstream. */
+  def incrementalCandidates(oldIdx: DataFrame, newIdx: DataFrame,
+                            maxBucket: Int = 4096): DataFrame = {
+    val all = oldIdx.withColumn("is_new", lit(false))
+      .unionByName(newIdx.withColumn("is_new", lit(true)))
+    val stats = all.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"),
+           min(when(col("is_new"), col("doc_id"))).as("min_new_id"))
+    val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
+    val boundedNew = newIdx.join(okBuckets, Seq("band", "bh"), "left_semi")
+    val boundedAll = all.select(col("doc_id"), col("band"), col("bh"))
+      .join(okBuckets, Seq("band", "bh"), "left_semi")
+    val pairwise = boundedNew.as("x").join(boundedAll.as("y"), Seq("band", "bh"))
+      .where(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("ida"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("idb"))
+    val starred = all
+      .join(stats.filter(col("bsz") > maxBucket)
+              .select(col("band"), col("bh"), col("minid"), col("min_new_id")),
+            Seq("band", "bh"))
+      .where(col("doc_id") =!= col("minid") &&
+             (col("is_new") || col("minid") === col("min_new_id")))
       .select(col("minid").as("ida"), col("doc_id").as("idb"))
     pairwise.union(starred).distinct()
   }
@@ -371,6 +416,26 @@ object Dedup {
       .orderBy(col("comp"))
   }
 
+  /** Incremental dedup gate: docs with doc_id % 4 == 0 play the "new
+    * batch", the rest the already-indexed corpus. Same signatures and
+    * banding as q65, so recall is q65's; the oracle is the exact
+    * all-pairs answer restricted to pairs touching the new batch. In
+    * production oldIdx comes off the persisted snapshot index
+    * ([[bandIndex]]) and only the exact-verify step touches old docs'
+    * shingles — a candidate-sliver semi-join, not a corpus scan. */
+  val q201_incremental_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val oldIdx = bandIndex(minhashSignatures(shingleHashes(
+      docs.filter(col("doc_id") % 4 =!= 0))))
+    val newIdx = bandIndex(minhashSignatures(shingleHashes(
+      docs.filter(col("doc_id") % 4 === 0))))
+    val shAll = shingleHashes(docs)
+    exactJaccard(incrementalCandidates(oldIdx, newIdx), shAll, keepZero = false)
+      .filter(col("jac") >= 0.7)
+      .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
@@ -378,6 +443,7 @@ object Dedup {
     "q67_ngram_jaccard" -> q67_ngram_jaccard,
     "q123_dedup_clusters" -> q123_dedup_clusters,
     "q124_dedup_keep_best" -> q124_dedup_keep_best,
+    "q201_incremental_dedup" -> q201_incremental_dedup,
   )
 
   /** Shingle-set + threshold-filtered all-pairs CTEs shared by the
@@ -422,6 +488,11 @@ object Dedup {
         |SELECT n_copies, COUNT(1) AS n_groups, MIN(keep_id) AS min_keep
         |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "q65_minhash_lsh" -> jaccardAllPairsSql(0.7),
+    "q201_incremental_dedup" ->
+      s"""WITH ${shPairsCtes(0.7)}
+         |SELECT ida, idb, jac FROM pairs
+         |WHERE ida % 4 = 0 OR idb % 4 = 0
+         |ORDER BY ida, idb""".stripMargin,
     "q67_ngram_jaccard" -> jaccardAllPairsSql(0.5, docCap = 1000),
     "q123_dedup_clusters" ->
       s"""WITH RECURSIVE ${ccCtes(0.7)}

@@ -72,11 +72,53 @@ object EventsOps {
       .orderBy(col("cohort"))
   }
 
+  /** Streaming/batch parity as an oracle row: the watermarked tumbling
+    * window agg (streaming.EventsStream.hourlyCounts) run as a REAL
+    * Structured Streaming query — file source, AvailableNow trigger,
+    * complete-mode memory sink — must equal the batch SQL DuckDB runs.
+    * Complete mode re-emits the full aggregate on the final batch, so the
+    * sink table is deterministic regardless of how the trigger splits the
+    * input into micro-batches (the property that makes this gate honest:
+    * a watermark/state bug would desync it from the batch oracle). */
+  val q199_stream_batch_parity: Q = (s, d) => {
+    s.catalog.dropTempView("q199_sink")
+    val q = graft.streaming.EventsStream
+      .hourlyCounts(graft.streaming.EventsStream.readEvents(s, d))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("q199_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("q199_sink").orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Stream-stream interval join parity: view→purchase attribution
+    * (30-min window, both sides watermarked) as a real two-source
+    * streaming join. Inner interval joins emit matches eagerly — the
+    * watermark only bounds join STATE, not output — so at AvailableNow
+    * termination the append-mode sink holds the complete join and can be
+    * oracle-checked against DuckDB's batch self-join. */
+  val q200_stream_join_parity: Q = (s, d) => {
+    s.catalog.dropTempView("q200_sink")
+    val src1 = graft.streaming.EventsStream.readEvents(s, d)
+    val src2 = graft.streaming.EventsStream.readEvents(s, d)
+    val q = graft.streaming.EventsStream
+      .viewPurchaseAttribution(src1, src2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q200_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("q200_sink").orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_tumbling_window" -> q71_tumbling_window,
     "q72_sliding_window" -> q72_sliding_window,
     "q73_sessionize" -> q73_sessionize,
     "q74_pivot" -> q74_pivot,
+    "q199_stream_batch_parity" -> q199_stream_batch_parity,
+    "q200_stream_join_parity" -> q200_stream_join_parity,
   )
 
   /** DuckDB-side microsecond truncation of the ns timestamps. */
@@ -110,6 +152,19 @@ object EventsOps {
          |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
          |  CAST(epoch_us(MAX(tmu)) // 1000000 - epoch_us(MIN(tmu)) // 1000000 AS BIGINT) AS duration_s
          |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "q199_stream_batch_parity" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', $tsMu) AS win_start, event_type,
+         |  COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q200_stream_join_parity" ->
+      s"""SELECT v.user_id AS user_id, v.tmu AS view_ts, p.tmu AS purchase_ts
+         |FROM (SELECT user_id, $tsMu AS tmu FROM events WHERE event_type = 'view') v
+         |JOIN (SELECT user_id, $tsMu AS tmu FROM events WHERE event_type = 'purchase') p
+         |  ON v.user_id = p.user_id
+         | AND p.tmu >= v.tmu AND p.tmu <= v.tmu + INTERVAL '30 minutes'
+         |ORDER BY user_id, view_ts, purchase_ts""".stripMargin,
     "q74_pivot" ->
       """SELECT user_id % 10 AS cohort,
         |  COUNT(1) FILTER (event_type = 'click') AS click,

@@ -19,6 +19,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
   }
 
+  test("incremental dedup == full-corpus pairs restricted to the new batch") {
+    // the daily-ingest contract: indexing old once and joining only the
+    // new batch must find exactly the full-recompute pairs that touch
+    // the new batch (old-old pairs are the already-adjudicated rest)
+    val full = SparkEntry.queries("q65_minhash_lsh")(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 4 == 0 || b % 4 == 0 }
+    val inc = SparkEntry.queries("q201_incremental_dedup")(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected, s"incremental=${inc.size} expected=${expected.size}")
+    assert(full.exists { case (a, b) => a % 4 != 0 && b % 4 != 0 },
+      "restriction is vacuous: no old-old pair exists to exclude")
+  }
+
+  test("incremental dedup works off a PERSISTED band index (production path)") {
+    val docs = Tables.documents(spark, sf)
+    val oldIdx = Dedup.bandIndex(Dedup.minhashSignatures(Dedup.shingleHashes(
+      docs.filter(col("doc_id") % 4 =!= 0))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    try {
+      // snapshot index on disk, partitioned the way a warehouse would keep it
+      oldIdx.write.mode("overwrite").partitionBy("band").parquet(dir)
+      val persisted = spark.read.parquet(dir)
+        .select(col("doc_id"), col("band"), col("bh"))
+      val newIdx = Dedup.bandIndex(Dedup.minhashSignatures(Dedup.shingleHashes(
+        docs.filter(col("doc_id") % 4 === 0))))
+      val live = Dedup.incrementalCandidates(oldIdx, newIdx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromDisk = Dedup.incrementalCandidates(persisted, newIdx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fromDisk == live, s"disk=${fromDisk.size} live=${live.size}")
+      assert(fromDisk.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("SimHash pairs cover the high-Jaccard near-duplicates") {
     val sim = SparkEntry.queries("q66_simhash")(spark, sf)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
