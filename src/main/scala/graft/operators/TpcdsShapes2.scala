@@ -28,6 +28,9 @@ import graft.{Q, Tables}
   *  - q173: date-offset non-equi self join                 (perf/query72.q)
   *  - q174: aggregate-of-aggregate spend histogram         (perf/query54.q)
   *  - q175: per-row EXISTS + NOT EXISTS activity profile   (perf/query35.q, query69.q)
+  *  - q202: year-over-year growth ratio across channels    (perf/query4.q, query11.q, query74.q)
+  *  - q203: channel-overlap full-outer distinct-key counts (perf/query97.q)
+  *  - q204: per-group outlier vs 1.2x group average        (perf/query30.q, query81.q)
   *
   * Scale notes: every sliver the patterns join back to the fact is keyed on
   * a dimension-cardinality column (part, supplier, brand, week), so the
@@ -378,8 +381,84 @@ object TpcdsShapes2 {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** DS query4/query11/query74-shape: year-over-year growth ratio
+    * compared across two channels (channels = order-priority classes).
+    * The reference formulates this as a CTE joined to itself four times
+    * (one alias per year x channel); re-expressed Spark-first as ONE
+    * conditional aggregation — one fact scan, one shuffle, zero joins —
+    * because the four "aliases" are just four filtered sums of the same
+    * group. (The naive 4-alias join plan was measured: Catalyst pushes
+    * each slice filter through the aggregate and re-scans the fact four
+    * times.) The oracle keeps the reference's 4-way self-join spelling,
+    * so the rewrite is proven equivalent, and the compare multiplies
+    * through (u2*s1 > s2*u1) so no division touches the filter. */
+  val q202_ds_yoy_growth: Q = (s, d) => {
+    def slice(yr: Int, ch: String) =
+      sum(when(year(col("o_orderdate")) === yr &&
+               (if (ch == "pri") col("o_orderpriority") < "3"
+                else col("o_orderpriority") >= "3"),
+               col("o_totalprice")).cast(DecimalType(25, 2))).cast("double")
+    Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(slice(1996, "std").as("s1"), slice(1997, "std").as("s2"),
+           slice(1996, "pri").as("u1"), slice(1997, "pri").as("u2"))
+      .filter(col("s1").isNotNull && col("s2").isNotNull &&
+              col("u1").isNotNull && col("u2").isNotNull &&
+              col("s1") > 0 && col("u1") > 0 &&
+              col("u2") * col("s1") > col("s2") * col("u1"))
+      .select(col("custkey"),
+              round(col("s2") / col("s1"), 6).as("ratio_std"),
+              round(col("u2") / col("u1"), 6).as("ratio_pri"))
+      .orderBy(col("custkey"))
+  }
+
+  /** DS query97-shape: channel-overlap counts — distinct customer sets
+    * of two channels FULL OUTER joined on the key, one row of
+    * both/left-only/right-only counts. Each side reduces to distinct
+    * keys BEFORE the join (customer-cardinality), and the conditional
+    * counts are one pass over the joined sliver. */
+  val q203_ds_channel_overlap: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val pri = o.filter(col("o_orderpriority") < "3")
+      .select(col("o_custkey").as("pk")).distinct()
+    val std = o.filter(col("o_orderpriority") >= "3")
+      .select(col("o_custkey").as("sk")).distinct()
+    pri.join(std, col("pk") === col("sk"), "full_outer")
+      .agg(count(when(col("pk").isNotNull && col("sk").isNotNull, 1)).as("both_channels"),
+           count(when(col("pk").isNotNull && col("sk").isNull, 1)).as("pri_only"),
+           count(when(col("pk").isNull && col("sk").isNotNull, 1)).as("std_only"))
+  }
+
+  /** DS query30/query81-shape: per-customer return revenue exceeding
+    * 1.2x the average over the customer's nation. The per-customer agg
+    * is one fact shuffle; the per-nation stats are a second agg over
+    * that sliver joined back on the nation key (25 rows — broadcast);
+    * the compare multiplies through the nation count so both sides stay
+    * products of exact-decimal-derived doubles. */
+  val q204_ds_return_outliers: Q = (s, d) => {
+    val perCust = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(dsum(col("l_extendedprice")).as("ret_rev"))
+    val perNation = perCust.groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"),
+           sum(col("ret_rev").cast(DecimalType(25, 2))).as("nation_sum"))
+    perCust.join(perNation, col("c_nationkey") === col("nk"))
+      .filter(col("ret_rev") * col("n_cust") >
+              lit(1.2) * col("nation_sum").cast("double"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("custkey"), col("n_name"), col("ret_rev"))
+      .orderBy(col("custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ds_spend_histogram" -> q174_ds_spend_histogram,
+    "q202_ds_yoy_growth" -> q202_ds_yoy_growth,
+    "q203_ds_channel_overlap" -> q203_ds_channel_overlap,
+    "q204_ds_return_outliers" -> q204_ds_return_outliers,
     "q175_ds_profile" -> q175_ds_profile,
     "q170_ds_double_semi" -> q170_ds_double_semi,
     "q171_ds_iceberg" -> q171_ds_iceberg,
@@ -398,6 +477,51 @@ object TpcdsShapes2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q202_ds_yoy_growth" ->
+      """WITH yearly AS (
+        |  SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+        |    CASE WHEN o_orderpriority < '3' THEN 'pri' ELSE 'std' END AS ch,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2, 3)
+        |SELECT s1.ck AS custkey,
+        |  round(s2.total / s1.total, 6) AS ratio_std,
+        |  round(u2.total / u1.total, 6) AS ratio_pri
+        |FROM yearly s1
+        |JOIN yearly s2 ON s1.ck = s2.ck AND s2.yr = 1997 AND s2.ch = 'std'
+        |JOIN yearly u1 ON s1.ck = u1.ck AND u1.yr = 1996 AND u1.ch = 'pri'
+        |JOIN yearly u2 ON s1.ck = u2.ck AND u2.yr = 1997 AND u2.ch = 'pri'
+        |WHERE s1.yr = 1996 AND s1.ch = 'std'
+        |  AND s1.total > 0 AND u1.total > 0
+        |  AND u2.total * s1.total > s2.total * u1.total
+        |ORDER BY custkey""".stripMargin,
+    "q203_ds_channel_overlap" ->
+      """WITH pri AS (SELECT DISTINCT o_custkey AS pk FROM orders WHERE o_orderpriority < '3'),
+        |std AS (SELECT DISTINCT o_custkey AS sk FROM orders WHERE o_orderpriority >= '3')
+        |SELECT
+        |  COUNT(CASE WHEN pk IS NOT NULL AND sk IS NOT NULL THEN 1 END) AS both_channels,
+        |  COUNT(CASE WHEN pk IS NOT NULL AND sk IS NULL THEN 1 END) AS pri_only,
+        |  COUNT(CASE WHEN pk IS NULL AND sk IS NOT NULL THEN 1 END) AS std_only
+        |FROM pri FULL OUTER JOIN std ON pk = sk""".stripMargin,
+    "q204_ds_return_outliers" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS ret_rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1, 2),
+        |per_nation AS (
+        |  SELECT c_nationkey AS nk, COUNT(1) AS n_cust,
+        |    SUM(CAST(ret_rev AS DECIMAL(25,2))) AS nation_sum
+        |  FROM per_cust GROUP BY 1)
+        |SELECT c_custkey AS custkey, n_name, ret_rev
+        |FROM per_cust
+        |JOIN per_nation ON c_nationkey = nk
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE ret_rev * n_cust > 1.2 * CAST(nation_sum AS DOUBLE)
+        |ORDER BY custkey""".stripMargin,
     "q174_ds_spend_histogram" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -41,4 +41,34 @@ class DsPlanSpec extends AnyFunSuite {
     assert(p.contains("wk"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q202 YoY growth is one scan + one shuffle + zero joins") {
+    val p = plan("q202_ds_yoy_growth")
+    // the 4-alias CTE self-join of the reference collapses to one
+    // conditional aggregation: exactly one FileScan of orders, no joins
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p)
+    // partial agg below the exchange (map-side combine on the fact)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q203 overlap reduces both channels to distinct keys BEFORE the full outer join") {
+    val p = plan("q203_ds_channel_overlap")
+    assert(p.contains("FullOuter"), p)
+    // distinct (HashAggregate on the key) must sit below the join on
+    // both sides: joining raw orders rows would explode the pair count
+    val joinAt = p.indexOf("FullOuter")
+    val below = p.substring(joinAt)
+    assert(below.contains("HashAggregate"), p)
+  }
+
+  test("q204 outliers: nation stats join back as a broadcast; no re-scan of lineitem") {
+    val df = SparkEntry.queries("q204_ds_return_outliers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // per-nation sliver (25 rows) must broadcast into the per-customer
+    // sliver, and nation itself broadcasts — three shuffles total would
+    // mean the plan re-aggregated the fact
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
