@@ -38,6 +38,9 @@ object Bench {
     "q61_quality_score",  // text quality
     "q64_dedup_exact",    // exact dedup
     "q65_minhash_lsh",    // minhash LSH
+    "q201_incremental_dedup", // new-batch dedup; rebuilds the index inline,
+                              // so this UPPER-BOUNDS the production cost
+                              // (which reads the old index off disk)
     "q123_dedup_clusters",// connected-components clustering
     "q125_asof_attribution", // custom as-of join operator
     "q134_repetition",    // repetition quality signals

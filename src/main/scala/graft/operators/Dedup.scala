@@ -116,14 +116,24 @@ object Dedup {
     * or the bucket min is new — the linear escape hatch for boilerplate
     * cliques, with closure recovering the clique downstream. */
   def incrementalCandidates(oldIdx: DataFrame, newIdx: DataFrame,
-                            maxBucket: Int = 4096): DataFrame = {
-    val all = oldIdx.withColumn("is_new", lit(false))
-      .unionByName(newIdx.withColumn("is_new", lit(true)))
+                            maxBucket: Int = 4096): DataFrame =
+    incrementalCandidatesFlagged(
+      oldIdx.withColumn("is_new", lit(false))
+        .unionByName(newIdx.withColumn("is_new", lit(true))), maxBucket)
+
+  /** Same as [[incrementalCandidates]] but over ONE combined index
+    * carrying an `is_new` flag column — the shape to use when old and
+    * new rows live in the same snapshot table (one aggregation lineage,
+    * no union of two separately-shuffled halves). */
+  def incrementalCandidatesFlagged(all: DataFrame,
+                                   maxBucket: Int = 4096): DataFrame = {
     val stats = all.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"),
            min(when(col("is_new"), col("doc_id"))).as("min_new_id"))
     val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
-    val boundedNew = newIdx.join(okBuckets, Seq("band", "bh"), "left_semi")
+    val boundedNew = all.filter(col("is_new"))
+      .select(col("doc_id"), col("band"), col("bh"))
+      .join(okBuckets, Seq("band", "bh"), "left_semi")
     val boundedAll = all.select(col("doc_id"), col("band"), col("bh"))
       .join(okBuckets, Seq("band", "bh"), "left_semi")
     val pairwise = boundedNew.as("x").join(boundedAll.as("y"), Seq("band", "bh"))
@@ -425,12 +435,13 @@ object Dedup {
     * shingles — a candidate-sliver semi-join, not a corpus scan. */
   val q201_incremental_dedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val oldIdx = bandIndex(minhashSignatures(shingleHashes(
-      docs.filter(col("doc_id") % 4 =!= 0))))
-    val newIdx = bandIndex(minhashSignatures(shingleHashes(
-      docs.filter(col("doc_id") % 4 === 0))))
+    // one index build over the whole corpus, flagged by batch — the
+    // gate pays the old-index build inline; production reads it from
+    // the persisted snapshot (see PipelineSpec's round-trip test)
+    val idx = bandIndex(minhashSignatures(shingleHashes(docs)))
+      .withColumn("is_new", col("doc_id") % 4 === 0)
     val shAll = shingleHashes(docs)
-    exactJaccard(incrementalCandidates(oldIdx, newIdx), shAll, keepZero = false)
+    exactJaccard(incrementalCandidatesFlagged(idx), shAll, keepZero = false)
       .filter(col("jac") >= 0.7)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
       .orderBy(col("ida"), col("idb"))

@@ -80,16 +80,16 @@ object EventsOps {
     * sink table is deterministic regardless of how the trigger splits the
     * input into micro-batches (the property that makes this gate honest:
     * a watermark/state bug would desync it from the batch oracle). */
-  val q199_stream_batch_parity: Q = (s, d) => {
-    s.catalog.dropTempView("q199_sink")
+  val q205_stream_batch_parity: Q = (s, d) => {
+    s.catalog.dropTempView("q205_sink")
     val q = graft.streaming.EventsStream
       .hourlyCounts(graft.streaming.EventsStream.readEvents(s, d))
       .writeStream.outputMode("complete")
-      .format("memory").queryName("q199_sink")
+      .format("memory").queryName("q205_sink")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table("q199_sink").orderBy(col("win_start"), col("event_type"))
+    s.table("q205_sink").orderBy(col("win_start"), col("event_type"))
   }
 
   /** Stream-stream interval join parity: view→purchase attribution
@@ -98,18 +98,18 @@ object EventsOps {
     * watermark only bounds join STATE, not output — so at AvailableNow
     * termination the append-mode sink holds the complete join and can be
     * oracle-checked against DuckDB's batch self-join. */
-  val q200_stream_join_parity: Q = (s, d) => {
-    s.catalog.dropTempView("q200_sink")
+  val q206_stream_join_parity: Q = (s, d) => {
+    s.catalog.dropTempView("q206_sink")
     val src1 = graft.streaming.EventsStream.readEvents(s, d)
     val src2 = graft.streaming.EventsStream.readEvents(s, d)
     val q = graft.streaming.EventsStream
       .viewPurchaseAttribution(src1, src2)
       .writeStream.outputMode("append")
-      .format("memory").queryName("q200_sink")
+      .format("memory").queryName("q206_sink")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table("q200_sink").orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
+    s.table("q206_sink").orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -117,8 +117,8 @@ object EventsOps {
     "q72_sliding_window" -> q72_sliding_window,
     "q73_sessionize" -> q73_sessionize,
     "q74_pivot" -> q74_pivot,
-    "q199_stream_batch_parity" -> q199_stream_batch_parity,
-    "q200_stream_join_parity" -> q200_stream_join_parity,
+    "q205_stream_batch_parity" -> q205_stream_batch_parity,
+    "q206_stream_join_parity" -> q206_stream_join_parity,
   )
 
   /** DuckDB-side microsecond truncation of the ns timestamps. */
@@ -152,13 +152,13 @@ object EventsOps {
          |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
          |  CAST(epoch_us(MAX(tmu)) // 1000000 - epoch_us(MIN(tmu)) // 1000000 AS BIGINT) AS duration_s
          |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
-    "q199_stream_batch_parity" ->
+    "q205_stream_batch_parity" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', $tsMu) AS win_start, event_type,
          |  COUNT(1) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
          |FROM events
          |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
-    "q200_stream_join_parity" ->
+    "q206_stream_join_parity" ->
       s"""SELECT v.user_id AS user_id, v.tmu AS view_ts, p.tmu AS purchase_ts
          |FROM (SELECT user_id, $tsMu AS tmu FROM events WHERE event_type = 'view') v
          |JOIN (SELECT user_id, $tsMu AS tmu FROM events WHERE event_type = 'purchase') p

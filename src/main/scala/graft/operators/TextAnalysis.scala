@@ -387,7 +387,44 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Bigram-LM perplexity proxy (the CCNet/Gopher-style LM quality
+    * filter, self-trained on the corpus): per-doc mean negative
+    * log-likelihood under the MLE bigram model p(w2|w1) =
+    * c(w1 w2) / c_prefix(w1). Fluent/common text scores low; gibberish
+    * and boilerplate-with-rare-joins score high.
+    *
+    * Exactness: each ln term is quantized to integer MILLI-NATS before
+    * the per-doc sum — integer sums are order-free, so Spark's
+    * partition-order float summation cannot flip bits vs DuckDB (the
+    * q184 winsorize trick applied to logs). Scale: two vocab-keyed
+    * count aggs (map-side combined), then the scoring joins shuffle on
+    * pair/prefix keys; the prefix key is Zipf-skewed, which is exactly
+    * what AQE skew-join handles (ScaleSpec pins that machinery). */
+  val q207_bigram_lm: Q = (s, d) => {
+    val ws = split(trim(col("text")), " +")
+    val pairs = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("pair")))
+    val bg = Tables.documents(s, d)
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.pair").as("pair"))
+    val cb = bg.groupBy(col("pair")).agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    bg.join(cb, Seq("pair")).join(cu, Seq("w1"))
+      .select(col("doc_id"),
+              round(log(col("cb") / col("cu")) * 1000, 0).cast("long").as("milli"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("milli")).as("sum_milli"))
+      .select(col("doc_id"), col("n_bigrams"),
+              round((-col("sum_milli")).cast("double") /
+                    (col("n_bigrams") * 1000).cast("double"), 6).as("avg_neg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q207_bigram_lm" -> q207_bigram_lm,
     "q199_bpe_pairs" -> q199_bpe_pairs,
     "q198_token_rarity" -> q198_token_rarity,
     "q176_pii_scrub" -> q176_pii_scrub,
@@ -408,6 +445,20 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q207_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+        |e AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS pair
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 2)),
+        |cb AS (SELECT pair, count(*) AS cb FROM e GROUP BY 1),
+        |cu AS (SELECT w1, count(*) AS cu FROM e GROUP BY 1),
+        |t AS (SELECT doc_id, CAST(round(ln(cb.cb / cu.cu) * 1000, 0) AS BIGINT) AS milli
+        |      FROM e JOIN cb USING (pair) JOIN cu USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(-sum(milli) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE), 6) AS avg_neg_logp
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q199_bpe_pairs" ->
       """WITH w AS (
         |  SELECT regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
