@@ -74,6 +74,27 @@ class ScaleStressSpec extends AnyFunSuite {
       s"only $basesPresent of ~${nDocs / 10} cliques present in the edge set")
   }
 
+  test("10x corpus: incremental candidates touch only the new batch and stay sublinear vs full") {
+    // replicas k==1 play the daily ingest (10% of the corpus); the rest
+    // is the already-indexed snapshot
+    val idx = Dedup.bandIndex(minhashSigs)
+      .withColumn("is_new", col("doc_id") % 16 === 1)
+    val inc = Dedup.incrementalCandidatesFlagged(idx, maxBucket = 8).localCheckpoint(true)
+    val n = inc.count()
+    assert(n > 0, "incremental path found nothing on a corpus of planted cliques")
+    // the contract: NO old-vs-old pair is ever re-enumerated (star edges
+    // included — they only survive when the member or bucket-min is new)
+    val oldOld = inc.filter(col("ida") % 16 =!= 1 && col("idb") % 16 =!= 1).count()
+    assert(oldOld == 0, s"$oldOld old-old pairs leaked into the incremental candidates")
+    // linear in the NEW batch, not the corpus
+    val nNew = docs10.filter(col("doc_id") % 16 === 1).count()
+    assert(n <= 30L * nNew, s"incremental candidates superlinear: $n pairs for $nNew new docs")
+    // and a strict fraction of the full re-pairing volume — the reason
+    // the incremental path exists
+    val full = Dedup.lshCandidates(minhashSigs, maxBucket = 8).count()
+    assert(n * 2 < full, s"incremental ($n) is not meaningfully below full re-pairing ($full)")
+  }
+
   test("10x corpus: decontamination volume stays linear, plan stays broadcast equi-join") {
     import graft.operators.PipelineOps
     val out = PipelineOps.decontaminate(docs10, col("doc_id") % 97 === 0, width = 4)
