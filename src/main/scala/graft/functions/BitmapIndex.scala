@@ -4,7 +4,6 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 
 /** The reference's bitmap-index function family
@@ -21,16 +20,13 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
   * GenericUDAFEWAHBitmap.java:141-160), so each group's bitmap is built
   * distributed with no row shuffle beyond the group-by itself.
   *
-  * CONTRACT — combinator granularity: `bitmapAnd`/`bitmapOr`/
-  * `bitmapEmpty`/`bitmapCount` are Scala UDFs evaluated once per ROW of
-  * already-aggregated bitmaps, the reference's own usage shape (one
-  * bitmap per index key; set algebra over a handful of lanes, as in
-  * q169). That row count is the number of GROUPS, typically thousandsfold
-  * smaller than the corpus, so per-call serialization is noise there. Do
-  * NOT route per-event hot paths through these combinators — aggregate
-  * first with [[bitmapAgg]] (codegen'd input side, map-side partials),
-  * then combine the per-group results; a future native Expression upgrade
-  * would only matter if a caller violates this.
+  * The combinators `bitmapAnd`/`bitmapOr`/`bitmapEmpty`/`bitmapCount`
+  * are pure built-in Catalyst expressions (map_zip_with / map_filter /
+  * aggregate over the pair array) — no Scala UDF, no kryo round-trip:
+  * the word merge runs on Tungsten array/map data directly, so routing
+  * even a hot per-row path through them costs array traversal, not
+  * serialization. (They were row-at-a-time kryo UDFs through round 4;
+  * LongTailSpec pins value-equality with that original semantics.)
   */
 object BitmapIndex {
 
@@ -57,31 +53,41 @@ object BitmapIndex {
   def bitmapAgg(c: Column): Column =
     org.apache.spark.sql.functions.udaf(new BitmapAgg).apply(c)
 
-  private def pairs(a: Seq[Long]): Iterator[(Long, Long)] =
-    a.grouped(2).map(p => (p(0), p(1)))
+  import org.apache.spark.sql.functions._
 
-  /** ewah_bitmap_and analog. */
-  val bitmapAnd = udf { (a: Seq[Long], b: Seq[Long]) =>
-    val mb = pairs(b).toMap
-    pairs(a).flatMap { case (i, w) =>
-      val m = w & mb.getOrElse(i, 0L)
-      if (m != 0) Seq(i, m) else Nil
-    }.toSeq
-  }
+  /** (wordIndex -> word) map view of the alternating-pair array. The
+    * size==0 guard matters: sequence(1, 0) would count DOWN. */
+  private def toMap(a: Column): Column =
+    when(size(a) < 2,
+         map_from_arrays(array().cast("array<bigint>"), array().cast("array<bigint>")))
+      .otherwise(map_from_entries(transform(
+        sequence(lit(1), (size(a) / 2).cast("int")),
+        i => struct(element_at(a, i * 2 - 1), element_at(a, i * 2)))))
 
-  /** ewah_bitmap_or analog. */
-  val bitmapOr = udf { (a: Seq[Long], b: Seq[Long]) =>
-    val m = mutable.HashMap(pairs(a).toSeq: _*)
-    pairs(b).foreach { case (i, w) => m.update(i, m.getOrElse(i, 0L) | w) }
-    m.iterator.toSeq.sortBy(_._1).flatMap { case (i, w) => Seq(i, w) }
-  }
+  /** Back to the canonical sorted alternating-pair array. */
+  private def fromMap(m: Column): Column =
+    flatten(transform(array_sort(map_entries(m)),
+      e => array(e.getField("key"), e.getField("value"))))
+
+  /** ewah_bitmap_and analog: intersect word maps, drop zero words. */
+  def bitmapAnd(a: Column, b: Column): Column =
+    fromMap(map_filter(
+      map_zip_with(toMap(a), toMap(b), (_, x, y) =>
+        coalesce(x, lit(0L)).bitwiseAND(coalesce(y, lit(0L)))),
+      (_, v) => v =!= 0))
+
+  /** ewah_bitmap_or analog: union word maps (zero words cannot arise —
+    * both inputs elide them and OR preserves set bits). */
+  def bitmapOr(a: Column, b: Column): Column =
+    fromMap(map_zip_with(toMap(a), toMap(b), (_, x, y) =>
+      coalesce(x, lit(0L)).bitwiseOR(coalesce(y, lit(0L)))))
 
   /** ewah_bitmap_empty analog: true iff no bit is set. */
-  val bitmapEmpty = udf { (a: Seq[Long]) => a.isEmpty }
+  def bitmapEmpty(a: Column): Column = size(a) === 0
 
   /** Bit cardinality (the reference reads it off the bitmap for index
     * lookups; exposed directly here). */
-  val bitmapCount = udf { (a: Seq[Long]) =>
-    pairs(a).map { case (_, w) => java.lang.Long.bitCount(w).toLong }.sum
-  }
+  def bitmapCount(a: Column): Column =
+    aggregate(map_values(toMap(a)), lit(0L),
+      (acc, w) => acc + bit_count(w).cast("long"))
 }
