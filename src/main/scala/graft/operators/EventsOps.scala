@@ -112,7 +112,26 @@ object EventsOps {
     s.table("q206_sink").orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
   }
 
+  /** Session-window streaming parity: the stateful gap-merge case —
+    * session_window(30 min) per user as a real streaming query. Session
+    * windows exercise the state-store MERGE path (sessions grow and
+    * coalesce as events arrive), the machinery the fixed-window q205 row
+    * never touches. Complete mode emits the final merged sessions, which
+    * must equal the batch gaps-and-islands rewrite DuckDB runs. */
+  val q208_stream_session_parity: Q = (s, d) => {
+    s.catalog.dropTempView("q208_sink")
+    val q = graft.streaming.EventsStream
+      .sessionCounts(graft.streaming.EventsStream.readEvents(s, d))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("q208_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("q208_sink").orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q208_stream_session_parity" -> q208_stream_session_parity,
     "q71_tumbling_window" -> q71_tumbling_window,
     "q72_sliding_window" -> q72_sliding_window,
     "q73_sessionize" -> q73_sessionize,
@@ -152,6 +171,16 @@ object EventsOps {
          |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
          |  CAST(epoch_us(MAX(tmu)) // 1000000 - epoch_us(MIN(tmu)) // 1000000 AS BIGINT) AS duration_s
          |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "q208_stream_session_parity" ->
+      s"""WITH e AS (SELECT user_id, $tsMu AS tmu FROM events),
+         |  l AS (SELECT *, LAG(tmu) OVER (PARTITION BY user_id ORDER BY tmu) AS prev_ts FROM e),
+         |  f AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |                        OR epoch_us(tmu) - epoch_us(prev_ts) > 1800 * 1000000
+         |                       THEN 1 ELSE 0 END AS brk FROM l),
+         |  s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tmu
+         |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         |SELECT user_id, MIN(tmu) AS session_start, COUNT(1) AS n_events
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q205_stream_batch_parity" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', $tsMu) AS win_start, event_type,
          |  COUNT(1) AS n,
