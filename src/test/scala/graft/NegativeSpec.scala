@@ -627,4 +627,39 @@ class NegativeSpec extends AnyFunSuite {
       }
     } finally spark.sql("DROP VIEW IF EXISTS neg_load_v")
   }
+
+  test("streaming aggregate in append mode without a watermark is rejected") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("ts", TimestampType), StructField("v", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_neg_s1").toString
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = stream.groupBy(window(col("ts"), "1 hour")).count()
+    val e = intercept[AnalysisException] {
+      agg.writeStream.outputMode("append").format("memory")
+        .queryName("neg_nowatermark").start()
+    }
+    assert(e.getMessage.toLowerCase.contains("watermark"), e.getMessage)
+  }
+
+  test("streaming complete mode without an aggregation is rejected") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_neg_s2").toString
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val e = intercept[AnalysisException] {
+      stream.select(col("v")).writeStream.outputMode("complete")
+        .format("memory").queryName("neg_nocomplete").start()
+    }
+    assert(e.getMessage.toLowerCase.contains("complete"), e.getMessage)
+  }
+
+  test("incremental candidates without the is_new flag column is a typed error") {
+    import graft.operators.Dedup
+    val idx = Dedup.bandIndex(Dedup.minhashSignatures(Dedup.shingleHashes(
+      Tables.documents(spark, sf))))
+    val e = intercept[AnalysisException] {
+      Dedup.incrementalCandidatesFlagged(idx).collect()
+    }
+    assert(e.getMessage.contains("is_new"), e.getMessage)
+  }
 }
