@@ -447,7 +447,36 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Curation filter funnel: the per-stage survival report every
+    * training-data pipeline publishes — length gate, language-ID gate,
+    * quality gate, then near-dup canonicalization (keep the cluster
+    * minimum), each stage counted over the survivors of the previous
+    * one. The heuristic gates are codegen'd scan-speed projections; the
+    * only non-scan work is the near-dup machinery itself, whose verdict
+    * (the tiny non-keeper sliver) is broadcast back onto the scan — the
+    * corpus is never shuffled for the report itself. */
+  val q209_filter_funnel: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nonKeepers = connectedComponents(nearDupEdges(s, d, 0.7))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("dup_id"))
+    val f1 = size(split(trim(col("text")), " +")) >= 25 && length(col("text")) <= 20000
+    docs
+      .join(broadcast(nonKeepers), col("doc_id") === col("dup_id"), "left_outer")
+      .select(f1.as("f1"),
+              TextAnalysis.anyLangHit.as("lang_ok"),
+              (TextAnalysis.qualityExpr >= 0.6).as("q_ok"),
+              col("dup_id").isNull.as("canon"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("f1"), 1L).otherwise(0L)).as("n_len"),
+           sum(when(col("f1") && col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+           sum(when(col("f1") && col("lang_ok") && col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("f1") && col("lang_ok") && col("q_ok") && col("canon"), 1L)
+             .otherwise(0L)).as("n_canonical"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q209_filter_funnel" -> q209_filter_funnel,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -499,6 +528,20 @@ object Dedup {
         |SELECT n_copies, COUNT(1) AS n_groups, MIN(keep_id) AS min_keep
         |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "q65_minhash_lsh" -> jaccardAllPairsSql(0.7),
+    "q209_filter_funnel" ->
+      s"""WITH RECURSIVE ${ccCtes(0.7)},
+         |f AS (SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), ' +')) >= 25 AND length(text) <= 20000 AS f1,
+         |  ${TextAnalysis.anyLangHitSql} AS lang_ok,
+         |  (${TextAnalysis.qualitySql}) >= 0.6 AS q_ok,
+         |  doc_id NOT IN (SELECT id FROM comp WHERE id <> comp) AS canon
+         |  FROM documents)
+         |SELECT COUNT(1) AS n_total,
+         |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+         |  CAST(SUM(CASE WHEN f1 AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(SUM(CASE WHEN f1 AND lang_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN f1 AND lang_ok AND q_ok AND canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+         |FROM f""".stripMargin,
     "q201_incremental_dedup" ->
       s"""WITH ${shPairsCtes(0.7)}
          |SELECT ida, idb, jac FROM pairs

@@ -62,6 +62,20 @@ object TextAnalysis {
       least(nstop / ntok * 5, lit(1.0)) * 0.3
   }
 
+  /** True iff any language's stopword list hits the text — equivalent to
+    * "q62's predicted language is not 'und'" (the argmax language always
+    * satisfies the >=-others chain, so the CASE yields non-und exactly
+    * when some count is positive). Reused by the q209 curation funnel. */
+  def anyLangHit: Column = {
+    val toks = split(lower(col("text")), " +")
+    greatest(stopwords.keys.toSeq.sorted.map(l => hitCount(toks, stopwords(l))): _*) > 0
+  }
+
+  /** [[anyLangHit]] in DuckDB SQL. */
+  def anyLangHitSql: String =
+    "greatest(" + stopwords.keys.toSeq.sorted.map(l =>
+      duckHits("regexp_split_to_array(lower(text), ' +')", stopwords(l))).mkString(", ") + ") > 0"
+
   /** The q61 quality formula in DuckDB SQL (for oracles that reuse it). */
   def qualitySql: String =
     s"""least(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) / 50.0, 1.0) * 0.4
