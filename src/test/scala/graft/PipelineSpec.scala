@@ -56,6 +56,63 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup curation converges to the batch keepers (clique corpus)") {
+    // incremental LSH dedup as a stateful stream: each micro-batch is
+    // deduped against the kept-set's band index (never old-vs-old), and
+    // survivors join the index — the daily-ingest loop as foreachBatch.
+    // On a clique corpus (replicas arrive after their originals) the
+    // greedy first-arrival policy and the batch connected-components
+    // keep-min policy agree, which makes convergence assertable.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def text(b: Int, k: Int) =
+      (0 until 12).map(i => s"w${b}t$i").mkString(" ") + (if (k == 0) "" else s" rep$k")
+    val corpus = for (b <- 0 until 40; k <- 0 until 3) yield (b * 10L + k, text(b, k))
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val combined = kept.toSeq.toDF("doc_id", "text").withColumn("is_new", lit(false))
+          .unionByName(batch.select(col("doc_id"), col("text")).withColumn("is_new", lit(true)))
+        val sh = Dedup.shingleHashes(combined.select(col("doc_id"), col("text")))
+        val idx = Dedup.bandIndex(Dedup.minhashSignatures(sh))
+          .join(combined.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+        val dropped = Dedup.exactJaccard(
+            Dedup.incrementalCandidatesFlagged(idx), sh, keepZero = false)
+          .filter(col("jac") >= 0.7)
+          .select(col("idb")) // greedy: the higher id of a verified pair loses
+          .collect().map(_.getLong(0)).toSet
+        val survivors = batch.select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .filterNot { case (id, _) => dropped.contains(id) }
+        kept ++= survivors
+        ()
+      }
+      .start()
+    try {
+      // originals (k=0) arrive in batch 0, replicas in later batches
+      (0 until 3).foreach { k =>
+        in.addData(corpus.filter(_._1 % 10 == k)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch ground truth: connected components over verified near-dup
+    // pairs, keep the min id per cluster; singletons keep themselves
+    val allDf = corpus.toDF("doc_id", "text")
+    val shAll = Dedup.shingleHashes(allDf)
+    val edges = Dedup.exactJaccard(
+        Dedup.lshCandidates(Dedup.minhashSignatures(shAll)), shAll, keepZero = false)
+      .filter(col("jac") >= 0.7).select(col("ida"), col("idb"))
+    val clustered = Dedup.connectedComponents(edges)
+    val clusterKeep = clustered.groupBy(col("comp")).agg(min(col("id")).as("k"))
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    val inCluster = clustered.select(col("id")).collect().map(_.getLong(0)).toSet
+    val batchKeepers = clusterKeep ++ corpus.map(_._1).filterNot(inCluster.contains)
+    assert(kept.map(_._1).toSet == batchKeepers,
+      s"streamed kept ${kept.size}, batch keeps ${batchKeepers.size}")
+    assert(kept.size == 40, s"expected exactly the 40 originals, got ${kept.size}")
+  }
+
   test("SimHash pairs cover the high-Jaccard near-duplicates") {
     val sim = SparkEntry.queries("q66_simhash")(spark, sf)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
