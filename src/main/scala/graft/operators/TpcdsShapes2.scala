@@ -31,6 +31,7 @@ import graft.{Q, Tables}
   *  - q202: year-over-year growth ratio across channels    (perf/query4.q, query11.q, query74.q)
   *  - q203: channel-overlap full-outer distinct-key counts (perf/query97.q)
   *  - q204: per-group outlier vs 1.2x group average        (perf/query30.q, query81.q)
+  *  - q210: chained EXCEPT over distinct-key channel sets  (perf/query87.q, query38.q)
   *
   * Scale notes: every sliver the patterns join back to the fact is keyed on
   * a dimension-cardinality column (part, supplier, brand, week), so the
@@ -454,8 +455,29 @@ object TpcdsShapes2 {
       .orderBy(col("custkey"))
   }
 
+  /** DS query87/query38-shape: chained EXCEPT over three distinct-key
+    * channel sets, counted. Each operand reduces to distinct customer
+    * keys BEFORE the set ops, so the EXCEPT chain (left-anti joins in
+    * the plan) runs on customer-cardinality slivers, never fact rows. */
+  val q210_ds_except_chain: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val active96 = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey")).distinct()
+    val returners = li.filter(col("l_returnflag") === "R")
+      .join(o.filter(year(col("o_orderdate")) === 1996),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey")).distinct()
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT" &&
+                          year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey")).distinct()
+    active96.except(returners).except(urgent)
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ds_spend_histogram" -> q174_ds_spend_histogram,
+    "q210_ds_except_chain" -> q210_ds_except_chain,
     "q202_ds_yoy_growth" -> q202_ds_yoy_growth,
     "q203_ds_channel_overlap" -> q203_ds_channel_overlap,
     "q204_ds_return_outliers" -> q204_ds_return_outliers,
@@ -477,6 +499,15 @@ object TpcdsShapes2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q210_ds_except_chain" ->
+      """SELECT COUNT(1) AS n_customers FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)""".stripMargin,
     "q202_ds_yoy_growth" ->
       """WITH yearly AS (
         |  SELECT o_custkey AS ck, year(o_orderdate) AS yr,
