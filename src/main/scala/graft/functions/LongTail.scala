@@ -100,13 +100,71 @@ object LongTail {
         bitmapEmpty(bitmapAnd(col("bm_A"), col("bm_N"))).as("and_empty"))
   }
 
+  /** reflect / java_method (reference GenericUDFReflect, ql/src/java/org/
+    * apache/hadoop/hive/ql/udf/generic/GenericUDFReflect.java) promoted
+    * from spec pins to an oracle row: each reflective call targets a JDK
+    * method whose result DuckDB can recompute natively (abs/greatest/
+    * bin/to_hex/varchar cast) — the oracle knows nothing about
+    * reflection, so the match proves the dispatch returns the right
+    * VALUES, not just that it runs. reflect returns string (as in the
+    * reference); numeric lanes cast back on both sides. */
+  val q212_reflect: Q = (s, d) => {
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        expr("cast(reflect('java.lang.Math', 'abs', cast(p_size - 30 as int)) as int)")
+          .as("v_abs"),
+        expr("reflect('java.lang.Integer', 'toBinaryString', cast(p_size as int))")
+          .as("v_bin"),
+        expr("reflect('java.lang.Integer', 'toHexString', cast(p_size as int))")
+          .as("v_hex"),
+        expr("cast(reflect('java.lang.Math', 'max', cast(p_size as int), 25) as int)")
+          .as("v_max"),
+        expr("java_method('java.lang.String', 'valueOf', cast(p_size as int))")
+          .as("v_str"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** in_file promoted to an oracle row: the membership file is written
+    * at plan construction (fixed three-line content), [[inFile]] folds it
+    * into a codegen'd isin, and the oracle spells the same set as IN
+    * literals — proving the file's line set, not just the plumbing. */
+  val q213_in_file: Q = (s, d) => {
+    val f = java.nio.file.Files.createTempFile("graft_infile_q213", ".txt")
+    java.nio.file.Files.write(
+      f, java.util.Arrays.asList("1-URGENT", "3-MEDIUM", "5-LOW"))
+    f.toFile.deleteOnExit()
+    Tables.orders(s, d)
+      .filter(inFile(col("o_orderpriority"), f.toString))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_longtail_scalars" -> q167_longtail_scalars,
     "q168_complex_access" -> q168_complex_access,
     "q169_bitmap_index" -> q169_bitmap_index,
+    "q212_reflect" -> q212_reflect,
+    "q213_in_file" -> q213_in_file,
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_reflect" ->
+      """SELECT p_partkey,
+        |  CAST(abs(p_size - 30) AS INT) AS v_abs,
+        |  bin(p_size) AS v_bin,
+        |  lower(to_hex(p_size)) AS v_hex,
+        |  CAST(greatest(p_size, 25) AS INT) AS v_max,
+        |  CAST(p_size AS VARCHAR) AS v_str
+        |FROM part WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin,
+    "q213_in_file" ->
+      """SELECT o_orderpriority, count(1) AS n
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q167_longtail_scalars" ->
       """SELECT o_orderkey,
         |  round(atan(o_totalprice), 9) AS v_atan,

@@ -102,6 +102,32 @@ object MiscFunctions {
       .orderBy(col("l_returnflag"))
   }
 
+  /** hive_percentile_approx promoted from rows-only (q80) to a full
+    * oracle row. The estimator is order-sensitive in general (partial
+    * merges keep equal centroids as separate fragments, so interpolation
+    * inside a value's mass depends on partition layout) — but when every
+    * input value is globally UNIQUE, every bin has weight 1, fragments
+    * cannot exist, and the quantile walk (NumericHistogram.scala:131-148,
+    * reference GenericUDAFPercentileApprox.java) is a closed-form,
+    * partitioning-independent formula DuckDB can recompute exactly:
+    * aggregating over DISTINCT (flag, quantity) pairs makes the histogram
+    * exact-when-fits AND fragment-free, so the gate compares real
+    * interpolated quantiles bit-for-bit. */
+  val q211_percentile_exact: Q = (s, d) => {
+    HivePercentileApprox.register(s)
+    val dv = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+      .distinct()
+    dv.groupBy(col("l_returnflag"))
+      .agg(
+        HivePercentileApprox.hive_percentile_approx(col("v"), 0.25, 1000).as("p25"),
+        HivePercentileApprox.hive_percentile_approx(col("v"), 0.37, 1000).as("p37"),
+        HivePercentileApprox.hive_percentile_approx(col("v"), 0.5, 1000).as("p50"),
+        HivePercentileApprox.hive_percentile_approx(col("v"), 0.9, 1000).as("p90"),
+        count(lit(1)).as("m"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Long-tail string builtins (FunctionRegistry.java:183-269) with
     * DuckDB twins: substring_index (±n), locate, printf/format_string,
     * space, chr. */
@@ -196,11 +222,39 @@ object MiscFunctions {
     "q78_encodings" -> q78_encodings,
     "q79_hive_compat" -> q79_hive_compat,
     "q80_approx_aggs" -> q80_approx_aggs,
+    "q211_percentile_exact" -> q211_percentile_exact,
     "q112_string_tail" -> q112_string_tail,
     "q113_date_tail" -> q113_date_tail,
   )
 
   val oracles: Map[String, String] = Map(
+    // Recomputes the NumericHistogram quantile walk in closed form over
+    // weight-1 bins: crossing bin b = first with b/m >= q, then
+    // v[b-1] + (q*m - (b-1)) * (v[b] - v[b-1]) — same IEEE ops, same
+    // association order as the Scala walk, so the match is bit-exact.
+    "q211_percentile_exact" -> {
+      def p(q: String, name: String) =
+        s"""max(CASE WHEN b / m >= $q::DOUBLE AND (b - 1) / m < $q::DOUBLE THEN
+           |  CASE WHEN b = 1 THEN v
+           |       ELSE vprev + ($q::DOUBLE * m - (b - 1)) * (v - vprev) END
+           |END) AS $name""".stripMargin
+      s"""WITH dv AS (
+         |  SELECT DISTINCT l_returnflag, CAST(l_quantity AS DOUBLE) AS v
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, v,
+         |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS DOUBLE) AS b,
+         |    lag(v) OVER (PARTITION BY l_returnflag ORDER BY v) AS vprev,
+         |    CAST(count(1) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS m
+         |  FROM dv)
+         |SELECT l_returnflag,
+         |  ${p("0.25", "p25")},
+         |  ${p("0.37", "p37")},
+         |  ${p("0.5", "p50")},
+         |  ${p("0.9", "p90")},
+         |  CAST(max(m) AS BIGINT) AS m
+         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     "q197_xpath" ->
       """SELECT CAST(n_nationkey AS INT) AS k, n_name AS nm,
         |  n_regionkey = 0 AS in_r0, 3 AS n_children

@@ -475,8 +475,90 @@ object Dedup {
              .otherwise(0L)).as("n_canonical"))
   }
 
+  /** ExactSubstr-style shared-token-span detection (the exact-substring
+    * half of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"; no reference counterpart — pipeline extension).
+    * Finds document pairs sharing a run of at least `minRun` consecutive
+    * identical tokens — the failure mode MinHash misses: a long verbatim
+    * quote inside two otherwise-different documents has low whole-doc
+    * Jaccard but is exactly what train-set contamination looks like.
+    *
+    * The paper builds a corpus-wide suffix array — a single-machine
+    * structure. The Spark-first shape is a positional k-shingle inverted
+    * index + diagonal run merge:
+    *
+    *  1. positional k-shingles, one row per token offset (map-side only);
+    *  2. df cap on the shingle key (the [[lshCandidates]] hot-bucket
+    *     trick): a shingle in > dfCap docs is boilerplate whose quadratic
+    *     bucket join would dominate; dropping it can only split a
+    *     reported run that crosses it, never invent one — recall pays,
+    *     precision never;
+    *  3. equi-self-join on the shingle -> (ida, idb, pa, pb);
+    *  4. gaps-and-islands on the alignment diagonal (pa - pb): a shared
+    *     run of R tokens is exactly a maximal island of R-k+1 consecutive
+    *     pa values on one diagonal.
+    *
+    * Shuffles: one on the shingle key (df-capped), one window over
+    * (ida, idb, diag) whose partitions are bounded by the longest shared
+    * span. Both scale-shaped; nothing is ever collected.
+    */
+  def sharedSpans(docs: DataFrame, k: Int = 8, minRun: Int = 20,
+                  dfCap: Int = 64): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val sh = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as(Seq("off", "sh")))
+      .select(col("doc_id"), (col("off") + 1).as("pos"), col("sh"))
+    val ok = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("sh"))
+    val bounded = sh.join(ok, Seq("sh"), "left_semi")
+    val matches = bounded.as("x").join(bounded.as("y"), Seq("sh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+              col("x.pos").as("pa"), col("y.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("ida"), col("idb"), col("diag")).orderBy(col("pa"))
+    val runs = matches
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("ida"), col("idb"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (k - 1)).as("run"))
+    runs.filter(col("run") >= minRun)
+      .groupBy(col("ida"), col("idb"))
+      .agg(max(col("run")).as("max_run"), count(lit(1)).as("n_spans"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** Gate row for [[sharedSpans]]. The synthetic corpus is random token
+    * soup with no natural long shared runs, so the query plants them:
+    * every 50th doc gets a twin (doc_id + 1000000) embedding tokens
+    * 5..34 of the original between constant guard phrases (guards are
+    * shorter than k, so no pure-guard shingle exists to cross-link
+    * twins). Planted via the single-scan explode shape, not a
+    * self-union — see q111's history. The detector must report exactly
+    * the planted pairs. */
+  val q215_shared_spans: Q = (s, d) => {
+    val twinText = concat(
+      lit("left guard pad one two three "),
+      concat_ws(" ", slice(split(trim(col("text")), " +"), 5, 30)),
+      lit(" right guard pad four five six"))
+    val corpus = Tables.documents(s, d)
+      .select(explode(
+        when(col("doc_id") % 50 === 0,
+          array(struct(col("doc_id"), col("text")),
+                struct((col("doc_id") + 1000000L).as("doc_id"), twinText.as("text"))))
+        .otherwise(array(struct(col("doc_id"), col("text"))))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    sharedSpans(corpus, k = 8, minRun = 20, dfCap = 64)
+  }
+
   val queries: Map[String, Q] = Map(
     "q209_filter_funnel" -> q209_filter_funnel,
+    "q215_shared_spans" -> q215_shared_spans,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -522,6 +604,40 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q215_shared_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'left guard pad one two three ' ||
+        |    array_to_string(list_slice(regexp_split_to_array(trim(text), ' +'), 5, 34), ' ') ||
+        |    ' right guard pad four five six' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM corpus)
+        |  WHERE len(s) >= 8),
+        |sh AS (
+        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
+        |ok AS (
+        |  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+        |  WHERE df <= 64),
+        |m AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.pos AS pa,
+        |         a.pos - b.pos AS diag
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE a.sh IN (SELECT sh FROM ok)),
+        |isl AS (
+        |  SELECT ida, idb, diag,
+        |         pa - row_number() OVER (PARTITION BY ida, idb, diag ORDER BY pa) AS island
+        |  FROM m),
+        |runs AS (
+        |  SELECT ida, idb, count(1) + 7 AS run
+        |  FROM isl GROUP BY ida, idb, diag, island)
+        |SELECT ida, idb, max(run) AS max_run, count(1) AS n_spans
+        |FROM runs WHERE run >= 20
+        |GROUP BY ida, idb ORDER BY ida, idb""".stripMargin,
     "q64_dedup_exact" ->
       """WITH g AS (SELECT text, MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
         |           FROM documents GROUP BY text)

@@ -437,7 +437,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Source-level quality gate (the URL-domain filtering step of
+    * RefinedWeb/CCNet-style pipelines): score each SOURCE by a
+    * corpus-level aggregate, then keep only documents from passing
+    * sources. Scale shape: the per-source verdict is a 20-row sliver
+    * broadcast back onto the corpus — the corpus itself is never
+    * reshuffled for the gate. The avg-length threshold is compared
+    * multiply-through (sum_chars >= 290 * n_docs) so every engine sees
+    * exact integer arithmetic, never a float average. */
+  val q214_source_gate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val verdict = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .filter(col("sum_chars") >= lit(290L) * col("n_docs"))
+      .select(col("source"))
+    docs.join(broadcast(verdict), Seq("source"), "left_semi")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_source_gate" -> q214_source_gate,
     "q207_bigram_lm" -> q207_bigram_lm,
     "q199_bpe_pairs" -> q199_bpe_pairs,
     "q198_token_rarity" -> q198_token_rarity,
@@ -459,6 +480,13 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q214_source_gate" ->
+      """WITH v AS (
+        |  SELECT source FROM documents GROUP BY source
+        |  HAVING sum(n_chars) >= 290 * count(1))
+        |SELECT source, lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE source IN (SELECT source FROM v)
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q207_bigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),

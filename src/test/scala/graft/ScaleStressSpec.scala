@@ -56,6 +56,35 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(uncN <= 60L * nDocs, s"uncapped candidates superlinear: $uncN pairs for $nDocs docs")
   }
 
+  test("10x corpus: sharedSpans df cap suppresses boilerplate cliques; open cap " +
+       "finds every clique pair with the exact closed-form run length") {
+    // replicas share the ENTIRE base text, so every clique pair's max_run
+    // must equal the base token count exactly — closed form, no tolerance.
+    // With the cap at 8 every clique shingle (df >= 10) is boilerplate and
+    // the output must be EMPTY; at 40 (= 10 replicas x the corpus's
+    // natural max base-df of 4) nothing is dropped, so every in-clique
+    // pair must surface with an unsplit run.
+    val capped = Dedup.sharedSpans(docs10, k = 8, minRun = 20, dfCap = 8)
+    assert(capped.count() == 0, "over-cap shingles must be dropped, not joined")
+
+    val open = Dedup.sharedSpans(docs10, k = 8, minRun = 20, dfCap = 40)
+    val plan = open.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span matching must stay an equi-join at 10x volume")
+    val baseTok = Tables.documents(spark, sf01)
+      .select((col("doc_id") * 16).as("base"),
+              size(split(trim(col("text")), " +")).as("ntok"))
+    val clique = open
+      .filter(col("ida").divide(16).cast("long") === col("idb").divide(16).cast("long"))
+    val eligible = baseTok.filter(col("ntok") >= 20).count()
+    assert(clique.count() == 45L * eligible,
+      s"expected C(10,2) pairs for each of $eligible eligible cliques")
+    val wrongRun = clique
+      .join(baseTok, (col("ida") / 16).cast("long") * 16 === col("base"))
+      .filter(col("max_run") =!= col("ntok")).count()
+    assert(wrongRun == 0, "every clique pair must share exactly the base text run")
+  }
+
   test("10x corpus: connected components converge and every clique stays whole") {
     val capped = Dedup.lshCandidates(minhashSigs, maxBucket = 8)
     // throws if propagation exceeds the round budget — convergence IS the assert

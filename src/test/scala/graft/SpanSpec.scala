@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Pins [[Dedup.sharedSpans]] — the ExactSubstr-style shared-token-span
+  * detector — on hand-built corpora where every expected run length is
+  * known in closed form. */
+class SpanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val w = (1 to 40).map(i => s"w$i")
+  private def span(from: Int, to: Int) = w.slice(from - 1, to).mkString(" ")
+
+  test("single embedded run is found with exact length and alignment") {
+    val corpus = docs(
+      1L -> span(1, 30),
+      2L -> s"x1 x2 x3 ${span(10, 21)} y1 y2 y3", // 12 shared tokens
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    val out = Dedup.sharedSpans(corpus, k = 8, minRun = 10, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 12L, 1L)))
+  }
+
+  test("two disjoint runs on different diagonals stay separate spans") {
+    val corpus = docs(
+      1L -> span(1, 30),
+      2L -> s"${span(1, 10)} q1 q2 q3 q4 ${span(20, 29)}")
+    val out = Dedup.sharedSpans(corpus, k = 8, minRun = 8, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 10L, 2L)))
+  }
+
+  test("runs shorter than minRun are suppressed") {
+    val corpus = docs(
+      1L -> span(1, 30),
+      2L -> s"x1 x2 x3 ${span(10, 18)} y1 y2 y3") // 9 shared < minRun 10
+    val out = Dedup.sharedSpans(corpus, k = 8, minRun = 10, dfCap = 64)
+    assert(out.count() == 0)
+  }
+
+  test("df cap drops boilerplate shingles instead of exploding the join") {
+    // the shared run appears in ALL 5 docs -> its shingles have df 5;
+    // with dfCap 4 every match is suppressed, with dfCap 5 all C(5,2)
+    // pairs surface
+    val corpus = docs((1L to 5L).map(i => i -> s"a$i b$i c$i ${span(1, 12)} d$i"): _*)
+    val capped = Dedup.sharedSpans(corpus, k = 8, minRun = 10, dfCap = 4)
+    assert(capped.count() == 0, "over-cap shingles must be dropped")
+    val open = Dedup.sharedSpans(corpus, k = 8, minRun = 10, dfCap = 5)
+    assert(open.count() == 10, "all C(5,2) pairs expected under the cap")
+  }
+
+  test("repeated shingle inside one document does not inflate runs") {
+    // doc 2 contains the shared block twice; each copy aligns with doc 1
+    // on its own diagonal -> one pair, two spans, max run = block length
+    val corpus = docs(
+      1L -> span(1, 12),
+      2L -> s"${span(1, 12)} m1 m2 ${span(1, 12)}")
+    val out = Dedup.sharedSpans(corpus, k = 8, minRun = 10, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 12L, 2L)))
+  }
+
+  test("gate row q215 reports the planted twins among its pairs") {
+    val out = SparkEntry.queries("q215_shared_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = out.filter { case (a, b, _) => b == a + 1000000L }
+    assert(planted.length == 10, s"expected 10 planted twin pairs, got ${planted.length}")
+    assert(planted.forall(_._3 >= 20L), "planted runs must clear minRun")
+  }
+}
