@@ -68,11 +68,20 @@ class SpanSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 12L, 2L)))
   }
 
-  test("gate row q215 reports the planted twins among its pairs") {
+  test("gate row q215 reports exactly the eligible planted twins, closed form") {
+    // a twin embeds tokens 5..34 of its base: the shared run is
+    // min(30, ntok - 4) tokens, reported iff >= minRun 20 (ntok >= 24)
+    val ntok = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), size(split(trim(col("text")), " +")).as("ntok"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = ntok.collect { case (id, n) if n >= 24 =>
+      id -> math.min(30, n - 4).toLong }
+    assert(expected.nonEmpty, "corpus too short to plant any twin — gate would be vacuous")
     val out = SparkEntry.queries("q215_shared_spans")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val planted = out.filter { case (a, b, _) => b == a + 1000000L }
-    assert(planted.length == 10, s"expected 10 planted twin pairs, got ${planted.length}")
-    assert(planted.forall(_._3 >= 20L), "planted runs must clear minRun")
+      .map { case (a, _, run) => a -> run }.toMap
+    assert(planted == expected, s"planted=$planted expected=$expected")
   }
 }
