@@ -49,6 +49,8 @@ object Bench {
     "q178_bm25",          // BM25 scoring (scan + 1-row stats broadcast)
     "q180_semdedup",      // quantized-cell within-cell near-dup
     "q111_neardup_lsh",   // banded sign-LSH near-dup gate (plan-native twins)
+    "q215_shared_spans",  // ExactSubstr span dedup (shingle index + diagonal merge)
+    "q216_span_decontamination", // verbatim eval-leak scan (broadcast eval index)
     "q198_token_rarity",  // unigram rarity quality signal
     "q71_tumbling_window",// event windows
     "q73_sessionize",     // sessionization

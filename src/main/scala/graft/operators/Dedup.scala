@@ -502,16 +502,47 @@ object Dedup {
     * (ida, idb, diag) whose partitions are bounded by the longest shared
     * span. Both scale-shaped; nothing is ever collected.
     */
-  def sharedSpans(docs: DataFrame, k: Int = 8, minRun: Int = 20,
-                  dfCap: Int = 64): DataFrame = {
-    val toks = docs
+  /** (doc_id, pos, sh): every k-token shingle of every document with its
+    * 1-based start offset, keyed by the shingle's xxhash64 — an 8-byte
+    * join/shuffle key instead of a ~10k-char-wide string (the difference
+    * between shuffling the corpus once and shuffling it several times
+    * over at 100 TB). A 64-bit collision can only fabricate an isolated
+    * 1-shingle island (run = k < minRun) unless k*2^-64-probability
+    * events chain — and the DuckDB oracle, which matches shingle STRINGS,
+    * would flag any pair it ever invented. The single source of truth for
+    * the span family — [[sharedSpans]] and [[spanContamination]] must
+    * shingle identically or their runs silently diverge. */
+  private def positionalShingles(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= k)
-    val sh = toks
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as(Seq("off", "sh")))
-      .select(col("doc_id"), (col("off") + 1).as("pos"), col("sh"))
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as(Seq("off", "s")))
+      .select(col("doc_id"), (col("off") + 1).as("pos"), xxhash64(col("s")).as("sh"))
+
+  /** Maximal islands of consecutive `pa` per (left, right, diag), then
+    * per-pair max-run/span-count — the shared tail of the span family. */
+  private def diagonalRuns(matches: DataFrame, left: String, right: String,
+                           k: Int, minRun: Int): DataFrame = {
+    val w = Window.partitionBy(col(left), col(right), col("diag")).orderBy(col("pa"))
+    matches
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col(left), col(right), col("diag"), col("island"))
+      .agg((count(lit(1)) + (k - 1)).as("run"))
+      .filter(col("run") >= minRun)
+      .groupBy(col(left), col(right))
+      .agg(max(col("run")).as("max_run"), count(lit(1)).as("n_spans"))
+      .orderBy(col(left), col(right))
+  }
+
+  def sharedSpans(docs: DataFrame, k: Int = 8, minRun: Int = 20,
+                  dfCap: Int = 64): DataFrame = {
+    require(k >= 2, s"shingle width k=$k must be >= 2")
+    require(minRun >= k, s"minRun=$minRun below k=$k is undetectable: " +
+      "the shortest observable run is one whole shingle")
+    require(dfCap >= 2, s"dfCap=$dfCap < 2 drops every cross-doc shingle")
+    val sh = positionalShingles(docs, k)
     val ok = sh.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= dfCap)
@@ -520,17 +551,46 @@ object Dedup {
     val matches = bounded.as("x").join(bounded.as("y"), Seq("sh"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
-              col("x.pos").as("pa"), col("y.pos").as("pb"))
-      .withColumn("diag", col("pa") - col("pb"))
-    val w = Window.partitionBy(col("ida"), col("idb"), col("diag")).orderBy(col("pa"))
-    val runs = matches
-      .withColumn("island", col("pa") - row_number().over(w))
-      .groupBy(col("ida"), col("idb"), col("diag"), col("island"))
-      .agg((count(lit(1)) + (k - 1)).as("run"))
-    runs.filter(col("run") >= minRun)
-      .groupBy(col("ida"), col("idb"))
-      .agg(max(col("run")).as("max_run"), count(lit(1)).as("n_spans"))
-      .orderBy(col("ida"), col("idb"))
+              col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+    diagonalRuns(matches, "ida", "idb", k, minRun)
+  }
+
+  /** Span-level decontamination: which TRAIN documents contain a
+    * >= minRun-token verbatim span from any EVAL document. The n-gram
+    * overlap report ([[graft.operators.PipelineOps]] decontaminate /
+    * q148) flags shared vocabulary; this flags verbatim leakage — the
+    * thing that actually invalidates a benchmark number (Lee et al.
+    * 2022 find eval answers embedded verbatim in train text).
+    *
+    * Scale shape: eval is the curated, small side — its positional
+    * shingle index is BROADCAST; the train corpus is scanned once and
+    * never reshuffled for matching. Only the matched sliver (train
+    * shingles that literally occur in eval) reaches the island window.
+    * No df cap: eval is deduplicated by construction, and a hot eval
+    * shingle is bounded by eval's own size, not the corpus's. */
+  def spanContamination(train: DataFrame, evalDocs: DataFrame,
+                        k: Int = 8, minRun: Int = 20): DataFrame = {
+    require(k >= 2, s"shingle width k=$k must be >= 2")
+    require(minRun >= k, s"minRun=$minRun below k=$k is undetectable: " +
+      "the shortest observable run is one whole shingle")
+    val t = positionalShingles(train, k)
+    val e = positionalShingles(evalDocs, k)
+      .withColumnRenamed("doc_id", "eval_id").withColumnRenamed("pos", "ep")
+    val matches = t.join(broadcast(e), Seq("sh"))
+      .select(col("eval_id"), col("doc_id").as("train_id"),
+              col("pos").as("pa"), (col("pos") - col("ep")).as("diag"))
+    diagonalRuns(matches, "eval_id", "train_id", k, minRun)
+  }
+
+  /** Gate row for [[spanContamination]]: eval = every doc_id % 5 == 3
+    * (a split that provably intersects the corpus's natural verbatim
+    * runs — 9 leaking train docs at sf0.01), train = the rest. */
+  val q216_span_decontamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    spanContamination(
+      docs.filter(col("doc_id") % 5 =!= 3),
+      docs.filter(col("doc_id") % 5 === 3),
+      k = 8, minRun = 20)
   }
 
   /** Gate row for [[sharedSpans]]. The synthetic corpus is random token
@@ -559,6 +619,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q209_filter_funnel" -> q209_filter_funnel,
     "q215_shared_spans" -> q215_shared_spans,
+    "q216_span_decontamination" -> q216_span_decontamination,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -604,6 +665,29 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q216_span_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM documents)
+        |  WHERE len(s) >= 8),
+        |sh AS (
+        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
+        |m AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, t.pos AS pa,
+        |         t.pos - e.pos AS diag
+        |  FROM sh t JOIN sh e ON t.sh = e.sh
+        |  WHERE t.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
+        |isl AS (
+        |  SELECT eval_id, train_id, diag,
+        |         pa - row_number() OVER (PARTITION BY eval_id, train_id, diag ORDER BY pa) AS island
+        |  FROM m),
+        |runs AS (
+        |  SELECT eval_id, train_id, count(1) + 7 AS run
+        |  FROM isl GROUP BY eval_id, train_id, diag, island)
+        |SELECT eval_id, train_id, max(run) AS max_run, count(1) AS n_spans
+        |FROM runs WHERE run >= 20
+        |GROUP BY eval_id, train_id ORDER BY eval_id, train_id""".stripMargin,
     "q215_shared_spans" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

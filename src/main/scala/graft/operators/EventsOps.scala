@@ -130,8 +130,57 @@ object EventsOps {
     s.table("q208_sink").orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming exact-dedup parity: first-copy-wins dedup as a REAL
+    * streaming aggregation (unbounded keyed state, no watermark — the
+    * hcatalog streaming-ingest + dedup shape). Two streaming sources
+    * union'd: the full corpus plus a partial REPLAY (every third doc),
+    * so copy counts are genuinely mixed (1 or 2) and a state bug that
+    * dropped or double-counted a replayed key would desync the gate.
+    * Complete mode re-emits the converged groups at AvailableNow
+    * termination, so the result is independent of micro-batch splits;
+    * keep_id is min(doc_id) — deterministic, unlike dropDuplicates'
+    * arrival-order winner. */
+  val q217_stream_dedup_parity: Q = (s, d) => {
+    s.catalog.dropTempView("q217_sink")
+    val schema = Tables.documents(s, d).schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = src.unionByName(src.filter(col("doc_id") % 3 === 0))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("q217_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("q217_sink").orderBy(col("keep_id"))
+  }
+
+  /** Week-cohort retention matrix — the classic warehouse report
+    * (cohort = week of first purchase; cell = distinct users from that
+    * cohort purchasing again at each week offset; the sparse event type
+    * keeps the matrix non-degenerate). One distinct shuffle on
+    * (user, week), a per-user min sliver joined back, one final agg —
+    * no window over raw events. Offsets are exact multiples of 7 days
+    * (both engines truncate weeks to Monday), so the division is exact. */
+  val q218_retention_cohorts: Q = (s, d) => {
+    val uw = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    uw.join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+               (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("offset_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_wk"), col("offset_weeks"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q208_stream_session_parity" -> q208_stream_session_parity,
+    "q217_stream_dedup_parity" -> q217_stream_dedup_parity,
+    "q218_retention_cohorts" -> q218_retention_cohorts,
     "q71_tumbling_window" -> q71_tumbling_window,
     "q72_sliding_window" -> q72_sliding_window,
     "q73_sessionize" -> q73_sessionize,
@@ -144,6 +193,23 @@ object EventsOps {
   private val tsMu = "make_timestamp(epoch_ns(ts) // 1000)"
 
   val oracles: Map[String, String] = Map(
+    "q217_stream_dedup_parity" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT min(doc_id) AS keep_id, count(1) AS n_copies
+        |FROM c GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q218_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT f.cohort_wk,
+        |  CAST((uw.wk - f.cohort_wk) / 7 AS BIGINT) AS offset_weeks,
+        |  count(1) AS n_active
+        |FROM uw JOIN f ON uw.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q71_tumbling_window" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', $tsMu) AS win_start, event_type,
          |  COUNT(1) AS n,

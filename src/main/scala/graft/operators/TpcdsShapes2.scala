@@ -32,6 +32,11 @@ import graft.{Q, Tables}
   *  - q203: channel-overlap full-outer distinct-key counts (perf/query97.q)
   *  - q204: per-group outlier vs 1.2x group average        (perf/query30.q, query81.q)
   *  - q210: chained EXCEPT over distinct-key channel sets  (perf/query87.q, query38.q)
+  *  - q219: top-N by return-rate rank on two measures      (perf/query49.q)
+  *  - q220: year-over-year net-sales decline per channel   (perf/query75.q)
+  *  - q221: time-bucket census in one row                  (perf/query88.q)
+  *  - q222: order-frequency band customer census           (perf/query34.q, query73.q)
+  *  - q223: cross-channel cumulative dominance             (perf/query51.q)
   *
   * Scale notes: every sliver the patterns join back to the fact is keyed on
   * a dimension-cardinality column (part, supplier, brand, week), so the
@@ -475,9 +480,143 @@ object TpcdsShapes2 {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** query49-shape (perf/query49.q): per channel, rank items by return
+    * RATE on two measures (quantity ratio, currency ratio) and keep items
+    * in the top-10 of either rank. The reference spells it as a 3-channel
+    * UNION of window subqueries; Spark-first is ONE conditional-agg scan
+    * with the windows partitioned by channel — same rows, one fact pass
+    * (the DuckDB oracle keeps the reference's UNION spelling, so the gate
+    * proves the equivalence). Ratios are a single IEEE division of
+    * exact integer sums — bit-stable across engines. */
+  val q219_ds_return_ranks: Q = (s, d) => {
+    val channels = Seq("1-URGENT", "3-MEDIUM", "5-LOW")
+    val sliver = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(Tables.orders(s, d)
+              .filter(col("o_orderpriority").isin(channels: _*))
+              .select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("channel"), col("l_partkey"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0))
+          .cast("long").as("qty_ret"),
+        sum(col("l_quantity")).cast("long").as("qty_tot"),
+        sum(when(col("l_returnflag") === "R",
+            col("l_extendedprice").cast(DecimalType(25, 2))).otherwise(lit(0.0)))
+          .cast(DecimalType(25, 2)).as("amt_ret"),
+        sum(col("l_extendedprice").cast(DecimalType(25, 2))).as("amt_tot"))
+      .withColumn("qty_ratio", col("qty_ret").cast("double") / col("qty_tot").cast("double"))
+      .withColumn("amt_ratio", (col("amt_ret").cast("double")) / col("amt_tot").cast("double"))
+    val wq = Window.partitionBy(col("channel"))
+      .orderBy(col("qty_ratio").desc, col("l_partkey"))
+    val wa = Window.partitionBy(col("channel"))
+      .orderBy(col("amt_ratio").desc, col("l_partkey"))
+    sliver
+      .withColumn("qty_rank", rank().over(wq))
+      .withColumn("amt_rank", rank().over(wa))
+      .filter(col("qty_rank") <= 10 || col("amt_rank") <= 10)
+      .select(col("channel"), col("l_partkey"), col("qty_ret"), col("qty_tot"),
+              col("qty_rank"), col("amt_rank"))
+      .orderBy(col("channel"), col("l_partkey"))
+  }
+
+  /** query75-shape (perf/query75.q): year-over-year NET sales decline per
+    * (channel, brand) — net = sold minus returned, this year vs last,
+    * kept when the decline is >10%. The 10% threshold is compared
+    * multiply-through on integer quantities (qty97 * 10 < qty96 * 9), so
+    * no engine ever compares a float. One conditional-agg pass over the
+    * fact with the part dimension broadcast. */
+  val q220_ds_net_yoy_decline: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .withColumn("net_qty",
+        when(col("l_returnflag") === "R", -col("l_quantity")).otherwise(col("l_quantity")))
+    li.groupBy(col("o_orderpriority").as("channel"), col("p_brand"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996, col("net_qty")).otherwise(0.0))
+          .cast("long").as("qty96"),
+        sum(when(year(col("l_shipdate")) === 1997, col("net_qty")).otherwise(0.0))
+          .cast("long").as("qty97"))
+      .filter(col("qty96") > 0 && col("qty97") * 10 < col("qty96") * 9)
+      .orderBy(col("channel"), col("p_brand"))
+  }
+
+  /** query88-shape (perf/query88.q): the reference counts store traffic
+    * in eight half-hour windows as EIGHT separate scalar subqueries and
+    * cross-joins the 1x1 results into a single row. Spark-first is ONE
+    * conditional-agg scan — eight `count(when(...))` lanes over the same
+    * pass; the oracle keeps the reference's 8-subquery spelling, so the
+    * gate proves the single-scan plan emits the identical row. At 100 TB
+    * the difference is 1 fact scan vs 8. */
+  val q221_ds_time_buckets: Q = (s, d) => {
+    val views = Tables.events(s, d).filter(col("event_type") === "view")
+    val lanes = (0 until 8).map { i =>
+      count(when(hour(col("ts")).between(3 * i, 3 * i + 2), lit(1))).as(s"h$i")
+    }
+    views.agg(lanes.head, lanes.tail: _*)
+  }
+
+  /** query34/query73-shape (perf/query34.q): customers whose order count
+    * in a year falls in a frequency band, rolled up to a census per
+    * (segment, frequency). The fact reduces to a per-customer count
+    * sliver FIRST (map-side combinable), the HAVING band shrinks it to
+    * the interesting customers, and only that sliver joins the customer
+    * dimension. */
+  val q222_ds_frequent_buyers: Q = (s, d) => {
+    val freq = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders").between(2, 5))
+    freq.join(Tables.customer(s, d),
+              col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("n_orders"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"), col("n_orders"))
+  }
+
+  /** query51-shape (perf/query51.q): two channels' weekly cumulative
+    * sales compared week by week, keeping the weeks where one channel's
+    * running total leads. The reference full-outer-joins the two channel
+    * series before windowing; Spark-first folds both channels into ONE
+    * conditional aggregation of a single fact pass (a week missing from
+    * a channel contributes 0, exactly what the reference's COALESCE
+    * does), then runs both running sums over the tiny weekly sliver.
+    * Quantities stay integer so the cumulative compare is exact. */
+  val q223_ds_cume_channels: Q = (s, d) => {
+    val weekly = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(Tables.orders(s, d)
+              .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+              .select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("week", col("l_shipdate")).cast("date").as("wk"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", col("l_quantity")).otherwise(0.0))
+          .cast("long").as("qa"),
+        sum(when(col("o_orderpriority") === "5-LOW", col("l_quantity")).otherwise(0.0))
+          .cast("long").as("qb"))
+    val w = Window.orderBy(col("wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .select(col("wk"), sum(col("qa")).over(w).as("urgent_cume"),
+              sum(col("qb")).over(w).as("low_cume"))
+      .filter(col("urgent_cume") > col("low_cume"))
+      .orderBy(col("wk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ds_spend_histogram" -> q174_ds_spend_histogram,
     "q210_ds_except_chain" -> q210_ds_except_chain,
+    "q221_ds_time_buckets" -> q221_ds_time_buckets,
+    "q222_ds_frequent_buyers" -> q222_ds_frequent_buyers,
+    "q223_ds_cume_channels" -> q223_ds_cume_channels,
+    "q219_ds_return_ranks" -> q219_ds_return_ranks,
+    "q220_ds_net_yoy_decline" -> q220_ds_net_yoy_decline,
     "q202_ds_yoy_growth" -> q202_ds_yoy_growth,
     "q203_ds_channel_overlap" -> q203_ds_channel_overlap,
     "q204_ds_return_outliers" -> q204_ds_return_outliers,
@@ -499,6 +638,90 @@ object TpcdsShapes2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the reference's 8-scalar-subquery cross-join spelling (query88),
+    // proving the single-scan conditional-agg plan emits the same row
+    "q221_ds_time_buckets" -> {
+      val lanes = (0 until 8).map { i =>
+        s"""(SELECT count(1) AS h$i FROM events
+           |   WHERE event_type = 'view'
+           |     AND hour(make_timestamp(epoch_ns(ts) // 1000))
+           |         BETWEEN ${3 * i} AND ${3 * i + 2}) t$i""".stripMargin
+      }.mkString(",\n")
+      s"SELECT * FROM\n$lanes"
+    },
+    "q222_ds_frequent_buyers" ->
+      """WITH f AS (
+        |  SELECT o_custkey, count(1) AS n_orders FROM orders
+        |  WHERE year(o_orderdate) = 1996
+        |  GROUP BY o_custkey HAVING count(1) BETWEEN 2 AND 5)
+        |SELECT c_mktsegment, n_orders, count(1) AS n_cust
+        |FROM f JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the reference's full-outer-join-of-channel-series spelling
+    // (query51); COALESCE(missing week, 0) == the conditional agg's 0
+    "q223_ds_cume_channels" ->
+      """WITH li AS (
+        |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+        |         o_orderpriority AS pri, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(l_shipdate) = 1996
+        |    AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |a AS (SELECT wk, sum(qty) AS q FROM li WHERE pri = '1-URGENT' GROUP BY wk),
+        |b AS (SELECT wk, sum(qty) AS q FROM li WHERE pri = '5-LOW' GROUP BY wk),
+        |j AS (SELECT COALESCE(a.wk, b.wk) AS wk, COALESCE(a.q, 0) AS qa,
+        |             COALESCE(b.q, 0) AS qb
+        |      FROM a FULL OUTER JOIN b ON a.wk = b.wk)
+        |SELECT wk, urgent_cume, low_cume FROM (
+        |  SELECT wk,
+        |    CAST(SUM(qa) OVER (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS urgent_cume,
+        |    CAST(SUM(qb) OVER (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS low_cume
+        |  FROM j)
+        |WHERE urgent_cume > low_cume ORDER BY wk""".stripMargin,
+    // the reference's UNION-of-channel-subqueries spelling, proving the
+    // single-scan conditional-agg plan emits the same rows
+    "q219_ds_return_ranks" -> {
+      def lane(ch: String) =
+        s"""SELECT * FROM (
+           |  SELECT channel, l_partkey, qty_ret, qty_tot,
+           |    rank() OVER (ORDER BY CAST(qty_ret AS DOUBLE) / CAST(qty_tot AS DOUBLE) DESC,
+           |                 l_partkey) AS qty_rank,
+           |    rank() OVER (ORDER BY CAST(amt_ret AS DOUBLE) / CAST(amt_tot AS DOUBLE) DESC,
+           |                 l_partkey) AS amt_rank
+           |  FROM base WHERE channel = '$ch')
+           |WHERE qty_rank <= 10 OR amt_rank <= 10""".stripMargin
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS channel, l_partkey,
+         |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_ret,
+         |    CAST(sum(l_quantity) AS BIGINT) AS qty_tot,
+         |    sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(25,2))
+         |             ELSE CAST(0 AS DECIMAL(25,2)) END) AS amt_ret,
+         |    sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS amt_tot
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+         |    AND year(l_shipdate) = 1996
+         |  GROUP BY 1, 2)
+         |SELECT channel, l_partkey, qty_ret, qty_tot, qty_rank, amt_rank FROM (
+         |  ${lane("1-URGENT")}
+         |  UNION ALL
+         |  ${lane("3-MEDIUM")}
+         |  UNION ALL
+         |  ${lane("5-LOW")})
+         |ORDER BY channel, l_partkey""".stripMargin
+    },
+    "q220_ds_net_yoy_decline" ->
+      """SELECT o_orderpriority AS channel, p_brand,
+        |  CAST(sum(CASE WHEN year(l_shipdate) = 1996 THEN net ELSE 0 END) AS BIGINT) AS qty96,
+        |  CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN net ELSE 0 END) AS BIGINT) AS qty97
+        |FROM (SELECT o_orderpriority, l_shipdate, p_brand,
+        |        CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END AS net
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |                    JOIN part ON l_partkey = p_partkey
+        |      WHERE year(l_shipdate) IN (1996, 1997))
+        |GROUP BY 1, 2
+        |HAVING CAST(sum(CASE WHEN year(l_shipdate) = 1996 THEN net ELSE 0 END) AS BIGINT) > 0
+        |   AND CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN net ELSE 0 END) AS BIGINT) * 10
+        |     < CAST(sum(CASE WHEN year(l_shipdate) = 1996 THEN net ELSE 0 END) AS BIGINT) * 9
+        |ORDER BY 1, 2""".stripMargin,
     "q210_ds_except_chain" ->
       """SELECT COUNT(1) AS n_customers FROM (
         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996

@@ -13,6 +13,48 @@ class DsPlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("q219 return ranks: one fact scan replaces the reference's 3-channel union") {
+    val p = plan("q219_ds_return_ranks")
+    // the oracle spells query49's UNION of three windowed subqueries;
+    // the Spark plan must read lineitem ONCE and partition the windows
+    // by channel instead of re-scanning per channel
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 2, p) // lineitem + orders, once each
+    assert(!p.contains("Union"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q220 YoY decline: part dim broadcasts; fact aggregated once across both years") {
+    val p = plan("q220_ds_net_yoy_decline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both years come out of ONE conditional aggregation, not a self-join
+    // of per-year aggregates
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 3, p) // lineitem+orders+part
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q221 time buckets: one events scan replaces the reference's 8 scalar subqueries") {
+    val p = plan("q221_ds_time_buckets")
+    // query88 spells eight 1x1 scalar subqueries cross-joined; the Spark
+    // plan must be ONE scan with eight conditional-count lanes — no
+    // join of any kind, no repeated FileScan
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q223 cumulative channels: windows run over the weekly sliver, not lineitem rows") {
+    val p = plan("q223_ds_cume_channels")
+    // query51 spells a full outer join of two per-channel series; the
+    // Spark plan folds both channels into one conditional agg of one
+    // fact pass — the only join is lineitem-orders
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 2, p) // lineitem + orders
+    assert(!p.contains("FullOuter"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q173 follow-up join extracts the custkey equi key; date band is residual") {
     val p = plan("q173_ds_follow_up")
     assert(p.contains("HashJoin [o_custkey") || p.contains("SortMergeJoin [o_custkey"), p)

@@ -68,6 +68,40 @@ class SpanSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 12L, 2L)))
   }
 
+  test("spanContamination flags only train docs leaking eval spans, asymmetrically") {
+    val train = docs(
+      1L -> s"t1 t2 t3 ${span(1, 15)} t4 t5", // leaks a 15-token eval span
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", // clean
+      3L -> s"${span(1, 9)} v1 v2 v3")        // 9-token overlap < minRun
+    val ev = docs(100L -> span(1, 20))
+    val out = Dedup.spanContamination(train, ev, k = 8, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((100L, 1L, 15L, 1L)))
+  }
+
+  test("spanContamination == sharedSpans restricted to cross-set pairs") {
+    val all = Tables.documents(spark, sf)
+    val viaShared = Dedup.sharedSpans(all, k = 8, minRun = 20, dfCap = Int.MaxValue)
+      .filter((col("ida") % 5 === 3) =!= (col("idb") % 5 === 3))
+      .select(
+        when(col("ida") % 5 === 3, col("ida")).otherwise(col("idb")).as("eval_id"),
+        when(col("ida") % 5 === 3, col("idb")).otherwise(col("ida")).as("train_id"),
+        col("max_run"), col("n_spans"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = SparkEntry.queries("q216_span_decontamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(direct == viaShared, s"direct=${direct.size} viaShared=${viaShared.size}")
+    assert(direct.nonEmpty, "no cross-set span at this sf — gate would be vacuous")
+  }
+
+  test("span family rejects undetectable contracts loudly") {
+    val d = docs(1L -> span(1, 12))
+    intercept[IllegalArgumentException](Dedup.sharedSpans(d, k = 8, minRun = 7))
+    intercept[IllegalArgumentException](Dedup.sharedSpans(d, k = 1, minRun = 20))
+    intercept[IllegalArgumentException](Dedup.sharedSpans(d, k = 8, minRun = 20, dfCap = 1))
+    intercept[IllegalArgumentException](Dedup.spanContamination(d, d, k = 8, minRun = 7))
+  }
+
   test("gate row q215 reports exactly the eligible planted twins, closed form") {
     // a twin embeds tokens 5..34 of its base: the shared run is
     // min(30, ntok - 4) tokens, reported iff >= minRun 20 (ntok >= 24)
