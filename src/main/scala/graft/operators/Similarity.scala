@@ -359,7 +359,131 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Product-quantization ANN (Jégou–Douze–Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"; the compressed-index
+    * path the reference line has no analog for): L2-normalize, split
+    * each vector into `m` subvectors, learn a `ks`-entry codebook per
+    * subspace (Lloyd passes as DataFrame ops, seeded from the first
+    * `ks` vectors like [[ivfTopK]]), store each vector as `m` small
+    * codes — at ks<=256 that is m BYTES per vector, a 32x compression
+    * of this 64-float column. Queries run Asymmetric Distance
+    * Computation: one exact m x ks table of query-to-centroid
+    * sub-distances per query, broadcast; a candidate's approximate
+    * distance is m table lookups summed (codegen'd array ops — zero
+    * float math against corpus vectors). The ADC shortlist is then
+    * exact-reranked by cosine.
+    *
+    * Scale shape: codebooks and ADC tables are tiny and BROADCAST; the
+    * corpus is scanned once to encode and once per query batch for
+    * lookups — never shuffled, never all-pairs. At 100 TB only the
+    * m-byte codes are rescanned per batch, which is the method's whole
+    * point. On normalized vectors ||a-b||^2 = 2 - 2 cos(a,b), so the
+    * ADC ordering approximates the cosine ordering the reranker and
+    * [[bruteForceTopK]] use. Distances round to 6 before argmin/rank
+    * (ties by id) so assignments are stable across partitionings. */
+  private def pqL2(a: String, b: String): Column = round(
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"), 6)
+
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), Seq("sub"))
+      .withColumn("d2", pqL2("sv", "cvec"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** (subvectors, trained codebooks) for [[pqEncode]]/[[pqTopK]]. */
+  private def pqModel(emb: DataFrame, m: Int, ks: Int,
+                      lloydIters: Int): (DataFrame, DataFrame) = {
+    require(m >= 1 && ks >= 2, s"need m >= 1 subspaces (got $m), ks >= 2 codes (got $ks)")
+    // dimension is schema-scale metadata (one 1-row aggregate, same
+    // contract as PipelineOps' bounds lookups)
+    val dims = emb.agg(min(size(col("embedding"))).as("lo"),
+                       max(size(col("embedding"))).as("hi")).head()
+    val dim = dims.getInt(0)
+    require(dim == dims.getInt(1), s"ragged embedding column: $dims")
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subdim = dim / m
+    val norm = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE) / " +
+           "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), " +
+           "0D, (a, x) -> a + x)))").as("nv"))
+    val sub = norm.select(col("vec_id"), posexplode(
+      expr(s"transform(sequence(0, ${m - 1}, 1), j -> slice(nv, j * $subdim + 1, $subdim))"))
+        .as(Seq("sub", "sv")))
+    val seed = sub.filter(col("vec_id") < ks)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cvec"))
+    val cent = (0 until lloydIters).foldLeft(seed) { (c, _) =>
+      pqAssign(sub, c)
+        .join(sub, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("v")).as("cm"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pm"))
+        .select(col("sub"), col("cid"), expr("transform(pm, x -> x.cm)").as("cvec"))
+    }
+    (sub, cent)
+  }
+
+  /** The stored PQ index: (vec_id, codes) with `codes` = m codebook
+    * indices ordered by subspace — m bytes per vector at ks <= 256. */
+  def pqEncode(emb: DataFrame, m: Int, ks: Int, lloydIters: Int = 2): DataFrame = {
+    val (sub, cent) = pqModel(emb, m, ks, lloydIters)
+    pqAssign(sub, cent)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
+  }
+
+  def pqTopK(emb: DataFrame, m: Int, ks: Int, nQueries: Int, k: Int,
+             shortlist: Int = 50, lloydIters: Int = 2): DataFrame = {
+    val (sub, cent) = pqModel(emb, m, ks, lloydIters)
+    val codes = pqAssign(sub, cent)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
+
+    // per-query ADC tables: dtab[sub][cid] = exact query-centroid sub-distance
+    val qsub = sub.filter(col("vec_id") < nQueries).withColumnRenamed("vec_id", "qid")
+    val dtab = qsub.join(broadcast(cent), Seq("sub"))
+      .withColumn("qd", pqL2("sv", "cvec"))
+      .groupBy(col("qid"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("qd")))).as("cd"))
+      .groupBy(col("qid"))
+      .agg(array_sort(collect_list(struct(col("sub"),
+        expr("transform(cd, x -> x.qd)").as("t")))).as("st"))
+      .select(col("qid"), expr("transform(st, x -> x.t)").as("dtab"))
+
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
+    val short = codes.crossJoin(broadcast(dtab))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("approx", round(expr(
+        "aggregate(zip_with(codes, dtab, (c, t) -> element_at(t, CAST(c + 1 AS INT))), " +
+        "0D, (acc, v) -> acc + v)"), 6))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+
+    // exact rerank of the shortlist only
+    val wK = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    short
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+                        .filter(col("qid") < nQueries)), Seq("qid"))
+      .withColumn("score", round(cosine(col("qvec"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("score"))
+  }
+
+  /** PQ gate: 8 subspaces x 16 codes over the 64-dim corpus, ADC
+    * shortlist 50, exact rerank to top-10. Rows-only (k-means has no
+    * DuckDB spelling); recall vs q68 + code-shape/compression contracts
+    * pinned in PipelineSpec. */
+  val q224_ann_pq: Q = (s, d) =>
+    pqTopK(Tables.embeddings(s, d), m = 8, ks = 16, nQueries = 5, k = 10)
+      .orderBy(col("qid"), col("rnk"))
+
   val queries: Map[String, Q] = Map(
+    "q224_ann_pq" -> q224_ann_pq,
     "q200_embed_quantize" -> q200_embed_quantize,
     "q179_quantized_cells" -> q179_quantized_cells,
     "q180_semdedup" -> q180_semdedup,

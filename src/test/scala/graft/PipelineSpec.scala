@@ -169,6 +169,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= bf.size, s"IVF found only $hits brute-force-top-10 hits")
   }
 
+  test("PQ ANN: ADC shortlist + rerank recalls brute-force neighbors") {
+    val bf = SparkEntry.queries("q68_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = SparkEntry.queries("q224_ann_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == bf.keySet, "PQ lost a query entirely")
+    // every query returns a full top-10 (shortlist can't under-fill at
+    // this corpus size), and the m-byte codes still recall a meaningful
+    // share of the exact top-10
+    assert(pq.values.forall(_.size == 10), "PQ under-filled a top-10")
+    val hits = bf.map { case (q, ids) => pq(q).count(ids.contains) }.sum
+    assert(hits >= bf.size, s"PQ found only $hits brute-force-top-10 hits")
+  }
+
+  test("PQ codes: m entries per vector, every code a valid codebook index") {
+    // the stored index really is m=8 small codes (8 bytes vs the
+    // 64-float column's 256 — the 32x compression PQ exists for)
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Similarity.pqEncode(emb, m = 8, ks = 16, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(codes.length.toLong == emb.count(), "a vector lost its code")
+    assert(codes.forall(_._2.length == 8), "code width != m")
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)),
+      "code outside the ks=16 codebook")
+    // every query answered with a full top-5 at a small m/ks too
+    val out = Similarity.pqTopK(emb, m = 4, ks = 8, nQueries = 3,
+      k = 5, shortlist = 20, lloydIters = 1).collect()
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length == 5))
+  }
+
   test("sign-LSH near-dup blocking: precision 1, high recall on planted pairs") {
     import spark.implicits._
     // the shipped corpus has no cosine>=0.8 pairs, so plant some: 100

@@ -18,6 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q67_ngram_jaccard" -> "deliberate all-pairs exact oracle path, capped at 1000 docs",
     "q68_cosine_topk" -> "brute-force baseline: broadcast 5-query set x corpus scan",
     "q87_ann_ivf" -> "corpus x broadcast(16 centroids) assignment pass",
+    "q224_ann_pq" -> "PQ codes x broadcast(5-query ADC tables) lookup pass",
     "q156_ds_scalar_lanes" -> "DS query88 shape: 1x1 cross joins of singleton aggregates",
     "q169_bitmap_index" -> "three singleton bitmap lanes cross-joined 1x1",
     "q170_ds_double_semi" -> "scalar spend threshold: 1x1 broadcast of a singleton max",
