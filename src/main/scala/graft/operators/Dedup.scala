@@ -523,18 +523,28 @@ object Dedup {
 
   /** Maximal islands of consecutive `pa` per (left, right, diag), then
     * per-pair max-run/span-count — the shared tail of the span family. */
-  private def diagonalRuns(matches: DataFrame, left: String, right: String,
-                           k: Int, minRun: Int): DataFrame = {
+  /** Qualifying island intervals: one row per maximal run of consecutive
+    * `pa` per (left, right, diag) with run >= minRun, carrying the
+    * covered position interval [st, en] on the LEFT document's axis
+    * (within an island pa is consecutive by construction, so
+    * en = st + run - 1 exactly). */
+  private def islandSpans(matches: DataFrame, left: String, right: String,
+                          k: Int, minRun: Int): DataFrame = {
     val w = Window.partitionBy(col(left), col(right), col("diag")).orderBy(col("pa"))
     matches
       .withColumn("island", col("pa") - row_number().over(w))
       .groupBy(col(left), col(right), col("diag"), col("island"))
-      .agg((count(lit(1)) + (k - 1)).as("run"))
+      .agg(min(col("pa")).as("st"), (count(lit(1)) + (k - 1)).as("run"))
       .filter(col("run") >= minRun)
+      .withColumn("en", col("st") + col("run") - 1)
+  }
+
+  private def diagonalRuns(matches: DataFrame, left: String, right: String,
+                           k: Int, minRun: Int): DataFrame =
+    islandSpans(matches, left, right, k, minRun)
       .groupBy(col(left), col(right))
       .agg(max(col("run")).as("max_run"), count(lit(1)).as("n_spans"))
       .orderBy(col(left), col(right))
-  }
 
   def sharedSpans(docs: DataFrame, k: Int = 8, minRun: Int = 20,
                   dfCap: Int = 64): DataFrame = {
@@ -568,18 +578,75 @@ object Dedup {
     * shingles that literally occur in eval) reaches the island window.
     * No df cap: eval is deduplicated by construction, and a hot eval
     * shingle is bounded by eval's own size, not the corpus's. */
-  def spanContamination(train: DataFrame, evalDocs: DataFrame,
-                        k: Int = 8, minRun: Int = 20): DataFrame = {
+  /** Shared by [[spanContamination]]/[[spanCoverage]]: train shingles
+    * that literally occur in eval, with `pa` on the TRAIN position axis. */
+  private def contaminationMatches(train: DataFrame, evalDocs: DataFrame,
+                                   k: Int, minRun: Int): DataFrame = {
     require(k >= 2, s"shingle width k=$k must be >= 2")
     require(minRun >= k, s"minRun=$minRun below k=$k is undetectable: " +
       "the shortest observable run is one whole shingle")
     val t = positionalShingles(train, k)
     val e = positionalShingles(evalDocs, k)
       .withColumnRenamed("doc_id", "eval_id").withColumnRenamed("pos", "ep")
-    val matches = t.join(broadcast(e), Seq("sh"))
+    t.join(broadcast(e), Seq("sh"))
       .select(col("eval_id"), col("doc_id").as("train_id"),
               col("pos").as("pa"), (col("pos") - col("ep")).as("diag"))
-    diagonalRuns(matches, "eval_id", "train_id", k, minRun)
+  }
+
+  def spanContamination(train: DataFrame, evalDocs: DataFrame,
+                        k: Int = 8, minRun: Int = 20): DataFrame =
+    diagonalRuns(contaminationMatches(train, evalDocs, k, minRun),
+                 "eval_id", "train_id", k, minRun)
+
+  /** Per-train-document leak coverage — the decision metric
+    * decontamination feeds: what FRACTION of a train doc's tokens sits
+    * inside a >= minRun verbatim eval span (Lee et al. 2022 drop whole
+    * documents past a coverage threshold; reporting per-pair max runs
+    * alone can't distinguish one 20-token quote from a half-copied
+    * page). Qualifying spans from ALL eval docs and diagonals are
+    * merged as intervals on the train doc's token axis (classic sweep:
+    * running-max of interval ends, new region when a span starts past
+    * it), so overlapping leaks never double-count a token.
+    * `leak_frac` is a single IEEE division of two exact integers —
+    * bit-stable across engines.
+    *
+    * Scale shape: everything after the broadcast shingle probe operates
+    * on the matched sliver; the merge windows partition by train_id —
+    * bounded by one document's span count, never the corpus. */
+  def spanCoverage(train: DataFrame, evalDocs: DataFrame,
+                   k: Int = 8, minRun: Int = 20): DataFrame = {
+    val spans = islandSpans(contaminationMatches(train, evalDocs, k, minRun),
+                            "eval_id", "train_id", k, minRun)
+    val wPrev = Window.partitionBy(col("train_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("train_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = spans
+      .withColumn("prev_en", max(col("en")).over(wPrev))
+      .withColumn("fresh",
+        when(col("prev_en").isNull || col("st") > col("prev_en"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("fresh")).over(wRun))
+      .groupBy(col("train_id"), col("grp"))
+      .agg(min(col("st")).as("lo"), max(col("en")).as("hi"))
+    val ntok = train.select(col("doc_id").as("train_id"),
+      size(split(trim(col("text")), " +")).cast("long").as("ntok"))
+    merged.groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_regions"),
+           sum(col("hi") - col("lo") + 1).as("covered_tokens"))
+      .join(ntok, Seq("train_id"))
+      .select(col("train_id"), col("n_regions"), col("covered_tokens"), col("ntok"),
+              (col("covered_tokens").cast("double") / col("ntok").cast("double"))
+                .as("leak_frac"))
+      .orderBy(col("train_id"))
+  }
+
+  /** Gate row for [[spanCoverage]]: same % 5 split as q216. */
+  val q225_span_coverage: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    spanCoverage(
+      docs.filter(col("doc_id") % 5 =!= 3),
+      docs.filter(col("doc_id") % 5 === 3),
+      k = 8, minRun = 20)
   }
 
   /** Gate row for [[spanContamination]]: eval = every doc_id % 5 == 3
@@ -620,6 +687,7 @@ object Dedup {
     "q209_filter_funnel" -> q209_filter_funnel,
     "q215_shared_spans" -> q215_shared_spans,
     "q216_span_decontamination" -> q216_span_decontamination,
+    "q225_span_coverage" -> q225_span_coverage,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -665,6 +733,50 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q225_span_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM documents)
+        |  WHERE len(s) >= 8),
+        |sh AS (
+        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
+        |m AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, t.pos AS pa,
+        |         t.pos - e.pos AS diag
+        |  FROM sh t JOIN sh e ON t.sh = e.sh
+        |  WHERE t.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
+        |isl AS (
+        |  SELECT eval_id, train_id, diag, pa,
+        |         pa - row_number() OVER (PARTITION BY eval_id, train_id, diag ORDER BY pa) AS island
+        |  FROM m),
+        |spans AS (
+        |  SELECT train_id, min(pa) AS st, min(pa) + count(1) + 6 AS en
+        |  FROM isl GROUP BY eval_id, train_id, diag, island
+        |  HAVING count(1) + 7 >= 20),
+        |swp AS (
+        |  SELECT train_id, st, en,
+        |    max(en) OVER (PARTITION BY train_id ORDER BY st, en
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
+        |  FROM spans),
+        |grp AS (
+        |  SELECT train_id, st, en,
+        |    SUM(CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY train_id ORDER BY st, en
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM swp),
+        |merged AS (SELECT train_id, g, min(st) AS lo, max(en) AS hi
+        |           FROM grp GROUP BY train_id, g),
+        |cov AS (SELECT train_id, count(1) AS n_regions, sum(hi - lo + 1) AS covered
+        |        FROM merged GROUP BY train_id),
+        |nt AS (SELECT doc_id AS train_id,
+        |         len(regexp_split_to_array(trim(text), ' +')) AS ntok
+        |       FROM documents WHERE doc_id % 5 <> 3)
+        |SELECT c.train_id, CAST(n_regions AS BIGINT) AS n_regions,
+        |  CAST(covered AS BIGINT) AS covered_tokens, CAST(ntok AS BIGINT) AS ntok,
+        |  CAST(covered AS DOUBLE) / CAST(ntok AS DOUBLE) AS leak_frac
+        |FROM cov c JOIN nt ON c.train_id = nt.train_id
+        |ORDER BY c.train_id""".stripMargin,
     "q216_span_decontamination" ->
       """WITH toks AS (
         |  SELECT doc_id, s FROM (

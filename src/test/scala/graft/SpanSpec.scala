@@ -94,6 +94,31 @@ class SpanSpec extends AnyFunSuite {
     assert(direct.nonEmpty, "no cross-set span at this sf — gate would be vacuous")
   }
 
+  test("spanCoverage merges overlapping leak intervals, never double-counting") {
+    // train doc 1: 40 tokens; two eval docs leak OVERLAPPING spans
+    // (train positions 1..20 and 11..30) plus doc 100's tail also
+    // appears disjointly at 31..40 — union = [1,30] + [31,40]... which
+    // itself touches, so expect ONE region iff contiguous, else two.
+    // Build it exactly: t = w1..w40; e1 = w1..w20; e2 = w11..w30.
+    // Regions: [1,30] merged from the two overlapping spans -> covered 30.
+    val train = docs(1L -> span(1, 40))
+    val ev = docs(100L -> span(1, 20), 101L -> span(11, 30))
+    val out = Dedup.spanCoverage(train, ev, k = 8, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                           r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 1L, 30L, 40L, 0.75)))
+  }
+
+  test("spanCoverage reports full coverage for a verbatim copy, none below minRun") {
+    val train = docs(
+      1L -> span(1, 25),                       // verbatim subset of eval
+      2L -> s"${span(1, 9)} a1 a2 a3 a4 a5")   // 9-token overlap < minRun
+    val ev = docs(100L -> span(1, 25))
+    val out = Dedup.spanCoverage(train, ev, k = 8, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 25L, 25L, 1.0)))
+  }
+
   test("span family rejects undetectable contracts loudly") {
     val d = docs(1L -> span(1, 12))
     intercept[IllegalArgumentException](Dedup.sharedSpans(d, k = 8, minRun = 7))
