@@ -482,7 +482,40 @@ object Similarity {
     pqTopK(Tables.embeddings(s, d), m = 8, ks = 16, nQueries = 5, k = 10)
       .orderBy(col("qid"), col("rnk"))
 
+  /** Per-label embedding cohesion — the within-class-scatter report an
+    * embedding-quality monitor runs (is a class collapsing? drifting
+    * apart?). Values quantize to integer milli-units first (the q207
+    * trick), so every aggregate is an exact integer sum in any partition
+    * order; the mean squared distance to the class centroid comes out of
+    * the algebraic identity n^2 * d_i = sum_pos (n*qv_i - S_pos)^2 —
+    * never a float centroid, never an order-dependent double sum. The
+    * only float op is ONE final IEEE division, bit-stable across
+    * engines. Two shuffles, both keyed on (label[, pos]) — dimension
+    * cardinality, not corpus cardinality. */
+  def labelCohesion(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("vec_id"), col("pos"),
+              floor(col("v").cast("double") * 1000).as("qv"))
+    val s = q.groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("sp"), count(lit(1)).as("n"))
+    q.join(s, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        sum((col("n") * col("qv") - col("sp")) * (col("n") * col("qv") - col("sp")))
+          .as("scatter"))
+      .select(col("label"), col("n_vecs"), col("scatter"),
+        (col("scatter").cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs") * col("n_vecs") * lit(1000000.0)))
+          .as("mean_sq_dist"))
+      .orderBy(col("label"))
+  }
+
+  val q226_label_cohesion: Q = (s, d) => labelCohesion(Tables.embeddings(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q226_label_cohesion" -> q226_label_cohesion,
     "q224_ann_pq" -> q224_ann_pq,
     "q200_embed_quantize" -> q200_embed_quantize,
     "q179_quantized_cells" -> q179_quantized_cells,
@@ -503,6 +536,24 @@ object Similarity {
       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q226_label_cohesion" ->
+      """WITH q AS (
+        |  SELECT label, vec_id, pos,
+        |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM (SELECT label, vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS pos
+        |        FROM embeddings)),
+        |s AS (SELECT label, pos, SUM(qv) AS sp, COUNT(1) AS n
+        |      FROM q GROUP BY label, pos),
+        |sc AS (SELECT q.label,
+        |         CAST(MAX(n) AS BIGINT) AS n_vecs,
+        |         CAST(SUM((n * qv - sp) * (n * qv - sp)) AS BIGINT) AS scatter
+        |       FROM q JOIN s ON q.label = s.label AND q.pos = s.pos
+        |       GROUP BY q.label)
+        |SELECT label, n_vecs, scatter,
+        |  CAST(scatter AS DOUBLE) /
+        |    (CAST(n_vecs AS DOUBLE) * n_vecs * n_vecs * 1000000.0) AS mean_sq_dist
+        |FROM sc ORDER BY label""".stripMargin,
     "q200_embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
