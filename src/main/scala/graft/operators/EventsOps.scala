@@ -177,9 +177,36 @@ object EventsOps {
       .orderBy(col("cohort_wk"), col("offset_weeks"))
   }
 
+  /** Streaming LEFT OUTER interval-join parity: unmatched views must
+    * surface as null-purchase rows — but only once the watermark proves
+    * no match can arrive, so the gate restricts BOTH engines to views at
+    * least 2h behind max(ts) (watermark delay 1h + join interval 30m +
+    * 30m margin); inside that horizon streamed == batch left join
+    * exactly, nulls included. A state bug that dropped an unmatched view
+    * (or emitted it twice — once on match, once on eviction) breaks the
+    * hash. */
+  val q227_stream_left_join_parity: Q = (s, d) => {
+    s.catalog.dropTempView("q227_sink")
+    val q = graft.streaming.EventsStream
+      .viewPurchaseLeftOuter(
+        graft.streaming.EventsStream.readEvents(s, d),
+        graft.streaming.EventsStream.readEvents(s, d))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q227_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(7200))
+    s.table("q227_sink")
+      .filter(col("view_ts") <= lit(cutoff))
+      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q208_stream_session_parity" -> q208_stream_session_parity,
     "q217_stream_dedup_parity" -> q217_stream_dedup_parity,
+    "q227_stream_left_join_parity" -> q227_stream_left_join_parity,
     "q218_retention_cohorts" -> q218_retention_cohorts,
     "q71_tumbling_window" -> q71_tumbling_window,
     "q72_sliding_window" -> q72_sliding_window,
@@ -193,6 +220,19 @@ object EventsOps {
   private val tsMu = "make_timestamp(epoch_ns(ts) // 1000)"
 
   val oracles: Map[String, String] = Map(
+    "q227_stream_left_join_parity" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, $tsMu AS ts FROM events),
+         |mx AS (SELECT max(ts) AS mts FROM (SELECT $tsMu AS ts FROM events)),
+         |v AS (SELECT user_id, ts AS view_ts FROM e WHERE event_type = 'view'),
+         |p AS (SELECT user_id AS p_user, ts AS purchase_ts FROM e
+         |      WHERE event_type = 'purchase')
+         |SELECT v.user_id, v.view_ts, p.purchase_ts
+         |FROM v LEFT JOIN p ON v.user_id = p.p_user
+         |  AND p.purchase_ts >= v.view_ts
+         |  AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+         |WHERE v.view_ts <= (SELECT mts FROM mx) - INTERVAL 2 HOUR
+         |ORDER BY user_id, view_ts, purchase_ts NULLS FIRST""".stripMargin,
     "q217_stream_dedup_parity" ->
       """WITH c AS (
         |  SELECT doc_id, text FROM documents

@@ -72,7 +72,8 @@ object EventsStream {
     * state is bounded — late rows beyond the horizon are dropped instead
     * of held forever, the property that keeps a 100 TB/day attribution
     * join from accumulating unbounded state. */
-  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
+                              joinType: String = "inner"): DataFrame = {
     val v = views.filter(col("event_type") === "view")
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts").as("view_ts"))
@@ -82,9 +83,21 @@ object EventsStream {
     v.join(p,
         col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("user_id"), col("view_ts"), col("purchase_ts"))
   }
+
+  /** LEFT OUTER stream-stream interval join: unmatched views emit a
+    * null-purchase row only once the watermark proves no match can still
+    * arrive (state eviction at view_ts + interval < watermark — the
+    * no-data micro-batch after the last file advances it to
+    * max(ts) - delay and flushes). Callers comparing against a batch
+    * left join must therefore restrict both sides to views safely
+    * behind the final watermark; q227 uses max(ts) - 2h (delay 1h +
+    * interval 30m + 30m margin). */
+  def viewPurchaseLeftOuter(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseAttribution(views, purchases, "left_outer")
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the mapGroupsWithState surface the

@@ -662,4 +662,17 @@ class NegativeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("is_new"), e.getMessage)
   }
+
+  test("PQ rejects undecodable configurations loudly") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    // dim=64 not divisible by m=7 subspaces — a silent remainder would
+    // quietly drop trailing dimensions from every code
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, m = 7, ks = 16)
+    }
+    assert(e.getMessage.contains("divisible"), e.getMessage)
+    intercept[IllegalArgumentException] { Similarity.pqEncode(emb, m = 0, ks = 16) }
+    intercept[IllegalArgumentException] { Similarity.pqEncode(emb, m = 8, ks = 1) }
+  }
 }
