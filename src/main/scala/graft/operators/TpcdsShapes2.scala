@@ -37,6 +37,7 @@ import graft.{Q, Tables}
   *  - q221: time-bucket census in one row                  (perf/query88.q)
   *  - q222: order-frequency band customer census           (perf/query34.q, query73.q)
   *  - q223: cross-channel cumulative dominance             (perf/query51.q)
+  *  - q228: cross-channel QoQ growth comparison            (perf/query31.q)
   *
   * Scale notes: every sliver the patterns join back to the fact is keyed on
   * a dimension-cardinality column (part, supplier, brand, week), so the
@@ -609,9 +610,37 @@ object TpcdsShapes2 {
       .orderBy(col("wk"))
   }
 
+  /** query31-shape (perf/query31.q): regions where one channel's
+    * quarter-over-quarter growth outpaces the other's across consecutive
+    * quarters. Both channels come out of ONE conditional-agg pass per
+    * (nation, quarter); the consecutive-quarter self-join runs on that
+    * nation x 4 sliver, never on orders rows; the cross-channel growth
+    * compare multiplies through on integer counts (ua2*lo1 > lo2*ua1),
+    * so no engine ever divides. */
+  val q228_ds_growth_compare: Q = (s, d) => {
+    val sliver = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996 &&
+              col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), quarter(col("o_orderdate")).as("qtr"))
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("n_urgent"),
+        count(when(col("o_orderpriority") === "5-LOW", lit(1))).as("n_low"))
+    sliver.as("a").join(sliver.as("b"),
+        col("a.nation") === col("b.nation") && col("b.qtr") === col("a.qtr") + 1)
+      .where(col("a.n_urgent") > 0 && col("a.n_low") > 0 &&
+             col("b.n_urgent") * col("a.n_low") > col("b.n_low") * col("a.n_urgent"))
+      .select(col("a.nation").as("nation"), col("a.qtr").as("qtr_from"),
+              col("a.n_urgent").as("ua1"), col("b.n_urgent").as("ua2"),
+              col("a.n_low").as("lo1"), col("b.n_low").as("lo2"))
+      .orderBy(col("nation"), col("qtr_from"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ds_spend_histogram" -> q174_ds_spend_histogram,
     "q210_ds_except_chain" -> q210_ds_except_chain,
+    "q228_ds_growth_compare" -> q228_ds_growth_compare,
     "q221_ds_time_buckets" -> q221_ds_time_buckets,
     "q222_ds_frequent_buyers" -> q222_ds_frequent_buyers,
     "q223_ds_cume_channels" -> q223_ds_cume_channels,
@@ -638,6 +667,21 @@ object TpcdsShapes2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q228_ds_growth_compare" ->
+      """WITH s AS (
+        |  SELECT c_nationkey AS nation, quarter(o_orderdate) AS qtr,
+        |    count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |    count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE year(o_orderdate) = 1996
+        |    AND o_orderpriority IN ('1-URGENT', '5-LOW')
+        |  GROUP BY 1, 2)
+        |SELECT a.nation, CAST(a.qtr AS INT) AS qtr_from,
+        |  a.n_urgent AS ua1, b.n_urgent AS ua2, a.n_low AS lo1, b.n_low AS lo2
+        |FROM s a JOIN s b ON a.nation = b.nation AND b.qtr = a.qtr + 1
+        |WHERE a.n_urgent > 0 AND a.n_low > 0
+        |  AND b.n_urgent * a.n_low > b.n_low * a.n_urgent
+        |ORDER BY a.nation, qtr_from""".stripMargin,
     // the reference's 8-scalar-subquery cross-join spelling (query88),
     // proving the single-scan conditional-agg plan emits the same row
     "q221_ds_time_buckets" -> {

@@ -99,6 +99,63 @@ object EventsStream {
   def viewPurchaseLeftOuter(views: DataFrame, purchases: DataFrame): DataFrame =
     viewPurchaseAttribution(views, purchases, "left_outer")
 
+  case class OpenSession(user_id: Long, startUs: Long, endUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Hand-rolled sessionization on EventTimeTimeout state — the surface
+    * session_window cannot give you: emit ONLY when a session closes,
+    * either because a later event broke the gap in-stream or because the
+    * WATERMARK passed session_end + gap (state.hasTimedOut) and no
+    * extension can ever arrive. That timeout close is exactly how a
+    * 100 TB ingest bounds its keyed state: every open session is
+    * guaranteed to leave memory one gap past the watermark.
+    *
+    * In-batch events merge in event-time order (a micro-batch delivers
+    * its rows unordered); cross-batch ordering is the caller's watermark
+    * contract, same as session_window's. */
+  def timeoutSessions(events: Dataset[Event], gapMinutes: Int = 30,
+                      delay: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: java.sql.Timestamp) = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def ts(u: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator.single(SessionOut(uid, ts(s.startUs), ts(s.endUs), s.n))
+          } else {
+            val times = rows.map(e => us(e.ts)).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var acc = state.getOption
+            times.foreach { t =>
+              acc match {
+                case None => acc = Some(OpenSession(uid, t, t, 1L))
+                case Some(s) if t - s.endUs <= gapUs =>
+                  acc = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(uid, ts(s.startUs), ts(s.endUs), s.n)
+                  acc = Some(OpenSession(uid, t, t, 1L))
+              }
+            }
+            acc.foreach { open =>
+              state.update(open)
+              // timeout fires once the WATERMARK (not the clock) passes
+              // session_end + gap; millis per the GroupState contract
+              state.setTimeoutTimestamp(open.endUs / 1000L + gapMinutes * 60000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the mapGroupsWithState surface the
     * reference has no analog for). */

@@ -134,6 +134,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "curation gate should keep some documents")
   }
 
+  test("EventTimeTimeout sessions close exactly on gap break or watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(uid: Long, minute: Long) = EventsStream.Event(
+      uid * 10000 + minute, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(minute.toInt)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))),
+      uid, "view", 1.0, "{}")
+    val in = MemoryStream[EventsStream.Event]
+    val q = EventsStream.timeoutSessions(in.toDS(), gapMinutes = 30,
+        delay = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timeout_sessions")
+      .start()
+    try {
+      // user 1: minutes 0,10,20 (session A), then 60,65 (session B —
+      // 40-min gap closes A in-stream); user 2: a single event
+      in.addData(ev(1, 0), ev(1, 10), ev(1, 20), ev(2, 5))
+      q.processAllAvailable()
+      in.addData(ev(1, 60), ev(1, 65))
+      q.processAllAvailable()
+      // sentinel far in the future: watermark passes every session's
+      // end + gap, so B and user 2's singleton close via hasTimedOut
+      in.addData(ev(99, 10000))
+      q.processAllAvailable()
+      // one more batch so the timeout (evaluated against the advanced
+      // watermark) actually fires
+      in.addData(ev(99, 10001))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("timeout_sessions")
+      .filter(col("user_id") < 99)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:20:00.0", 3L),
+      (1L, "2024-01-01 01:00:00.0", "2024-01-01 01:05:00.0", 2L),
+      (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0", 1L)), out)
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     import spark.implicits._
     val events = EventsStream.readEvents(spark, sf).as[EventsStream.Event]
