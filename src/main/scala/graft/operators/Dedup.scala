@@ -613,24 +613,33 @@ object Dedup {
     * Scale shape: everything after the broadcast shingle probe operates
     * on the matched sliver; the merge windows partition by train_id —
     * bounded by one document's span count, never the corpus. */
-  def spanCoverage(train: DataFrame, evalDocs: DataFrame,
-                   k: Int = 8, minRun: Int = 20): DataFrame = {
+  /** Merged (non-overlapping, maximal) leaked-token regions per train
+    * doc: (train_id, lo, hi) on the train token axis, from qualifying
+    * spans across ALL eval docs and diagonals (running-max sweep). The
+    * shared core of [[spanCoverage]] and [[spanScrub]]. */
+  def leakRegions(train: DataFrame, evalDocs: DataFrame,
+                  k: Int = 8, minRun: Int = 20): DataFrame = {
     val spans = islandSpans(contaminationMatches(train, evalDocs, k, minRun),
                             "eval_id", "train_id", k, minRun)
     val wPrev = Window.partitionBy(col("train_id")).orderBy(col("st"), col("en"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("train_id")).orderBy(col("st"), col("en"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = spans
+    spans
       .withColumn("prev_en", max(col("en")).over(wPrev))
       .withColumn("fresh",
         when(col("prev_en").isNull || col("st") > col("prev_en"), 1L).otherwise(0L))
       .withColumn("grp", sum(col("fresh")).over(wRun))
       .groupBy(col("train_id"), col("grp"))
       .agg(min(col("st")).as("lo"), max(col("en")).as("hi"))
+      .drop("grp")
+  }
+
+  def spanCoverage(train: DataFrame, evalDocs: DataFrame,
+                   k: Int = 8, minRun: Int = 20): DataFrame = {
     val ntok = train.select(col("doc_id").as("train_id"),
       size(split(trim(col("text")), " +")).cast("long").as("ntok"))
-    merged.groupBy(col("train_id"))
+    leakRegions(train, evalDocs, k, minRun).groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_regions"),
            sum(col("hi") - col("lo") + 1).as("covered_tokens"))
       .join(ntok, Seq("train_id"))
@@ -638,6 +647,51 @@ object Dedup {
               (col("covered_tokens").cast("double") / col("ntok").cast("double"))
                 .as("leak_frac"))
       .orderBy(col("train_id"))
+  }
+
+  /** Span REMOVAL — the operation detection exists to feed (Lee et al.
+    * 2022 excise the duplicated substring, keeping the rest of the doc):
+    * returns the REWRITTEN train docs — only those with a leaked region —
+    * as (train_id, clean_ntok, clean_text) with every token inside a
+    * merged leak region removed and the survivors rejoined in order.
+    * Callers union the untouched remainder (anti-join on train_id) —
+    * kept out of this result so the gate hashes the full rewritten text.
+    *
+    * Scale shape: only CONTAMINATED docs (a left-semi against the region
+    * sliver) pay the token explode; the region predicate applies as a
+    * broadcast range anti-join; everything else never leaves the scan. A
+    * fully-covered doc vanishes (no tokens survive) — by design: it IS
+    * the eval content. */
+  def spanScrub(train: DataFrame, evalDocs: DataFrame,
+                k: Int = 8, minRun: Int = 20): DataFrame = {
+    val regions = leakRegions(train, evalDocs, k, minRun)
+    val dirty = train
+      .join(regions.select(col("train_id")).distinct(),
+            col("doc_id") === col("train_id"), "left_semi")
+    val toks = dirty
+      .select(col("doc_id"), posexplode(split(trim(col("text")), " +")).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
+    val kept = toks.join(broadcast(regions),
+        col("doc_id") === col("train_id") &&
+        col("pos").between(col("lo"), col("hi")), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("clean_ntok"),
+           concat_ws(" ", expr(
+             "transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)"))
+             .as("clean_text"))
+      .select(col("doc_id").as("train_id"), col("clean_ntok"), col("clean_text"))
+      .orderBy(col("train_id"))
+  }
+
+  /** Gate row for [[spanScrub]]: same % 5 split as q216; the oracle
+    * rebuilds each cleaned text in DuckDB, so the hash covers the FULL
+    * rewritten strings, not just counts. */
+  val q229_span_scrub: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    spanScrub(
+      docs.filter(col("doc_id") % 5 =!= 3),
+      docs.filter(col("doc_id") % 5 === 3),
+      k = 8, minRun = 20)
   }
 
   /** Gate row for [[spanCoverage]]: same % 5 split as q216. */
@@ -688,6 +742,7 @@ object Dedup {
     "q215_shared_spans" -> q215_shared_spans,
     "q216_span_decontamination" -> q216_span_decontamination,
     "q225_span_coverage" -> q225_span_coverage,
+    "q229_span_scrub" -> q229_span_scrub,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -733,6 +788,54 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q229_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM documents)
+        |  WHERE len(s) >= 8),
+        |sh AS (
+        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
+        |m AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, t.pos AS pa,
+        |         t.pos - e.pos AS diag
+        |  FROM sh t JOIN sh e ON t.sh = e.sh
+        |  WHERE t.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
+        |isl AS (
+        |  SELECT eval_id, train_id, diag, pa,
+        |         pa - row_number() OVER (PARTITION BY eval_id, train_id, diag ORDER BY pa) AS island
+        |  FROM m),
+        |spans AS (
+        |  SELECT train_id, min(pa) AS st, min(pa) + count(1) + 6 AS en
+        |  FROM isl GROUP BY eval_id, train_id, diag, island
+        |  HAVING count(1) + 7 >= 20),
+        |swp AS (
+        |  SELECT train_id, st, en,
+        |    max(en) OVER (PARTITION BY train_id ORDER BY st, en
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
+        |  FROM spans),
+        |grp AS (
+        |  SELECT train_id, st, en,
+        |    SUM(CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY train_id ORDER BY st, en
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM swp),
+        |merged AS (SELECT train_id, g, min(st) AS lo, max(en) AS hi
+        |           FROM grp GROUP BY train_id, g),
+        |tok AS (
+        |  SELECT doc_id, pos, s[pos] AS tk
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS pos
+        |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s
+        |              FROM documents WHERE doc_id % 5 <> 3))
+        |  WHERE doc_id IN (SELECT DISTINCT train_id FROM merged)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tk FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM merged mm
+        |                    WHERE mm.train_id = t.doc_id
+        |                      AND t.pos BETWEEN mm.lo AND mm.hi))
+        |SELECT doc_id AS train_id, count(1) AS clean_ntok,
+        |  string_agg(tk, ' ' ORDER BY pos) AS clean_text
+        |FROM kept GROUP BY doc_id ORDER BY train_id""".stripMargin,
     "q225_span_coverage" ->
       """WITH toks AS (
         |  SELECT doc_id, s FROM (

@@ -119,6 +119,17 @@ class SpanSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 25L, 25L, 1.0)))
   }
 
+  test("spanScrub excises exactly the merged regions; fully-covered docs vanish") {
+    val train = docs(
+      1L -> s"a1 a2 a3 ${span(1, 15)} b1 b2",  // leak at positions 4..18
+      2L -> span(1, 20),                       // fully covered -> vanishes
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")  // clean -> not emitted here
+    val ev = docs(100L -> span(1, 20))
+    val out = Dedup.spanScrub(train, ev, k = 8, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 5L, "a1 a2 a3 b1 b2")))
+  }
+
   test("span family rejects undetectable contracts loudly") {
     val d = docs(1L -> span(1, 12))
     intercept[IllegalArgumentException](Dedup.sharedSpans(d, k = 8, minRun = 7))
