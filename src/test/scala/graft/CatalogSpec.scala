@@ -251,4 +251,30 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.table("graft_trunc").count() == 1)
     } finally spark.sql("DROP TABLE IF EXISTS graft_trunc")
   }
+
+  test("pre/post-exec hook analog: QueryExecutionListener observes completed queries") {
+    // the reference's ExecuteWithHookContext pre/post hooks (ql/hooks/,
+    // SURVEY.md §2.11) map to Spark's QueryExecutionListener: registered
+    // on the session, called after each action with the full
+    // QueryExecution (plans + metrics) — the audit-log/lineage hook point
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        seen.add((funcName, durationNs)); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = Tables.nation(spark, sf).filter(col("n_nationkey") < 10).count()
+      assert(n > 0)
+      // listener delivery is asynchronous (ExecutionListenerBus) — poll
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "hook never observed the completed action")
+      assert(seen.stream.anyMatch(p => p._2 > 0), "hook saw no duration metric")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
