@@ -694,6 +694,30 @@ object Dedup {
       k = 8, minRun = 20)
   }
 
+  /** Cross-source duplication matrix — which corpus sources duplicate
+    * each other (the report that decides "drop source B, it's 80%
+    * source A" before mixing weights are set): verified near-dup pairs
+    * (>= 0.7 exact Jaccard on the LSH candidate sliver, same machinery
+    * as q65) labeled with each side's source, rolled up per unordered
+    * source pair. Scale shape: the only corpus-sized work is the LSH
+    * path itself; the source labels join on doc_id (a projected
+    * two-column sliver) and the output is |sources|^2 at most. */
+  val q230_cross_source_dup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = shingleHashes(docs)
+    val pairs = exactJaccard(lshCandidates(minhashSignatures(sh)), sh, keepZero = false)
+      .filter(col("jac") >= 0.7)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("ida"), col("source").as("src_a")), Seq("ida"))
+      .join(src.select(col("doc_id").as("idb"), col("source").as("src_b")), Seq("idb"))
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+              greatest(col("src_a"), col("src_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
   /** Gate row for [[spanCoverage]]: same % 5 split as q216. */
   val q225_span_coverage: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -743,6 +767,7 @@ object Dedup {
     "q216_span_decontamination" -> q216_span_decontamination,
     "q225_span_coverage" -> q225_span_coverage,
     "q229_span_scrub" -> q229_span_scrub,
+    "q230_cross_source_dup" -> q230_cross_source_dup,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -788,6 +813,14 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q230_cross_source_dup" ->
+      s"""WITH ${shPairsCtes(0.7)},
+         |lab AS (SELECT doc_id, source FROM documents)
+         |SELECT LEAST(a.source, b.source) AS source_x,
+         |  GREATEST(a.source, b.source) AS source_y,
+         |  count(1) AS n_dup_pairs
+         |FROM pairs JOIN lab a ON ida = a.doc_id JOIN lab b ON idb = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q229_span_scrub" ->
       """WITH toks AS (
         |  SELECT doc_id, s FROM (
