@@ -203,7 +203,36 @@ object EventsOps {
       .orderBy(col("user_id"), col("view_ts"), col("purchase_ts").asc_nulls_first)
   }
 
+  /** Strict ordered funnel view -> click -> purchase with a 24 h
+    * conversion window per stage: each stage's timestamp is the user's
+    * earliest event of that type STRICTLY after the previous stage and
+    * within one day of it (the classic product-analytics funnel, as
+    * multi-pass GROUP BY rather than a per-user event sort). Scale
+    * shape: three aggregations and two joins all keyed on user_id —
+    * Catalyst plans the exchange once and reuses the partitioning, so
+    * raw events shuffle a filtered sliver per stage and there is no
+    * window over the full event log. */
+  val q233_funnel: Q = (s, d) => {
+    val day = expr("INTERVAL 1 DAY")
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + day)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + day)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q233_funnel" -> q233_funnel,
     "q208_stream_session_parity" -> q208_stream_session_parity,
     "q217_stream_dedup_parity" -> q217_stream_dedup_parity,
     "q227_stream_left_join_parity" -> q227_stream_left_join_parity,
@@ -220,6 +249,25 @@ object EventsOps {
   private val tsMu = "make_timestamp(epoch_ns(ts) // 1000)"
 
   val oracles: Map[String, String] = Map(
+    "q233_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, $tsMu AS ts FROM events),
+         |v AS (SELECT user_id, min(ts) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+         |      JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |        AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+         |      JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |        AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1)
+         |SELECT 1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage,
+         |  count(1) AS n_users
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |       LEFT JOIN p ON v.user_id = p.user_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q227_stream_left_join_parity" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, $tsMu AS ts FROM events),

@@ -514,7 +514,31 @@ object Similarity {
 
   val q226_label_cohesion: Q = (s, d) => labelCohesion(Tables.embeddings(s, d))
 
+  /** Label-noise audit — the mislabel detector a pipeline runs before
+    * trusting labels for training: each audited vector's k=10 exact
+    * cosine neighbors vote, and a low same-label count flags a probable
+    * mislabel. Reuses the q68 brute-force machinery (broadcast audit
+    * slice, codegen'd vector_dot, one window top-k), so the corpus is
+    * scanned once; at 100 TB the audit slice stays a bounded sample and
+    * the kNN swaps to [[ivfTopK]]/[[pqTopK]] with the voting unchanged. */
+  def labelAgreement(emb: DataFrame, nAudit: Int, k: Int): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    bruteForceTopK(emb, nQueries = nAudit, k = k)
+      .join(broadcast(labels.select(col("vec_id").as("qid"), col("label").as("qlabel"))),
+            Seq("qid"))
+      .join(broadcast(labels), Seq("vec_id"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"), col("n_same"),
+              when(col("n_same") <= 2, 1).otherwise(0).as("suspect"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q231_label_noise: Q = (s, d) =>
+    labelAgreement(Tables.embeddings(s, d), nAudit = 200, k = 10)
+
   val queries: Map[String, Q] = Map(
+    "q231_label_noise" -> q231_label_noise,
     "q226_label_cohesion" -> q226_label_cohesion,
     "q224_ann_pq" -> q224_ann_pq,
     "q200_embed_quantize" -> q200_embed_quantize,
@@ -536,6 +560,23 @@ object Similarity {
       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q231_label_noise" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS blabel,
+         |    round($cosSql, 6) AS score, b.vec_id AS vec_id
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 200),
+         |ranked AS (
+         |  SELECT qid, qlabel, blabel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored),
+         |agg AS (
+         |  SELECT qid AS vec_id, qlabel AS label,
+         |    CAST(SUM(CASE WHEN blabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         |  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2)
+         |SELECT vec_id, label, n_same,
+         |  CAST(CASE WHEN n_same <= 2 THEN 1 ELSE 0 END AS INTEGER) AS suspect
+         |FROM agg ORDER BY vec_id""".stripMargin,
     "q226_label_cohesion" ->
       """WITH q AS (
         |  SELECT label, vec_id, pos,

@@ -457,7 +457,28 @@ object TextAnalysis {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Per-source median quality gate — keep each source's top half by the
+    * q61 quality score. The 100 TB shape: ONE per-source exact-percentile
+    * agg (|sources| rows, broadcast back) plus a codegen'd filter — no
+    * corpus-wide window sort; at petabyte scale swap `percentile` for
+    * `percentile_approx` and nothing else changes. Threshold comparisons
+    * are float-safe across engines: the median either equals a present
+    * rounded quality value (odd count or ties) or lies strictly between
+    * two adjacent ones, so even if the interpolated bits differ the keep
+    * decisions are identical. */
+  val q232_quality_gate: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), round(qualityExpr, 6).as("quality"))
+    val thr = scored.groupBy(col("source"))
+      .agg(expr("percentile(quality, 0.5)").as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q232_quality_gate" -> q232_quality_gate,
     "q214_source_gate" -> q214_source_gate,
     "q207_bigram_lm" -> q207_bigram_lm,
     "q199_bpe_pairs" -> q199_bpe_pairs,
@@ -480,6 +501,15 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q232_quality_gate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, round($qualitySql, 6) AS quality FROM documents),
+         |thr AS (SELECT source, quantile_cont(quality, 0.5) AS thr
+         |        FROM scored GROUP BY source)
+         |SELECT s.doc_id, s.source, s.quality
+         |FROM scored s JOIN thr t ON s.source = t.source
+         |WHERE s.quality >= t.thr
+         |ORDER BY s.doc_id""".stripMargin,
     "q214_source_gate" ->
       """WITH v AS (
         |  SELECT source FROM documents GROUP BY source

@@ -324,4 +324,50 @@ class PipelineSpec extends AnyFunSuite {
     val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("label-noise audit flags a deliberately flipped label") {
+    val emb = Tables.embeddings(spark, sf)
+    val flipped = emb.withColumn("label",
+      when(col("vec_id") === 7, lit(999999L)).otherwise(col("label")))
+    val row = Similarity.labelAgreement(flipped, nAudit = 50, k = 10)
+      .filter(col("vec_id") === 7).head()
+    assert(row.getAs[Long]("n_same") == 0L && row.getAs[Int]("suspect") == 1,
+      s"flipped label not flagged: $row")
+    // and every audited vector's vote count stays within [0, k]
+    val bad = Similarity.labelAgreement(emb, nAudit = 50, k = 10)
+      .filter(col("n_same") < 0 || col("n_same") > 10).count()
+    assert(bad == 0)
+  }
+
+  test("per-source median quality gate keeps exactly the top half by value") {
+    val kept = SparkEntry.queries("q232_quality_gate")(spark, sf)
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        round(graft.operators.TextAnalysis.qualityExpr, 6).as("quality"))
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    // gate property: within each source every dropped quality is strictly
+    // below every kept quality, and at least half the docs survive
+    val byKept = kept.groupBy("source").agg(
+      min("quality").as("min_kept"), count(lit(1)).as("n_kept"))
+    val byDrop = dropped.groupBy("source").agg(max("quality").as("max_drop"))
+    val joined = byKept.join(byDrop, Seq("source"), "left")
+      .join(all.groupBy("source").agg(count(lit(1)).as("n_all")), Seq("source"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val maxDrop = Option(r.getAs[java.lang.Double]("max_drop"))
+      maxDrop.foreach(md => assert(md < r.getAs[Double]("min_kept"), r.toString))
+      assert(r.getAs[Long]("n_kept") * 2 >= r.getAs[Long]("n_all"), r.toString)
+    }
+  }
+
+  test("funnel stages partition the view-user population") {
+    val stages = SparkEntry.queries("q233_funnel")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(stages.keySet.subsetOf(Set(1, 2, 3)), stages.toString)
+    val viewUsers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(stages.values.sum == viewUsers, s"$stages vs $viewUsers view-users")
+  }
 }
