@@ -718,6 +718,30 @@ object Dedup {
       .orderBy(col("source_x"), col("source_y"))
   }
 
+  /** Per-source near-duplication rate — the companion report to
+    * [[q230_cross_source_dup]]: that one says WHO duplicates whom, this
+    * says how much of each source is redundant (fraction of its docs
+    * with at least one verified >= 0.7-Jaccard near-dup anywhere in the
+    * corpus — the number that decides whether a source is worth its
+    * ingest cost). Corpus-sized work is the shared LSH path; the dup-id
+    * set is a one-column distinct sliver left-joined on doc_id. */
+  val q234_source_dup_rate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = shingleHashes(docs)
+    val pairs = exactJaccard(lshCandidates(minhashSignatures(sh)), sh, keepZero = false)
+      .filter(col("jac") >= 0.7)
+    val dupIds = pairs.select(col("ida").as("doc_id"))
+      .unionByName(pairs.select(col("idb").as("doc_id")))
+      .distinct().withColumn("hit", lit(1))
+    docs.select(col("doc_id"), col("source"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Gate row for [[spanCoverage]]: same % 5 split as q216. */
   val q225_span_coverage: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -768,6 +792,7 @@ object Dedup {
     "q225_span_coverage" -> q225_span_coverage,
     "q229_span_scrub" -> q229_span_scrub,
     "q230_cross_source_dup" -> q230_cross_source_dup,
+    "q234_source_dup_rate" -> q234_source_dup_rate,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -813,6 +838,15 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q234_source_dup_rate" ->
+      s"""WITH ${shPairsCtes(0.7)},
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT ida AS doc_id FROM pairs UNION ALL SELECT idb FROM pairs))
+         |SELECT d.source, count(1) AS n_docs,
+         |  CAST(count(dup.doc_id) AS BIGINT) AS n_dup,
+         |  round(CAST(count(dup.doc_id) AS DOUBLE) / count(1), 6) AS dup_rate
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q230_cross_source_dup" ->
       s"""WITH ${shPairsCtes(0.7)},
          |lab AS (SELECT doc_id, source FROM documents)

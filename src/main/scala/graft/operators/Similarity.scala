@@ -537,8 +537,39 @@ object Similarity {
   val q231_label_noise: Q = (s, d) =>
     labelAgreement(Tables.embeddings(s, d), nAudit = 200, k = 10)
 
+  /** Label-centroid drift between two corpus halves (even/odd vec_id —
+    * the stand-in for yesterday's snapshot vs today's ingest): per
+    * (label, pos) the exact-integer cross difference |Se*No - So*Ne| of
+    * milli-quantized coordinate sums, summed over dimensions; dividing
+    * by Ne*No*dim*1000 yields the mean |centroid delta| per dimension
+    * with ONE final IEEE division (same bit-stability trick as
+    * [[labelCohesion]]). Two shuffles keyed on (label, pos) — dimension
+    * cardinality, not corpus cardinality. */
+  val q235_label_drift: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        (col("vec_id") % 2 === 0).cast("int").as("even"),
+        floor(col("v").cast("double") * 1000).as("qv"))
+    val sums = q.groupBy(col("label"), col("pos"))
+      .agg(sum(when(col("even") === 1, col("qv"))).as("se"),
+           sum(when(col("even") === 0, col("qv"))).as("so"),
+           sum(col("even")).cast("long").as("n_e"),
+           sum(lit(1) - col("even")).cast("long").as("n_o"))
+    sums.groupBy(col("label"))
+      .agg(max(col("n_e")).as("n_even"), max(col("n_o")).as("n_odd"),
+           sum(abs(col("se") * col("n_o") - col("so") * col("n_e"))).as("cross_abs"))
+      .select(col("label"), col("n_even"), col("n_odd"), col("cross_abs"),
+        (col("cross_abs").cast("double") /
+          (col("n_even").cast("double") * col("n_odd") * lit(64000.0)))
+          .as("mean_abs_drift"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q231_label_noise" -> q231_label_noise,
+    "q235_label_drift" -> q235_label_drift,
     "q226_label_cohesion" -> q226_label_cohesion,
     "q224_ann_pq" -> q224_ann_pq,
     "q200_embed_quantize" -> q200_embed_quantize,
@@ -577,6 +608,28 @@ object Similarity {
          |SELECT vec_id, label, n_same,
          |  CAST(CASE WHEN n_same <= 2 THEN 1 ELSE 0 END AS INTEGER) AS suspect
          |FROM agg ORDER BY vec_id""".stripMargin,
+    "q235_label_drift" ->
+      """WITH q AS (
+        |  SELECT label, pos,
+        |    CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS even,
+        |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM (SELECT label, vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS pos
+        |        FROM embeddings)),
+        |s AS (SELECT label, pos,
+        |        CAST(SUM(CASE WHEN even = 1 THEN qv END) AS BIGINT) AS se,
+        |        CAST(SUM(CASE WHEN even = 0 THEN qv END) AS BIGINT) AS so,
+        |        CAST(SUM(even) AS BIGINT) AS n_e,
+        |        CAST(SUM(1 - even) AS BIGINT) AS n_o
+        |      FROM q GROUP BY label, pos),
+        |f AS (SELECT label, CAST(MAX(n_e) AS BIGINT) AS n_even,
+        |        CAST(MAX(n_o) AS BIGINT) AS n_odd,
+        |        CAST(SUM(abs(se * n_o - so * n_e)) AS BIGINT) AS cross_abs
+        |      FROM s GROUP BY label)
+        |SELECT label, n_even, n_odd, cross_abs,
+        |  CAST(cross_abs AS DOUBLE) / (CAST(n_even AS DOUBLE) * n_odd * 64000.0)
+        |    AS mean_abs_drift
+        |FROM f ORDER BY label""".stripMargin,
     "q226_label_cohesion" ->
       """WITH q AS (
         |  SELECT label, vec_id, pos,
