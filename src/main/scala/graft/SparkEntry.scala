@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracles),
     (operators.EventsOps.queries, operators.EventsOps.oracles),
     (operators.AsofOps.queries, operators.AsofOps.oracles),
+    (operators.RangeJoin.queries, operators.RangeJoin.oracles),
     (operators.PipelineOps.queries, operators.PipelineOps.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
     (operators.Script.queries, operators.Script.oracles),

@@ -17,6 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q9_theta_join" -> "theta join is non-equi by definition; small side broadcast",
     "q67_ngram_jaccard" -> "deliberate all-pairs exact oracle path, capped at 1000 docs",
     "q68_cosine_topk" -> "brute-force baseline: broadcast 5-query set x corpus scan",
+    "q231_label_noise" -> "kNN audit over brute force: broadcast bounded audit slice x corpus scan",
     "q87_ann_ivf" -> "corpus x broadcast(16 centroids) assignment pass",
     "q224_ann_pq" -> "PQ codes x broadcast(5-query ADC tables) lookup pass",
     "q156_ds_scalar_lanes" -> "DS query88 shape: 1x1 cross joins of singleton aggregates",
