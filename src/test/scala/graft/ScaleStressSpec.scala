@@ -273,4 +273,29 @@ class ScaleStressSpec extends AnyFunSuite {
       .count()
     assert(found == nBase, s"bits=16 lost twins: $found/$nBase")
   }
+
+  test("10x events: range join stays a hash join and match counts scale exactly 10x") {
+    import graft.operators.RangeJoin
+    val H = 3600L * 1000000L
+    val ev = Tables.events(spark, sf01).select(col("event_id"), col("ts"))
+    val ev10 = (0 until 10).map(k =>
+      ev.select((col("event_id") * 16 + k).as("event_id"), col("ts")))
+      .reduce(_ unionAll _)
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("n"))
+    val thr = daily.agg(expr("percentile(n, 0.8)")).head().getDouble(0)
+    val hot = daily.filter(col("n") >= thr)
+      .select(col("w_start"), (col("w_start") + expr("INTERVAL 1 DAY")).as("w_end"))
+    val base = RangeJoin.bucketed(ev, col("ts"), hot,
+      col("w_start"), col("w_end"), H).count()
+    assert(base > 0, "stress gate vacuous: no event inside a hot window")
+    val j10 = RangeJoin.bucketed(ev10, col("ts"), hot,
+      col("w_start"), col("w_end"), H)
+    val plan = j10.queryExecution.sparkPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "range join must stay an equi-join at 10x volume")
+    // replicas carry identical timestamps, so every base match appears
+    // exactly once per replica — the closed-form linearity pin
+    assert(j10.count() == base * 10, s"expected ${base * 10}")
+  }
 }
