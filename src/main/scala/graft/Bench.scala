@@ -56,6 +56,9 @@ object Bench {
     "q73_sessionize",     // sessionization
     "q75_fingerprint",    // custom expressions
     "q76_multimodal",     // binary pipeline
+    "q232_quality_gate",  // per-source percentile gate (broadcast threshold)
+    "q233_funnel",        // ordered funnel (multi-pass GROUP BY, exchange reuse)
+    "q236_range_join_hot",// bucketed range join (equi-join, never BNLJ)
   )
 
   def main(args: Array[String]): Unit = {

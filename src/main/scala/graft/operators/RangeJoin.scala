@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -46,6 +47,30 @@ object RangeJoin {
       .drop("__bkt")
   }
 
+  /** Interval-overlap join: [ls, le) x [rs, re) pairs with
+    * ls < re && rs < le (end-exclusive; zero-length intervals never
+    * match). Both sides bucket like [[bucketed]]; a pair sharing
+    * several buckets would otherwise surface once per shared bucket,
+    * so a row is kept only in the FIRST bucket both sides cover —
+    * the one containing max(ls, rs), which any true overlap covers on
+    * both sides. Exactly one surviving row per overlapping pair, so
+    * there is no `distinct` and no second shuffle — the property that
+    * matters when the join output is 100 TB-scale. */
+  def overlaps(left: DataFrame, ls: Column, le: Column,
+               right: DataFrame, rs: Column, re: Column,
+               widthMicros: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(widthMicros > 0, s"widthMicros must be positive: $widthMicros")
+    def burst(df: DataFrame, s: Column, e: Column) =
+      df.withColumn("__bkt", explode(sequence(
+        floor(unix_micros(s) / widthMicros),
+        floor((unix_micros(e) - 1) / widthMicros))))
+    burst(left, ls, le).join(burst(right, rs, re), Seq("__bkt") ++ extraKeys)
+      .filter(ls < re && rs < le)
+      .filter(col("__bkt") ===
+        floor(greatest(unix_micros(ls), unix_micros(rs)) / widthMicros))
+      .drop("__bkt")
+  }
+
   /** Gate row: hot-window attribution. Hot windows are (event_type,
     * day) cells with >= 70 events; every event landing inside another
     * type's hot window is attributed to it, rolled up per (event_type,
@@ -69,8 +94,43 @@ object RangeJoin {
       .orderBy(col("event_type"), col("w_type"))
   }
 
+  /** Gate row for [[overlaps]]: user sessions (30-min-gap islands, a
+    * session staying "open" for its 30-min timeout tail) overlap-joined
+    * to the q236 hot windows — how many live sessions each hot window
+    * touched. Sessions are intervals on one side, windows on the other;
+    * no equi-key links them, yet the plan stays a hash join and each
+    * overlapping pair surfaces exactly once (first-shared-bucket rule,
+    * no distinct). */
+  val q237_session_overlap: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"),
+           (max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("s_end"))
+    val hot = Tables.events(s, d)
+      .groupBy(col("event_type").as("w_type"),
+               date_trunc("day", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 70)
+      .select(col("w_type"), col("w_start"),
+              (col("w_start") + expr("INTERVAL 1 DAY")).as("w_end"))
+    overlaps(sess, col("s_start"), col("s_end"),
+             hot, col("w_start"), col("w_end"), widthMicros = 3600L * 1000000L)
+      .groupBy(col("w_type"), col("w_start"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("w_type"), col("w_start"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q236_range_join_hot" -> q236_range_join_hot,
+    "q237_session_overlap" -> q237_session_overlap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +146,27 @@ object RangeJoin {
         |SELECT e.event_type, w.w_type, count(1) AS n_hits
         |FROM e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
         |  AND e.event_type <> w.w_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q237_session_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_ts FROM e),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |                     THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS s_start,
+        |           MAX(ts) + INTERVAL 30 MINUTE AS s_end
+        |         FROM s GROUP BY 1, 2),
+        |w AS (SELECT event_type AS w_type,
+        |        CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+        |        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end
+        |      FROM e GROUP BY 1, 2 HAVING count(1) >= 70)
+        |SELECT w.w_type, w.w_start, count(1) AS n_sessions
+        |FROM sess JOIN w ON sess.s_start < w.w_end AND w.w_start < sess.s_end
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -520,7 +520,12 @@ object Similarity {
     * mislabel. Reuses the q68 brute-force machinery (broadcast audit
     * slice, codegen'd vector_dot, one window top-k), so the corpus is
     * scanned once; at 100 TB the audit slice stays a bounded sample and
-    * the kNN swaps to [[ivfTopK]]/[[pqTopK]] with the voting unchanged. */
+    * the kNN swaps to [[ivfTopK]]/[[pqTopK]] with the voting unchanged.
+    * On THIS synthetic corpus labels correlate only weakly with
+    * geometry, so most audited vectors rightly read as suspect
+    * (181/200 at sf0.01) — the gate still separates both classes, and
+    * PipelineSpec pins that a deliberately flipped label lands at
+    * n_same = 0. */
   def labelAgreement(emb: DataFrame, nAudit: Int, k: Int): DataFrame = {
     val labels = emb.select(col("vec_id"), col("label"))
     bruteForceTopK(emb, nQueries = nAudit, k = k)

@@ -73,6 +73,32 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set(1L), got.toString)
   }
 
+  test("overlaps == naive theta join, one row per overlapping pair") {
+    import spark.implicits._
+    // intervals deliberately span several shared buckets: without the
+    // first-shared-bucket rule each pair below would surface 2-3 times
+    val lft = Seq(
+      (1L, ts("2024-01-01 00:10:00"), ts("2024-01-01 03:10:00")),
+      (2L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:30:00")),
+      (3L, ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")))
+      .toDF("lid", "ls", "le")
+    val rgt = Seq(
+      (10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 06:00:00")),
+      (11L, ts("2024-01-01 05:30:00"), ts("2024-01-01 07:00:00")),
+      (12L, ts("2024-01-03 00:00:00"), ts("2024-01-03 02:00:00")))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.overlaps(lft, col("ls"), col("le"),
+        rgt, col("rs"), col("re"), H)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = lft.join(rgt, col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: the bucketed join must emit each pair ONCE
+    assert(got.sorted.toSeq == naive.sorted.toSeq,
+      s"got=${got.toSeq.sorted} naive=${naive.toSeq.sorted}")
+    // interval 2 ends exactly where 11 starts: end-exclusive, no match
+    assert(!got.contains((2L, 11L)))
+  }
+
   test("extraKeys tighten the join: cross-tenant points never match") {
     import spark.implicits._
     val pts = Seq(("a", 1L, ts("2024-01-01 01:30:00")), ("b", 2L, ts("2024-01-01 01:30:00")))
