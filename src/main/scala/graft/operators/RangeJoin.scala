@@ -71,6 +71,27 @@ object RangeJoin {
       .drop("__bkt")
   }
 
+  /** Numeric band join: |lv - rv| <= delta without an equi-key (the
+    * reconciliation shape — match ledger entries whose amounts differ
+    * by at most a tolerance). Left rows sit in ONE bucket of width
+    * delta; right rows explode into their bucket and both neighbors,
+    * so every true match meets in exactly the left row's bucket — once,
+    * no distinct. Cost O(|left| + 3|right| + matches) against the
+    * nested-loop O(|left| x |right|). The exact |lv - rv| <= delta
+    * re-filter runs on unmodified doubles, so results are bit-identical
+    * to the naive join. */
+  def band(left: DataFrame, lv: Column, right: DataFrame, rv: Column,
+           delta: Double, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(delta > 0, s"delta must be positive: $delta")
+    val l = left.withColumn("__bkt", floor(lv / delta).cast("long"))
+    val rb = floor(rv / delta).cast("long")
+    val r = right.withColumn("__bkt",
+      explode(array(rb - 1, rb, rb + 1)))
+    l.join(r, Seq("__bkt") ++ extraKeys)
+      .filter(abs(lv - rv) <= delta)
+      .drop("__bkt")
+  }
+
   /** Gate row: hot-window attribution. Hot windows are (event_type,
     * day) cells with >= 70 events; every event landing inside another
     * type's hot window is attributed to it, rolled up per (event_type,
@@ -128,9 +149,25 @@ object RangeJoin {
       .orderBy(col("w_type"), col("w_start"))
   }
 
+  /** Gate row for [[band]]: order-price reconciliation — pairs of
+    * orders whose total prices differ by at most 0.5, the classic
+    * "find the matching ledger entry" join. Self-join on a double
+    * column with no equi-key; the band buckets keep it a hash join. */
+  val q238_price_band: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    band(o.select(col("o_orderkey").as("ida"), col("o_totalprice").as("pa")),
+         col("pa"),
+         o.select(col("o_orderkey").as("idb"), col("o_totalprice").as("pb")),
+         col("pb"), delta = 0.5)
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), abs(col("pa") - col("pb")).as("price_diff"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q236_range_join_hot" -> q236_range_join_hot,
     "q237_session_overlap" -> q237_session_overlap,
+    "q238_price_band" -> q238_price_band,
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +205,12 @@ object RangeJoin {
         |SELECT w.w_type, w.w_start, count(1) AS n_sessions
         |FROM sess JOIN w ON sess.s_start < w.w_end AND w.w_start < sess.s_end
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q238_price_band" ->
+      """SELECT a.o_orderkey AS ida, b.o_orderkey AS idb,
+        |  abs(a.o_totalprice - b.o_totalprice) AS price_diff
+        |FROM orders a JOIN orders b
+        |  ON abs(a.o_totalprice - b.o_totalprice) <= 0.5
+        |  AND a.o_orderkey < b.o_orderkey
+        |ORDER BY ida, idb""".stripMargin,
   )
 }

@@ -99,6 +99,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!got.contains((2L, 11L)))
   }
 
+  test("band join == naive |a-b| <= delta join, bit-identical, hash plan") {
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    val l = o.select(col("o_orderkey").as("ida"), col("o_totalprice").as("pa"))
+    val r = o.select(col("o_orderkey").as("idb"), col("o_totalprice").as("pb"))
+    val banded = RangeJoin.band(l, col("pa"), r, col("pb"), delta = 5.0)
+      .filter(col("ida") < col("idb"))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    val got = banded.select("ida", "idb").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val naive = l.join(r, abs(col("pa") - col("pb")) <= 5.0 && col("ida") < col("idb"))
+      .select("ida", "idb").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.nonEmpty, "band gate vacuous at this SF/delta")
+    // multiset equality: exactly once per pair, no bucket double-count
+    assert(got.sorted.toSeq == naive.sorted.toSeq,
+      s"banded=${got.length} naive=${naive.length}")
+  }
+
   test("extraKeys tighten the join: cross-tenant points never match") {
     import spark.implicits._
     val pts = Seq(("a", 1L, ts("2024-01-01 01:30:00")), ("b", 2L, ts("2024-01-01 01:30:00")))
