@@ -742,6 +742,35 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Effective (post-dedup) token count per source — the number a
+    * mixing plan should weight by: total tokens minus the tokens of
+    * near-dup cluster members that lose keep-best canonicalization
+    * (q124's arbiter: highest q61 quality, ties -> min doc_id). All
+    * clustering work happens on the verified-pair sliver; the corpus
+    * pays one projection and one left join against the (tiny) loser
+    * set. */
+  val q240_effective_tokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = docs.select(col("doc_id"),
+      round(TextAnalysis.qualityExpr, 6).as("q"))
+    val clustered = connectedComponents(nearDupEdges(s, d, 0.7))
+      .join(scored, col("id") === col("doc_id"))
+    val keepers = clustered.groupBy(col("comp"))
+      .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"))
+    val losers = clustered.select(col("comp"), col("doc_id"))
+      .join(keepers, Seq("comp"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id")).withColumn("drop", lit(1))
+    val ntok = size(split(trim(col("text")), " +")).cast("long")
+    docs.join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("drop").isNull, 1)).as("n_kept"),
+           sum(ntok).as("total_tokens"),
+           sum(when(col("drop").isNull, ntok)).as("effective_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Gate row for [[spanCoverage]]: same % 5 split as q216. */
   val q225_span_coverage: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -793,6 +822,7 @@ object Dedup {
     "q229_span_scrub" -> q229_span_scrub,
     "q230_cross_source_dup" -> q230_cross_source_dup,
     "q234_source_dup_rate" -> q234_source_dup_rate,
+    "q240_effective_tokens" -> q240_effective_tokens,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -838,6 +868,22 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q240_effective_tokens" ->
+      s"""WITH RECURSIVE ${ccCtes(0.7)},
+         |scored AS (SELECT doc_id, round(${TextAnalysis.qualitySql}, 6) AS q FROM documents),
+         |r AS (SELECT c.comp, c.id,
+         |        ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY s.q DESC, c.id) AS rn
+         |      FROM comp c JOIN scored s ON s.doc_id = c.id),
+         |losers AS (SELECT id AS doc_id FROM r WHERE rn > 1)
+         |SELECT d.source, count(1) AS n_docs,
+         |  CAST(count(CASE WHEN l.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(len(regexp_split_to_array(trim(d.text), ' +'))) AS BIGINT)
+         |    AS total_tokens,
+         |  CAST(SUM(CASE WHEN l.doc_id IS NULL
+         |             THEN len(regexp_split_to_array(trim(d.text), ' +')) END) AS BIGINT)
+         |    AS effective_tokens
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q234_source_dup_rate" ->
       s"""WITH ${shPairsCtes(0.7)},
          |dup AS (SELECT DISTINCT doc_id FROM (

@@ -477,7 +477,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token-distribution drift — the distribution-shift
+    * monitor a pipeline runs when a source changes crawl or parser
+    * version: over the corpus's top-100 tokens, compare each source's
+    * integer micro-rate (tokens-per-million, floor division) against
+    * the corpus rate and sum squared deviations. All-integer until the
+    * final sum, so the score is bit-stable across engines and
+    * summation orders. Shape: one (source, token) agg; corpus totals
+    * re-aggregated from that sliver (no second scan); the top-K lattice
+    * is |sources| x 100 rows built from two broadcast singletons. */
+  val q239_source_token_drift: Q = (s, d) => {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(trim(col("text")), " +")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val corpus = st.groupBy(col("tok")).agg(sum(col("c")).as("cc"))
+    val topK = corpus.orderBy(col("cc").desc, col("tok")).limit(100)
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val total = corpus.agg(sum(col("cc")).as("nn"))
+    srcTotals.crossJoin(broadcast(topK))
+      .join(st, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        expr("(coalesce(c, 0L) * 1000000L) div n_s").as("rs"),
+        expr("(cc * 1000000L) div nn").as("rc"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+           sum((col("rs") - col("rc")) * (col("rs") - col("rc"))).as("drift"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q239_source_token_drift" -> q239_source_token_drift,
     "q232_quality_gate" -> q232_quality_gate,
     "q214_source_gate" -> q214_source_gate,
     "q207_bigram_lm" -> q207_bigram_lm,
@@ -501,6 +531,24 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q239_source_token_drift" ->
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(1) AS c FROM t GROUP BY 1, 2),
+        |corpus AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY 1),
+        |topk AS (SELECT tok, cc FROM corpus ORDER BY cc DESC, tok LIMIT 100),
+        |tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nn FROM corpus),
+        |srct AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |j AS (SELECT l.source, l.n_s,
+        |        (COALESCE(st.c, 0) * 1000000) // l.n_s AS rs,
+        |        (l.cc * 1000000) // (SELECT nn FROM tot) AS rc
+        |      FROM (SELECT s.source, s.n_s, k.tok, k.cc
+        |            FROM srct s CROSS JOIN topk k) l
+        |      LEFT JOIN st ON st.source = l.source AND st.tok = l.tok)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  CAST(SUM((rs - rc) * (rs - rc)) AS BIGINT) AS drift
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q232_quality_gate" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source, round($qualitySql, 6) AS quality FROM documents),

@@ -27,6 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q178_bm25" -> "corpus x broadcast(1-row N/avgdl/df stats) — BM25 scalar gate",
     "q182_tfidf_terms" -> "agg sliver x broadcast(1-row corpus doc count) — idf scalar gate",
     "q198_token_rarity" -> "vocab sliver x broadcast(1-row corpus token total) — rarity scalar gate",
+    "q239_source_token_drift" -> "source-totals sliver x broadcast(top-100 token lattice) + 1-row corpus total",
   )
 
   test("no query plans a CartesianProduct; BNLJ only where justified") {
