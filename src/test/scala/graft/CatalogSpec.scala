@@ -152,6 +152,32 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE LIKE and ALTER TABLE ADD COLUMNS evolve schemas in place") {
+    spark.sql("DROP TABLE IF EXISTS graft_like_src")
+    spark.sql("DROP TABLE IF EXISTS graft_like_dst")
+    spark.sql("CREATE TABLE graft_like_src (a INT, b STRING) USING parquet")
+    try {
+      spark.sql("CREATE TABLE graft_like_dst LIKE graft_like_src")
+      // LIKE copies the schema but none of the data
+      assert(spark.table("graft_like_dst").schema ==
+             spark.table("graft_like_src").schema)
+      spark.sql("INSERT INTO graft_like_src VALUES (1, 'x')")
+      assert(spark.table("graft_like_dst").count() == 0)
+      // ADD COLUMNS widens the schema; old rows read NULL for new cols
+      spark.sql("INSERT INTO graft_like_dst VALUES (2, 'y')")
+      spark.sql("ALTER TABLE graft_like_dst ADD COLUMNS (c DOUBLE)")
+      val row = spark.sql(
+        "SELECT a, b, c FROM graft_like_dst WHERE a = 2").collect()(0)
+      assert(row.getInt(0) == 2 && row.getString(1) == "y" && row.isNullAt(2))
+      spark.sql("INSERT INTO graft_like_dst VALUES (3, 'z', 1.5)")
+      assert(spark.sql("SELECT c FROM graft_like_dst WHERE a = 3")
+        .collect()(0).getDouble(0) == 1.5)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_like_src")
+      spark.sql("DROP TABLE IF EXISTS graft_like_dst")
+    }
+  }
+
   test("MSCK REPAIR TABLE discovers partitions written outside the catalog") {
     // the reference's metastore-check path (DDLTask msck / HIVE-17824
     // lineage): files land in partition directories out-of-band, MSCK

@@ -675,4 +675,20 @@ class NegativeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Similarity.pqEncode(emb, m = 0, ks = 16) }
     intercept[IllegalArgumentException] { Similarity.pqEncode(emb, m = 8, ks = 1) }
   }
+
+  test("range-join family rejects non-positive widths loudly") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.sql.functions.col
+    val df = Tables.events(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.bucketed(df, col("ts"), df, col("ts"), col("ts"), 0L)
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      RangeJoin.overlaps(df, col("ts"), col("ts"), df, col("ts"), col("ts"), -1L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.band(df, col("value"), df, col("value"), 0.0)
+    }
+  }
 }
