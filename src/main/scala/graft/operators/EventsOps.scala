@@ -231,7 +231,34 @@ object EventsOps {
       .orderBy(col("stage"))
   }
 
+  /** Streaming funnel parity: the q233 semantics as EventTimeTimeout
+    * keyed state must agree with the batch multi-pass GROUP BY — but
+    * only funnels the watermark has provably CLOSED can compare, so
+    * both engines restrict to first views older than
+    * max(ts) - 52h (2h watermark delay + 48h funnel horizon + 2h
+    * margin). A state bug that lost a stage, double-fired a timeout,
+    * or mis-ordered in-batch events breaks the stage counts. */
+  val q241_stream_funnel_parity: Q = (s, d) => {
+    import s.implicits._
+    s.catalog.dropTempView("q241_sink")
+    val q = graft.streaming.EventsStream
+      .funnelStages(graft.streaming.EventsStream.readEvents(s, d)
+        .as[graft.streaming.EventsStream.Event])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q241_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(52L * 3600))
+    s.table("q241_sink")
+      .filter(col("t_view") < lit(cutoff))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q241_stream_funnel_parity" -> q241_stream_funnel_parity,
     "q233_funnel" -> q233_funnel,
     "q208_stream_session_parity" -> q208_stream_session_parity,
     "q217_stream_dedup_parity" -> q217_stream_dedup_parity,
@@ -249,6 +276,26 @@ object EventsOps {
   private val tsMu = "make_timestamp(epoch_ns(ts) // 1000)"
 
   val oracles: Map[String, String] = Map(
+    "q241_stream_funnel_parity" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, $tsMu AS ts FROM events),
+         |v AS (SELECT user_id, min(ts) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+         |      JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |        AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+         |      JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |        AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1)
+         |SELECT 1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage,
+         |  count(1) AS n_users
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |       LEFT JOIN p ON v.user_id = p.user_id
+         |WHERE v.t_view < (SELECT max(ts) FROM e) - INTERVAL 52 HOUR
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q233_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, $tsMu AS ts FROM events),

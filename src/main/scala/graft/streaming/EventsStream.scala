@@ -156,6 +156,64 @@ object EventsStream {
       }
   }
 
+  case class FunnelState(tViewUs: Long, tClickUs: Long, tPurchUs: Long)
+  case class FunnelOut(user_id: Long, t_view: java.sql.Timestamp, stage: Int)
+
+  /** Streaming strict funnel view -> click -> purchase with 24 h
+    * per-stage conversion windows (operators.EventsOps.q233's batch
+    * semantics as keyed state): each user's state is three stage
+    * timestamps, advanced by events replayed in event-time order within
+    * the batch; the funnel CLOSES — and emits exactly once — when the
+    * WATERMARK passes t_view + 48 h, after which no event inside either
+    * conversion window can still arrive. State is bounded the same way
+    * as [[timeoutSessions]]: every open funnel leaves memory one
+    * horizon past the watermark. Cross-batch event-time ordering is the
+    * caller's watermark contract, as with session_window. */
+  def funnelStages(events: Dataset[Event],
+                   delay: String = "2 hours"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    def us(t: java.sql.Timestamp) = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def ts(u: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            val stage = 1 + (if (s.tClickUs >= 0) 1 else 0) +
+              (if (s.tPurchUs >= 0) 1 else 0)
+            Iterator.single(FunnelOut(uid, ts(s.tViewUs), stage))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            rows.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+              val t = us(e.ts)
+              e.event_type match {
+                case "view" if s.tViewUs < 0 => s = s.copy(tViewUs = t)
+                case "click" if s.tViewUs >= 0 && s.tClickUs < 0 &&
+                  t > s.tViewUs && t <= s.tViewUs + dayUs =>
+                  s = s.copy(tClickUs = t)
+                case "purchase" if s.tClickUs >= 0 && s.tPurchUs < 0 &&
+                  t > s.tClickUs && t <= s.tClickUs + dayUs =>
+                  s = s.copy(tPurchUs = t)
+                case _ =>
+              }
+            }
+            if (s.tViewUs >= 0) {
+              state.update(s)
+              // both conversion windows are closed 48h after the first
+              // view; fire on the WATERMARK one horizon past it
+              state.setTimeoutTimestamp(s.tViewUs / 1000L + 2 * 86400000L)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the mapGroupsWithState surface the
     * reference has no analog for). */
