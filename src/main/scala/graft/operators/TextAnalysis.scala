@@ -506,7 +506,32 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Top token co-occurrence pairs — the corpus-statistics report
+    * behind phrase mining and tokenizer-merge candidates: among the
+    * top-50 tokens by document frequency, count the documents where
+    * each unordered pair co-occurs. The vocabulary cap is what makes
+    * this scale: per-doc pair fan-out is bounded by C(50,2), the pair
+    * aggregation is map-side combinable into <= 1225 keys, and the
+    * vocab itself broadcasts. All-integer output, deterministic
+    * tie-break. */
+  val q242_token_cooccurrence: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), " +"))).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(50).select(col("tok"))
+    val t = toks.join(broadcast(top), Seq("tok"))
+    t.select(col("doc_id"), col("tok").as("ta"))
+      .join(t.select(col("doc_id"), col("tok").as("tb")), Seq("doc_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ta"), col("tb"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q242_token_cooccurrence" -> q242_token_cooccurrence,
     "q239_source_token_drift" -> q239_source_token_drift,
     "q232_quality_gate" -> q232_quality_gate,
     "q214_source_gate" -> q214_source_gate,
@@ -531,6 +556,17 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q242_token_cooccurrence" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |top AS (SELECT tok FROM (
+        |  SELECT tok, count(1) AS df FROM toks GROUP BY 1
+        |  ORDER BY df DESC, tok LIMIT 50)),
+        |t AS (SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM top))
+        |SELECT a.tok AS ta, b.tok AS tb, count(1) AS n_docs
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY 1, 2 ORDER BY n_docs DESC, ta, tb LIMIT 20""".stripMargin,
     "q239_source_token_drift" ->
       """WITH t AS (
         |  SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS tok

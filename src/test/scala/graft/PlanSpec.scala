@@ -69,6 +69,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p40.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p40.take(1500))
   }
 
+  test("SQL join-strategy hints steer the planner (MAPJOIN/STREAMTABLE hint surface)") {
+    // the reference's /*+ MAPJOIN(t) */ parser hint (ql HintParser ->
+    // MapJoinProcessor) maps onto Spark's per-join strategy hints; all
+    // three strategies must be reachable from plain SQL
+    Tables.orders(spark, sf).createOrReplaceTempView("hint_orders")
+    Tables.customer(spark, sf).createOrReplaceTempView("hint_cust")
+    def planOf(hint: String) = spark.sql(
+      s"SELECT /*+ $hint */ c.c_name, o.o_totalprice FROM hint_orders o " +
+        "JOIN hint_cust c ON o.o_custkey = c.c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(planOf("BROADCAST(c)").contains("BroadcastHashJoin"))
+    assert(planOf("MERGE(c)").contains("SortMergeJoin"))
+    assert(planOf("SHUFFLE_HASH(c)").contains("ShuffledHashJoin"))
+  }
+
   test("q194 merge hint really produces a sort-merge join; q195 salted join stays equi") {
     val p194 = plan("q194_sortmerge_join")
     assert(p194.contains("SortMergeJoin"), p194.take(1500))
