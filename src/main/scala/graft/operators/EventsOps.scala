@@ -275,46 +275,34 @@ object EventsOps {
   /** DuckDB-side microsecond truncation of the ns timestamps. */
   private val tsMu = "make_timestamp(epoch_ns(ts) // 1000)"
 
+  /** The q233 funnel stage CTEs + final stage count, shared verbatim by
+    * the batch (q233) and streaming-parity (q241) oracles so the two
+    * can never drift; `where` injects the parity gate's cutoff. */
+  private def funnelSql(where: String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, $tsMu AS ts FROM events),
+       |v AS (SELECT user_id, min(ts) AS t_view FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+       |      JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+       |        AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+       |      JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+       |        AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1)
+       |SELECT 1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage,
+       |  count(1) AS n_users
+       |FROM v LEFT JOIN c ON v.user_id = c.user_id
+       |       LEFT JOIN p ON v.user_id = p.user_id
+       |$where
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q241_stream_funnel_parity" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_type, $tsMu AS ts FROM events),
-         |v AS (SELECT user_id, min(ts) AS t_view FROM e
-         |      WHERE event_type = 'view' GROUP BY 1),
-         |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
-         |      JOIN v ON e.user_id = v.user_id
-         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
-         |        AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
-         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
-         |      JOIN c ON e.user_id = c.user_id
-         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-         |        AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1)
-         |SELECT 1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
-         |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage,
-         |  count(1) AS n_users
-         |FROM v LEFT JOIN c ON v.user_id = c.user_id
-         |       LEFT JOIN p ON v.user_id = p.user_id
-         |WHERE v.t_view < (SELECT max(ts) FROM e) - INTERVAL 52 HOUR
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q233_funnel" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_type, $tsMu AS ts FROM events),
-         |v AS (SELECT user_id, min(ts) AS t_view FROM e
-         |      WHERE event_type = 'view' GROUP BY 1),
-         |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
-         |      JOIN v ON e.user_id = v.user_id
-         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
-         |        AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
-         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
-         |      JOIN c ON e.user_id = c.user_id
-         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-         |        AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1)
-         |SELECT 1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
-         |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage,
-         |  count(1) AS n_users
-         |FROM v LEFT JOIN c ON v.user_id = c.user_id
-         |       LEFT JOIN p ON v.user_id = p.user_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q241_stream_funnel_parity" -> funnelSql(
+      "WHERE v.t_view < (SELECT max(ts) FROM e) - INTERVAL 52 HOUR"),
+    "q233_funnel" -> funnelSql(""),
     "q227_stream_left_join_parity" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, $tsMu AS ts FROM events),

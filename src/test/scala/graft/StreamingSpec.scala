@@ -176,6 +176,50 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0", 1L)), out)
   }
 
+  test("streaming funnel state machine: windows, ordering, and single emission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var nextId = 0L
+    def ev(uid: Long, tpe: String, minute: Long) = {
+      nextId += 1
+      EventsStream.Event(nextId, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(minute.toInt)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))),
+        uid, tpe, 1.0, "{}")
+    }
+    val in = MemoryStream[EventsStream.Event]
+    val q = EventsStream.funnelStages(in.toDS(), delay = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_sink")
+      .start()
+    try {
+      in.addData(
+        // user 1: full funnel inside the windows -> stage 3
+        ev(1, "view", 0), ev(1, "click", 30), ev(1, "purchase", 60),
+        // user 2: click lands OUTSIDE the 24h window -> stage 1
+        ev(2, "view", 0), ev(2, "click", 60 * 25),
+        // user 3: click before the first view never counts -> stage 1
+        ev(3, "click", 0), ev(3, "view", 10),
+        // user 4: purchase before the click never counts -> stage 2
+        ev(4, "view", 0), ev(4, "purchase", 5), ev(4, "click", 10),
+        // user 5: second view must not reset the funnel clock -> stage 2
+        ev(5, "view", 0), ev(5, "view", 60 * 30), ev(5, "click", 20))
+      q.processAllAvailable()
+      // watermark sentinel far past every t_view + 48h horizon, then one
+      // more batch so the timeouts fire against the advanced watermark
+      in.addData(ev(99, "view", 60 * 24 * 40))
+      q.processAllAvailable()
+      in.addData(ev(99, "view", 60 * 24 * 40 + 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("funnel_sink").filter(col("user_id") < 99)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    // exactly one emission per user, at the expected stage
+    assert(out.sorted == Seq((1L, 3), (2L, 1), (3L, 1), (4L, 2), (5L, 2)),
+      out.sortBy(_._1).mkString(", "))
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     import spark.implicits._
     val events = EventsStream.readEvents(spark, sf).as[EventsStream.Event]
