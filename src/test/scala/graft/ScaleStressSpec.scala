@@ -298,4 +298,29 @@ class ScaleStressSpec extends AnyFunSuite {
     // exactly once per replica — the closed-form linearity pin
     assert(j10.count() == base * 10, s"expected ${base * 10}")
   }
+
+  test("10x orders: band join matches the closed form and stays a hash join") {
+    import graft.operators.RangeJoin
+    val o = Tables.orders(spark, sf01)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = RangeJoin.band(
+      df.select(col("o_orderkey").as("ida"), col("o_totalprice").as("pa")),
+      col("pa"),
+      df.select(col("o_orderkey").as("idb"), col("o_totalprice").as("pb")),
+      col("pb"), delta = 0.05)
+      .filter(col("ida") < col("idb"))
+    val base = pairs(o).count()
+    assert(base > 0, "band stress vacuous at this SF/delta")
+    val o10 = (0 until 10).map(k =>
+      o.select((col("o_orderkey") * 16 + k).as("o_orderkey"), col("o_totalprice")))
+      .reduce(_ unionAll _)
+    val j10 = pairs(o10)
+    assert(!j10.queryExecution.sparkPlan.toString.contains("NestedLoop"),
+      "band join must stay an equi-join at 10x volume")
+    // replicas keep identical prices: every base pair appears 10x10
+    // times across replica combinations, and each order gains C(10,2)
+    // zero-diff pairs among its own copies — the exact closed form
+    assert(j10.count() == base * 100 + o.count() * 45,
+      s"expected ${base * 100 + o.count() * 45}")
+  }
 }
