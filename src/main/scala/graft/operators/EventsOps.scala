@@ -275,6 +275,19 @@ object EventsOps {
   /** DuckDB-side microsecond truncation of the ns timestamps. */
   private val tsMu = "make_timestamp(epoch_ns(ts) // 1000)"
 
+  /** Gaps-and-islands sessionization CTEs (e/l/f/s, 30-min gap), shared
+    * by the q73 oracle and RangeJoin's q237 oracle so the two spellings
+    * can never drift; `e` carries a superset of the columns either
+    * consumer needs. */
+  private[operators] def sessionIslandCtes: String =
+    s"""e AS (SELECT event_id, user_id, event_type, $tsMu AS tmu, value FROM events),
+       |  l AS (SELECT *, LAG(tmu) OVER (PARTITION BY user_id ORDER BY tmu, event_id) AS prev_ts FROM e),
+       |  f AS (SELECT *, CASE WHEN prev_ts IS NULL
+       |                        OR epoch_us(tmu) - epoch_us(prev_ts) > 1800 * 1000000
+       |                       THEN 1 ELSE 0 END AS brk FROM l),
+       |  s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tmu, event_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)""".stripMargin
+
   /** The q233 funnel stage CTEs + final stage count, shared verbatim by
     * the batch (q233) and streaming-parity (q241) oracles so the two
     * can never drift; `where` injects the parity gate's cutoff. */
@@ -349,13 +362,7 @@ object EventsOps {
          |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
          |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
     "q73_sessionize" ->
-      s"""WITH e AS (SELECT event_id, user_id, $tsMu AS tmu, value FROM events),
-         |  l AS (SELECT *, LAG(tmu) OVER (PARTITION BY user_id ORDER BY tmu, event_id) AS prev_ts FROM e),
-         |  f AS (SELECT *, CASE WHEN prev_ts IS NULL
-         |                        OR epoch_us(tmu) - epoch_us(prev_ts) > 1800 * 1000000
-         |                       THEN 1 ELSE 0 END AS brk FROM l),
-         |  s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tmu, event_id
-         |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      s"""WITH $sessionIslandCtes
          |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(1) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
          |  CAST(epoch_us(MAX(tmu)) // 1000000 - epoch_us(MIN(tmu)) // 1000000 AS BIGINT) AS duration_s

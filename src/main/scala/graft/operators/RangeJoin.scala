@@ -185,26 +185,17 @@ object RangeJoin {
         |  AND e.event_type <> w.w_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q237_session_overlap" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type,
-        |    make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
-        |l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |        AS prev_ts FROM e),
-        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
-        |                     THEN 1 ELSE 0 END AS brk FROM l),
-        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM f),
-        |sess AS (SELECT user_id, sid, MIN(ts) AS s_start,
-        |           MAX(ts) + INTERVAL 30 MINUTE AS s_end
-        |         FROM s GROUP BY 1, 2),
-        |w AS (SELECT event_type AS w_type,
-        |        CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
-        |        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end
-        |      FROM e GROUP BY 1, 2 HAVING count(1) >= 70)
-        |SELECT w.w_type, w.w_start, count(1) AS n_sessions
-        |FROM sess JOIN w ON sess.s_start < w.w_end AND w.w_start < sess.s_end
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH ${EventsOps.sessionIslandCtes},
+         |sess AS (SELECT user_id, sid, MIN(tmu) AS s_start,
+         |           MAX(tmu) + INTERVAL 30 MINUTE AS s_end
+         |         FROM s GROUP BY 1, 2),
+         |w AS (SELECT event_type AS w_type,
+         |        CAST(date_trunc('day', tmu) AS TIMESTAMP) AS w_start,
+         |        CAST(date_trunc('day', tmu) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end
+         |      FROM e GROUP BY 1, 2 HAVING count(1) >= 70)
+         |SELECT w.w_type, w.w_start, count(1) AS n_sessions
+         |FROM sess JOIN w ON sess.s_start < w.w_end AND w.w_start < sess.s_end
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q238_price_band" ->
       """SELECT a.o_orderkey AS ida, b.o_orderkey AS idb,
         |  abs(a.o_totalprice - b.o_totalprice) AS price_diff
