@@ -257,7 +257,29 @@ object EventsOps {
       .orderBy(col("stage"))
   }
 
+  /** Rolling 7-day active users (the WAU report): distinct users in
+    * the window ending each active day. The only corpus-sized work is
+    * ONE distinct on (user, day); that sliver then explodes x7 (each
+    * active day feeds the 7 windows it belongs to) and aggregates —
+    * no self-join of day ranges, no per-day rescan, which is the shape
+    * that survives a year of 100 TB event logs. Windows ending on days
+    * with no activity are omitted (semi-join on the active-day set). */
+  val q243_rolling_active: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+              date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val dayset = ud.select(col("day").as("win_end")).distinct()
+    ud.select(col("user_id"), explode(expr("sequence(0, 6)")).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k").cast("int")).as("win_end"))
+      .join(dayset, Seq("win_end"), "left_semi")
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("win_end"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q243_rolling_active" -> q243_rolling_active,
     "q241_stream_funnel_parity" -> q241_stream_funnel_parity,
     "q233_funnel" -> q233_funnel,
     "q208_stream_session_parity" -> q208_stream_session_parity,
@@ -313,6 +335,16 @@ object EventsOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q243_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |ex AS (SELECT user_id, day + CAST(k AS INTEGER) AS win_end
+        |       FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks),
+        |days AS (SELECT DISTINCT day AS win_end FROM ud)
+        |SELECT e.win_end, count(DISTINCT e.user_id) AS wau
+        |FROM ex e JOIN days d ON e.win_end = d.win_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q241_stream_funnel_parity" -> funnelSql(
       "WHERE v.t_view < (SELECT max(ts) FROM e) - INTERVAL 52 HOUR"),
     "q233_funnel" -> funnelSql(""),
