@@ -164,10 +164,31 @@ object RangeJoin {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Gate row for [[band]] with `extraKeys`: reconciliation within a
+    * category — order pairs in the SAME priority class whose prices
+    * differ by <= 2.0. The equi-key rides the bucket id into one
+    * composite hash key, so the join gets category isolation for free
+    * (no post-filter on priority, no wider candidate set). */
+  val q244_price_band_keyed: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    band(o.select(col("o_orderkey").as("ida"), col("o_totalprice").as("pa"),
+                  col("o_orderpriority").as("prio")),
+         col("pa"),
+         o.select(col("o_orderkey").as("idb"), col("o_totalprice").as("pb"),
+                  col("o_orderpriority").as("prio")),
+         col("pb"), delta = 2.0, extraKeys = Seq("prio"))
+      .filter(col("ida") < col("idb"))
+      .select(col("prio"), col("ida"), col("idb"),
+              abs(col("pa") - col("pb")).as("price_diff"))
+      .orderBy(col("prio"), col("ida"), col("idb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q236_range_join_hot" -> q236_range_join_hot,
     "q237_session_overlap" -> q237_session_overlap,
     "q238_price_band" -> q238_price_band,
+    "q244_price_band_keyed" -> q244_price_band_keyed,
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +224,14 @@ object RangeJoin {
         |  ON abs(a.o_totalprice - b.o_totalprice) <= 0.5
         |  AND a.o_orderkey < b.o_orderkey
         |ORDER BY ida, idb""".stripMargin,
+    "q244_price_band_keyed" ->
+      """SELECT a.o_orderpriority AS prio,
+        |  a.o_orderkey AS ida, b.o_orderkey AS idb,
+        |  abs(a.o_totalprice - b.o_totalprice) AS price_diff
+        |FROM orders a JOIN orders b
+        |  ON a.o_orderpriority = b.o_orderpriority
+        |  AND abs(a.o_totalprice - b.o_totalprice) <= 2.0
+        |  AND a.o_orderkey < b.o_orderkey
+        |ORDER BY prio, ida, idb""".stripMargin,
   )
 }
