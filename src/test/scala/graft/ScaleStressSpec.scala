@@ -323,4 +323,32 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(j10.count() == base * 100 + o.count() * 45,
       s"expected ${base * 100 + o.count() * 45}")
   }
+
+  test("10x intervals: overlap join scales exactly linearly, one row per pair") {
+    import graft.operators.RangeJoin
+    val H = 3600L * 1000000L
+    // left: per-user session-like intervals from the events sliver
+    val sess = Tables.events(spark, sf01)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(min(col("ts")).as("s_start"),
+           (max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("s_end"))
+    val hot = Tables.events(spark, sf01)
+      .groupBy(date_trunc("day", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w_start"), (col("w_start") + expr("INTERVAL 1 DAY")).as("w_end"))
+    val base = RangeJoin.overlaps(sess, col("s_start"), col("s_end"),
+      hot, col("w_start"), col("w_end"), H).count()
+    assert(base > 0, "overlap stress vacuous at this SF")
+    val sess10 = (0 until 10).map(k =>
+      sess.select((col("user_id") * 16 + k).as("user_id"),
+        col("d"), col("s_start"), col("s_end")))
+      .reduce(_ unionAll _)
+    val j10 = RangeJoin.overlaps(sess10, col("s_start"), col("s_end"),
+      hot, col("w_start"), col("w_end"), H)
+    assert(!j10.queryExecution.sparkPlan.toString.contains("NestedLoop"),
+      "overlap join must stay an equi-join at 10x volume")
+    // identical interval bounds per replica: every base overlap appears
+    // exactly once per replica — linearity AND the no-duplicate rule
+    assert(j10.count() == base * 10, s"expected ${base * 10}")
+  }
 }
