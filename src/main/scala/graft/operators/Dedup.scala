@@ -771,6 +771,30 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Dup-rate by quality bucket — the calibration diagnostic behind
+    * "filter by quality BEFORE dedup or after?": bucket docs by the
+    * q61 score (value-based floor(q*10) buckets, no ntile tie
+    * nondeterminism) and measure each bucket's verified-near-dup rate.
+    * The dup-id sliver comes from the shared LSH path; the corpus pays
+    * one projection and one left join. */
+  val q245_dup_by_quality: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = shingleHashes(docs)
+    val pairs = exactJaccard(lshCandidates(minhashSignatures(sh)), sh, keepZero = false)
+      .filter(col("jac") >= 0.7)
+    val dupIds = pairs.select(col("ida").as("doc_id"))
+      .unionByName(pairs.select(col("idb").as("doc_id")))
+      .distinct().withColumn("hit", lit(1))
+    docs.select(col("doc_id"),
+        floor(round(TextAnalysis.qualityExpr, 6) * 10).as("q_bucket"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy(col("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs"), 6))
+      .orderBy(col("q_bucket"))
+  }
+
   /** Gate row for [[spanCoverage]]: same % 5 split as q216. */
   val q225_span_coverage: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -823,6 +847,7 @@ object Dedup {
     "q230_cross_source_dup" -> q230_cross_source_dup,
     "q234_source_dup_rate" -> q234_source_dup_rate,
     "q240_effective_tokens" -> q240_effective_tokens,
+    "q245_dup_by_quality" -> q245_dup_by_quality,
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
@@ -868,6 +893,19 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q245_dup_by_quality" ->
+      s"""WITH ${shPairsCtes(0.7)},
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT ida AS doc_id FROM pairs UNION ALL SELECT idb FROM pairs)),
+         |b AS (SELECT doc_id,
+         |        CAST(floor(round(${TextAnalysis.qualitySql}, 6) * 10) AS BIGINT)
+         |          AS q_bucket
+         |      FROM documents)
+         |SELECT b.q_bucket, count(1) AS n_docs,
+         |  CAST(count(dup.doc_id) AS BIGINT) AS n_dup,
+         |  round(CAST(count(dup.doc_id) AS DOUBLE) / count(1), 6) AS dup_rate
+         |FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q240_effective_tokens" ->
       s"""WITH RECURSIVE ${ccCtes(0.7)},
          |scored AS (SELECT doc_id, round(${TextAnalysis.qualitySql}, 6) AS q FROM documents),
