@@ -59,6 +59,10 @@ object Bench {
     "q232_quality_gate",  // per-source percentile gate (broadcast threshold)
     "q233_funnel",        // ordered funnel (multi-pass GROUP BY, exchange reuse)
     "q236_range_join_hot",// bucketed range join (equi-join, never BNLJ)
+    "q246_kmv_distinct",  // mergeable KMV distinct sketch (direct + merged lanes)
+    "q248_incremental_rollup", // stored-partials rollup maintenance (writes
+                               // + re-reads the partial table inline, so this
+                               // UPPER-BOUNDS the production merge-only cost)
   )
 
   def main(args: Array[String]): Unit = {

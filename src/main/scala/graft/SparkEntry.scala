@@ -25,6 +25,7 @@ object SparkEntry {
     (operators.EventsOps.queries, operators.EventsOps.oracles),
     (operators.AsofOps.queries, operators.AsofOps.oracles),
     (operators.RangeJoin.queries, operators.RangeJoin.oracles),
+    (operators.SketchOps.queries, operators.SketchOps.oracles),
     (operators.PipelineOps.queries, operators.PipelineOps.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
     (operators.Script.queries, operators.Script.oracles),

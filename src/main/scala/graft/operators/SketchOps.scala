@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+import graft.{Q, Tables}
+
+/** Driver-contract queries for the mergeable sketch family
+  * ([[graft.functions.Sketches]]) and the incremental-rollup maintenance
+  * pattern built on it — the reference's `compute_stats` NDV estimator
+  * (ql/udf/generic/GenericUDAFComputeStats.java) and stats-aggregation
+  * surface re-expressed as stored, mergeable summaries.
+  *
+  * Every oracle row here is EXACT by the under-fill contract (sketch
+  * capacity strictly above the group's true cardinality at sf0.01 — the
+  * q211 exact-when-fits pattern); over-capacity error bounds and merge
+  * associativity under arbitrary partitioning are SketchSpec's job.
+  */
+object SketchOps {
+
+  /** KMV capacity for the orders lanes: > 1,500 distinct custkeys at
+    * sf0.01, so estimates are exact; at 100 TB the same query reports
+    * with ~1.6% error (1/sqrt(k-2)) from the identical 32 KB sketch. */
+  private val K = 4096
+
+  /** Distinct customers per order priority, twice: once sketched
+    * directly, once merged from per-month partial sketches — proving the
+    * merge path (the one a 1000-executor rollup actually takes: each
+    * day/partition sketches locally, a tiny merge job folds them) gives
+    * the same answer as the direct pass. Both lanes are one shuffle of
+    * k-bounded buffers; no row-level distinct ever happens. */
+  val q246_kmv_distinct: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(Sketches.kmvSketch(col("o_custkey"), K).as("sk"))
+      .select(col("o_orderpriority"), Sketches.kmvEstimate(col("sk"), K).as("ndv_direct"))
+    val partials = o
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(Sketches.kmvSketch(col("o_custkey"), K).as("sk"))
+    val merged = partials.groupBy(col("o_orderpriority"))
+      .agg(Sketches.kmvMerge(col("sk"), K).as("sk"))
+      .select(col("o_orderpriority"), Sketches.kmvEstimate(col("sk"), K).as("ndv_merged"))
+    direct.join(merged, Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Top-8 tokens per language by Misra-Gries counter map (capacity 64
+    * > the 31-token vocabulary at sf0.01 → counts exact; at web scale
+    * the same plan keeps a 64-entry map per language instead of a
+    * billion-row token group-by, trading exactness for the
+    * freq > n/(k+1) guarantee). Tie-break (count desc, token asc) is
+    * total, so the rank filter is deterministic. */
+  val q247_heavy_hitters: Q = (s, d) => {
+    val k = 64
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(trim(col("text")), " +")).as("tok"))
+    toks.groupBy(col("lang"))
+      .agg(Sketches.mgSketch(col("tok"), k).as("hh"))
+      .select(col("lang"), explode(col("hh")).as(Seq("tok", "cnt")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk") <= 8)
+      .select(col("lang"), col("rk"), col("tok"), col("cnt"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Incremental rollup maintenance: the per-(priority, month) partial
+    * table — counts, exact-decimal revenue, KMV customer sketches — is
+    * WRITTEN TO PARQUET (the stored state a nightly job owns), then the
+    * "new day" batch's partials are unioned in and the per-priority
+    * report is produced by MERGING summaries only. The full-history
+    * fact table is scanned exactly once (to seed the store); the update
+    * path touches the new batch plus a |priorities × months|-row merge.
+    * That is the 100 TB contract: report maintenance cost is O(new data
+    * + summary count), never O(history). The oracle recomputes the
+    * report from the raw table — merged partial state must be
+    * indistinguishable from a full rescan. */
+  val q248_incremental_rollup: Q = (s, d) => {
+    val cutoff = lit("2001-01-01").cast("date")
+    val o = Tables.orders(s, d)
+    def partials(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+           Sketches.kmvSketch(col("o_custkey"), K).as("sk"))
+    val store = s"target/storage/${new java.io.File(d).getName}/rollup_partials"
+    partials(o.filter(col("o_orderdate") < cutoff))
+      .write.mode("overwrite").parquet(store)
+    val merged = s.read.parquet(store)
+      .unionByName(partials(o.filter(col("o_orderdate") >= cutoff)))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+           sum(col("rev")).cast("double").as("revenue"),
+           Sketches.kmvMerge(col("sk"), K).as("sk"))
+    merged.select(col("o_orderpriority"), col("n_orders"), col("revenue"),
+                  Sketches.kmvEstimate(col("sk"), K).as("ndv_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Streaming distinct-users-per-event-type with BOUNDED state: the
+    * KMV aggregator runs inside a real Structured Streaming aggregation
+    * (complete mode, AvailableNow), so per-key state is the k-capped
+    * buffer — a streaming COUNT(DISTINCT) whose state cannot grow with
+    * the user population. Parity: the sink's estimates must equal the
+    * batch exact distinct counts (under-filled at sf0.01). */
+  val q249_stream_distinct_sketch: Q = (s, d) => {
+    s.catalog.dropTempView("q249_sink")
+    val q = graft.streaming.EventsStream.readEvents(s, d)
+      .groupBy(col("event_type"))
+      .agg(Sketches.kmvSketch(col("user_id"), 1024).as("sk"))
+      .select(col("event_type"), Sketches.kmvEstimate(col("sk"), 1024).as("ndv_users"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("q249_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("q249_sink").orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q246_kmv_distinct" -> q246_kmv_distinct,
+    "q247_heavy_hitters" -> q247_heavy_hitters,
+    "q248_incremental_rollup" -> q248_incremental_rollup,
+    "q249_stream_distinct_sketch" -> q249_stream_distinct_sketch,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q246_kmv_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS ndv_direct,
+        |  count(DISTINCT o_custkey) AS ndv_merged
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q247_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, cnt,
+        |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+        |      FROM c)
+        |SELECT lang, rk, tok, cnt FROM r WHERE rk <= 8 ORDER BY lang, rk""".stripMargin,
+    "q248_incremental_rollup" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_custkey) AS ndv_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q249_stream_distinct_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS ndv_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -38,6 +38,7 @@ import graft.{Q, Tables}
   *  - q222: order-frequency band customer census           (perf/query34.q, query73.q)
   *  - q223: cross-channel cumulative dominance             (perf/query51.q)
   *  - q228: cross-channel QoQ growth comparison            (perf/query31.q)
+  *  - q250: member revenue below half the group average    (perf/query65.q)
   *
   * Scale notes: every sliver the patterns join back to the fact is keyed on
   * a dimension-cardinality column (part, supplier, brand, week), so the
@@ -637,7 +638,28 @@ object TpcdsShapes2 {
       .orderBy(col("nation"), col("qtr_from"))
   }
 
+  /** DS query65-shape (perf/query65.q): per-group member revenue below
+    * half the group average — store×item there, priority×customer here.
+    * The fact is scanned once into the (priority, customer) aggregate
+    * sliver; the per-priority total/count is a 5-row broadcast; the
+    * "below average" gate multiplies through (rev·n·2 < tot) in exact
+    * decimal, so no engine ever computes a float average. */
+  val q250_ds_low_revenue: Q = (s, d) => {
+    val ck = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val pa = ck.groupBy(col("o_orderpriority"))
+      .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n"))
+    ck.join(broadcast(pa), Seq("o_orderpriority"))
+      .filter(col("rev") * col("n") * 2 < col("tot"))
+      .select(col("o_orderpriority"), col("o_custkey"),
+              col("rev").cast("double").as("rev"))
+      .orderBy(col("o_orderpriority"), col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q250_ds_low_revenue" -> q250_ds_low_revenue,
     "q174_ds_spend_histogram" -> q174_ds_spend_histogram,
     "q210_ds_except_chain" -> q210_ds_except_chain,
     "q228_ds_growth_compare" -> q228_ds_growth_compare,
@@ -667,6 +689,17 @@ object TpcdsShapes2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q250_ds_low_revenue" ->
+      """WITH ck AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 2),
+        |pa AS (SELECT o_orderpriority, sum(rev) AS tot, count(*) AS n
+        |       FROM ck GROUP BY 1)
+        |SELECT ck.o_orderpriority, ck.o_custkey, CAST(ck.rev AS DOUBLE) AS rev
+        |FROM ck JOIN pa ON ck.o_orderpriority = pa.o_orderpriority
+        |WHERE ck.rev * pa.n * 2 < pa.tot
+        |ORDER BY ck.o_orderpriority, ck.o_custkey""".stripMargin,
     "q228_ds_growth_compare" ->
       """WITH s AS (
         |  SELECT c_nationkey AS nation, quarter(o_orderdate) AS qtr,
