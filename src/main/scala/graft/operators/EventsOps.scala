@@ -278,7 +278,35 @@ object EventsOps {
       .orderBy(col("win_end"))
   }
 
+  /** Within-session transition matrix (the Markov path-mining report —
+    * the reference spells it LAG/LEAD over a sessionized PTF): count
+    * consecutive event-type pairs inside the 30-min-gap sessions. The
+    * (user_id, sid) lead window is satisfied by the user_id hash
+    * partition (subset clustering), so ONE exchange feeds all three
+    * windows — only a re-sort on (user, sid, ts) is added — then the
+    * pair counts aggregate a 25-row sliver. Ordering is total
+    * ((ts, event_id) unique), so the lead is deterministic. */
+  val q251_session_transitions: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(cum))
+      .withColumn("next_type", lead(col("event_type"), 1).over(bySess))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q251_session_transitions" -> q251_session_transitions,
     "q243_rolling_active" -> q243_rolling_active,
     "q241_stream_funnel_parity" -> q241_stream_funnel_parity,
     "q233_funnel" -> q233_funnel,
@@ -335,6 +363,15 @@ object EventsOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q251_session_transitions" ->
+      s"""WITH $sessionIslandCtes,
+         |p AS (SELECT event_type,
+         |        LEAD(event_type) OVER (PARTITION BY user_id, sid
+         |                               ORDER BY tmu, event_id) AS next_type
+         |      FROM s)
+         |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+         |FROM p WHERE next_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""".stripMargin,
     "q243_rolling_active" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

@@ -47,9 +47,35 @@ object JoinStrategies {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Key-skew diagnostic — the report an operator reads BEFORE choosing
+    * salting/broadcast/AQE settings for a 100 TB join (the decision the
+    * reference bakes into hive.skewjoin.key / SkewJoinOptimizer.java
+    * thresholds). One group-by per audited key builds the per-key count
+    * sliver; the top-share numbers come off a 10-row sorted head of that
+    * sliver, never the fact table. Shares are integer parts-per-million
+    * (floor), so the row is bit-stable across engines. */
+  val q252_skew_report: Q = (s, d) => {
+    def profile(df: org.apache.spark.sql.DataFrame, key: String, name: String) = {
+      val cnts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      val top = cnts.orderBy(col("cnt").desc, col(key)).limit(10)
+        .agg(max(col("cnt")).as("top1"), sum(col("cnt")).as("top10"))
+      cnts.agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(top))
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+                // `div`, not `/`: the ppm must stay an exact integer
+                expr("top1 * 1000000 div n_rows").as("top1_ppm"),
+                expr("top10 * 1000000 div n_rows").as("top10_ppm"))
+    }
+    profile(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+      .unionByName(profile(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+      .unionByName(profile(Tables.events(s, d), "user_id", "events.user_id"))
+      .orderBy(col("key_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q194_sortmerge_join" -> q194_sortmerge_join,
     "q195_salted_skew_join" -> q195_salted_skew_join,
+    "q252_skew_report" -> q252_skew_report,
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,5 +89,19 @@ object JoinStrategies {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q252_skew_report" -> {
+      def lane(table: String, key: String) =
+        s"""(WITH c AS (SELECT $key AS k, count(*) AS cnt FROM $table GROUP BY 1),
+           |  t AS (SELECT max(cnt) AS top1, CAST(sum(cnt) AS BIGINT) AS top10 FROM
+           |          (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10)),
+           |  a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys FROM c)
+           |SELECT '$table.$key' AS key_name, a.n_rows, a.n_keys,
+           |  CAST(t.top1 * 1000000 // a.n_rows AS BIGINT) AS top1_ppm,
+           |  CAST(t.top10 * 1000000 // a.n_rows AS BIGINT) AS top10_ppm
+           |FROM a CROSS JOIN t)""".stripMargin
+      Seq(lane("lineitem", "l_partkey"), lane("orders", "o_custkey"),
+          lane("events", "user_id")).mkString("\nUNION ALL\n") +
+        "\nORDER BY key_name"
+    },
   )
 }
