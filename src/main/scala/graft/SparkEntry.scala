@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.AsofOps.queries, operators.AsofOps.oracles),
     (operators.RangeJoin.queries, operators.RangeJoin.oracles),
     (operators.SketchOps.queries, operators.SketchOps.oracles),
+    (operators.AuditOps.queries, operators.AuditOps.oracles),
     (operators.PipelineOps.queries, operators.PipelineOps.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
     (operators.Script.queries, operators.Script.oracles),

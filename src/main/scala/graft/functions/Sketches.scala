@@ -126,9 +126,11 @@ object Sketches {
         case Some(c) => b.update(item, c + 1)
         case None if b.size < k => b.update(item, 1L)
         case None => // decrement-all: the classic MG step
-          val dead = mutable.ArrayBuffer.empty[String]
-          b.foreach { case (i, c) => if (c == 1L) dead += i else b.update(i, c - 1) }
-          dead.foreach(b.remove)
+          // iterate a snapshot — mutating a mutable.HashMap mid-foreach
+          // (even value-only updates) can skip entries
+          b.toArray.foreach { case (i, c) =>
+            if (c == 1L) b.remove(i) else b.update(i, c - 1)
+          }
       }
       b
     }
@@ -159,9 +161,10 @@ object Sketches {
     y.foreach { case (i, c) => x.update(i, x.getOrElse(i, 0L) + c) }
     if (x.size > k) {
       val cut = x.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      x.foreach { case (i, c) => if (c - cut <= 0L) dead += i else x.update(i, c - cut) }
-      dead.foreach(x.remove)
+      // iterate a snapshot — see the reduce-path comment
+      x.toArray.foreach { case (i, c) =>
+        if (c - cut <= 0L) x.remove(i) else x.update(i, c - cut)
+      }
     }
     x
   }

@@ -118,7 +118,34 @@ object SketchOps {
     s.table("q249_sink").orderBy(col("event_type"))
   }
 
+  /** Streaming heavy hitters with bounded state: the Misra-Gries map as
+    * a real streaming aggregation (complete mode, AvailableNow) — the
+    * trending-items report whose per-key state is a 256-entry counter
+    * map however many users flow past. Exact at this scale (150 users
+    * per type < capacity), so the parity oracle is the batch top-5;
+    * user ids compare as STRINGS on both sides so the tie-break is
+    * engine-independent. */
+  val q253_stream_heavy_hitters: Q = (s, d) => {
+    s.catalog.dropTempView("q253_sink")
+    val q = graft.streaming.EventsStream.readEvents(s, d)
+      .groupBy(col("event_type"))
+      .agg(Sketches.mgSketch(col("user_id").cast("string"), 256).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("q253_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("q253_sink")
+      .select(col("event_type"), explode(col("hh")).as(Seq("uid", "cnt")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("cnt").desc, col("uid"))))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("uid"), col("cnt"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q253_stream_heavy_hitters" -> q253_stream_heavy_hitters,
     "q246_kmv_distinct" -> q246_kmv_distinct,
     "q247_heavy_hitters" -> q247_heavy_hitters,
     "q248_incremental_rollup" -> q248_incremental_rollup,
@@ -126,6 +153,16 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q253_stream_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, uid, cnt,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY cnt DESC, uid) AS rk
+        |      FROM c)
+        |SELECT event_type, rk, uid, cnt FROM r WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
     "q246_kmv_distinct" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS ndv_direct,

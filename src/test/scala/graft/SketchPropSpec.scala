@@ -91,6 +91,31 @@ class SketchPropSpec extends AnyFunSuite {
     })
   }
 
+  test("Misra-Gries regression: the mid-iteration-mutation cases the fuzzer caught") {
+    // Both once produced >k survivors: the overflow paths mutated the
+    // counter HashMap inside its own foreach, which can skip entries.
+    val k = 6
+    val agg = new Sketches.MgAgg(k)
+    val cases = Seq(
+      (List("a", "t7", "b", "t14", "t37", "t37", "t10", "t17", "c", "c", "t26", "t4",
+            "t29", "c", "t4", "t40", "t26", "t35", "t34", "t39", "t8", "t2", "a",
+            "t10", "b", "t7", "t6", "c", "a", "t6"), List(16, 23)),
+      (List("a", "t9", "t38", "b", "t39", "t37", "t32", "a", "a", "t13", "t35",
+            "t18", "t7"), List(3, 6)))
+    for ((xs, bounds) <- cases) {
+      val chunks = ((0 :: bounds) :+ xs.size).sliding(2).map {
+        case List(a, b) => xs.slice(a, b)
+      }.toList
+      val got = agg.finish(
+        chunks.map(c => c.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = xs.size.toLong / (k + 1)
+      assert(got.size <= k)
+      assert(got.forall { case (t, c) => c <= truth(t) && c >= truth(t) - slack }, got)
+      assert(truth.forall { case (t, c) => c <= slack || got.contains(t) }, got)
+    }
+  }
+
   test("Misra-Gries: capacity bound holds at every intermediate state") {
     val k = 4
     val agg = new Sketches.MgAgg(k)
