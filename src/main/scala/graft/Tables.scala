@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -34,15 +34,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as a nanos long —
-    * convert to microsecond TimestampType (integer division, no double
-    * round-trip: nanos exceed 2^53). */
+  /** events.ts normalization chokepoint. The driver has shipped the column
+    * under three parquet encodings across rounds; every engine entry point
+    * reads events through here so the downstream operators (sessionize,
+    * as-of, range joins, watermarks) can assume exactly one type:
+    *   - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong=true →
+    *     nanos long; integer-divide to micros (no double round-trip: nanos
+    *     exceed 2^53) and rebuild a TimestampType.
+    *   - TIMESTAMP(isAdjustedToUTC=false, MICROS) → Spark 4 TIMESTAMP_NTZ;
+    *     cast to TimestampType — semantics-preserving because the session
+    *     timezone is pinned to UTC (Session.configure), so wall-clock ==
+    *     instant. This mirrors the reference, whose TIMESTAMP is
+    *     timezone-less (serde/.../TypeInfoFactory.java:56-57) and is
+    *     interpreted in the cluster's fixed zone.
+    *   - TimestampType → pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

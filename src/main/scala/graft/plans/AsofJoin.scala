@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.SqlShims
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** AS-OF JOIN — a whole-operator extension (logical node + strategy +
   * physical sort-merge exec) for the one join shape neither the
@@ -88,8 +88,10 @@ case class AsofJoinExec(
     // DateType is deliberately NOT accepted: date subtraction yields
     // DAYS, so a microsecond tolerance would be silently always-true.
     // Tolerance is in the time column's NATIVE unit — microseconds for
-    // timestamps, the raw value for int/long times.
-    val ok = Seq(TimestampType, LongType, IntegerType)
+    // timestamps (both TZ and NTZ store micros-since-epoch as long,
+    // mirroring the reference's timezone-less TIMESTAMP,
+    // serde/.../TypeInfoFactory.java:56-57), the raw value for int/long.
+    val ok = Seq(TimestampType, TimestampNTZType, LongType, IntegerType)
     require(ok.contains(leftTime.dataType),
       s"as-of tolerance needs a timestamp or int/long time column, got " +
         s"${leftTime.dataType}" + (if (leftTime.dataType == DateType)

@@ -23,18 +23,24 @@ object EventsStream {
 
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
-  /** File-source stream of events; schema taken from the batch reader
-    * (ts arrives as nanos-long, converted like Tables.events). */
+  /** File-source stream of events; schema taken from the batch reader and
+    * `ts` normalized to TimestampType exactly like Tables.events (nanos-long
+    * and TIMESTAMP_NTZ encodings both handled) — withWatermark requires
+    * TimestampType, so the normalization must happen before any event-time
+    * operator. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // the file stream source wants a directory; glob-filter to the one table
     val stream = spark.readStream
       .schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    raw.schema("ts").dataType match {
+      case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Watermarked tumbling-window counts (streaming twin of

@@ -100,6 +100,27 @@ class AsofSpec extends AnyFunSuite {
     assert(got("d") == Some("r1")) // 4 <= 5; null-time right row ignored
   }
 
+  test("TIMESTAMP_NTZ time columns are accepted end-to-end (both sides NTZ)") {
+    // NTZ is the reference's own TIMESTAMP semantics (timezone-less,
+    // serde/.../TypeInfoFactory.java:56-57); the operator accepts it as a
+    // first-class time type, including tolerance (NTZ stores micros-as-long
+    // exactly like TimestampType). The loaders normalize events to
+    // TimestampType, so this pins the operator-level contract directly.
+    val (p, v) = sides
+    val pn = p.withColumn("p_ts", col("p_ts").cast("timestamp_ntz"))
+    val vn = v.withColumn("v_ts", col("v_ts").cast("timestamp_ntz"))
+    val ntz = Asof.join(pn, vn, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts",
+        toleranceUs = Some(6L * 3600 * 1000 * 1000))
+      .select(col("purchase_id"), col("v_ts").cast("timestamp").as("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    val tz = Asof.join(p, v, Seq("user_id"), Seq("v_user"), "p_ts", "v_ts",
+        toleranceUs = Some(6L * 3600 * 1000 * 1000))
+      .select(col("purchase_id"), col("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    // session timezone is pinned UTC, so NTZ and TZ paths agree exactly
+    assert(ntz == tz)
+  }
+
   test("mismatched time types are rejected up front") {
     val (p, v) = sides
     val e = intercept[IllegalArgumentException] {

@@ -103,4 +103,35 @@ class CoercionSpec extends AnyFunSuite {
       "SELECT unix_timestamp(TIMESTAMP '2000-01-01 00:00:00') AS e").collect()(0)
     assert(r.getLong(0) == 946684800L)
   }
+
+  test("TIMESTAMP_NTZ parquet events normalize to TimestampType end-to-end") {
+    // Round-5 regression pin: the driver shipped events.ts as parquet
+    // TIMESTAMP(isAdjustedToUTC=false, MICROS), which Spark 4 reads as
+    // TIMESTAMP_NTZ and which breaks unix_micros / withWatermark / the
+    // as-of typecheck downstream. Tables.events is the one chokepoint
+    // that must absorb any ts encoding; pin the NTZ arm with a
+    // self-written NTZ file so the pin survives future driver re-encodes.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    try {
+      spark.sql(
+        """SELECT 1L AS event_id, 7L AS user_id, 'view' AS event_type,
+          |  TIMESTAMP_NTZ '2024-03-01 12:00:00' AS ts, 1.5D AS value
+          |""".stripMargin)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // the raw file really is NTZ...
+      assert(spark.read.parquet(s"$dir/events.parquet")
+        .schema("ts").dataType == TimestampNTZType)
+      val ev = Tables.events(spark, dir)
+      // ...and the chokepoint hands downstream a TimestampType column
+      assert(ev.schema("ts").dataType == TimestampType)
+      // value preserved exactly under the pinned-UTC session (wall-clock
+      // == instant), so event-time math sees the same microsecond
+      val micros = ev.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+      assert(micros == 1709294400000000L, s"got $micros")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
