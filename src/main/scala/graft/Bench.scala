@@ -65,6 +65,34 @@ object Bench {
                                // UPPER-BOUNDS the production merge-only cost)
   )
 
+  /** Every headline name must resolve in SparkEntry.queries — a silent
+    * `filter(contains)` would let a typo (or a query that got unregistered)
+    * shrink the bench set without anyone noticing. Pinned by BenchSpec. */
+  def unresolvedHeadline: Seq[String] =
+    headline.filterNot(SparkEntry.queries.contains)
+
+  /** Aggregate timed passes into the artifact JSON. Pure so BenchSpec can
+    * inject a failure and pin that (a) a failed query never appears in the
+    * headline timing map, and (b) it IS listed under "failed" — round 5
+    * shipped exception latencies as query times, which this forbids. */
+  def render(cold: Seq[(String, Double)], steady1: Seq[(String, Double)],
+             steady2: Seq[(String, Double)], failed: Seq[String],
+             sfDir: String): String = {
+    val byName = (cold ++ steady1 ++ steady2).groupBy(_._1)
+    val results = headline.filterNot(failed.contains).flatMap { name =>
+      byName.get(name).map(ts => name -> ts.map(_._2).min)
+    }
+    def json(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
+      s""""value_cold":$coldTotal,"queries_cold":${json(cold)},""" +
+      s""""queries_s1":${json(steady1)},"queries_s2":${json(steady2)},""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,14 +115,29 @@ object Bench {
     // block-manager noise, not query cost). The headline metric stays
     // steady-state; the cold numbers ride along so the ledger never
     // needs a methodology footnote.
+    if (unresolvedHeadline.nonEmpty) {
+      System.err.println(s"[bench] headline names missing from SparkEntry.queries: " +
+        unresolvedHeadline.mkString(", "))
+      sys.exit(3)
+    }
+
+    // A query that throws must NOT be reported as a timing: round 5 shipped
+    // exception latencies (q73=0.077s for a query that crashed) as "query
+    // times" with rc=0. Failed queries are excluded from the timing maps,
+    // listed under "failed", and force a non-zero exit so a gate reader
+    // can never mistake a crash for a speedup.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Seq[(String, Double)] =
-      headline.filter(SparkEntry.queries.contains).map { name =>
+      headline.flatMap { name =>
         val t0 = System.nanoTime()
-        try evaluate(name)
-        catch { case e: Throwable =>
+        try {
+          evaluate(name)
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
 
     val cold = timedPass()
@@ -103,16 +146,10 @@ object Bench {
     // Per-query MIN across all three passes — see the object scaladoc for
     // why cold participates (host stalls have hit the same query in both
     // steady passes; cold upper-bounds steady, so the min stays valid).
-    val results = cold.zip(steady1).zip(steady2).map {
-      case (((k, c), (_, a)), (_, b)) => k -> math.min(c, math.min(a, b))
-    }
-    def json(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
-      s""""value_cold":$coldTotal,"queries_cold":${json(cold)},""" +
-      s""""queries_s1":${json(steady1)},"queries_s2":${json(steady2)},"sf":"$sfDir"}""")
+    // A query that failed in ANY pass is dropped from the headline map
+    // (partial timings would understate it) and reported under "failed".
+    println(render(cold, steady1, steady2, failed.toSeq, sfDir))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -27,6 +27,12 @@ def main():
             continue
         got = con.execute(f"SELECT * FROM read_parquet('{path}/*.parquet')").fetchdf()
         got = got.reindex(sorted(got.columns), axis=1)
+        # Verify writes a 1-row error frame for a query that threw, so the
+        # name can never silently vanish from the report (round-5 lesson);
+        # surface it as a FAIL even for oracle-less (rows-only) queries.
+        if "_graft_query_failed" in got.columns:
+            results[name] = f"QUERY_FAILED {got['_graft_query_failed'].iloc[0]!r}"
+            continue
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(got)}"
             continue
