@@ -142,6 +142,30 @@ object Formats {
       .orderBy(col("o_year"), col("o_orderstatus"))
   }
 
+  /** RCFile round-trip (RCFile.java + ColumnarSerDe): write orders through
+    * the real RCFileOutputFormat, scan back through RCFileInputFormat with
+    * schema-on-read text decoding, aggregate. Covers long/string/double/
+    * date-ish types plus NULL cells (`\N` encoding) via the nullif lane;
+    * the oracle computes the same aggregate from parquet, so any
+    * encode/decode divergence breaks the hash. */
+  val q255_rcfile_roundtrip: Q = (s, d) => {
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+              nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+              col("o_totalprice"), col("o_orderdate"))
+    val path = tmpDir(d, "orders_rcfile")
+    RcFileIO.write(src, path)
+    RcFileIO.read(s, path, src.schema)
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("status_np"))
+      .agg(count(lit(1)).as("n_orders"),
+           count(col("status_np")).as("n_nonnull"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"),
+           min(col("o_orderkey")).as("min_key"))
+      // nulls LAST explicitly: Spark defaults nulls-first, DuckDB
+      // nulls-last — the oracle hash compares row order
+      .orderBy(col("o_year"), col("status_np").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_csv_roundtrip" -> q100_csv_roundtrip,
     "q101_orc_scan" -> q101_orc_scan,
@@ -149,6 +173,7 @@ object Formats {
     "q103_text_delimited" -> q103_text_delimited,
     "q104_regex_text" -> q104_regex_text,
     "q137_avro_roundtrip" -> q137_avro_roundtrip,
+    "q255_rcfile_roundtrip" -> q255_rcfile_roundtrip,
   )
 
   /** Oracles read the SAME data straight from parquet — the round-trip
@@ -185,5 +210,13 @@ object Formats {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
         |  MIN(o_orderkey) AS min_key
         |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""".stripMargin,
+    "q255_rcfile_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  NULLIF(o_orderstatus, 'P') AS status_np,
+        |  COUNT(1) AS n_orders,
+        |  COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, status_np""".stripMargin,
   )
 }

@@ -156,6 +156,53 @@ class FormatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported type"), e.getMessage)
   }
 
+  test("RCFile round-trips typed rows through the real RCFileInput/OutputFormat") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, "alpha", 3.5, "2024-01-02"),
+      (2L, "has\ttab? no — text cells are length-prefixed, tabs survive", -0.25, "1999-12-31"),
+      (3L, null.asInstanceOf[String], 1.0e7, "2024-06-30"))
+      .toDF("id", "s", "v", "d")
+      .select(col("id"), col("s"), col("v"), col("d").cast("date").as("d"))
+    val path = "target/fmtspec/rcfile_rt"
+    sources.RcFileIO.write(src, path)
+    val back = sources.RcFileIO.read(spark, path, src.schema)
+    // field names/types round-trip; the reader is nullable-everywhere by
+    // design (any text cell can be \N), so nullability is not compared
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        == src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.orderBy("id").collect()
+    val want = src.orderBy("id").collect()
+    assert(got.toSeq == want.toSeq)
+    // NULL really travels as the \N marker, not the 4-char string
+    assert(got(2).isNullAt(1))
+  }
+
+  test("RCFile schema evolution: missing trailing columns read as NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val path = "target/fmtspec/rcfile_evolve"
+    sources.RcFileIO.write(src, path)
+    val widened = StructType(src.schema.fields :+ StructField("added", IntegerType))
+    val back = sources.RcFileIO.read(spark, path, widened).orderBy("id").collect()
+    assert(back.length == 2 && back.forall(_.isNullAt(2)))
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "a")
+  }
+
+  test("RCFile scan distributes: one task per file, no driver materialization") {
+    // multi-partition write -> multiple rcfiles -> the read RDD keeps at
+    // least that parallelism (splittable FileInputFormat path)
+    import spark.implicits._
+    val src = (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "s").repartition(4)
+    val path = "target/fmtspec/rcfile_par"
+    sources.RcFileIO.write(src, path)
+    val back = sources.RcFileIO.read(spark, path, src.schema)
+    assert(back.rdd.getNumPartitions >= 4,
+      s"expected >=4 read partitions, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == 100)
+  }
+
   test("delimited text survives values containing the quote character") {
     import spark.implicits._
     val tricky = Seq((1L, "plain"), (2L, "has \"quotes\""), (3L, "comma, inside"),
