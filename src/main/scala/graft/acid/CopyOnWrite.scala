@@ -24,6 +24,52 @@ import org.apache.spark.sql.functions._
   */
 object CopyOnWrite {
 
+  /** How long a writer waits for a competing writer's lock before giving
+    * up, and how old a lock must be before it is presumed abandoned (a
+    * crashed writer) and reclaimed. Both deliberately coarse: COW rewrites
+    * are minutes-scale at 100 TB, so contention is rare and the cost of a
+    * stale lock is a stalled pipeline, not corruption. */
+  private[graft] val LockWaitMs = 60000L
+  private[graft] val StaleLockMs = 10L * 60 * 1000
+
+  /** Directory-level writer lock — the reference's table-level X lock
+    * (lockmgr/DbTxnManager.java:58, ZooKeeperHiveLockManager) reduced to
+    * the COW case: writers serialize, readers never block (they see the
+    * old or new table via the staged swap, never a mix). The lock is an
+    * atomically-created sidecar file (`fs.create(overwrite=false)` —
+    * atomic on HDFS and local); it is acquired BEFORE the table read so a
+    * serialized writer observes its predecessor's result rather than
+    * computing from a stale snapshot (lost update). A lock older than
+    * [[StaleLockMs]] is presumed crashed and reclaimed. */
+  private def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(path + ".cow_lock")
+    val deadline = System.nanoTime() + LockWaitMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false)
+        out.writeBytes(
+          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
+          s"${System.currentTimeMillis()}\n")
+        out.close()
+        acquired = true
+      } catch { case _: java.io.IOException =>
+        try {
+          val st = fs.getFileStatus(lock)
+          if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs)
+            fs.delete(lock, false) // abandoned by a crashed writer: reclaim
+        } catch { case _: java.io.FileNotFoundException => () } // raced free
+        if (System.nanoTime() > deadline)
+          throw new java.io.IOException(
+            s"COW writer lock busy after ${LockWaitMs}ms: $lock " +
+            "(another update/delete/merge/compact holds this table)")
+        Thread.sleep(50)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** The shared staged-swap protocol: clear staging/backup, let `write`
     * produce the staging dir, then current -> backup, staging -> current,
     * drop backup — rolling back the first rename if the promotion fails.
@@ -77,8 +123,10 @@ object CopyOnWrite {
     * matching target row is replaced and every source copy lands, and
     * the returned counts reflect that row arithmetic). */
   def merge(spark: SparkSession, path: String, source: DataFrame,
-            keys: Seq[String]): (Long, Long) = {
+            keys: Seq[String]): (Long, Long) = withTableLock(spark, path) {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // read INSIDE the lock: a serialized writer must see its
+    // predecessor's files, not the listing from before it waited
     val target = spark.read.parquet(path)
     val cols = target.columns.toIndexedSeq
     require(cols.forall(source.columns.contains),
@@ -110,25 +158,27 @@ object CopyOnWrite {
     * open/footer costs dominate under ~16 MB). Returns
     * (filesBefore, filesAfter); no-op when already compact. */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+      withTableLock(spark, path) {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val nFiles = parts.length
     val totalBytes = parts.map(_.getLen).sum
     val ideal = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    if (nFiles <= 2 * ideal) return (nFiles, nFiles)
-
-    stagedSwap(spark, path) { staging =>
-      // coalesce, not repartition: compaction must not shuffle the data,
-      // only concatenate scan splits into fewer writers
-      spark.read.parquet(path).coalesce(ideal)
-        .write.mode("overwrite").parquet(staging.toString)
-      true
+    if (nFiles <= 2 * ideal) (nFiles, nFiles)
+    else {
+      stagedSwap(spark, path) { staging =>
+        // coalesce, not repartition: compaction must not shuffle the data,
+        // only concatenate scan splits into fewer writers
+        spark.read.parquet(path).coalesce(ideal)
+          .write.mode("overwrite").parquet(staging.toString)
+        true
+      }
+      val after = fs.listStatus(new Path(path))
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      (nFiles, after)
     }
-    val after = fs.listStatus(new Path(path))
-      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    (nFiles, after)
   }
 
   /** Rewrite the table in ONE pass: the affected-row count is observed on
@@ -137,8 +187,9 @@ object CopyOnWrite {
     * A no-op rewrite discards the staging dir and leaves the table's
     * files untouched. */
   private def rewrite(spark: SparkSession, path: String, cond: Column)
-                     (f: DataFrame => DataFrame): Long = {
+                     (f: DataFrame => DataFrame): Long = withTableLock(spark, path) {
     val obs = Observation()
+    // read INSIDE the lock (see merge): serialized updates compose
     val base = spark.read.parquet(path)
       .observe(obs, sum(when(cond, 1L).otherwise(0L)).as("affected"))
     val out = f(base)

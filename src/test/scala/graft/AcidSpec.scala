@@ -97,4 +97,58 @@ class AcidSpec extends AnyFunSuite {
     val (a, b) = CopyOnWrite.compact(spark, dir)
     assert(a == b && a == nAfter)
   }
+
+  test("concurrent UPDATEs serialize through the writer lock (no lost update)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshTable()
+    val n = spark.read.parquet(path).count()
+    // two writers mutate the SAME rows with composing increments: +1.0
+    // and +10.0 on every price. Serialized execution yields +11.0 per row
+    // regardless of order; a lost update (both reading the original
+    // snapshot) yields +1.0 or +10.0 on the rows the loser computed from.
+    val base = spark.read.parquet(path)
+      .agg(sum(col("o_totalprice").cast("decimal(25,2)"))).collect()(0)
+      .getDecimal(0)
+    val f1 = Future(CopyOnWrite.update(spark, path, lit(true),
+      Map("o_totalprice" -> (col("o_totalprice") + 1.0))))
+    val f2 = Future(CopyOnWrite.update(spark, path, lit(true),
+      Map("o_totalprice" -> (col("o_totalprice") + 10.0))))
+    assert(Await.result(f1, 5.minutes) == n)
+    assert(Await.result(f2, 5.minutes) == n)
+    val got = spark.read.parquet(path)
+      .agg(sum(col("o_totalprice").cast("decimal(25,2)"))).collect()(0)
+      .getDecimal(0)
+    val want = base.add(new java.math.BigDecimal(11L * n).setScale(2))
+    assert(got.compareTo(want) == 0, s"lost update: sum=$got want=$want")
+  }
+
+  test("a live competing lock blocks a writer until released") {
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshTable()
+    val lock = new java.io.File(path + ".cow_lock")
+    assert(lock.createNewFile(), "could not plant the competing lock")
+    val f = Future(CopyOnWrite.delete(spark, path, lit(false)))
+    // while the lock is held the writer must NOT proceed
+    intercept[TimeoutException] { Await.result(f, 3.seconds) }
+    assert(lock.delete())
+    Await.result(f, 5.minutes) // released: the writer completes
+    assert(spark.read.parquet(path).count() > 0)
+  }
+
+  test("an abandoned (stale) lock is reclaimed instead of deadlocking") {
+    val path = freshTable()
+    val lock = new java.io.File(path + ".cow_lock")
+    assert(lock.createNewFile())
+    // backdate past the stale threshold: a crashed writer's leftover
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - CopyOnWrite.StaleLockMs - 60000))
+    val affected = CopyOnWrite.update(spark, path, lit(true),
+      Map("o_orderpriority" -> lit("X-RECLAIMED")))
+    assert(affected > 0)
+    assert(!lock.exists, "lock not released after reclaim")
+  }
 }
