@@ -210,6 +210,18 @@ object Similarity {
     ivfTopK(Tables.embeddings(s, d), nList = 16, nProbe = 4, nQueries = 5, k = 10)
       .orderBy(col("qid"), col("rnk"))
 
+  /** IVF with lloydIters=0: centroids ARE the seed vectors, so the whole
+    * pipeline (assign by rounded cosine with cid tiebreak, probe 4/16
+    * lists, exact rerank) is a closed-form computation DuckDB can replay
+    * — this is the ANN family's hash-exact gate row, complementing q87's
+    * Lloyd-refined recall gate. Same plan shape as q87 (broadcast
+    * centroids, one corpus assignment pass, probe-bounded candidate
+    * scan), so the hash pins the production path's mechanics exactly. */
+  val q256_ann_ivf_exact: Q = (s, d) =>
+    ivfTopK(Tables.embeddings(s, d), nList = 16, nProbe = 4, nQueries = 5, k = 10,
+        lloydIters = 0)
+      .orderBy(col("qid"), col("rnk"))
+
   /** Sign-LSH blocked near-duplicate pairs — the 100 TB path for q70's
     * contract: 16 bands x 8 bits from 128 deterministic hyperplanes,
     * bucket self-join per band (equi-join, never all-pairs), exact cosine
@@ -585,15 +597,21 @@ object Similarity {
     "q70_embedding_neardup" -> q70_embedding_neardup,
     "q87_ann_ivf" -> q87_ann_ivf,
     "q111_neardup_lsh" -> q111_neardup_lsh,
+    "q256_ann_ivf_exact" -> q256_ann_ivf_exact,
   )
 
-  private val cosSql =
-    """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-      |  / (sqrt(list_aggregate(list_transform(a.embedding,
-      |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
-      |     * sqrt(list_aggregate(list_transform(b.embedding,
-      |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))""".stripMargin
+  /** DuckDB spelling of [[cosine]] over arbitrary vector expressions —
+    * same sequential element order as vector_dot, so doubles (and their
+    * round-6 images) agree bit-exactly across engines (q68 pins this). */
+  private def cosSqlOf(x: String, y: String): String =
+    s"""list_aggregate(list_transform(list_zip($x, $y),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+       |  / (sqrt(list_aggregate(list_transform($x,
+       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+       |     * sqrt(list_aggregate(list_transform($y,
+       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))""".stripMargin
+
+  private val cosSql = cosSqlOf("a.embedding", "b.embedding")
 
   val oracles: Map[String, String] = Map(
     "q231_label_noise" ->
@@ -678,6 +696,41 @@ object Similarity {
          |  count(DISTINCT label) AS n_labels, count(*) >= 2 AS has_dups
          |FROM c GROUP BY cell ORDER BY cell""".stripMargin
     },
+    "q256_ann_ivf_exact" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |ca AS (
+         |  SELECT e.vec_id, c.cid,
+         |    round(${cosSqlOf("e.embedding", "c.cvec")}, 6) AS cscore
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY cscore DESC, cid) AS rn
+         |    FROM ca) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${cosSqlOf("q.embedding", "c.cvec")}, 6) DESC,
+         |                 c.cid) AS crn
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+         |  WHERE crn <= 4),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id,
+         |    round(${cosSqlOf("q.embedding", "e.embedding")}, 6) AS score
+         |  FROM probes p
+         |  JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.qid
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN embeddings e ON e.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, vec_id, score FROM ranked
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q68_cosine_topk" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
