@@ -13,7 +13,10 @@ relabeled old one.
 import json, os, re, subprocess, sys, time
 
 CATEGORIES = {
-    "internal-import": r"^\s*import\s+(?!(org\.apache\.(spark|hadoop|avro|commons)|java\.?|javax\.|scala\.?|graft\b|org\.scalatest|org\.scalacheck|com\.fasterxml))",
+    # only ROOTED package imports count (com.foo.*, io.foo.*, ...);
+    # relative imports (import spark.implicits._, import TestSession._)
+    # are local Scala scoping, not dependencies
+    "internal-import": r"^\s*import\s+(?!(org\.apache\.(spark|hadoop|avro|commons)\.|org\.(scalatest|scalacheck|xml|w3c)\b|com\.fasterxml\.|graft\.))(org|com|net|io|ai|dev|edu|gov|cloud|software|jakarta)\.[a-z]",
     "internal-url": r"https?://(?!(www\.)?(apache\.org|github\.com|spark\.apache\.org|duckdb\.org|arxiv\.org|dl\.acm\.org|doi\.org|example\.com|localhost|127\.0\.0\.1))[a-z0-9.-]+\.(corp|internal|intranet)\b",
     "internal-pkg2": r"\b(com|net|io)\.(?!fasterxml)[a-z]+\.(internal|proprietary)\b",
     "internal-bucket": r"\b(s3a?|gs|abfss?|hdfs)://(?![a-z0-9./_-]*(example|test|tmp|localhost))[a-z0-9._-]*(prod|corp|internal)[a-z0-9._-]*/",
