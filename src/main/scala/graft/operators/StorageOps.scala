@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.etl.MultiInsert
-import graft.acid.CopyOnWrite
+import graft.acid.{CopyOnWrite, Versioned}
 
 /** Storage-side operator surfaces promoted to oracle-checked round
   * trips: SMB (bucketed) joins, partitioned FileSink, multi-insert
@@ -270,8 +270,34 @@ object StorageOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Versioned snapshot DML + time travel (acid.Versioned — the
+    * base/delta multi-version idea from AcidUtils.java:56-68 with
+    * commit-marker atomicity): commit supplier as v1, UPDATE to v2,
+    * DELETE to v3, then read ALL THREE snapshots back via time travel
+    * and aggregate each. The oracle recomputes every version's state
+    * relationally, so snapshot immutability (v1/v2 unchanged by later
+    * DML), update routing, and delete filtering must all be exact. */
+  val q258_versioned_dml: Q = (s, d) => {
+    val base = tmp(d, "supplier_ver")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    Versioned.commit(s, base, Tables.supplier(s, d)) // v1
+    Versioned.update(s, base, col("s_acctbal") < 0,
+      Map("s_name" -> lit("IN_DEBT"))) // v2
+    Versioned.delete(s, base, col("s_nationkey") === 3) // v3
+    (1 to 3).map { v =>
+      Versioned.read(s, base, asOf = Some(v))
+        .agg(count(lit(1)).as("n_supp"),
+             sum(col("s_acctbal").cast(DecimalType(25, 2))).cast("double").as("sum_bal"),
+             sum(when(col("s_name") === "IN_DEBT", 1L).otherwise(0L)).as("n_flagged"))
+        .select(lit(v).as("version"), col("n_supp"), col("sum_bal"), col("n_flagged"))
+    }.reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q196_compaction" -> q196_compaction,
+    "q258_versioned_dml" -> q258_versioned_dml,
     "q149_smb_join" -> q149_smb_join,
     "q150_partitioned_sink" -> q150_partitioned_sink,
     "q151_multi_insert" -> q151_multi_insert,
@@ -325,6 +351,29 @@ object StorageOps {
     "q193_seqfile_roundtrip" ->
       """SELECT lang, COUNT(1) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q258_versioned_dml" ->
+      """WITH v1 AS (
+        |  SELECT s_name, s_acctbal, s_nationkey FROM supplier),
+        |v2 AS (
+        |  SELECT CASE WHEN s_acctbal < 0 THEN 'IN_DEBT' ELSE s_name END AS s_name,
+        |    s_acctbal, s_nationkey FROM v1),
+        |v3 AS (SELECT * FROM v2 WHERE s_nationkey <> 3),
+        |agg AS (
+        |  SELECT CAST(1 AS INT) AS version, COUNT(1) AS n_supp,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_bal,
+        |    CAST(SUM(CASE WHEN s_name = 'IN_DEBT' THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT), COUNT(1),
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(25,2))) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN s_name = 'IN_DEBT' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT CAST(3 AS INT), COUNT(1),
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(25,2))) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN s_name = 'IN_DEBT' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM v3)
+        |SELECT version, n_supp, sum_bal, n_flagged FROM agg ORDER BY version""".stripMargin,
     "q196_compaction" ->
       """SELECT o_orderpriority, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
