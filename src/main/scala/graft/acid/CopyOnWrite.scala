@@ -41,32 +41,48 @@ object CopyOnWrite {
     * serialized writer observes its predecessor's result rather than
     * computing from a stale snapshot (lost update). A lock older than
     * [[StaleLockMs]] is presumed crashed and reclaimed. */
+  /** One attempt to atomically create the lock file. HDFS `create(f,
+    * overwrite=false)` is atomic server-side, but RawLocalFileSystem's is
+    * check-then-act — two local writers can both pass the exists check —
+    * so the local scheme goes through `File.createNewFile` (O_CREAT|
+    * O_EXCL, atomic at the kernel). */
+  private[acid] def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: Path): Boolean = {
+    val tag = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
+      s"${System.currentTimeMillis()}\n"
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lock.toUri.getPath)
+      f.getParentFile.mkdirs()
+      if (!f.createNewFile()) false
+      else { java.nio.file.Files.writeString(f.toPath, tag); true }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        out.writeBytes(tag); out.close(); true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private[acid] def acquireLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
+                                what: String): Unit = {
+    val deadline = System.nanoTime() + LockWaitMs * 1000000L
+    while (!tryAcquire(fs, lock)) {
+      try {
+        val st = fs.getFileStatus(lock)
+        if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs)
+          fs.delete(lock, false) // abandoned by a crashed writer: reclaim
+      } catch { case _: java.io.FileNotFoundException => () } // raced free
+      if (System.nanoTime() > deadline)
+        throw new java.io.IOException(
+          s"$what writer lock busy after ${LockWaitMs}ms: $lock")
+      Thread.sleep(50)
+    }
+  }
+
   private def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(path + ".cow_lock")
-    val deadline = System.nanoTime() + LockWaitMs * 1000000L
-    var acquired = false
-    while (!acquired) {
-      try {
-        val out = fs.create(lock, false)
-        out.writeBytes(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
-          s"${System.currentTimeMillis()}\n")
-        out.close()
-        acquired = true
-      } catch { case _: java.io.IOException =>
-        try {
-          val st = fs.getFileStatus(lock)
-          if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs)
-            fs.delete(lock, false) // abandoned by a crashed writer: reclaim
-        } catch { case _: java.io.FileNotFoundException => () } // raced free
-        if (System.nanoTime() > deadline)
-          throw new java.io.IOException(
-            s"COW writer lock busy after ${LockWaitMs}ms: $lock " +
-            "(another update/delete/merge/compact holds this table)")
-        Thread.sleep(50)
-      }
-    }
+    acquireLock(fs, lock, "COW")
     try body finally fs.delete(lock, false)
   }
 

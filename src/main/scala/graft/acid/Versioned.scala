@@ -126,16 +126,142 @@ object Versioned {
         read(spark, base).filter(!coalesce(cond, lit(false))))
     }
 
-  /** Drop committed versions older than `keep` latest (never the
-    * current one). Returns the removed version numbers. */
+  /** Drop committed versions older than `keep` latest — but never the
+    * current snapshot's BASE full version or anything after it: a delta
+    * head is only readable with its base, so retention clamps to the
+    * base (same rule as lakehouse vacuum vs checkpoint). Returns the
+    * removed version numbers. */
   def vacuum(spark: SparkSession, base: String, keep: Int = 1): Seq[Int] =
     withVersionLock(spark, base) {
       require(keep >= 1, "must keep at least the current version")
       val f = fs(spark, base)
-      val old = versions(spark, base).dropRight(keep)
+      val vs = versions(spark, base)
+      val headBase = vs.filterNot(v =>
+        f.exists(new Path(versionPath(base, v), DeltaMarker))).last
+      val old = vs.dropRight(keep).filter(_ < headBase)
       old.foreach(v => f.delete(versionPath(base, v), true))
       old
     }
+
+  // ---------------------------------------------------------------------
+  // Merge-on-read deltas — the reference's delta_<txnid> files +
+  // OrcRawRecordMerger read path (AcidUtils.java:56-68,
+  // ql/src/java/org/apache/hadoop/hive/ql/io/orc/OrcRawRecordMerger.java:
+  // newest-transaction-wins merge of base + sorted deltas), re-expressed
+  // as a window over (key, version). A delta version stores ONLY the
+  // changed rows plus an _op lane ("upsert" | "delete"), so a 100-row
+  // update of a 100 TB table writes 100 rows, not the table; readers pay
+  // one shuffle-by-key merge until [[compactDeltas]] folds the deltas
+  // into a fresh full base. Delta versions are marked by an extra
+  // `_delta` sidecar next to `_committed`, holding the key columns.
+  // ---------------------------------------------------------------------
+
+  private val DeltaMarker = "_delta"
+  private val OpCol = "_op"
+
+  /** Commit a DELTA version: `upserts` rows replace same-key rows (or
+    * insert), `deletes` rows remove them. Both must carry the key
+    * columns; `upserts` must carry the full row schema. O(changes), not
+    * O(table). Keys must be unique within one delta (the SQL MERGE
+    * cardinality contract — duplicate keys in a single delta merge in
+    * arbitrary order). Returns the new version number. */
+  def commitDelta(spark: SparkSession, base: String, keys: Seq[String],
+                  upserts: DataFrame, deletes: Option[DataFrame] = None): Int =
+    withVersionLock(spark, base) {
+      require(keys.nonEmpty, "delta commit needs key columns")
+      val cur = resolveUnlocked(spark, base)
+      val curKeys = deltaKeysOf(spark, base)
+      require(curKeys.forall(_ == keys),
+        s"delta key mismatch: table uses ${curKeys.get}, got $keys")
+      val cols = spark.read.parquet(versionPath(base, cur.last).toString)
+        .columns.filterNot(_ == OpCol).toIndexedSeq
+      require(cols.forall(upserts.columns.contains),
+        s"upserts missing columns: ${cols.filterNot(upserts.columns.contains)}")
+      val up = upserts.select(cols.map(col): _*).withColumn(OpCol, lit("upsert"))
+      val del = deletes.map { d =>
+        require(keys.forall(d.columns.contains), "deletes must carry the key columns")
+        // null-pad non-key columns: only the key matters for a delete
+        d.select(keys.map(col) ++
+          cols.filterNot(keys.contains).map(c =>
+            lit(null).cast(up.schema(c).dataType).as(c)): _*)
+          .select(cols.map(col): _*).withColumn(OpCol, lit("delete"))
+      }
+      val delta = del.map(up.unionAll).getOrElse(up)
+      val f = fs(spark, base)
+      val next = cur.last + 1
+      val dir = versionPath(base, next)
+      f.delete(dir, true)
+      delta.write.parquet(dir.toString)
+      val sidecar = f.create(new Path(dir, DeltaMarker), false)
+      sidecar.writeBytes(keys.mkString(",")); sidecar.close()
+      f.create(new Path(dir, Marker), false).close()
+      next
+    }
+
+  /** Snapshot read with merge-on-read: newest version wins per key across
+    * the base full version and every later delta. One window over
+    * (key, version desc) — the Spark-native spelling of the reference's
+    * record-merger heap. Falls back to a plain scan when the snapshot has
+    * no deltas (zero merge cost after compaction). */
+  def readMerged(spark: SparkSession, base: String, keys: Seq[String],
+                 asOf: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no committed versions under $base/$VersionsDir")
+    val upTo = asOf.map(n => { require(vs.contains(n), s"version $n not committed"); n })
+      .getOrElse(vs.last)
+    val f = fs(spark, base)
+    val inWindow = vs.filter(_ <= upTo)
+    // the base of the snapshot = newest FULL version <= upTo
+    val baseV = inWindow.filterNot(v =>
+      f.exists(new Path(versionPath(base, v), DeltaMarker))).last
+    val deltas = inWindow.filter(v => v > baseV)
+    val baseDf = spark.read.parquet(versionPath(base, baseV).toString)
+    if (deltas.isEmpty) baseDf
+    else {
+      val cols = baseDf.columns.toIndexedSeq
+      val all = (baseDf.withColumn(OpCol, lit("upsert")).withColumn("_v", lit(baseV)) +:
+        deltas.map(v => spark.read.parquet(versionPath(base, v).toString)
+          .withColumn("_v", lit(v))))
+        .reduce(_.unionByName(_)) // by name: delta files carry _op already
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("_v").desc)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col(OpCol) =!= "delete")
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** Fold every delta at the head of the table into a fresh full
+    * version (the reference's major compaction, txn/compactor/
+    * Worker.java): after this, [[readMerged]] is a plain scan again.
+    * No-op (returns current version) when there is nothing to fold. */
+  def compactDeltas(spark: SparkSession, base: String, keys: Seq[String]): Int =
+    withVersionLock(spark, base) {
+      val f = fs(spark, base)
+      val vs = resolveUnlocked(spark, base)
+      val hasDeltas = f.exists(new Path(versionPath(base, vs.last), DeltaMarker))
+      if (!hasDeltas) vs.last
+      else commitUnlocked(spark, base, readMerged(spark, base, keys))
+    }
+
+  private def resolveUnlocked(spark: SparkSession, base: String): Seq[Int] = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no committed versions under $base/$VersionsDir")
+    vs
+  }
+
+  private def deltaKeysOf(spark: SparkSession, base: String): Option[Seq[String]] = {
+    val f = fs(spark, base)
+    versions(spark, base).reverse.iterator
+      .map(v => new Path(versionPath(base, v), DeltaMarker))
+      .find(f.exists)
+      .map { p =>
+        val in = f.open(p)
+        val s = scala.io.Source.fromInputStream(in).mkString.trim
+        in.close()
+        s.split(",").toSeq
+      }
+  }
 
   // commit() without re-acquiring the (non-reentrant) lock — for DML
   // paths that must hold the lock across their read+transform+commit
@@ -155,28 +281,7 @@ object Versioned {
     val f = fs(spark, base)
     f.mkdirs(new Path(s"$base/$VersionsDir"))
     val lock = new Path(base + ".ver_lock")
-    val deadline = System.nanoTime() + CopyOnWrite.LockWaitMs * 1000000L
-    var acquired = false
-    while (!acquired) {
-      try {
-        val out = f.create(lock, false)
-        out.writeBytes(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
-          s"${System.currentTimeMillis()}\n")
-        out.close()
-        acquired = true
-      } catch { case _: java.io.IOException =>
-        try {
-          val st = f.getFileStatus(lock)
-          if (System.currentTimeMillis() - st.getModificationTime > CopyOnWrite.StaleLockMs)
-            f.delete(lock, false)
-        } catch { case _: java.io.FileNotFoundException => () }
-        if (System.nanoTime() > deadline)
-          throw new java.io.IOException(
-            s"versioned-table writer lock busy after ${CopyOnWrite.LockWaitMs}ms: $lock")
-        Thread.sleep(50)
-      }
-    }
+    CopyOnWrite.acquireLock(f, lock, "versioned-table")
     try body finally f.delete(lock, false)
   }
 }

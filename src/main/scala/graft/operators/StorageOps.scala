@@ -295,9 +295,48 @@ object StorageOps {
     }.reduce(_.unionAll(_)).orderBy(col("version"))
   }
 
+  /** Merge-on-read deltas (acid.Versioned delta path — AcidUtils
+    * delta_<txnid> + OrcRawRecordMerger newest-wins semantics): base
+    * commit, then an O(changes) delta (20 repriced orders upserted, one
+    * status's orders deleted, 3 synthetic rows inserted), read via the
+    * window merge, then compact and read the plain scan — both lanes
+    * aggregated and unioned, so the oracle catches a divergence between
+    * the merge-on-read view and its compacted materialization. */
+  val q259_merge_on_read: Q = (s, d) => {
+    val base = tmp(d, "orders_mor")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Versioned.commit(s, base, src) // v1: full base
+    // disjoint from the delete lane: a key both upserted and deleted in
+    // ONE delta would merge in arbitrary order (the documented contract)
+    val upserts = src.filter(col("o_orderkey") <= 100 && col("o_orderstatus") =!= "P")
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      .unionAll(s.range(1, 4).select(
+        (col("id") * -1).as("o_orderkey"), lit("Z").as("o_orderstatus"),
+        lit(10.0).as("o_totalprice")))
+    val deletes = src.filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"))
+    Versioned.commitDelta(s, base, Seq("o_orderkey"), upserts, Some(deletes)) // v2
+    def agg(df: org.apache.spark.sql.DataFrame, lane: String) =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"),
+             min(col("o_orderkey")).as("min_key"))
+        .select(lit(lane).as("lane"), col("o_orderstatus"), col("n_orders"),
+                col("sum_price"), col("min_key"))
+    val merged = agg(Versioned.readMerged(s, base, Seq("o_orderkey")), "merged")
+    Versioned.compactDeltas(s, base, Seq("o_orderkey")) // v3: folds the delta
+    val compacted = agg(Versioned.read(s, base), "compacted")
+    merged.unionAll(compacted).orderBy(col("lane"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q196_compaction" -> q196_compaction,
     "q258_versioned_dml" -> q258_versioned_dml,
+    "q259_merge_on_read" -> q259_merge_on_read,
     "q149_smb_join" -> q149_smb_join,
     "q150_partitioned_sink" -> q150_partitioned_sink,
     "q151_multi_insert" -> q151_multi_insert,
@@ -351,6 +390,27 @@ object StorageOps {
     "q193_seqfile_roundtrip" ->
       """SELECT lang, COUNT(1) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q259_merge_on_read" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey <= 100 THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderstatus <> 'P'
+        |  UNION ALL
+        |  SELECT -CAST(x AS BIGINT), 'Z', CAST(10.0 AS DOUBLE)
+        |  FROM generate_series(1, 3) t(x)),
+        |agg AS (
+        |  SELECT 'merged' AS lane, o_orderstatus, COUNT(1) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |    MIN(o_orderkey) AS min_key
+        |  FROM final GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'compacted', o_orderstatus, COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE),
+        |    MIN(o_orderkey)
+        |  FROM final GROUP BY o_orderstatus)
+        |SELECT lane, o_orderstatus, n_orders, sum_price, min_key
+        |FROM agg ORDER BY lane, o_orderstatus""".stripMargin,
     "q258_versioned_dml" ->
       """WITH v1 AS (
         |  SELECT s_name, s_acctbal, s_nationkey FROM supplier),

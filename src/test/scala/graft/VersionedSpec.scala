@@ -71,6 +71,66 @@ class VersionedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Versioned.vacuum(spark, base, keep = 0) }
   }
 
+  test("delta commit is O(changes) and readMerged applies newest-wins per key") {
+    val base = freshBase()
+    Versioned.commit(spark, base,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "s", "v"))
+    val v2 = Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((2L, "B2", 20.0), (4L, "d", 4.0)).toDF("id", "s", "v"),
+      deletes = Some(Seq(Tuple1(3L)).toDF("id")))
+    assert(v2 == 2)
+    // the delta version stores only the 3 changed rows, not the table
+    val deltaRows = spark.read.parquet(s"$base/_versions/v00000002").count()
+    assert(deltaRows == 3, s"delta materialized $deltaRows rows")
+    val got = Versioned.readMerged(spark, base, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 1.0), (2L, "B2", 20.0), (4L, "d", 4.0)))
+    // stacked second delta: latest version wins over the earlier delta
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((2L, "B3", 200.0)).toDF("id", "s", "v"))
+    val got2 = Versioned.readMerged(spark, base, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got2.toSeq == Seq((1L, "a"), (2L, "B3"), (4L, "d")))
+  }
+
+  test("compactDeltas folds the head into a full base; plain read matches") {
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((1L, 10.0)).toDF("id", "v"),
+      deletes = Some(Seq(Tuple1(2L)).toDF("id")))
+    val before = Versioned.readMerged(spark, base, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val v3 = Versioned.compactDeltas(spark, base, Seq("id"))
+    assert(v3 == 3)
+    val after = Versioned.read(spark, base)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before == after && after == Seq((1L, 10.0)))
+    // idempotent: nothing to fold -> same version back
+    assert(Versioned.compactDeltas(spark, base, Seq("id")) == 3)
+    // readMerged on a delta-free head is the plain scan (no window node)
+    val plan = Versioned.readMerged(spark, base, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(500))
+  }
+
+  test("vacuum never drops the base a delta head depends on") {
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((1L, 1.0)).toDF("id", "v"))        // v1 full
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((2L, 2.0)).toDF("id", "v"))                          // v2 delta
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((3L, 3.0)).toDF("id", "v"))                          // v3 delta
+    // keep=1 would naively drop v1+v2 — but v1 is the head's base and v2
+    // part of the snapshot; retention clamps to the base
+    assert(Versioned.vacuum(spark, base, keep = 1).isEmpty)
+    assert(Versioned.readMerged(spark, base, Seq("id")).count() == 3)
+    // after compaction the old base IS vacuumable
+    Versioned.compactDeltas(spark, base, Seq("id"))                      // v4 full
+    assert(Versioned.vacuum(spark, base, keep = 1) == Seq(1, 2, 3))
+    assert(Versioned.read(spark, base).count() == 3)
+  }
+
   test("concurrent commits serialize: distinct versions, nothing lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
