@@ -494,6 +494,18 @@ object Similarity {
     pqTopK(Tables.embeddings(s, d), m = 8, ks = 16, nQueries = 5, k = 10)
       .orderBy(col("qid"), col("rnk"))
 
+  /** PQ with lloydIters=0: codebooks ARE the seed subvectors, so encode,
+    * ADC tables, shortlist, and exact rerank are a closed-form
+    * computation the DuckDB oracle replays bit-exactly (list folds in
+    * the same sequential order as zip_with/aggregate; per-stage round-6
+    * stabilizes argmin/rank ties). Hash-pins the full PQ mechanics —
+    * code assignment, table lookup arithmetic, shortlist and rerank
+    * windows — complementing q224's Lloyd-refined recall gate. */
+  val q257_ann_pq_exact: Q = (s, d) =>
+    pqTopK(Tables.embeddings(s, d), m = 8, ks = 16, nQueries = 5, k = 10,
+        shortlist = 50, lloydIters = 0)
+      .orderBy(col("qid"), col("rnk"))
+
   /** Per-label embedding cohesion — the within-class-scatter report an
     * embedding-quality monitor runs (is a class collapsing? drifting
     * apart?). Values quantize to integer milli-units first (the q207
@@ -598,6 +610,7 @@ object Similarity {
     "q87_ann_ivf" -> q87_ann_ivf,
     "q111_neardup_lsh" -> q111_neardup_lsh,
     "q256_ann_ivf_exact" -> q256_ann_ivf_exact,
+    "q257_ann_pq_exact" -> q257_ann_pq_exact,
   )
 
   /** DuckDB spelling of [[cosine]] over arbitrary vector expressions —
@@ -696,6 +709,60 @@ object Similarity {
          |  count(DISTINCT label) AS n_labels, count(*) >= 2 AS has_dups
          |FROM c GROUP BY cell ORDER BY cell""".stripMargin
     },
+    "q257_ann_pq_exact" ->
+      s"""WITH nv AS (
+         |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE) /
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS nv
+         |  FROM embeddings),
+         |subv AS (
+         |  SELECT vec_id, j.sub AS sub,
+         |    list_slice(nv, j.sub * 8 + 1, j.sub * 8 + 8) AS sv
+         |  FROM nv, (SELECT unnest(generate_series(0, 7)) AS sub) j),
+         |cent AS (
+         |  SELECT sub, vec_id AS cid, sv AS cvec FROM subv WHERE vec_id < 16),
+         |d2 AS (
+         |  SELECT s.vec_id, s.sub, c.cid,
+         |    round(list_aggregate(list_transform(list_zip(s.sv, c.cvec),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum'), 6) AS d2
+         |  FROM subv s JOIN cent c ON c.sub = s.sub),
+         |codes AS (
+         |  SELECT vec_id, list(cid ORDER BY sub) AS codes FROM (
+         |    SELECT vec_id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM d2) WHERE rn = 1 GROUP BY vec_id),
+         |qd AS (
+         |  SELECT s.vec_id AS qid, s.sub, c.cid,
+         |    round(list_aggregate(list_transform(list_zip(s.sv, c.cvec),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum'), 6) AS qd
+         |  FROM subv s JOIN cent c ON c.sub = s.sub WHERE s.vec_id < 5),
+         |dtab AS (
+         |  SELECT qid, list(t ORDER BY sub) AS dtab FROM (
+         |    SELECT qid, sub, list(qd ORDER BY cid) AS t
+         |    FROM qd GROUP BY qid, sub) GROUP BY qid),
+         |approx AS (
+         |  SELECT d.qid, c.vec_id,
+         |    round(list_aggregate(list_transform(list_zip(c.codes, d.dtab),
+         |      x -> x[2][CAST(x[1] + 1 AS INT)]), 'sum'), 6) AS approx
+         |  FROM codes c CROSS JOIN dtab d WHERE c.vec_id <> d.qid),
+         |short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx, vec_id) AS srn
+         |    FROM approx) WHERE srn <= 50),
+         |scored AS (
+         |  SELECT s.qid, s.vec_id,
+         |    round(${cosSqlOf("q.embedding", "e.embedding")}, 6) AS score
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.qid
+         |  JOIN embeddings e ON e.vec_id = s.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, vec_id, score FROM ranked
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q256_ann_ivf_exact" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
