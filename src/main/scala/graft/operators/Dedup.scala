@@ -838,7 +838,48 @@ object Dedup {
     sharedSpans(corpus, k = 8, minRun = 20, dfCap = 64)
   }
 
+  /** Fuzzy-key pairs (entity resolution / record linkage): all id pairs
+    * whose string keys are within edit distance 1, found by
+    * deletion-neighborhood blocking — every string emits itself plus its
+    * length single-char deletions as signatures; two strings within
+    * distance 1 necessarily share a signature (substitution: delete the
+    * differing position from both; insert/delete: the shorter string IS
+    * a deletion of the longer), so a signature equi-join finds every
+    * true pair and an exact levenshtein refilter removes the false ones
+    * (e.g. transposition "ab"/"ba" shares "a" but has distance 2).
+    *
+    * Scale shape: |s|+1 signatures per row, one equi-join keyed on
+    * signature, distinct, then the exact check on candidates only —
+    * never an all-pairs product (an all-pairs levenshtein over N names
+    * is the O(N^2) trap this operator exists to avoid). For long
+    * strings, block on a bounded prefix or token-level deletions; for
+    * distance d, use d-deletion neighborhoods (size ~|s|^d — the
+    * practical limit of the method, d <= 2). */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("sig", explode(expr(
+        "array_union(array(s), transform(sequence(1, length(s)), " +
+        "i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))))")))
+    sigs.as("a").join(sigs.as("b"), "sig")
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+              col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+      .filter(levenshtein(col("sa"), col("sb")) <= 1)
+      .select(col("ida"), col("idb"),
+              levenshtein(col("sa"), col("sb")).as("dist"))
+  }
+
+  /** Gate row: near-identical supplier names (serial numbers differ by
+    * one digit) — the oracle recomputes by brute-force levenshtein, so
+    * blocking recall (every true pair) and refilter precision (no false
+    * pair) must both be exact. */
+  val q260_fuzzy_name_pairs: Q = (s, d) =>
+    fuzzyPairs(Tables.supplier(s, d), "s_suppkey", "s_name")
+      .orderBy(col("ida"), col("idb"))
+
   val queries: Map[String, Q] = Map(
+    "q260_fuzzy_name_pairs" -> q260_fuzzy_name_pairs,
     "q209_filter_funnel" -> q209_filter_funnel,
     "q215_shared_spans" -> q215_shared_spans,
     "q216_span_decontamination" -> q216_span_decontamination,
@@ -893,6 +934,12 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q260_fuzzy_name_pairs" ->
+      """SELECT a.s_suppkey AS ida, b.s_suppkey AS idb,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY ida, idb""".stripMargin,
     "q245_dup_by_quality" ->
       s"""WITH ${shPairsCtes(0.7)},
          |dup AS (SELECT DISTINCT doc_id FROM (

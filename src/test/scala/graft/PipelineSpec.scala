@@ -313,6 +313,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
   }
 
+  test("fuzzy pairs: blocking finds every distance-1 pair, refilter kills impostors") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "alpha"), (2L, "alphb"),   // substitution: dist 1
+      (3L, "alph"),                   // deletion of 1: dist 1 to both
+      (4L, "ab"), (5L, "ba"),         // transposition: dist 2, shares sigs "a"/"b"
+      (6L, "unrelated"),
+      (7L, "alpha")                   // exact duplicate: dist 0
+    ).toDF("id", "s")
+    val got = Dedup.fuzzyPairs(names, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same frame = ground truth
+    val want = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id"), col("b.id"), levenshtein(col("a.s"), col("b.s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1)) && got.contains((1L, 7L, 0)))
+    assert(!got.exists(p => p._1 == 4L && p._2 == 5L), "transposition impostor survived")
+    // plan shape: candidates come from a signature equi-join, not a
+    // cartesian (the whole point at corpus scale)
+    val plan = Dedup.fuzzyPairs(names, "id", "s").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(800))
+  }
+
   test("shingles are distinct per doc and deterministic across runs") {
     val a = Dedup.shingles(Tables.documents(spark, sf)).count()
     val b = Dedup.shingles(Tables.documents(spark, sf)).count()

@@ -20,6 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q231_label_noise" -> "kNN audit over brute force: broadcast bounded audit slice x corpus scan",
     "q87_ann_ivf" -> "corpus x broadcast(16 centroids) assignment pass",
     "q224_ann_pq" -> "PQ codes x broadcast(5-query ADC tables) lookup pass",
+    "q256_ann_ivf_exact" -> "same assignment pass as q87, zero-iteration codebooks",
+    "q257_ann_pq_exact" -> "same lookup pass as q224, zero-iteration codebooks",
     "q156_ds_scalar_lanes" -> "DS query88 shape: 1x1 cross joins of singleton aggregates",
     "q169_bitmap_index" -> "three singleton bitmap lanes cross-joined 1x1",
     "q170_ds_double_semi" -> "scalar spend threshold: 1x1 broadcast of a singleton max",
