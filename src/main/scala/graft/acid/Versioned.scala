@@ -159,16 +159,51 @@ object Versioned {
   private val DeltaMarker = "_delta"
   private val OpCol = "_op"
 
+  private val TagFile = "_tag"
+
+  /** Tags of committed versions, for idempotent replay (newest first). */
+  def committedTags(spark: SparkSession, base: String): Map[String, Int] = {
+    val f = fs(spark, base)
+    versions(spark, base).flatMap { v =>
+      val p = new Path(versionPath(base, v), TagFile)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = scala.io.Source.fromInputStream(in).mkString.trim
+        in.close()
+        Some(s -> v)
+      }
+    }.toMap
+  }
+
   /** Commit a DELTA version: `upserts` rows replace same-key rows (or
     * insert), `deletes` rows remove them. Both must carry the key
     * columns; `upserts` must carry the full row schema. O(changes), not
     * O(table). Keys must be unique within one delta (the SQL MERGE
     * cardinality contract — duplicate keys in a single delta merge in
-    * arbitrary order). Returns the new version number. */
+    * arbitrary order). Returns the new version number.
+    *
+    * `tag` makes the commit IDEMPOTENT: if a committed version already
+    * carries the tag, that version is returned and nothing is written.
+    * This is the streaming-ingest handshake (the reference's
+    * TransactionBatch commit, hcatalog/streaming/.../TransactionBatch
+    * .java, where a replayed batch re-commits as a no-op): in
+    * foreachBatch, pass `tag = s"batch-$batchId"` and a restarted query
+    * replaying the last micro-batch cannot double-apply it. */
   def commitDelta(spark: SparkSession, base: String, keys: Seq[String],
-                  upserts: DataFrame, deletes: Option[DataFrame] = None): Int =
+                  upserts: DataFrame, deletes: Option[DataFrame] = None,
+                  tag: Option[String] = None): Int =
     withVersionLock(spark, base) {
       require(keys.nonEmpty, "delta commit needs key columns")
+      tag.flatMap(committedTags(spark, base).get) match {
+        case Some(v) => v // replayed batch: already applied, no-op
+        case None => commitDeltaUnlocked(spark, base, keys, upserts, deletes, tag)
+      }
+    }
+
+  private def commitDeltaUnlocked(spark: SparkSession, base: String, keys: Seq[String],
+                                  upserts: DataFrame, deletes: Option[DataFrame],
+                                  tag: Option[String]): Int = {
       val cur = resolveUnlocked(spark, base)
       val curKeys = deltaKeysOf(spark, base)
       require(curKeys.forall(_ == keys),
@@ -194,7 +229,12 @@ object Versioned {
       delta.write.parquet(dir.toString)
       val sidecar = f.create(new Path(dir, DeltaMarker), false)
       sidecar.writeBytes(keys.mkString(",")); sidecar.close()
-      f.create(new Path(dir, Marker), false).close()
+      tag.foreach { t =>
+        require(!t.contains("\n"), "tag must be single-line")
+        val tf = f.create(new Path(dir, TagFile), false)
+        tf.writeBytes(t); tf.close()
+      }
+      f.create(new Path(dir, Marker), false).close() // THE commit point
       next
     }
 

@@ -131,6 +131,57 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, base).count() == 3)
   }
 
+  test("tagged delta commits are idempotent: a replayed batch is a no-op") {
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((1L, 1.0)).toDF("id", "v"))
+    val v2 = Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((2L, 2.0)).toDF("id", "v"), tag = Some("batch-7"))
+    // replay with the same tag: same version back, nothing written
+    val replay = Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((2L, 999.0)).toDF("id", "v"), tag = Some("batch-7"))
+    assert(v2 == 2 && replay == 2)
+    assert(Versioned.versions(spark, base) == Seq(1, 2))
+    val got = Versioned.readMerged(spark, base, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0)), "replayed batch was double-applied")
+    assert(Versioned.committedTags(spark, base) == Map("batch-7" -> 2))
+  }
+
+  test("exactly-once streaming ingest into a versioned table (TransactionBatch analog)") {
+    // the full streaming handshake: foreachBatch + tagged delta commit.
+    // A restarted query REPLAYS its last uncommitted micro-batch (the
+    // documented foreachBatch at-least-once contract); the tag turns the
+    // replay into a no-op so the table stays exactly-once.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((0L, 0.0)).toDF("id", "v"))
+
+    def ingest(batches: Seq[Seq[(Long, Double)]]): Unit = {
+      val in = MemoryStream[(Long, Double)]
+      val q = in.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ver_eo").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Versioned.commitDelta(spark, base, Seq("id"),
+            upserts = batch, tag = Some(s"batch-$batchId"))
+          ()
+        }.start()
+      try batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+
+    ingest(Seq(Seq((1L, 1.0), (2L, 2.0)))) // writer 1 commits batch 0
+    // writer 2 restarts from scratch: its batch 0 REPLAYS the exact data
+    // writer 1 already committed (the at-least-once failure mode), then
+    // batch 1 carries the genuinely new rows
+    ingest(Seq(Seq((1L, 1.0), (2L, 2.0)), Seq((3L, 3.0))))
+    val got = Versioned.readMerged(spark, base, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"replayed micro-batch double-applied or lost: $got")
+  }
+
   test("concurrent commits serialize: distinct versions, nothing lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
