@@ -82,7 +82,7 @@ object RcFileIO {
     * identical (same class writes them) without depending on MR task
     * state. Distributed: each task opens/creates its own file, nothing
     * funnels through the driver. */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
     val nCols = df.schema.length
     val spark = df.sparkSession
     val p = new Path(path)
@@ -90,6 +90,14 @@ object RcFileIO {
     fs.delete(p, true)
     fs.mkdirs(p)
     val pathStr = path
+    // pure-Java codecs only (zlib): the reader side is free — RCFile
+    // records the codec class per file and RCFileInputFormat restores it
+    val codecClass = codec.map {
+      case "gzip" => classOf[org.apache.hadoop.io.compress.GzipCodec]
+      case "deflate" => classOf[org.apache.hadoop.io.compress.DefaultCodec]
+      case other => throw new IllegalArgumentException(
+        s"unsupported rcfile codec '$other' (gzip | deflate)")
+    }
     val text = df.select(df.schema.map(f => col(f.name).cast("string")).toIndexedSeq: _*)
     text.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (!it.hasNext) Iterator.empty
@@ -100,7 +108,11 @@ object RcFileIO {
         RCFileOutputFormat.setColumnNumber(conf, nCols)
         val file = new Path(f"$pathStr/part-$idx%05d.rc")
         val writer = new org.apache.hadoop.hive.ql.io.RCFile.Writer(
-          file.getFileSystem(conf), conf, file)
+          file.getFileSystem(conf), conf, file, null,
+          codecClass.map(c =>
+            org.apache.hadoop.util.ReflectionUtils.newInstance(c, conf)
+              .asInstanceOf[org.apache.hadoop.io.compress.CompressionCodec])
+            .orNull)
         val refs = new BytesRefArrayWritable(nCols)
         it.foreach { row =>
           var i = 0

@@ -178,6 +178,25 @@ class FormatsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1))
   }
 
+  test("RCFile gzip-compressed round-trip: codec restored from file metadata") {
+    import spark.implicits._
+    val src = (1 to 500).map(i => (i.toLong, "text " * 20 + i)).toDF("id", "s")
+    val plain = "target/fmtspec/rcfile_plain"
+    val gz = "target/fmtspec/rcfile_gz"
+    sources.RcFileIO.write(src, plain)
+    sources.RcFileIO.write(src, gz, codec = Some("gzip"))
+    // reader needs no codec hint: RCFile stores the codec class per file
+    val back = sources.RcFileIO.read(spark, gz, src.schema)
+    assert(back.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+    def bytes(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    assert(bytes(gz) < bytes(plain) / 2,
+      s"gzip rcfile not smaller: ${bytes(gz)} vs ${bytes(plain)}")
+    intercept[IllegalArgumentException] {
+      sources.RcFileIO.write(src, gz, codec = Some("zstd"))
+    }
+  }
+
   test("RCFile schema evolution: missing trailing columns read as NULL") {
     import spark.implicits._
     import org.apache.spark.sql.types._
