@@ -28,6 +28,32 @@ object Session {
     // default; read as long and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Hive-metastore-backed session: catalog state (databases, tables,
+    * views, partitions) persists in a derby-backed metastore under
+    * `dir/metastore_db` with data under `dir/warehouse`, surviving
+    * process restarts — the reference's persistent HiveMetaStore
+    * (metastore/src/java/org/apache/hadoop/hive/metastore/
+    * HiveMetaStore.java) in its embedded deployment mode. The same
+    * builder pointed at a Thrift URI (`hive.metastore.uris`) or a JDBC
+    * RDBMS URL instead of embedded derby gives the shared-service mode
+    * on a real cluster; embedded derby itself is single-process-at-a-
+    * time (the documented Hive embedded-mode limitation), which is why
+    * MetastoreSpec pins persistence across SEQUENTIAL processes. */
+  def persistent(dir: String, cores: String = "4"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft-metastore")
+        .enableHiveSupport()
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.warehouse.dir", s"$dir/warehouse")
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   /** Local session sized for the test harness (local[N] = one JVM). */
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = configure(
