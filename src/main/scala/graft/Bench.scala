@@ -63,6 +63,9 @@ object Bench {
     "q248_incremental_rollup", // stored-partials rollup maintenance (writes
                                // + re-reads the partial table inline, so this
                                // UPPER-BOUNDS the production merge-only cost)
+    "q258_versioned_dml",  // snapshot-versioned UPDATE/DELETE + 3-way time travel
+                           // (writes all versions inline per pass — upper bound)
+    "q259_merge_on_read",  // delta commit + window merge + compaction inline
   )
 
   /** Every headline name must resolve in SparkEntry.queries — a silent

@@ -351,4 +351,44 @@ class ScaleStressSpec extends AnyFunSuite {
     // exactly once per replica — linearity AND the no-duplicate rule
     assert(j10.count() == base * 10, s"expected ${base * 10}")
   }
+
+  test("20-deep delta stack: readMerged stays ONE window pass and folds flat") {
+    import graft.acid.Versioned
+    val base = java.nio.file.Files.createTempDirectory("graft_ver_stack")
+      .toString + "/t"
+    val src = Tables.orders(spark, sf01)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Versioned.commit(spark, base, src)
+    // 20 delta commits, each touching a disjoint 500-key slice — the
+    // daily-upsert regime a 100 TB table actually lives in
+    (0 until 20).foreach { k =>
+      Versioned.commitDelta(spark, base, Seq("o_orderkey"),
+        upserts = src.filter(col("o_orderkey") % 40 === k)
+          .withColumn("o_totalprice", col("o_totalprice") + k))
+    }
+    val merged = Versioned.readMerged(spark, base, Seq("o_orderkey"))
+    // one window resolves the whole stack — the merge cost is a single
+    // shuffle-by-key regardless of delta count, never one join per delta;
+    // Spark additionally plants a PARTIAL WindowGroupLimit below the
+    // exchange, so losers are pruned map-side before they shuffle
+    val plan = merged.queryExecution.executedPlan.toString
+    assert("Window \\[row_number".r.findAllIn(plan).length == 1, plan.take(1200))
+    assert(plan.contains("WindowGroupLimit"), "map-side top-1 prune missing")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "delta merge must not plan joins")
+    val rows = merged.count()
+    assert(rows == src.count(), s"merge lost/duplicated keys: $rows")
+    // compaction returns the table to plain-scan reads with same content
+    Versioned.compactDeltas(spark, base, Seq("o_orderkey"))
+    assert(Versioned.read(spark, base).count() == rows)
+    val sumMerged = Versioned.read(spark, base)
+      .agg(sum(col("o_totalprice").cast("decimal(25,2)"))).head().getDecimal(0)
+    val sumExpect = src
+      .withColumn("o_totalprice",
+        col("o_totalprice") + when(col("o_orderkey") % 40 < 20,
+          col("o_orderkey") % 40).otherwise(0))
+      .agg(sum(col("o_totalprice").cast("decimal(25,2)"))).head().getDecimal(0)
+    assert(sumMerged.compareTo(sumExpect) == 0,
+      s"content drift after 20-delta fold: $sumMerged vs $sumExpect")
+  }
 }
