@@ -130,6 +130,28 @@ object EventsOps {
     s.table("q208_sink").orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Dynamic-gap sessionization: session_window with a PER-EVENT gap
+    * expression — a purchase holds the session open 60 minutes, any
+    * other event only 15 (the adaptive-timeout model real clickstream
+    * sessionizers use: high-intent actions extend the session). Each
+    * event contributes the interval [ts, ts+gap); overlapping intervals
+    * merge. The oracle replays the merge as a running-max-of-ends
+    * gaps-and-islands rewrite, so the half-open boundary (an event AT
+    * the running end starts a NEW session) and the per-type gap routing
+    * must both be exact. Same one-exchange-per-user shape as fixed-gap
+    * sessionize — scales identically. */
+  val q261_dynamic_gap_sessions: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("60 minutes"))
+            .otherwise(lit("15 minutes"))).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming exact-dedup parity: first-copy-wins dedup as a REAL
     * streaming aggregation (unbounded keyed state, no watermark — the
     * hcatalog streaming-ingest + dedup shape). Two streaming sources
@@ -311,6 +333,7 @@ object EventsOps {
     "q241_stream_funnel_parity" -> q241_stream_funnel_parity,
     "q233_funnel" -> q233_funnel,
     "q208_stream_session_parity" -> q208_stream_session_parity,
+    "q261_dynamic_gap_sessions" -> q261_dynamic_gap_sessions,
     "q217_stream_dedup_parity" -> q217_stream_dedup_parity,
     "q227_stream_left_join_parity" -> q227_stream_left_join_parity,
     "q218_retention_cohorts" -> q218_retention_cohorts,
@@ -444,6 +467,23 @@ object EventsOps {
          |                       THEN 1 ELSE 0 END AS brk FROM l),
          |  s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tmu
          |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         |SELECT user_id, MIN(tmu) AS session_start, COUNT(1) AS n_events
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q261_dynamic_gap_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_type, $tsMu AS tmu FROM events),
+         |g AS (SELECT user_id, tmu,
+         |        epoch_us(tmu) + CASE WHEN event_type = 'purchase'
+         |                             THEN 3600 ELSE 900 END
+         |                        * CAST(1000000 AS BIGINT) AS eend
+         |      FROM e),
+         |m AS (SELECT user_id, tmu,
+         |        CASE WHEN epoch_us(tmu) >= MAX(eend) OVER
+         |               (PARTITION BY user_id ORDER BY tmu
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM g),
+         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tmu
+         |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
          |SELECT user_id, MIN(tmu) AS session_start, COUNT(1) AS n_events
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q205_stream_batch_parity" ->
