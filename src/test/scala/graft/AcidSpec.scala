@@ -98,6 +98,33 @@ class AcidSpec extends AnyFunSuite {
     assert(a == b && a == nAfter)
   }
 
+  test("partition-scoped rewrite: only the targeted partition's files change") {
+    // the documented 100 TB pattern: a partition directory IS a COW
+    // table, so DML on path/part=X rewrites that partition alone
+    val dir = Files.createTempDirectory("graft_part_cow").toString + "/orders"
+    Tables.orders(spark, sf)
+      .withColumn("part", (col("o_orderkey") % 3).cast("int"))
+      .write.partitionBy("part").parquet(dir)
+    def files(p: Int) = new java.io.File(s"$dir/part=$p").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    val before0 = files(0); val before1 = files(1)
+    val totalBefore = spark.read.parquet(dir).count()
+
+    val affected = CopyOnWrite.update(spark, s"$dir/part=2",
+      col("o_orderstatus") === "O", Map("o_totalprice" -> lit(0.0)))
+    assert(affected > 0)
+    // untouched partitions: byte-identical file sets
+    assert(files(0) == before0 && files(1) == before1,
+      "partition-scoped update rewrote unrelated partitions")
+    // the table as a whole stays consistent and the change landed
+    val after = spark.read.parquet(dir)
+    assert(after.count() == totalBefore)
+    assert(after.filter(col("part") === 2 && col("o_orderstatus") === "O"
+        && col("o_totalprice") =!= 0.0).count() == 0)
+    assert(after.filter(col("part") === 1 && col("o_orderstatus") === "O"
+        && col("o_totalprice") === 0.0).count() == 0)
+  }
+
   test("concurrent UPDATEs serialize through the writer lock (no lost update)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
