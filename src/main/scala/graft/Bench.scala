@@ -81,18 +81,22 @@ object Bench {
   def render(cold: Seq[(String, Double)], steady1: Seq[(String, Double)],
              steady2: Seq[(String, Double)], failed: Seq[String],
              sfDir: String): String = {
-    val byName = (cold ++ steady1 ++ steady2).groupBy(_._1)
-    val results = headline.filterNot(failed.contains).flatMap { name =>
+    // a failed query appears in NO timing map (not just the headline):
+    // a partial success in one pass is still not a trustworthy number
+    def ok(rs: Seq[(String, Double)]) = rs.filterNot(r => failed.contains(r._1))
+    val (coldOk, s1Ok, s2Ok) = (ok(cold), ok(steady1), ok(steady2))
+    val byName = (coldOk ++ s1Ok ++ s2Ok).groupBy(_._1)
+    val results = headline.flatMap { name =>
       byName.get(name).map(ts => name -> ts.map(_._2).min)
     }
     def json(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
+    val coldTotal = coldOk.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
-      s""""value_cold":$coldTotal,"queries_cold":${json(cold)},""" +
-      s""""queries_s1":${json(steady1)},"queries_s2":${json(steady2)},""" +
+      s""""value_cold":$coldTotal,"queries_cold":${json(coldOk)},""" +
+      s""""queries_s1":${json(s1Ok)},"queries_s2":${json(s2Ok)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
   }
 

@@ -40,6 +40,13 @@ object Session {
     * time (the documented Hive embedded-mode limitation), which is why
     * MetastoreSpec pins persistence across SEQUENTIAL processes. */
   def persistent(dir: String, cores: String = "4"): SparkSession = {
+    // catalogImplementation/warehouse/ConnectionURL are STATIC confs:
+    // getOrCreate against an existing session would silently ignore all
+    // of them and hand back an ephemeral in-memory catalog. Fail fast.
+    require(SparkSession.getActiveSession.isEmpty && SparkSession.getDefaultSession.isEmpty,
+      "Session.persistent needs a fresh JVM: an existing SparkSession would " +
+      "silently keep its in-memory catalog (static conf). Stop it first or " +
+      "run in a separate process (see tools.CatalogCli).")
     val spark = configure(
       SparkSession.builder()
         .master(s"local[$cores]")

@@ -67,10 +67,25 @@ object CopyOnWrite {
                                 what: String): Unit = {
     val deadline = System.nanoTime() + LockWaitMs * 1000000L
     while (!tryAcquire(fs, lock)) {
+      // Stale reclaim via atomic RENAME-then-verify, not check-then-delete:
+      // a plain delete raced a competitor that freed+retook the lock
+      // between our status read and the delete — deleting ITS fresh lock
+      // and letting two writers run. Renaming to a unique claim name is
+      // atomic (one claimer wins); the winner re-verifies staleness on
+      // the claimed file and RESTORES it if it turns out to be a live
+      // lock it stole in that window.
       try {
         val st = fs.getFileStatus(lock)
-        if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs)
-          fs.delete(lock, false) // abandoned by a crashed writer: reclaim
+        if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs) {
+          val claim = new Path(lock.toString +
+            s".reclaim-${java.util.UUID.randomUUID().toString.take(8)}")
+          if (fs.rename(lock, claim)) {
+            val st2 = fs.getFileStatus(claim)
+            if (System.currentTimeMillis() - st2.getModificationTime > StaleLockMs)
+              fs.delete(claim, false) // truly abandoned: reclaimed
+            else fs.rename(claim, lock) // stole a live lock: put it back
+          }
+        }
       } catch { case _: java.io.FileNotFoundException => () } // raced free
       if (System.nanoTime() > deadline)
         throw new java.io.IOException(
@@ -109,14 +124,25 @@ object CopyOnWrite {
     true
   }
 
-  /** UPDATE path SET assignments WHERE cond. Returns affected rows. */
+  /** UPDATE path SET assignments WHERE cond. Returns affected rows.
+    * SQL simultaneous-assignment semantics: every assignment (and the
+    * condition) is evaluated against the ORIGINAL row, in one
+    * projection — a withColumn chain would let later assignments see
+    * earlier ones' results and re-resolve cond against updated values. */
   def update(spark: SparkSession, path: String,
              cond: Column, assignments: Map[String, Column]): Long = {
-    rewrite(spark, path, cond) { base =>
-      assignments.foldLeft(base) { case (acc, (name, value)) =>
-        acc.withColumn(name, when(cond, value).otherwise(col(name)))
-      }
-    }
+    rewrite(spark, path, cond)(simultaneousUpdate(_, cond, assignments))
+  }
+
+  private[acid] def simultaneousUpdate(base: DataFrame, cond: Column,
+                                       assignments: Map[String, Column]): DataFrame = {
+    val unknown = assignments.keySet -- base.columns.toSet
+    require(unknown.isEmpty, s"UPDATE of non-existent columns: $unknown")
+    base.select(base.columns.toIndexedSeq.map { c =>
+      assignments.get(c)
+        .map(v => when(cond, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
   }
 
   /** DELETE FROM path WHERE cond. Returns deleted-row count. */

@@ -77,8 +77,11 @@ object Versioned {
     versions(spark, base).lastOption
 
   /** Read a snapshot: the latest committed version, or `asOf` for time
-    * travel. The returned DataFrame is pinned to that version's directory
-    * — concurrent commits never change what it reads. */
+    * travel. The returned DataFrame is pinned to that snapshot's
+    * directories — concurrent commits never change what it reads. When
+    * the snapshot head is a DELTA version, this transparently merges
+    * (the keys come from the delta's own sidecar), so `read` always
+    * returns the table, never a delta fragment. */
   def read(spark: SparkSession, base: String, asOf: Option[Int] = None): DataFrame = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no committed versions under $base/$VersionsDir")
@@ -88,7 +91,11 @@ object Versioned {
         n
       case None => vs.last
     }
-    spark.read.parquet(versionPath(base, v).toString)
+    if (fs(spark, base).exists(new Path(versionPath(base, v), DeltaMarker)))
+      readMerged(spark, base,
+        deltaKeysOf(spark, base).getOrElse(sys.error(
+          s"version $v is a delta but no key sidecar found")), Some(v))
+    else spark.read.parquet(versionPath(base, v).toString)
   }
 
   /** Commit `df` as the next version and return its number. The data is
@@ -107,16 +114,15 @@ object Versioned {
       next
     }
 
-  /** UPDATE ... SET assignments WHERE cond as a new version. Returns the
+  /** UPDATE ... SET assignments WHERE cond as a new version (SQL
+    * simultaneous-assignment semantics — one projection over the
+    * original rows, see CopyOnWrite.simultaneousUpdate). Returns the
     * new version number (the previous snapshot stays readable). */
   def update(spark: SparkSession, base: String,
              cond: Column, assignments: Map[String, Column]): Int =
     withVersionLock(spark, base) {
-      val cur = read(spark, base)
-      val out = assignments.foldLeft(cur) { case (acc, (name, value)) =>
-        acc.withColumn(name, when(cond, value).otherwise(col(name)))
-      }
-      commitUnlocked(spark, base, out)
+      commitUnlocked(spark, base,
+        CopyOnWrite.simultaneousUpdate(read(spark, base), cond, assignments))
     }
 
   /** DELETE FROM ... WHERE cond as a new version. */
@@ -126,19 +132,23 @@ object Versioned {
         read(spark, base).filter(!coalesce(cond, lit(false))))
     }
 
-  /** Drop committed versions older than `keep` latest — but never the
-    * current snapshot's BASE full version or anything after it: a delta
-    * head is only readable with its base, so retention clamps to the
-    * base (same rule as lakehouse vacuum vs checkpoint). Returns the
-    * removed version numbers. */
+  /** Drop committed versions older than `keep` latest — clamped so that
+    * every RETAINED version's snapshot stays fully readable: a delta is
+    * only meaningful with its base full version and the deltas between
+    * them, so deletion stops strictly below the base of the OLDEST
+    * retained version (same rule as lakehouse vacuum vs checkpoint).
+    * Dropped history disappears as whole base+delta lineages, never
+    * leaving an orphaned delta. Returns the removed version numbers. */
   def vacuum(spark: SparkSession, base: String, keep: Int = 1): Seq[Int] =
     withVersionLock(spark, base) {
       require(keep >= 1, "must keep at least the current version")
       val f = fs(spark, base)
       val vs = versions(spark, base)
-      val headBase = vs.filterNot(v =>
-        f.exists(new Path(versionPath(base, v), DeltaMarker))).last
-      val old = vs.dropRight(keep).filter(_ < headBase)
+      val oldestKept = vs.takeRight(keep).head
+      val fulls = vs.filterNot(v =>
+        f.exists(new Path(versionPath(base, v), DeltaMarker)))
+      val baseOfOldestKept = fulls.filter(_ <= oldestKept).last
+      val old = vs.filter(_ < baseOfOldestKept)
       old.foreach(v => f.delete(versionPath(base, v), true))
       old
     }
@@ -195,7 +205,9 @@ object Versioned {
                   tag: Option[String] = None): Int =
     withVersionLock(spark, base) {
       require(keys.nonEmpty, "delta commit needs key columns")
-      tag.flatMap(committedTags(spark, base).get) match {
+      // lazy: untagged commits (the common batch path) must not pay the
+      // O(versions) tag-file scan
+      tag.flatMap(t => committedTags(spark, base).get(t)) match {
         case Some(v) => v // replayed batch: already applied, no-op
         case None => commitDeltaUnlocked(spark, base, keys, upserts, deletes, tag)
       }

@@ -85,19 +85,21 @@ object RcFileIO {
   def write(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
     val nCols = df.schema.length
     val spark = df.sparkSession
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.mkdirs(p)
-    val pathStr = path
-    // pure-Java codecs only (zlib): the reader side is free — RCFile
-    // records the codec class per file and RCFileInputFormat restores it
+    // validate BEFORE touching the target: a bad argument must not
+    // destroy existing data. Pure-Java codecs only (zlib); the reader
+    // side is free — RCFile records the codec class per file and
+    // RCFileInputFormat restores it.
     val codecClass = codec.map {
       case "gzip" => classOf[org.apache.hadoop.io.compress.GzipCodec]
       case "deflate" => classOf[org.apache.hadoop.io.compress.DefaultCodec]
       case other => throw new IllegalArgumentException(
         s"unsupported rcfile codec '$other' (gzip | deflate)")
     }
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    val pathStr = path
     val text = df.select(df.schema.map(f => col(f.name).cast("string")).toIndexedSeq: _*)
     text.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (!it.hasNext) Iterator.empty
@@ -106,9 +108,18 @@ object RcFileIO {
         // the Writer, and the filesystem resolves from the path scheme
         val conf = new org.apache.hadoop.conf.Configuration()
         RCFileOutputFormat.setColumnNumber(conf, nCols)
-        val file = new Path(f"$pathStr/part-$idx%05d.rc")
+        val dest = new Path(f"$pathStr/part-$idx%05d.rc")
+        // per-ATTEMPT temp + rename-on-commit (the AvroIO idiom): a
+        // retried or speculative attempt writes its own temp file, and
+        // only one attempt's rename lands; losers clean up. Without
+        // this, two live attempts would interleave appends on the
+        // final file.
+        val ctx = org.apache.spark.TaskContext.get()
+        val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+        val tmp = new Path(f"$pathStr/.part-$idx%05d-attempt-$attempt.rc.inprogress")
+        val lfs = tmp.getFileSystem(conf)
         val writer = new org.apache.hadoop.hive.ql.io.RCFile.Writer(
-          file.getFileSystem(conf), conf, file, null,
+          lfs, conf, tmp, null,
           codecClass.map(c =>
             org.apache.hadoop.util.ReflectionUtils.newInstance(c, conf)
               .asInstanceOf[org.apache.hadoop.io.compress.CompressionCodec])
@@ -124,6 +135,7 @@ object RcFileIO {
           writer.append(refs) // append copies into column buffers: reuse is safe
         }
         writer.close()
+        if (!lfs.rename(tmp, dest)) lfs.delete(tmp, false) // lost the commit race
         Iterator.single(idx)
       }
     }.count(): Unit

@@ -98,6 +98,25 @@ class AcidSpec extends AnyFunSuite {
     assert(a == b && a == nAfter)
   }
 
+  test("UPDATE assignments are simultaneous: cond and values see original rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sim").toString + "/t"
+    Seq((1L, 0L, false), (2L, 5L, false)).toDF("id", "qty", "flag")
+      .write.parquet(dir)
+    // SQL semantics: both assignments evaluate against the ORIGINAL row.
+    // A sequential withColumn chain would set qty=-1 first, then re-check
+    // qty===0 (now false) and never set flag.
+    val n = CopyOnWrite.update(spark, dir, col("qty") === 0,
+      Map("qty" -> lit(-1L), "flag" -> lit(true)))
+    assert(n == 1)
+    val r = spark.read.parquet(dir).orderBy("id").collect()
+    assert(r(0).getLong(1) == -1L && r(0).getBoolean(2), s"row1=${r(0)}")
+    assert(r(1).getLong(1) == 5L && !r(1).getBoolean(2), s"row2=${r(1)}")
+    intercept[IllegalArgumentException] {
+      CopyOnWrite.update(spark, dir, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
   test("partition-scoped rewrite: only the targeted partition's files change") {
     // the documented 100 TB pattern: a partition directory IS a COW
     // table, so DML on path/part=X rewrites that partition alone

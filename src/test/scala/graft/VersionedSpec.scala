@@ -114,6 +114,39 @@ class VersionedSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(500))
   }
 
+  test("read on a delta head returns the merged table, never a delta fragment") {
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((3L, 3.0)).toDF("id", "v"))
+    // plain read() — no keys passed — must transparently merge via the
+    // delta's own key sidecar and must not leak the _op lane
+    val got = Versioned.read(spark, base)
+    assert(got.columns.toSeq == Seq("id", "v"), got.columns.mkString(","))
+    assert(got.count() == 3)
+    // time travel to the delta version merges too
+    assert(Versioned.read(spark, base, Some(2)).count() == 3)
+    // and the pre-delta snapshot is still the plain base
+    assert(Versioned.read(spark, base, Some(1)).count() == 2)
+  }
+
+  test("vacuum keeps whole lineages: no retained delta ever loses its base") {
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((1L, 1.0)).toDF("id", "v"))          // v1 full
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((2L, 2.0)).toDF("id", "v"))                            // v2 delta
+    Versioned.compactDeltas(spark, base, Seq("id"))                        // v3 full
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((3L, 3.0)).toDF("id", "v"))                            // v4 delta
+    // keep=3 retains [2,3,4]; v2 is a delta whose base is v1, so v1 must
+    // survive even though it is outside the keep window
+    assert(Versioned.vacuum(spark, base, keep = 3).isEmpty)
+    assert(Versioned.read(spark, base, Some(2)).count() == 2) // still readable
+    // keep=2 retains [3,4] whose base is v3: the v1+v2 lineage drops whole
+    assert(Versioned.vacuum(spark, base, keep = 2) == Seq(1, 2))
+    assert(Versioned.read(spark, base).count() == 3)
+  }
+
   test("vacuum never drops the base a delta head depends on") {
     val base = freshBase()
     Versioned.commit(spark, base, Seq((1L, 1.0)).toDF("id", "v"))        // v1 full
