@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,8 +288,38 @@ object PipelineOps {
       .orderBy(col("lang"))
   }
 
+  /** Leakage-safe train/val/test split: the split key is a hash of the
+    * SOURCE, not the document, so every document from one source lands
+    * in the same split — the group-aware assignment that stops
+    * near-duplicates within a source from straddling train and eval
+    * (the classic contamination vector a doc-level split leaves open).
+    * Assignment is the first two hex chars of md5(source || salt)
+    * compared against range boundaries ('e6' ≈ 90%, 'f3' ≈ 95%) —
+    * byte-identical in any engine with a standard md5, which is what
+    * makes the DuckDB oracle exact, and reproducible forever from the
+    * salt alone (no rand(), no state). One scan, one small aggregate;
+    * the split column itself is a codegen'd projection — scan-speed at
+    * any corpus size. */
+  def splitAssign(docs: DataFrame, groupCol: String,
+                  salt: String = "graft-split-v1"): DataFrame = {
+    val pfx = substring(md5(concat(col(groupCol).cast("string"), lit("|" + salt))), 1, 2)
+    docs.withColumn("split",
+      when(pfx < "e6", "train").when(pfx < "f3", "val").otherwise("test"))
+  }
+
+  /** One row per (split, source): the complete assignment is hash-pinned,
+    * and group-awareness is visible in the result itself — a source
+    * appearing under two splits would change the row set. */
+  val q262_group_split: Q = (s, d) =>
+    splitAssign(Tables.documents(s, d), "source")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text"))).as("sum_chars"))
+      .orderBy(col("split"), col("source"))
+
   val queries: Map[String, Q] = Map(
     "q177_source_mixing" -> q177_source_mixing,
+    "q262_group_split" -> q262_group_split,
     "q132_token_packing" -> q132_token_packing,
     "q133_pii_redaction" -> q133_pii_redaction,
     "q134_repetition" -> q134_repetition,
@@ -299,6 +330,18 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q262_group_split" ->
+      """WITH a AS (
+        |  SELECT *, CASE
+        |    WHEN substr(md5(CAST(source AS VARCHAR) || '|graft-split-v1'), 1, 2) < 'e6'
+        |      THEN 'train'
+        |    WHEN substr(md5(CAST(source AS VARCHAR) || '|graft-split-v1'), 1, 2) < 'f3'
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, source, COUNT(1) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM a GROUP BY split, source ORDER BY split, source""".stripMargin,
     "q177_source_mixing" ->
       """WITH w AS (
         |  SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.1),

@@ -313,6 +313,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
   }
 
+  test("group split is leakage-safe, deterministic, and near the target fractions") {
+    import graft.operators.PipelineOps
+    val docs = Tables.documents(spark, sf)
+    val assigned = PipelineOps.splitAssign(docs, "source")
+    // leakage-safety: no source ever straddles two splits
+    val straddlers = assigned.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1)
+    assert(straddlers.isEmpty, "a source landed in more than one split")
+    // deterministic: re-deriving yields the identical assignment
+    val a = assigned.select(col("doc_id"), col("split")).collect()
+      .map(r => r.get(0) -> r.getString(1)).toMap
+    val b = PipelineOps.splitAssign(docs, "source")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.get(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // different salt → a different (still valid) assignment
+    val c = PipelineOps.splitAssign(docs, "source", salt = "v2")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.get(0) -> r.getString(1)).toMap
+    assert(a != c, "salt does not vary the split")
+    // SOURCE-level fractions approximate 90/5/5 (doc counts can skew
+    // with source sizes; the hash is uniform over sources)
+    val bySplit = assigned.groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit.getOrElse("train", 0L) / total > 0.75, bySplit.toString)
+    assert(bySplit.getOrElse("train", 0L) / total < 0.97, bySplit.toString)
+  }
+
   test("fuzzy pairs: blocking finds every distance-1 pair, refilter kills impostors") {
     import spark.implicits._
     val names = Seq(
