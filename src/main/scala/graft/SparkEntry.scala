@@ -43,6 +43,7 @@ object SparkEntry {
     (operators.JoinStrategies.queries, operators.JoinStrategies.oracles),
     (functions.TypeSystem.queries, functions.TypeSystem.oracles),
     (functions.LongTail.queries, functions.LongTail.oracles),
+    (hplsql.HplsqlGate.queries, hplsql.HplsqlGate.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
