@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash, PolyHash, VectorDot}
+import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash, PolyHash, Reflect2, VectorDot}
 
 /** Session-extension entry point — the engine's custom Catalyst
   * expressions and aggregates registered the way a cluster deployment
@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hive_histogram_numeric"),
       new ExpressionInfo(classOf[HiveHistogramNumeric].getName, "hive_histogram_numeric"),
       es => HiveHistogramNumeric(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("reflect2"),
+      new ExpressionInfo(classOf[Reflect2].getName, "reflect2"),
+      es => Reflect2(es)))
   }
 }

@@ -142,15 +142,53 @@ object LongTail {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** reflect2 (instance-method reflection, functions/Reflect2.scala) as
+    * an oracle row: every reflective call targets a JDK instance method
+    * DuckDB can recompute natively, and the expression's analysis-time
+    * return-type derivation is exercised across string/int/boolean lanes.
+    * indexOf is 0-based vs strpos 1-based — the oracle subtracts 1, which
+    * also aligns the not-found case (-1 vs 0). */
+  val q264_reflect2: Q = (s, d) => {
+    Reflect2.register(s)
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        expr("reflect2(p_brand, 'length')").as("v_len"),
+        expr("reflect2(p_brand, 'toLowerCase')").as("v_lower"),
+        expr("reflect2(p_brand, 'concat', '!')").as("v_concat"),
+        expr("reflect2(p_brand, 'indexOf', '#')").as("v_idx"),
+        expr("reflect2(p_brand, 'substring', 6)").as("v_tail"),
+        expr("reflect2(p_brand, 'replace', '#', '-')").as("v_repl"),
+        expr("reflect2(p_brand, 'startsWith', 'Brand')").as("v_starts"),
+        expr("reflect2(cast(p_size as int), 'compareTo', 25)").as("v_cmp"),
+        expr("reflect2(cast(p_size as int), 'doubleValue')").as("v_dbl"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_longtail_scalars" -> q167_longtail_scalars,
     "q168_complex_access" -> q168_complex_access,
     "q169_bitmap_index" -> q169_bitmap_index,
     "q212_reflect" -> q212_reflect,
     "q213_in_file" -> q213_in_file,
+    "q264_reflect2" -> q264_reflect2,
   )
 
   val oracles: Map[String, String] = Map(
+    "q264_reflect2" ->
+      """SELECT p_partkey,
+        |  CAST(length(p_brand) AS INT) AS v_len,
+        |  lower(p_brand) AS v_lower,
+        |  p_brand || '!' AS v_concat,
+        |  CAST(strpos(p_brand, '#') - 1 AS INT) AS v_idx,
+        |  substr(p_brand, 7) AS v_tail,
+        |  replace(p_brand, '#', '-') AS v_repl,
+        |  p_brand LIKE 'Brand%' AS v_starts,
+        |  CAST(CASE WHEN p_size < 25 THEN -1 WHEN p_size = 25 THEN 0 ELSE 1 END AS INT) AS v_cmp,
+        |  CAST(p_size AS DOUBLE) AS v_dbl
+        |FROM part WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin,
     "q212_reflect" ->
       """SELECT p_partkey,
         |  CAST(abs(p_size - 30) AS INT) AS v_abs,

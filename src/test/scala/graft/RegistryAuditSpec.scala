@@ -233,8 +233,7 @@ class RegistryAuditSpec extends AnyFunSuite {
     "version" -> Scalar("version()"),
     "java_method" -> Scalar("java_method('java.lang.Math', 'max', 1, 2)"),
     "reflect" -> Scalar("reflect('java.lang.Math', 'abs', -3)"),
-    "reflect2" -> Omit("instance-method reflection; reflect/java_method cover the " +
-      "reflective surface (SURVEY §2.3, LongTailSpec)"),
+    "reflect2" -> Scalar("reflect2('ab', 'concat', 'c')"), // functions/Reflect2.scala, q262
     "hash" -> Scalar("hash('a', 1)"), // Murmur3; Hive-exact algorithm = hive_hash (HiveCompatSpec)
     "in_file" -> Api("LongTailSpec"),
     "ewah_bitmap" -> Api("q169_bitmap_index"),
@@ -405,7 +404,7 @@ class RegistryAuditSpec extends AnyFunSuite {
 
   test("the omit set is small, closed, and justified") {
     val omitted = registry.collect { case (n, Omit(r)) => (n, r) }
-    val expected = Set("$SUM0", "reflect2", "get_splits",
+    val expected = Set("$SUM0", "get_splits",
       "noop", "noopwithmap", "noopstreaming", "noopwithmapstreaming")
     assert(omitted.map(_._1).toSet == expected,
       s"omit set drifted: ${omitted.map(_._1).sorted.mkString(", ")}")
