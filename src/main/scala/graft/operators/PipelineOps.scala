@@ -317,9 +317,68 @@ object PipelineOps {
            sum(length(col("text"))).as("sum_chars"))
       .orderBy(col("split"), col("source"))
 
+  /** CCNet/RefinedWeb-style LINE-level boilerplate removal: a line that
+    * recurs across >= minDf distinct documents is boilerplate (headers,
+    * navigation, license banners) and is excised from every document;
+    * survivors rejoin in original order. The span/ngram dedup family
+    * (q215/q148) works on shingles — this is its line-granularity
+    * sibling, the first scrub CCNet applies before anything else.
+    *
+    * Input contract: (docCol, idxCol, lineCol) — one row per line with
+    * its position. Plan shape: one map-combinable GROUP BY line for the
+    * df sliver (boilerplate is by definition a small set), broadcast
+    * LEFT ANTI join back (corpus never reshuffled on the line key for
+    * the scrub itself), one GROUP BY doc to reassemble. At 100 TB the
+    * only full-corpus shuffle is the final per-doc regroup. */
+  def lineBoilerplateScrub(lines: DataFrame, docCol: String, idxCol: String,
+                           lineCol: String, minDf: Long): DataFrame = {
+    val boiler = lines
+      .filter(trim(col(lineCol)) =!= "")
+      .groupBy(col(lineCol))
+      .agg(countDistinct(col(docCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col(lineCol))
+    val kept = lines.join(broadcast(boiler), Seq(lineCol), "left_anti")
+    val keptAgg = kept
+      .groupBy(col(docCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col(idxCol), col(lineCol)))),
+            s => s.getField(lineCol)),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // totals as the base: a doc whose every line was boilerplate must
+    // still appear (clean_text '', n_kept 0), matching the oracle
+    lines.groupBy(col(docCol)).agg(count(lit(1)).as("n_total"))
+      .join(keptAgg, Seq(docCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      .drop("n_total")
+  }
+
+  /** Gate row: documents reflowed into 4-word lines (pure projection —
+    * transform over sequence, no shuffle), then scrubbed at df >= 3.
+    * Non-vacuous at sf0.01: 47 distinct boilerplate lines hit 500 docs. */
+  val q265_line_boilerplate: Q = (s, d) => {
+    val reflow = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "filter(transform(sequence(0, cast(ceil(size(w)/4.0) as int) - 1)," +
+            " i -> array_join(slice(w, i*4+1, 4), ' ')), x -> x != '')"))
+          .as(Seq("idx", "line")))
+    lineBoilerplateScrub(reflow, "doc_id", "idx", "line", minDf = 3)
+      .select(col("doc_id"), col("clean_text"),
+        col("n_kept").cast("long").as("n_kept"),
+        col("n_dropped").cast("long").as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q177_source_mixing" -> q177_source_mixing,
     "q262_group_split" -> q262_group_split,
+    "q265_line_boilerplate" -> q265_line_boilerplate,
     "q132_token_packing" -> q132_token_packing,
     "q133_pii_redaction" -> q133_pii_redaction,
     "q134_repetition" -> q134_repetition,
@@ -330,6 +389,28 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q265_line_boilerplate" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM words
+        |), lines AS (
+        |  SELECT doc_id, CAST(floor((pos - 1) / 4) AS INT) AS idx,
+        |         string_agg(word, ' ' ORDER BY pos) AS line
+        |  FROM tok GROUP BY doc_id, CAST(floor((pos - 1) / 4) AS INT)
+        |  HAVING string_agg(word, ' ' ORDER BY pos) <> ''
+        |), boiler AS (
+        |  SELECT line FROM lines WHERE trim(line) <> ''
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+        |)
+        |SELECT l.doc_id,
+        |  COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+        |                      chr(10) ORDER BY l.idx), '') AS clean_text,
+        |  COUNT(CASE WHEN b.line IS NULL THEN 1 END) AS n_kept,
+        |  COUNT(CASE WHEN b.line IS NOT NULL THEN 1 END) AS n_dropped
+        |FROM lines l LEFT JOIN boiler b ON l.line = b.line
+        |GROUP BY l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
     "q262_group_split" ->
       """WITH a AS (
         |  SELECT *, CASE

@@ -426,4 +426,34 @@ class PipelineSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(stages.values.sum == viewUsers, s"$stages vs $viewUsers view-users")
   }
+
+  test("line boilerplate scrub: closed-form corpus, all-dropped doc survives, broadcast anti join") {
+    import spark.implicits._
+    // b is boilerplate (3 docs); u* are unique; doc 4 is ALL boilerplate
+    val lines = Seq(
+      (1L, 0, "b"), (1L, 1, "u1"), (1L, 2, "u2"),
+      (2L, 0, "u3"), (2L, 1, "b"),
+      (3L, 0, "b"), (3L, 1, "u4"),
+      (4L, 0, "b")).toDF("doc_id", "idx", "line")
+    val out = graft.operators.PipelineOps
+      .lineBoilerplateScrub(lines, "doc_id", "idx", "line", minDf = 3)
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+       r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "u1\nu2", 2L, 1L),
+      (2L, "u3", 1L, 1L),
+      (3L, "u4", 1L, 1L),
+      (4L, "", 0L, 1L)))
+    // order preservation: kept lines rejoin by idx, not collect order
+    val shuffled = Seq((9L, 2, "c"), (9L, 0, "a"), (9L, 1, "bb")).toDF("doc_id", "idx", "line")
+    val one = graft.operators.PipelineOps
+      .lineBoilerplateScrub(shuffled, "doc_id", "idx", "line", minDf = 2)
+      .collect()(0)
+    assert(one.getAs[String]("clean_text") == "a\nbb\nc")
+    // the scrub's anti join must be broadcast — the corpus is never
+    // reshuffled on the line key
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(800))
+  }
 }
