@@ -51,7 +51,11 @@ private[hplsql] object Ast {
 
   sealed trait Stmt { var line: Int = 0 }
   case class DeclareVar(names: Seq[String], dtype: String, init: Option[Expr]) extends Stmt
-  case class DeclareCursor(name: String, sql: Seq[Token]) extends Stmt
+  case class DeclareCursor(name: String, sql: Seq[Token], withReturn: Boolean = false) extends Stmt
+  /** ALLOCATE c CURSOR FOR PROCEDURE p — bind the next unconsumed
+    * returned result set of the last CALL of p (DB2 result-set flow,
+    * create_procedure_return_cursor.sql). */
+  case class AllocateCursor(name: String, proc: String) extends Stmt
   case class DeclareHandler(exit: Boolean, cond: String, body: Seq[Stmt]) extends Stmt
   case class DeclareCondition(name: String) extends Stmt
   case class Assign(targets: Seq[String], values: Seq[Expr]) extends Stmt
@@ -63,7 +67,9 @@ private[hplsql] object Ast {
                       reverse: Boolean, body: Seq[Stmt], label: Option[String]) extends Stmt
   case class ForCursor(rec: String, sql: Seq[Token], body: Seq[Stmt], label: Option[String]) extends Stmt
   case class ExitS(label: Option[String], when: Option[Expr]) extends Stmt
-  case class OpenCur(name: String) extends Stmt
+  /** OPEN c — a declared cursor; OPEN c FOR <sql> — a SYS_REFCURSOR
+    * variable bound to a fresh result set (sys_refcursor.sql). */
+  case class OpenCur(name: String, forSql: Option[Seq[Token]]) extends Stmt
   case class FetchCur(name: String, into: Seq[String]) extends Stmt
   case class CloseCur(name: String) extends Stmt
   case class SelectInto(sqlNoInto: Seq[Token], into: Seq[String]) extends Stmt

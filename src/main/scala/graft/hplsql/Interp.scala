@@ -56,6 +56,8 @@ object Hplsql {
     var rows: Iterator[Row] = Iterator.empty
     var cols: Seq[String] = Nil
     var found: Option[Boolean] = None // None until first FETCH (c%FOUND IS NULL)
+    var dynamicSql: Option[String] = None // OPEN-FOR resolved text (refcursors)
+    var withReturn = false // DECLARE ... CURSOR WITH RETURN (DB2 result sets)
   }
 
   /** One record from a cursor/rowtype — field access is case-insensitive. */
@@ -98,6 +100,9 @@ object Hplsql {
     private val routines = mutable.Map.empty[String, Routine]
     private val packages = mutable.Map.empty[String, Pkg]
     private var currentPkg: Option[Pkg] = None
+    // DB2 result-set flow: proc name -> queue of returned open cursors
+    private val resultSets = mutable.Map.empty[String, mutable.Queue[CursorState]]
+    private var returnCursorBuf: Option[mutable.ArrayBuffer[CursorState]] = None
     private val conditions = mutable.Set.empty[String]
     private val conf = mutable.Map.empty[String, String]
 
@@ -157,8 +162,15 @@ object Hplsql {
       case DeclareVar(names, dtype, init) =>
         val v = init.map(eval).map(coerce(_, dtype)).orNull
         names.foreach(n => declare(n, dtype, v))
-      case DeclareCursor(name, sql) =>
-        cursors(name.toLowerCase) = new CursorState(sql)
+      case DeclareCursor(name, sql, withReturn) =>
+        val c = new CursorState(sql)
+        c.withReturn = withReturn
+        cursors(name.toLowerCase) = c
+      case AllocateCursor(name, proc) =>
+        val q = resultSets.getOrElse(proc.toLowerCase,
+          throw HplError("UNDEFINED", s"No result sets returned by: $proc"))
+        if (q.isEmpty) throw HplError("UNDEFINED", s"No unconsumed result set of: $proc")
+        setVar(name, q.dequeue())
       case DeclGroup(items) => items.foreach(exec)
       case DeclareCondition(name) =>
         conditions += name.toUpperCase
@@ -219,9 +231,24 @@ object Hplsql {
         } finally popScope()
       case ExitS(label, when) =>
         if (when.forall(e => truthy(eval(e)))) throw ExitLoop(label)
-      case OpenCur(name) =>
-        val c = cursor(name)
-        val df = try runSql(renderSql(c.sql)) catch {
+      case OpenCur(name, forSql) =>
+        val c = forSql match {
+          case Some(sqlToks) =>
+            // SYS_REFCURSOR: the cursor is a VALUE in a variable; static
+            // tokens or a single string expression (dynamic OPEN-FOR)
+            val sql = sqlToks match {
+              case Seq(one) if one.kind == Tok.Str => one.text
+              case Seq(one) if one.kind == Tok.Ident && findVar(one.text).exists(_.value.isInstanceOf[String]) =>
+                substituteVars(findVar(one.text).get.value.asInstanceOf[String])
+              case toks => renderSql(toks)
+            }
+            val fresh = new CursorState(sqlToks)
+            setVar(name, fresh)
+            fresh.dynamicSql = Some(sql)
+            fresh
+          case None => cursor(name)
+        }
+        val df = try runSql(c.dynamicSql.getOrElse(renderSql(c.sql))) catch {
           case e: HplError => throw e
           case e: Exception => throw HplError("SQLEXCEPTION", e.getMessage)
         }
@@ -229,13 +256,15 @@ object Hplsql {
         c.rows = df.toLocalIterator().asScala
         c.open = true
         c.found = None
+        if (c.withReturn) returnCursorBuf.foreach(_ += c)
       case FetchCur(name, into) =>
-        val c = cursors.getOrElse(name.toLowerCase,
+        val c = cursorRef(name).getOrElse(
           throw HplError("UNDEFINED", s"Cursor not found: $name"))
         if (!c.open) throw HplError("CURSOR_NOT_OPEN", s"Cursor not open: $name")
         if (c.rows.hasNext) {
           val row = c.rows.next()
           c.found = Some(true)
+          setVar("SQLCODE", BigDecimal(0)) // DB2 loop idiom: WHILE SQLCODE = 0
           if (into.length == 1 && c.cols.length > 1) {
             setVar(into.head, new Rec(c.cols.map(col => (col, fromSpark(row.getAs[Any](col))))))
           } else {
@@ -248,7 +277,7 @@ object Hplsql {
           setVar("SQLCODE", BigDecimal(100))
         }
       case CloseCur(name) =>
-        cursor(name).open = false
+        cursorRef(name).foreach(_.open = false)
       case SelectInto(sql, into) =>
         runSelectInto(renderSql(sql), into)
       case ExecDyn(sqlE, into) =>
@@ -387,6 +416,12 @@ object Hplsql {
       cursors.getOrElse(name.toLowerCase,
         throw HplError("UNDEFINED", s"Cursor not found: $name"))
 
+    /** Resolve a name to cursor state: declared cursor OR a variable
+      * holding a refcursor value (which travels through OUT params). */
+    private def cursorRef(name: String): Option[CursorState] =
+      cursors.get(name.toLowerCase)
+        .orElse(findVar(name).map(_.value).collect { case c: CursorState => c })
+
     private def sqlError(e: Exception): Unit = {
       val onerror = conf.collectFirst { case (k, v) if k.endsWith(".onerror") => v }
       if (onerror.contains("SETERROR")) {
@@ -446,6 +481,9 @@ object Hplsql {
       // (caller locals invisible; package members see package state)
       val savedScopes = scopes
       val savedPkg = currentPkg
+      val savedBuf = returnCursorBuf
+      val myBuf = mutable.ArrayBuffer.empty[CursorState]
+      returnCursorBuf = Some(myBuf)
       val argScope = mutable.LinkedHashMap.empty[String, Variable]
       scopes = argScope :: (pkgOpt.map(_.scope).toList :+ globalScope)
       currentPkg = pkgOpt
@@ -462,7 +500,11 @@ object Hplsql {
             try { r.body.foreach(exec); null }
             catch { case ReturnEx(v) => v }
           (res, outBindings.map { case (pn, _) => argScope(pn.toLowerCase).value })
-        } finally { scopes = savedScopes; currentPkg = savedPkg }
+        } finally {
+          scopes = savedScopes; currentPkg = savedPkg; returnCursorBuf = savedBuf
+          if (myBuf.nonEmpty)
+            resultSets(name.toLowerCase) = mutable.Queue(myBuf.toSeq: _*)
+        }
       outBindings.lazyZip(outVals).foreach { case ((_, callerVar), v) => setVar(callerVar, v) }
       result
     }
@@ -546,12 +588,16 @@ object Hplsql {
             }
         }
       case CursorAttr(name, attr) =>
-        val c = cursor(name)
-        attr match {
-          case "ISOPEN"   => c.open
-          case "FOUND"    => c.found.orNull
-          case "NOTFOUND" => c.found.map(!_).orNull
-          case "ROWCOUNT" => null
+        cursorRef(name) match {
+          case Some(c) => attr match {
+            case "ISOPEN"   => c.open
+            case "FOUND"    => c.found.orNull
+            case "NOTFOUND" => c.found.map(!_).orNull
+            case "ROWCOUNT" => null
+          }
+          case None if findVar(name).isDefined => // unopened refcursor variable
+            if (attr == "ISOPEN") false else null
+          case None => throw HplError("UNDEFINED", s"Cursor not found: $name")
         }
       case Un("NOT", x) =>
         eval(x) match { case null => null; case b => !truthy(b) }
@@ -689,8 +735,16 @@ object Hplsql {
           case (n, t: LocalDateTime) if op == "+" => t.plusDays(toLong(n))
           case (t: LocalDateTime, n) if op == "-" => t.minusDays(toLong(n))
           case _ =>
-            val a = toNum(l)
-            val b = toNum(r)
+            // `'a' + 'b'` / `cast(x as varchar2) + ' aa'` concatenate when a
+            // side is non-numeric text (reference Expression.operatorAdd)
+            val nums =
+              try Some((toNum(l), toNum(r)))
+              catch {
+                case _: NumberFormatException | _: HplError
+                  if op == "+" && (l.isInstanceOf[String] || r.isInstanceOf[String]) => None
+              }
+            if (nums.isEmpty) return render(l) + render(r)
+            val (a, b) = nums.get
             op match {
               case "+" => a + b
               case "-" => a - b
