@@ -66,6 +66,8 @@ object Bench {
     "q258_versioned_dml",  // snapshot-versioned UPDATE/DELETE + 3-way time travel
                            // (writes all versions inline per pass — upper bound)
     "q259_merge_on_read",  // delta commit + window merge + compaction inline
+    "q265_line_boilerplate", // line-level boilerplate scrub (df sliver +
+                             // broadcast anti join + per-doc reassembly)
   )
 
   /** Every headline name must resolve in SparkEntry.queries — a silent

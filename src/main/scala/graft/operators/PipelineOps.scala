@@ -357,6 +357,36 @@ object PipelineOps {
       .drop("n_total")
   }
 
+  /** Quality-proportional Bernoulli downsampling (the DCLM/CCNet-style
+    * "keep high-quality data with higher probability" resampler):
+    * document d survives iff U(d) < p(d), where U(d) is a uniform
+    * [0,1) DERIVED FROM A HASH (first 8 hex of md5(id || salt) / 2^32)
+    * and p(d) is the caller's per-row probability column. No rand(),
+    * no state: the decision is a pure codegen'd projection, reproducible
+    * forever from the salt, identical on any engine with a standard md5
+    * — which is what lets DuckDB replay the exact selection, and what
+    * makes reruns/backfills at 100 TB pick the same rows. */
+  def weightedSample(docs: DataFrame, idCol: String, pCol: String,
+                     salt: String = "graft-wsample-v1"): DataFrame = {
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit("|" + salt))), 1, 8),
+                 16, 10).cast("double") / lit(4294967296.0)
+    docs.filter(u < col(pCol))
+  }
+
+  /** Gate row: survival probability rises with quality proxy (rare-word
+    * ratio stand-in: chars-per-word scaled into [0.2, 0.9]); the oracle
+    * recomputes the md5 threshold decision bit-for-bit in DuckDB. */
+  val q266_weighted_sample: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("p_keep", least(lit(0.9),
+        greatest(lit(0.2), (col("n_chars") / size(split(col("text"), " ")) - 3.0) / 5.0)))
+    weightedSample(base, "doc_id", "p_keep")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(length(col("text"))).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Gate row: documents reflowed into 4-word lines (pure projection —
     * transform over sequence, no shuffle), then scrubbed at df >= 3.
     * Non-vacuous at sf0.01: 47 distinct boilerplate lines hit 500 docs. */
@@ -379,6 +409,7 @@ object PipelineOps {
     "q177_source_mixing" -> q177_source_mixing,
     "q262_group_split" -> q262_group_split,
     "q265_line_boilerplate" -> q265_line_boilerplate,
+    "q266_weighted_sample" -> q266_weighted_sample,
     "q132_token_packing" -> q132_token_packing,
     "q133_pii_redaction" -> q133_pii_redaction,
     "q134_repetition" -> q134_repetition,
@@ -389,6 +420,18 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q266_weighted_sample" ->
+      """WITH scored AS (
+        |  SELECT *, LEAST(0.9, GREATEST(0.2,
+        |    (n_chars / len(string_split(text, ' ')) - 3.0) / 5.0)) AS p_keep
+        |  FROM documents
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS kept_chars
+        |FROM scored
+        |WHERE ('0x' || substr(md5(doc_id || '|graft-wsample-v1'), 1, 8))::BIGINT
+        |      / 4294967296.0 < p_keep
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q265_line_boilerplate" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
