@@ -222,9 +222,22 @@ object Hplsql {
         val cols = df.columns.toSeq
         pushScope()
         try {
-          df.toLocalIterator().asScala.foreach { row =>
-            declare(rec, "ROW", new Rec(cols.map(c => (c, fromSpark(row.getAs[Any](c))))))
-            body.foreach(exec)
+          val it = df.toLocalIterator().asScala
+          var more = true
+          while (more) {
+            // iteration runs the Spark job lazily — keep runtime SQL errors
+            // on the same catchable path as analysis errors
+            val next =
+              try { if (it.hasNext) Some(it.next()) else None }
+              catch { case e: Exception if !e.isInstanceOf[HplError] &&
+                !e.isInstanceOf[ExitLoop] && !e.isInstanceOf[ReturnEx] =>
+                throw HplError("SQLEXCEPTION", e.getMessage) }
+            next match {
+              case Some(row) =>
+                declare(rec, "ROW", new Rec(cols.map(c => (c, fromSpark(row.getAs[Any](c))))))
+                body.foreach(exec)
+              case None => more = false
+            }
           }
         } catch {
           case ExitLoop(l) if l.isEmpty || l == label => ()
@@ -261,7 +274,14 @@ object Hplsql {
         val c = cursorRef(name).getOrElse(
           throw HplError("UNDEFINED", s"Cursor not found: $name"))
         if (!c.open) throw HplError("CURSOR_NOT_OPEN", s"Cursor not open: $name")
-        if (c.rows.hasNext) {
+        // toLocalIterator is lazy: the Spark job for a partition runs at
+        // hasNext/next, so runtime SQL errors surface HERE, not at OPEN —
+        // wrap them into the same catchable condition as analysis errors
+        val hasRow =
+          try c.rows.hasNext
+          catch { case e: Exception if !e.isInstanceOf[HplError] =>
+            throw HplError("SQLEXCEPTION", e.getMessage) }
+        if (hasRow) {
           val row = c.rows.next()
           c.found = Some(true)
           setVar("SQLCODE", BigDecimal(0)) // DB2 loop idiom: WHILE SQLCODE = 0
@@ -284,7 +304,13 @@ object Hplsql {
         val text = Option(eval(sqlE)).map(_.toString)
           .getOrElse(throw HplError("UNDEFINED", "EXECUTE of NULL statement"))
         if (into.nonEmpty) runSelectInto(substituteVars(text), into)
-        else { runSql(substituteVars(text)); () }
+        else {
+          try { runSql(substituteVars(text)); () }
+          catch {
+            case e: HplError => throw e
+            case e: Exception => sqlError(e) // same handler/SETERROR path as passthrough
+          }
+        }
       case ValuesInto(values, into) =>
         into.lazyZip(values.map(eval)).foreach((t, v) => setVar(t, v))
       case CreateRoutine(name, params, body, isFunction) =>
@@ -435,17 +461,16 @@ object Hplsql {
       spark.sql(sql)
 
     private def runSelectInto(sql: String, into: Seq[String]): Unit = {
-      val df = try runSql(sql) catch { case e: Exception => sqlError(e); return }
-      val rows = df.limit(2).collect()
+      val rows = try runSql(sql).limit(1).collect()
+        catch { case e: Exception => sqlError(e); return }
       if (rows.isEmpty) {
         into.foreach(setVar(_, null))
         setVar("SQLCODE", BigDecimal(100))
       } else {
         val row = rows.head
-        val cols = df.columns.toSeq
-        if (into.length == 1 && cols.length > 1 && findVar(into.head).exists(_.dtype.endsWith("%ROWTYPE"))) {
-          setVar(into.head, new Rec(cols.map(c => (c, fromSpark(row.getAs[Any](c))))))
-        } else if (into.length == 1 && cols.length > 1) {
+        val cols = row.schema.fieldNames.toSeq
+        if (into.length == 1 && cols.length > 1) {
+          // multi-column into one target = record assignment (%ROWTYPE kin)
           setVar(into.head, new Rec(cols.map(c => (c, fromSpark(row.getAs[Any](c))))))
         } else {
           into.lazyZip(cols.take(into.length)).foreach { (v, c) =>
@@ -874,7 +899,10 @@ object Hplsql {
     private def toNum(v: Any): BigDecimal = v match {
       case n: BigDecimal => n
       case b: Boolean => if (b) BigDecimal(1) else BigDecimal(0)
-      case s: String => BigDecimal(s.trim)
+      case s: String =>
+        try BigDecimal(s.trim)
+        catch { case _: NumberFormatException =>
+          throw HplError("CONVERSION", s"Not a number: '$s'") }
       case l: Long => BigDecimal(l)
       case i: Int => BigDecimal(i)
       case d: Double => BigDecimal(d)
@@ -884,8 +912,14 @@ object Hplsql {
     private def toLong(v: Any): Long = toNum(v).toLong
 
     private def cmp(l: Any, r: Any): Int = (l, r) match {
-      case (a: BigDecimal, b) => a.compare(toNum(b))
-      case (a, b: BigDecimal) => toNum(a).compare(b)
+      // number vs string: numeric when the string parses, else string
+      // comparison (the reference's Var.compareTo coercion order)
+      case (a: BigDecimal, b) =>
+        try a.compare(toNum(b))
+        catch { case HplError("CONVERSION", _) => render(a).compareTo(render(b)) }
+      case (a, b: BigDecimal) =>
+        try toNum(a).compare(b)
+        catch { case HplError("CONVERSION", _) => render(a).compareTo(render(b)) }
       case (a: LocalDate, b: LocalDate) => a.compareTo(b)
       case (a: LocalDateTime, b: LocalDateTime) => a.compareTo(b)
       case (a: LocalDate, b: LocalDateTime) => a.atStartOfDay.compareTo(b)

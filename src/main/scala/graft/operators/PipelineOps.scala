@@ -338,23 +338,22 @@ object PipelineOps {
       .agg(countDistinct(col(docCol)).as("df"))
       .filter(col("df") >= minDf)
       .select(col(lineCol))
-    val kept = lines.join(broadcast(boiler), Seq(lineCol), "left_anti")
-    val keptAgg = kept
+    // flag-then-aggregate: ONE broadcast join + ONE doc-key shuffle. (An
+    // anti join would drop boilerplate rows and need a second full
+    // per-doc count plus a join to resurrect all-boilerplate docs.)
+    val flagged = lines.join(
+      broadcast(boiler.withColumn("_boiler", lit(true))), Seq(lineCol), "left")
+    flagged
       .groupBy(col(docCol))
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col(idxCol), col(lineCol)))),
+          transform(
+            array_sort(collect_list(
+              when(col("_boiler").isNull, struct(col(idxCol), col(lineCol))))),
             s => s.getField(lineCol)),
           "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    // totals as the base: a doc whose every line was boilerplate must
-    // still appear (clean_text '', n_kept 0), matching the oracle
-    lines.groupBy(col(docCol)).agg(count(lit(1)).as("n_total"))
-      .join(keptAgg, Seq(docCol), "left")
-      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-      .withColumn("n_dropped", col("n_total") - col("n_kept"))
-      .drop("n_total")
+        count(when(col("_boiler").isNull, 1)).as("n_kept"),
+        count(when(col("_boiler"), 1)).as("n_dropped"))
   }
 
   /** Quality-proportional Bernoulli downsampling (the DCLM/CCNet-style

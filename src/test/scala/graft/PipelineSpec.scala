@@ -427,7 +427,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages.values.sum == viewUsers, s"$stages vs $viewUsers view-users")
   }
 
-  test("line boilerplate scrub: closed-form corpus, all-dropped doc survives, broadcast anti join") {
+  test("line boilerplate scrub: closed-form corpus, all-dropped doc survives, one broadcast flag join") {
     import spark.implicits._
     // b is boilerplate (3 docs); u* are unique; doc 4 is ALL boilerplate
     val lines = Seq(
@@ -451,9 +451,10 @@ class PipelineSpec extends AnyFunSuite {
       .lineBoilerplateScrub(shuffled, "doc_id", "idx", "line", minDf = 2)
       .collect()(0)
     assert(one.getAs[String]("clean_text") == "a\nbb\nc")
-    // the scrub's anti join must be broadcast — the corpus is never
-    // reshuffled on the line key
+    // flag-then-aggregate: ONE broadcast outer join (corpus never
+    // reshuffled on the line key), no anti join + resurrect-join pair
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"), plan.take(800))
+    assert(!plan.contains("LeftAnti"), plan.take(800))
   }
 }

@@ -233,7 +233,7 @@ class RegistryAuditSpec extends AnyFunSuite {
     "version" -> Scalar("version()"),
     "java_method" -> Scalar("java_method('java.lang.Math', 'max', 1, 2)"),
     "reflect" -> Scalar("reflect('java.lang.Math', 'abs', -3)"),
-    "reflect2" -> Scalar("reflect2('ab', 'concat', 'c')"), // functions/Reflect2.scala, q262
+    "reflect2" -> Scalar("reflect2('ab', 'concat', 'c')"), // functions/Reflect2.scala, q264
     "hash" -> Scalar("hash('a', 1)"), // Murmur3; Hive-exact algorithm = hive_hash (HiveCompatSpec)
     "in_file" -> Api("LongTailSpec"),
     "ewah_bitmap" -> Api("q169_bitmap_index"),
