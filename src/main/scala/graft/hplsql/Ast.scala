@@ -97,6 +97,11 @@ private[hplsql] object Ast {
     * (reference Cmp.java). Each source is a table [WHERE ...] or a
     * parenthesized subquery, captured raw. */
   case class CmpS(mode: String, left: Seq[Token], right: Seq[Token]) extends Stmt
+  /** COPY table|(subquery) TO [HDFS] target [DELIMITER 'x'] [SQLINSERT t]
+    * [AT conn] — reference Copy.java: export to a delimited file, a file
+    * of INSERT statements, or another table. */
+  case class CopyS(src: Seq[Token], target: String, toFile: Boolean,
+                   delimiter: Option[String], sqlInsert: Option[String]) extends Stmt
   case class ExprStmt(e: Expr) extends Stmt
   case object NullS extends Stmt
 

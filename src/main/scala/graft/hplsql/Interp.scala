@@ -373,6 +373,8 @@ object Hplsql {
           catch { case _: Exception => 127 }
         setVar("HOSTCODE", BigDecimal(code))
       case CmpS(mode, left, right) => execCmp(mode, left, right)
+      case CopyS(src, target, toFile, delim, sqlIns) =>
+        execCopy(src, target, toFile, delim, sqlIns)
       case SignalS(cond) => throw HplError(cond, s"Signal: $cond")
       case RaiseS =>
         throw currentError.getOrElse(HplError("USER_RAISE", "RAISE outside a handler"))
@@ -385,6 +387,59 @@ object Hplsql {
 
     private var handlers: List[(String, Seq[Stmt], Boolean)] = Nil
     private var currentError: Option[HplError] = None
+
+    /** COPY ... TO (reference Copy.java). Table targets stay SET-BASED —
+      * CTAS when the target does not exist, INSERT INTO SELECT when it
+      * does (the reference issues row-wise INSERTs over JDBC; on one
+      * engine a relational write is strictly better and scales). File
+      * targets are a DRIVER-SIDE export utility by design (delimited
+      * lines or SQLINSERT statements, matching Copy.java's two modes):
+      * row-at-a-time through toLocalIterator, for operator-scale
+      * extracts; bulk exports belong to INSERT OVERWRITE DIRECTORY
+      * (etl.MultiInsert, q191), which writes from the executors. */
+    private def execCopy(src: Seq[Token], target: String, toFile: Boolean,
+                         delim: Option[String], sqlIns: Option[String]): Unit = {
+      val text = renderSql(src)
+      val df =
+        try {
+          if (src.headOption.exists(t => (t.kind == Tok.Op && t.text == "(") || t.is("SELECT")))
+            runSql(if (text.startsWith("(")) s"SELECT * FROM $text t" else text)
+          else runSql(s"SELECT * FROM $text")
+        } catch {
+          case e: HplError => throw e
+          case e: Exception => throw HplError("SQLEXCEPTION", e.getMessage)
+        }
+      try {
+        if (!toFile) {
+          if (spark.catalog.tableExists(target))
+            df.write.mode("append").insertInto(target)
+          else
+            df.write.saveAsTable(target)
+        } else {
+          val sep = delim.getOrElse(if (sqlIns.isDefined) ", " else "\t")
+          val path = java.nio.file.Paths.get(target)
+          Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          val w = java.nio.file.Files.newBufferedWriter(path)
+          try df.toLocalIterator().asScala.foreach { row =>
+            val vals = (0 until row.length).map { i =>
+              val v = fromSpark(row.get(i))
+              sqlIns match {
+                case Some(_) => literal(v)
+                case None    => if (v == null) "" else render(v)
+              }
+            }
+            val line = sqlIns match {
+              case Some(tbl) => s"INSERT INTO $tbl VALUES (${vals.mkString(sep)});"
+              case None      => vals.mkString(sep)
+            }
+            w.write(line); w.newLine()
+          } finally w.close()
+        }
+      } catch {
+        case e: HplError => throw e
+        case e: Exception => throw HplError("SQLEXCEPTION", e.getMessage)
+      }
+    }
 
     /** CMP ROW_COUNT | CMP SUM (reference Cmp.java): both sides reduce to
       * ONE aggregation row each — COUNT(1), plus per-column type-directed

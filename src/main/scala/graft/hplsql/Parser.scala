@@ -236,6 +236,31 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
       expectKw("CURSOR"); expectKw("FOR"); expectKw("PROCEDURE")
       return mark(AllocateCursor(name, advance().text), ln)
     }
+    if (at("COPY")) {
+      advance()
+      val src = captureCopySource()
+      expectKw("TO")
+      val hdfs = eatKw("HDFS")
+      // target: tokens joined verbatim until an option keyword / ';'
+      val tsb = new StringBuilder
+      while (cur.kind != Tok.EOF && !atOp(";") &&
+             !cur.is("DELIMITER") && !cur.is("SQLINSERT") && !cur.is("AT"))
+        tsb.append(advance().text)
+      var delim: Option[String] = None
+      var sqlIns: Option[String] = None
+      var more = true
+      while (more) {
+        if (eatKw("DELIMITER")) delim = Some(unescapeJava(advance().text))
+        else if (eatKw("SQLINSERT")) sqlIns = Some(advance().text)
+        else if (eatKw("AT")) advance() // second connection — single-engine here
+        else more = false
+      }
+      val target = tsb.toString
+      // a table target may be dotted (db.tbl) — only paths/extensions are files
+      val toFile = hdfs || target.contains("/") ||
+        target.matches("(?i).*\\.(txt|csv|tsv|dat|out)$")
+      return mark(CopyS(src, target, toFile, delim, sqlIns), ln)
+    }
     if (at("CMP")) {
       advance()
       val mode = advance().up // ROW_COUNT | SUM
@@ -650,6 +675,42 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
       }
     }
     out.toSeq
+  }
+
+  /** COPY source: tokens until the top-level TO. */
+  private def captureCopySource(): Seq[Token] = {
+    val out = ArrayBuffer.empty[Token]
+    var depth = 0
+    var done = false
+    while (!done && cur.kind != Tok.EOF) {
+      if (atOp("(")) depth += 1
+      if (atOp(")")) depth -= 1
+      if (depth == 0 && (cur.is("TO") || atOp(";"))) done = true
+      else out += advance()
+    }
+    out.toSeq
+  }
+
+  /** Minimal java-style unescape for COPY delimiters ('\01', '\t'). */
+  private def unescapeJava(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case d if d.isDigit =>
+            var j = i + 1
+            while (j < s.length && j < i + 4 && s.charAt(j).isDigit) j += 1
+            sb.append(Integer.parseInt(s.substring(i + 1, j), 8).toChar)
+            i = j
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** One CMP source: tokens until a top-level ',', AT, or ';'. */

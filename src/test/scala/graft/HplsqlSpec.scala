@@ -490,6 +490,29 @@ class HplsqlSpec extends AnyFunSuite {
     assert(diff == Seq("row_count\t10\t7"))
   }
 
+  // ---- db/copy_to_file.sql + copy_to_table.sql ---------------------------
+
+  test("COPY: delimited file, custom delimiter, SQLINSERT statements, and table targets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hpl_copy")
+    spark.sql("SELECT id, CAST(id * 2 AS STRING) AS v FROM range(3)")
+      .createOrReplaceTempView("copy_src")
+    run(s"""COPY copy_src TO $dir/plain.txt;
+           |COPY (SELECT id FROM copy_src WHERE id > 0) TO $dir/some.txt DELIMITER '\\01';
+           |COPY (SELECT * FROM copy_src) TO $dir/ins.txt SQLINSERT copy_src2;
+           |COPY copy_src TO hpl_copy_tbl;
+           |COPY copy_src TO hpl_copy_tbl;""".stripMargin)
+    val plain = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(s"$dir/plain.txt"))
+    assert(plain.size == 3 && plain.get(0) == "0\t0")
+    val delim = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(s"$dir/some.txt"))
+    assert(delim.size == 2 && !delim.get(0).contains("\t"))
+    val ins = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(s"$dir/ins.txt"))
+    assert(ins.size == 3 && ins.get(0).startsWith("INSERT INTO copy_src2 VALUES (") &&
+      ins.get(0).endsWith(");"))
+    // table target: CTAS on first copy, append on second
+    assert(spark.table("hpl_copy_tbl").count() == 6)
+    spark.sql("DROP TABLE hpl_copy_tbl")
+  }
+
   // ---- error paths (clientnegative kin) ----------------------------------
 
   test("error paths: unknown variable, unknown procedure, unknown cursor, parse error — all typed") {
