@@ -465,6 +465,34 @@ class HplsqlSpec extends AnyFunSuite {
     assert(out == Seq("file included successfully", "after"))
   }
 
+  test("OUT params start NULL in the callee; INOUT sees the caller's value; a % b parses") {
+    val out = lines(
+      """CREATE PROCEDURE p(OUT x INT) BEGIN
+        |  IF x IS NULL THEN PRINT 'fresh'; ELSE PRINT 'FAIL'; END IF;
+        |  SET x = 9;
+        |END;
+        |CREATE PROCEDURE q(INOUT y INT) BEGIN
+        |  PRINT y;
+        |  SET y = y + 1;
+        |END;
+        |DECLARE v INT DEFAULT 5;
+        |CALL p(v);
+        |PRINT v;
+        |CALL q(v);
+        |PRINT v;
+        |DECLARE a INT DEFAULT 17;
+        |DECLARE b INT DEFAULT 5;
+        |PRINT a % b;""".stripMargin)
+    assert(out == Seq("fresh", "9", "9", "10", "2"))
+  }
+
+  test("number-vs-unparseable-string comparison is catchable, not a crash") {
+    val out = lines(
+      """DECLARE v INT := 1;
+        |IF v = 'done' THEN PRINT 'FAIL'; ELSE PRINT 'not-equal'; END IF;""".stripMargin)
+    assert(out == Seq("not-equal")) // falls back to string comparison
+  }
+
   // ---- db/cmp_row_count.sql + cmp_sum.sql --------------------------------
 
   test("CMP ROW_COUNT / CMP SUM emit tab-separated measure lines per Cmp.java") {

@@ -391,4 +391,49 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(sumMerged.compareTo(sumExpect) == 0,
       s"content drift after 20-delta fold: $sumMerged vs $sumExpect")
   }
+
+  test("10x corpus: line-boilerplate drops scale exactly linearly and survive repartitioning") {
+    import spark.implicits._
+    // closed form: D docs, each with one shared boilerplate line (df = D)
+    // and two unique lines; at minDf = 3 exactly one line per doc drops
+    def corpus(d: Int) = (0 until d).flatMap { i =>
+      Seq((i.toLong, 0, "SHARED BANNER LINE"),
+          (i.toLong, 1, s"unique a $i"),
+          (i.toLong, 2, s"unique b $i"))
+    }.toDF("doc_id", "idx", "line")
+    def dropped(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.PipelineOps
+        .lineBoilerplateScrub(df, "doc_id", "idx", "line", minDf = 3)
+        .agg(sum("n_dropped"), sum("n_kept")).head()
+    val small = dropped(corpus(50))
+    val big = dropped(corpus(500))
+    assert(small.getLong(0) == 50 && small.getLong(1) == 100)
+    assert(big.getLong(0) == 500 && big.getLong(1) == 1000, "drops must scale exactly 10x")
+    // partitioning invariance: the reassembled text is identical under a
+    // hostile repartition (order comes from idx, not arrival order)
+    val a = graft.operators.PipelineOps
+      .lineBoilerplateScrub(corpus(50), "doc_id", "idx", "line", 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val b = graft.operators.PipelineOps
+      .lineBoilerplateScrub(corpus(50).repartition(17, col("line")), "doc_id", "idx", "line", 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(a == b, "clean_text must not depend on physical row order")
+  }
+
+  test("weighted sample selects the identical row set under any partitioning (no rand())") {
+    import spark.implicits._
+    val base = (0 until 2000).map(i => (i.toLong, (i % 97) / 100.0)).toDF("doc_id", "p")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.PipelineOps.weightedSample(df, "doc_id", "p")
+        .select("doc_id").as[Long].collect().toSet
+    val s1 = ids(base)
+    val s2 = ids(base.repartition(13))
+    assert(s1 == s2, "hash-threshold selection must be partitioning-invariant")
+    assert(s1.nonEmpty && s1.size < 2000, s"degenerate selection: ${s1.size}")
+    // monotone in p: doubling every probability only ADDS rows
+    val boosted = graft.operators.PipelineOps
+      .weightedSample(base.withColumn("p", least(lit(1.0), col("p") * 2)), "doc_id", "p")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(boosted), "raising p must never evict a selected row")
+  }
 }
