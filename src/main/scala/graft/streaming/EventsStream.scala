@@ -239,4 +239,93 @@ object EventsStream {
           Iterator.single(next)
       }
   }
+
+  /** [[timeoutSessions]] re-expressed on Spark 4's transformWithState —
+    * the arbitrary-state API that SUPERSEDES flatMapGroupsWithState
+    * (typed ValueState/ListState/MapState handles, explicit event-time
+    * TIMERS instead of one implicit timeout, RocksDB-backed). Semantics
+    * are identical by construction: merge in-batch events in event-time
+    * order, close a session when a later event breaks the gap in-stream,
+    * or when the WATERMARK timer at session_end + gap fires and no
+    * extension can ever arrive. Timer discipline: one live timer per
+    * key — each extension deletes the stale timer before registering the
+    * new one, and the expiry handler re-checks the CURRENT session end
+    * so a racing stale timer can never close an extended session.
+    * StreamingSpec pins this twin row-for-row against the
+    * flatMapGroupsWithState implementation on the closed-form corpus.
+    *
+    * Requires the RocksDB state-store provider
+    * (spark.sql.streaming.stateStore.providerClass) — the processor is
+    * where a 100 TB ingest keeps per-key state off-heap. */
+  class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    private val gapUs = gapMinutes * 60L * 1000000L
+    @transient private var open: ValueState[OpenSession] = _
+
+    private def us(t: java.sql.Timestamp) = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    private def ts(u: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
+    private def timerMs(endUs: Long) = endUs / 1000L + gapMinutes * 60000L
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val times = rows.map(e => us(e.ts)).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var acc = if (open.exists()) Some(open.get()) else None
+      val prevTimer = acc.map(s => timerMs(s.endUs))
+      times.foreach { t =>
+        acc match {
+          case None => acc = Some(OpenSession(uid, t, t, 1L))
+          case Some(s) if t - s.endUs <= gapUs =>
+            acc = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+          case Some(s) =>
+            out += SessionOut(uid, ts(s.startUs), ts(s.endUs), s.n)
+            acc = Some(OpenSession(uid, t, t, 1L))
+        }
+      }
+      acc.foreach { o =>
+        open.update(o)
+        val next = timerMs(o.endUs)
+        if (!prevTimer.contains(next)) {
+          prevTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(next)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // act only if this timer matches the CURRENT session end (a stale
+      // timer surviving an extension must not close the new session)
+      if (open.exists()) {
+        val s = open.get()
+        if (info.getExpiryTimeInMs >= timerMs(s.endUs)) {
+          open.clear()
+          return Iterator.single(SessionOut(uid, ts(s.startUs), ts(s.endUs), s.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** transformWithState twin of [[timeoutSessions]]. */
+  def twsSessions(events: Dataset[Event], gapMinutes: Int = 30,
+                  delay: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -176,6 +176,55 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0", 1L)), out)
   }
 
+  test("transformWithState sessions (Spark 4 StatefulProcessor) match the " +
+      "flatMapGroupsWithState twin on the closed-form corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ev(uid: Long, minute: Long) = EventsStream.Event(
+      uid * 10000 + minute, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(minute.toInt)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))),
+      uid, "view", 1.0, "{}")
+    val in = MemoryStream[EventsStream.Event]
+    val q = EventsStream.twsSessions(in.toDS(), gapMinutes = 30, delay = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_sessions")
+      .start()
+    try {
+      // identical feed to the flatMapGroupsWithState test above: session A
+      // closes in-stream on the 40-min gap; B + the singleton close when
+      // the watermark timer at end + gap fires
+      in.addData(ev(1, 0), ev(1, 10), ev(1, 20), ev(2, 5))
+      q.processAllAvailable()
+      in.addData(ev(1, 60), ev(1, 65))
+      q.processAllAvailable()
+      in.addData(ev(99, 10000))
+      q.processAllAvailable()
+      in.addData(ev(99, 10001))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val out = spark.table("tws_sessions")
+      .filter(col("user_id") < 99)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:20:00.0", 3L),
+      (1L, "2024-01-01 01:00:00.0", "2024-01-01 01:05:00.0", 2L),
+      (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0", 1L)), out)
+  }
+
   test("streaming funnel state machine: windows, ordering, and single emission") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
