@@ -44,6 +44,8 @@ object SparkEntry {
     (functions.TypeSystem.queries, functions.TypeSystem.oracles),
     (functions.LongTail.queries, functions.LongTail.oracles),
     (hplsql.HplsqlGate.queries, hplsql.HplsqlGate.oracles),
+    (operators.ConstraintOps.queries, operators.ConstraintOps.oracles),
+    (operators.BpeTrainer.queries, operators.BpeTrainer.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -278,6 +278,34 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Hash-exact SimHash gate: same vote-per-bit algorithm as
+    * simhashSignatures (the production path, which banding + q66 pin),
+    * re-run on 32 bits of md5 — the one hash both engines spell
+    * identically — so the ENTIRE SimHash computation (tokenize, distinct,
+    * per-bit majority vote, bit reassembly) becomes a DuckDB-replayable
+    * closed form. The xxhash64 production variant stays spec-only by
+    * necessity; this row removes the family's only unhashed stage. Plan
+    * shape matches production: one distinct on (doc_id, token), one
+    * groupBy(doc_id) carrying 32 codegen'd conditional sums — no per-bit
+    * explode, no shuffle beyond the two aggregates. */
+  val q268_simhash_md5: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "[^A-Za-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("tok"))
+      .distinct()
+    val h = toks.select(col("doc_id"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h32"))
+    val votes = (0 until 32).map(j =>
+      sum(when(shiftrightunsigned(col("h32"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    h.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard over all pairs (the small-scale oracle-able
     * ground truth; at 100 TB you run q65 instead — same verify stage).
     * Capped at 1000 docs: all-pairs x shingle-join is O(n^2 * s) and is
@@ -892,6 +920,7 @@ object Dedup {
     "q64_dedup_exact" -> q64_dedup_exact,
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
+    "q268_simhash_md5" -> q268_simhash_md5,
     "q67_ngram_jaccard" -> q67_ngram_jaccard,
     "q123_dedup_clusters" -> q123_dedup_clusters,
     "q124_dedup_keep_best" -> q124_dedup_keep_best,
@@ -934,6 +963,27 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q268_simhash_md5" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lower(tok) AS tok
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(text, '[^A-Za-z0-9]+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''
+        |), h AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h32
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN (h32 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0, 31)) AS j)
+        |  GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+        |    AS simhash32
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q260_fuzzy_name_pairs" ->
       """SELECT a.s_suppkey AS ida, b.s_suppkey AS idb,
         |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist

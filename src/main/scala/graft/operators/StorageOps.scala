@@ -270,6 +270,29 @@ object StorageOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Compact index route (reference CREATE INDEX ... AS 'COMPACT',
+    * ql/index/compact/CompactIndexHandler.java + HiveIndexedInputFormat's
+    * split pruning — see sources/CompactIndexIO): write orders
+    * range-clustered on o_orderpriority (the layout a sorted insert
+    * produces), build the (value, file) index, and answer a selective
+    * predicate by scanning ONLY index-named files. The oracle computes
+    * the same answer from the base table, so a pruning bug that drops a
+    * file (missing rows) or the index mapping a value to wrong files
+    * (exact re-filter masks extras, never losses) breaks the hash.
+    * FormatsSpec pins that the routed scan actually reads fewer files. */
+  val q269_compact_index: Q = (s, d) => {
+    val path = tmp(d, "orders_indexed")
+    val idx = tmp(d, "orders_idx_priority")
+    Tables.orders(s, d).repartitionByRange(8, col("o_orderpriority"), col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    graft.sources.CompactIndexIO.build(s, path, "o_orderpriority", idx)
+    graft.sources.CompactIndexIO.read(s, path, idx, "o_orderpriority", Seq("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Versioned snapshot DML + time travel (acid.Versioned — the
     * base/delta multi-version idea from AcidUtils.java:56-68 with
     * commit-marker atomicity): commit supplier as v1, UPDATE to v2,
@@ -335,6 +358,7 @@ object StorageOps {
 
   val queries: Map[String, Q] = Map(
     "q196_compaction" -> q196_compaction,
+    "q269_compact_index" -> q269_compact_index,
     "q258_versioned_dml" -> q258_versioned_dml,
     "q259_merge_on_read" -> q259_merge_on_read,
     "q149_smb_join" -> q149_smb_join,
@@ -349,6 +373,11 @@ object StorageOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q269_compact_index" ->
+      """SELECT o_orderpriority, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q149_smb_join" ->
       """SELECT o_orderstatus, COUNT(1) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CompactIndexIO
+
+/** Compact-index route (sources/CompactIndexIO — the CREATE INDEX ...
+  * AS 'COMPACT' analog). The oracle row (q269) pins values; this spec
+  * pins the parts the oracle cannot see: the routed scan must actually
+  * read FEWER files than the full scan (otherwise the index is
+  * decoration), staleness must be detectable after the table drifts, and
+  * the no-match path must return an empty, correctly-typed frame. */
+class IndexSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val base = "target/storage/indexspec"
+
+  test("index-routed scan prunes files and matches the full-scan answer") {
+    val path = s"$base/orders_clustered"
+    val idx = s"$base/orders_idx"
+    Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_orderpriority"), col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    CompactIndexIO.build(spark, path, "o_orderpriority", idx)
+
+    val full = spark.read.parquet(path)
+    val routed = CompactIndexIO.read(spark, path, idx, "o_orderpriority", Seq("1-URGENT"))
+    // the whole point: fewer files touched than the full table holds
+    assert(routed.inputFiles.length < full.inputFiles.length,
+      s"index route read ${routed.inputFiles.length} of ${full.inputFiles.length} files — no pruning")
+    // answer identical to the plain filter
+    val expect = full.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(routed.count() == expect)
+    val sumRouted = routed.agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    val sumFull = full.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    assert(sumRouted == sumFull)
+  }
+
+  test("multi-value lookup unions the value routes exactly once") {
+    val path = s"$base/orders_clustered"
+    val idx = s"$base/orders_idx"
+    val routed = CompactIndexIO.read(spark, path, idx, "o_orderpriority",
+      Seq("1-URGENT", "5-LOW"))
+    val expect = spark.read.parquet(path)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")).count()
+    assert(routed.count() == expect)
+  }
+
+  test("no-match value returns an empty frame with the table schema") {
+    val path = s"$base/orders_clustered"
+    val idx = s"$base/orders_idx"
+    val routed = CompactIndexIO.read(spark, path, idx, "o_orderpriority", Seq("9-NOPE"))
+    assert(routed.count() == 0)
+    assert(routed.schema == spark.read.parquet(path).schema)
+  }
+
+  test("staleness is detected after the table drifts (DEFERRED REBUILD contract)") {
+    val path = s"$base/orders_drift"
+    val idx = s"$base/orders_drift_idx"
+    Tables.orders(spark, sf).limit(100)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    CompactIndexIO.build(spark, path, "o_orderpriority", idx)
+    assert(!CompactIndexIO.isStale(spark, path, idx))
+    Tables.orders(spark, sf).limit(10)
+      .write.mode(SaveMode.Append).parquet(path)
+    assert(CompactIndexIO.isStale(spark, path, idx))
+    // REBUILD = build again
+    CompactIndexIO.build(spark, path, "o_orderpriority", idx)
+    assert(!CompactIndexIO.isStale(spark, path, idx))
+  }
+}
