@@ -41,7 +41,7 @@ object ConstraintOps {
     * answer-invariant (TPC-H referential integrity holds in the data, as
     * RELY asserts). Decimal-sum then one final cast, the repo's standard
     * summation-order-proof aggregation spelling. */
-  val q265_pkfk_join_elim: Q = (s, d) => {
+  val q272_pkfk_join_elim: Q = (s, d) => {
     registerTpchConstraints()
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -54,7 +54,7 @@ object ConstraintOps {
   /** DISTINCT over a projection that carries the table's RELY primary
     * key dedupes nothing; the rule deletes the aggregate (and with it the
     * exchange). Oracle keeps the DISTINCT. */
-  val q266_distinct_pk_elim: Q = (s, d) => {
+  val q273_distinct_pk_elim: Q = (s, d) => {
     registerTpchConstraints()
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
@@ -67,7 +67,7 @@ object ConstraintOps {
     * referenced needs only uniqueness (≤1 match per row, unmatched rows
     * survive null-extended): eliminated without any FK declared — the
     * shape BI tools emit for every "optional dimension" lookup. */
-  val q267_leftouter_pk_elim: Q = (s, d) => {
+  val q274_leftouter_pk_elim: Q = (s, d) => {
     registerTpchConstraints()
     Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
@@ -78,21 +78,21 @@ object ConstraintOps {
   }
 
   val queries: Map[String, Q] = Map(
-    "q265_pkfk_join_elim" -> q265_pkfk_join_elim,
-    "q266_distinct_pk_elim" -> q266_distinct_pk_elim,
-    "q267_leftouter_pk_elim" -> q267_leftouter_pk_elim,
+    "q272_pkfk_join_elim" -> q272_pkfk_join_elim,
+    "q273_distinct_pk_elim" -> q273_distinct_pk_elim,
+    "q274_leftouter_pk_elim" -> q274_leftouter_pk_elim,
   )
 
   val oracles: Map[String, String] = Map(
-    "q265_pkfk_join_elim" ->
+    "q272_pkfk_join_elim" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q266_distinct_pk_elim" ->
+    "q273_distinct_pk_elim" ->
       """SELECT DISTINCT o_orderkey, o_custkey, o_orderstatus
          FROM orders ORDER BY o_orderkey LIMIT 500""",
-    "q267_leftouter_pk_elim" ->
+    "q274_leftouter_pk_elim" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
          FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey

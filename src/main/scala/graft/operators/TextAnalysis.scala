@@ -530,7 +530,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** The Gopher document-filter rule battery (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A1.1), verbatim:
+    * word count in [50, 100k]; mean word length in [3, 10]; symbol-to-
+    * word ratio (# and ...) < 0.1; < 90% of lines bullet-led; < 30% of
+    * lines ellipsis-ended; >= 80% of words contain an alphabetic char;
+    * at least 2 distinct hits from the 8-word stop list. Every ratio is
+    * evaluated as an INTEGER cross-multiplication (10*symbols < words,
+    * not symbols/words < 0.1) so the row is bit-stable and DuckDB-
+    * replayable with no float anywhere. All seven rules plus the
+    * composite run in ONE projection over the scan — at 100 TB this is
+    * the scan-speed gate it is in production pipelines; the only
+    * exchange is the output ordering. */
+  val q271_gopher_rules: Q = (s, d) => {
+    val words = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    val lines = split(col("text"), "\n")
+    val wordsL = transform(words, w => lower(w))
+    val nWords = size(words).cast("long")
+    val nWordChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nAlphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, x =>
+      ltrim(x).startsWith("- ") || ltrim(x).startsWith("* "))).cast("long")
+    val nEllLines = size(filter(lines, x => rtrim(x).endsWith("..."))).cast("long")
+    val nSymbols = (length(col("text")) - length(translate(col("text"), "#", ""))).cast("long") +
+      regexp_count(col("text"), lit("\\.\\.\\."))
+    val stopKinds = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => array_contains(wordsL, w).cast("long")).reduce(_ + _)
+    val rWordCount = nWords.between(50, 100000)
+    val rMeanLen = (lit(3) * nWords <= nWordChars) && (nWordChars <= lit(10) * nWords)
+    val rSymbol = lit(10) * nSymbols < nWords
+    val rBullet = lit(10) * nBullet < lit(9) * nLines
+    val rEllipsis = lit(10) * nEllLines < lit(3) * nLines
+    val rAlpha = lit(10) * nAlphaWords >= lit(8) * nWords
+    val rStop = stopKinds >= 2
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"),
+        rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
+        rSymbol.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
+        rEllipsis.as("r_ellipsis_lines"), rAlpha.as("r_alpha_words"),
+        rStop.as("r_stopwords"),
+        (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
+          .as("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q271_gopher_rules" -> q271_gopher_rules,
     "q242_token_cooccurrence" -> q242_token_cooccurrence,
     "q239_source_token_drift" -> q239_source_token_drift,
     "q232_quality_gate" -> q232_quality_gate,
@@ -556,6 +602,48 @@ object TextAnalysis {
     s"len(list_filter($arrSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "q271_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    len(regexp_extract_all(text, '\.\.\.')) AS n_ell
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+        |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, x -> ltrim(x) LIKE '- %' OR ltrim(x) LIKE '* %')) AS n_bullet,
+        |    len(list_filter(lines, x -> rtrim(x) LIKE '%...')) AS n_ell_lines,
+        |    n_hash + n_ell AS n_symbols,
+        |    CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS BIGINT)
+        |      + CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS BIGINT)
+        |      + CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS BIGINT)
+        |      + CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS BIGINT)
+        |      + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS BIGINT)
+        |      + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS BIGINT)
+        |      + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS BIGINT)
+        |      + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS BIGINT)
+        |      AS n_stop_kinds
+        |  FROM base
+        |)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+        |  (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS r_mean_word_len,
+        |  (10 * n_symbols < n_words) AS r_symbol_ratio,
+        |  (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
+        |  (10 * n_ell_lines < 3 * n_lines) AS r_ellipsis_lines,
+        |  (10 * n_alpha_words >= 8 * n_words) AS r_alpha_words,
+        |  (n_stop_kinds >= 2) AS r_stopwords,
+        |  ((n_words BETWEEN 50 AND 100000)
+        |   AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+        |   AND (10 * n_symbols < n_words) AND (10 * n_bullet < 9 * n_lines)
+        |   AND (10 * n_ell_lines < 3 * n_lines) AND (10 * n_alpha_words >= 8 * n_words)
+        |   AND (n_stop_kinds >= 2)) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q242_token_cooccurrence" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
