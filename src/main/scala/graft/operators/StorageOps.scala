@@ -293,6 +293,30 @@ object StorageOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Zone-map (min/max) index route for a RANGE predicate — the sibling
+    * of q269's value index (reference analogs: ORC stripe stats pruning
+    * in ql/io/orc/RecordReaderImpl, bitmap index ranges in ql/index/
+    * bitmap/): orders written date-clustered, per-file min/max built,
+    * and a one-year BETWEEN answered from only the files whose zone
+    * intersects the range. Same soundness shape as q269: the exact
+    * re-filter masks over-selection, so only a LOST file can move the
+    * hash — which is exactly what the oracle would catch. */
+  val q275_minmax_index: Q = (s, d) => {
+    val path = tmp(d, "orders_date_clustered")
+    val idx = tmp(d, "orders_idx_date")
+    Tables.orders(s, d).repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    graft.sources.CompactIndexIO.buildMinMax(s, path, "o_orderdate", idx)
+    graft.sources.CompactIndexIO.readRange(s, path, idx, "o_orderdate",
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1996-12-31 23:59:59"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Versioned snapshot DML + time travel (acid.Versioned — the
     * base/delta multi-version idea from AcidUtils.java:56-68 with
     * commit-marker atomicity): commit supplier as v1, UPDATE to v2,
@@ -359,6 +383,7 @@ object StorageOps {
   val queries: Map[String, Q] = Map(
     "q196_compaction" -> q196_compaction,
     "q269_compact_index" -> q269_compact_index,
+    "q275_minmax_index" -> q275_minmax_index,
     "q258_versioned_dml" -> q258_versioned_dml,
     "q259_merge_on_read" -> q259_merge_on_read,
     "q149_smb_join" -> q149_smb_join,
@@ -373,6 +398,13 @@ object StorageOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q275_minmax_index" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                      AND TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q269_compact_index" ->
       """SELECT o_orderpriority, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price

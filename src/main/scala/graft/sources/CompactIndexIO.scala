@@ -72,6 +72,38 @@ object CompactIndexIO {
     else spark.read.schema(full.schema).parquet(files: _*).filter(pred)
   }
 
+  /** Zone-map variant: per-file min/max of the indexed column — the
+    * range-predicate sibling of the compact value index (what the
+    * reference gets from ORC stripe stats, ql/io/orc/RecordReaderImpl's
+    * pickRowGroups, lifted to file granularity for any format). One
+    * aggregate over (file) builds it; a BETWEEN predicate then scans only
+    * files whose [min,max] intersects the query range. */
+  def buildMinMax(spark: SparkSession, tableDir: String, column: String, indexDir: String): Unit = {
+    val src = spark.read.parquet(tableDir)
+    src.select(col(column).as("v"), input_file_name().as("idx_file"))
+      .groupBy(col("idx_file"))
+      .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+      .write.mode("overwrite").parquet(dataDir(indexDir))
+    src.select(input_file_name().as("src_file")).distinct()
+      .write.mode("overwrite").parquet(filesDir(indexDir))
+  }
+
+  /** Range-routed scan over a min/max index: keep files whose zone
+    * intersects [lo, hi], re-apply the exact predicate. Files whose
+    * indexed column was all-null have null min/max and are skipped —
+    * correct for a BETWEEN predicate, which no null row satisfies. */
+  def readRange(spark: SparkSession, tableDir: String, indexDir: String,
+                column: String, lo: Any, hi: Any): DataFrame = {
+    val full = spark.read.parquet(tableDir)
+    val files = spark.read.parquet(dataDir(indexDir))
+      .filter(col("max_value") >= lit(lo) && col("min_value") <= lit(hi))
+      .select(col("idx_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pred: Column = col(column).between(lit(lo), lit(hi))
+    if (files.isEmpty) full.filter(pred).limit(0)
+    else spark.read.schema(full.schema).parquet(files: _*).filter(pred)
+  }
+
   /** Has the table drifted since the index was built? (The DEFERRED
     * REBUILD contract: a stale index must be detectable, not silently
     * wrong.) */

@@ -57,6 +57,34 @@ class IndexSpec extends AnyFunSuite {
     assert(routed.schema == spark.read.parquet(path).schema)
   }
 
+  test("zone-map range route prunes files and matches the full-scan answer") {
+    val path = s"$base/orders_dates"
+    val idx = s"$base/orders_dates_idx"
+    Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    CompactIndexIO.buildMinMax(spark, path, "o_orderdate", idx)
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
+    val full = spark.read.parquet(path)
+    val routed = CompactIndexIO.readRange(spark, path, idx, "o_orderdate", lo, hi)
+    assert(routed.inputFiles.length < full.inputFiles.length,
+      s"zone route read ${routed.inputFiles.length}/${full.inputFiles.length} files — no pruning")
+    val expect = full.filter(col("o_orderdate").between(lo, hi)).count()
+    assert(expect > 0, "test range must be non-vacuous")
+    assert(routed.count() == expect)
+  }
+
+  test("zone-map route with an out-of-range window is an empty scan") {
+    val path = s"$base/orders_dates"
+    val idx = s"$base/orders_dates_idx"
+    val routed = CompactIndexIO.readRange(spark, path, idx, "o_orderdate",
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2030-12-31 00:00:00"))
+    assert(routed.count() == 0)
+  }
+
   test("staleness is detected after the table drifts (DEFERRED REBUILD contract)") {
     val path = s"$base/orders_drift"
     val idx = s"$base/orders_drift_idx"
