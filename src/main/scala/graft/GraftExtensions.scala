@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)
     ext.injectOptimizerRule(_ => plans.ConstraintRewrites)
+    ext.injectOptimizerRule(_ => plans.MvRewrite)
     ext.injectPlannerStrategy(_ => new plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),

@@ -317,6 +317,31 @@ object StorageOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Materialized view with automatic rewrite (plans/MaterializedViews —
+    * the HIVE-14249 `ENABLE REWRITE` arc on the reference's Calcite CBO
+    * base, ql/optimizer/calcite/): materialize the per-(priority, status)
+    * rollup, then answer a COARSER aggregate (by status only) that the
+    * rewrite routes through the view's stored rows via the aggregate-
+    * projection matcher — the query never touches the orders table
+    * (MvSpec pins the scan path). The oracle computes from base orders,
+    * so the rewrite must be answer-invariant. Counts re-aggregate with
+    * SUM over the view's cells; the decimal total survives re-aggregation
+    * exactly because the view stores the decimal (pre-cast) partial. */
+  val q276_mv_rewrite: Q = (s, d) => {
+    val path = tmp(d, "mv_prio_status")
+    val defn = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).as("sum_price_dec"))
+    graft.plans.MaterializedViews.create(s, "mv_prio_status", defn, path)
+    val out = defn
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+           sum(col("sum_price_dec")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+    out
+  }
+
   /** Versioned snapshot DML + time travel (acid.Versioned — the
     * base/delta multi-version idea from AcidUtils.java:56-68 with
     * commit-marker atomicity): commit supplier as v1, UPDATE to v2,
@@ -384,6 +409,7 @@ object StorageOps {
     "q196_compaction" -> q196_compaction,
     "q269_compact_index" -> q269_compact_index,
     "q275_minmax_index" -> q275_minmax_index,
+    "q276_mv_rewrite" -> q276_mv_rewrite,
     "q258_versioned_dml" -> q258_versioned_dml,
     "q259_merge_on_read" -> q259_merge_on_read,
     "q149_smb_join" -> q149_smb_join,
@@ -398,6 +424,10 @@ object StorageOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q276_mv_rewrite" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q275_minmax_index" ->
       """SELECT o_orderstatus, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
