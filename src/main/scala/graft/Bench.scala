@@ -68,6 +68,12 @@ object Bench {
     "q259_merge_on_read",  // delta commit + window merge + compaction inline
     "q265_line_boilerplate", // line-level boilerplate scrub (df sliver +
                              // broadcast anti join + per-doc reassembly)
+    "q271_gopher_rules",   // Gopher filter battery (scan-side single projection)
+    "q272_pkfk_join_elim", // constraint-driven join elimination (the join the
+                           // plan does NOT run; oracle keeps it)
+    "q276_mv_rewrite",     // materialized-view rewrite (builds the view inline
+                           // each pass, so this UPPER-BOUNDS the production
+                           // cost of a view-routed read)
   )
 
   /** Every headline name must resolve in SparkEntry.queries — a silent

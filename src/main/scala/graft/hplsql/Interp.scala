@@ -513,7 +513,13 @@ object Hplsql {
     }
 
     private def runSql(sql: String): org.apache.spark.sql.DataFrame =
-      spark.sql(sql)
+      // constraint DDL (ADD/DROP CONSTRAINT) is a grammar Spark lacks;
+      // route it to the engine's registry exactly as the reference routes
+      // it to DDLTask (HiveParser.g alterStatementSuffixAddConstraint)
+      if (graft.plans.ConstraintDdl.matches(sql)) {
+        graft.plans.ConstraintDdl.run(sql)
+        spark.emptyDataFrame
+      } else spark.sql(sql)
 
     private def runSelectInto(sql: String, into: Seq[String]): Unit = {
       val rows = try runSql(sql).limit(1).collect()

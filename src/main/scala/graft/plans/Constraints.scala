@@ -113,6 +113,12 @@ object ConstraintDdl {
 
   private def cols(s: String): Seq[String] = s.split(",").map(_.trim.toLowerCase).toSeq
 
+  /** Is this statement constraint DDL this object handles? (Used by SQL
+    * dispatchers — e.g. the HPL/SQL interpreter's passthrough — to route
+    * here instead of spark.sql, which has no such grammar.) */
+  def matches(sql: String): Boolean =
+    AddPk.matches(sql) || AddFk.matches(sql) || Drop.matches(sql)
+
   def run(sql: String): Unit = sql match {
     case AddPk(table, name, pkCols, rely, _) =>
       ConstraintCatalog.addPrimaryKey(name, table, cols(pkCols), rely != null)

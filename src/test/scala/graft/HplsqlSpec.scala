@@ -543,6 +543,21 @@ class HplsqlSpec extends AnyFunSuite {
 
   // ---- error paths (clientnegative kin) ----------------------------------
 
+  test("constraint DDL routes through the passthrough to the engine registry") {
+    graft.plans.ConstraintCatalog.clear()
+    run(
+      """ALTER TABLE orders ADD CONSTRAINT pk_orders PRIMARY KEY (o_orderkey) DISABLE NOVALIDATE RELY;
+        |ALTER TABLE lineitem ADD CONSTRAINT fk_lo FOREIGN KEY (l_orderkey) REFERENCES orders (o_orderkey) DISABLE NOVALIDATE RELY;
+        |PRINT 'declared';
+        |""".stripMargin)
+    assert(graft.plans.ConstraintCatalog.primaryKey("orders").exists(_.rely),
+      "HPL/SQL ALTER TABLE ADD CONSTRAINT must reach the constraint registry")
+    assert(graft.plans.ConstraintCatalog.foreignKeys("lineitem", "orders").nonEmpty)
+    run("ALTER TABLE lineitem DROP CONSTRAINT fk_lo;")
+    assert(graft.plans.ConstraintCatalog.foreignKeys("lineitem", "orders").isEmpty)
+    graft.plans.ConstraintCatalog.clear()
+  }
+
   test("error paths: unknown variable, unknown procedure, unknown cursor, parse error — all typed") {
     val e1 = intercept[Hplsql.HplError] { run("PRINT never_declared;") }
     assert(e1.getMessage.contains("Variable not found"))

@@ -17,10 +17,19 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("every declared query runs at sf0.001 and matches its oracle's column names") {
-    SparkEntry.queries.foreach { case (name, q) =>
-      val df = q(spark, sf)
-      assert(df.columns.nonEmpty, s"$name has no columns")
-      df.count() // executes the plan
+    try {
+      SparkEntry.queries.foreach { case (name, q) =>
+        val df = q(spark, sf)
+        assert(df.columns.nonEmpty, s"$name has no columns")
+        df.count() // executes the plan
+      }
+    } finally {
+      // the constraint / materialized-view gate rows register session-
+      // global optimizer state; clear it so later plan-shape pins in this
+      // shared JVM see virgin sessions (the rewrites are answer-invariant
+      // but deliberately change plan shapes)
+      plans.ConstraintCatalog.clear()
+      plans.MaterializedViews.clear()
     }
   }
 
