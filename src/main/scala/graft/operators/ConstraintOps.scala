@@ -77,13 +77,31 @@ object ConstraintOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** COUNT(DISTINCT pk) collapses to plain COUNT under the RELY PK —
+    * no Expand, no double aggregation. Mixed with an ordinary
+    * count-distinct (o_custkey, NOT a key) that must keep its DISTINCT,
+    * so the row also proves the rewrite is surgical. */
+  val q277_count_distinct_pk: Q = (s, d) => {
+    registerTpchConstraints()
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count_distinct(col("o_orderkey")).as("n_orders"),
+           count_distinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q277_count_distinct_pk" -> q277_count_distinct_pk,
     "q272_pkfk_join_elim" -> q272_pkfk_join_elim,
     "q273_distinct_pk_elim" -> q273_distinct_pk_elim,
     "q274_leftouter_pk_elim" -> q274_leftouter_pk_elim,
   )
 
   val oracles: Map[String, String] = Map(
+    "q277_count_distinct_pk" ->
+      """SELECT o_orderstatus, count(DISTINCT o_orderkey) AS n_orders,
+         count(DISTINCT o_custkey) AS n_custs
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q272_pkfk_join_elim" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty

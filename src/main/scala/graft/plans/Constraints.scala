@@ -297,21 +297,43 @@ object ConstraintRewrites extends Rule[LogicalPlan] {
     walk(attrs.map(a => a.exprId.id -> a.name.toLowerCase).toMap, plan)
   }
 
+  /** COUNT(DISTINCT pk...) over a single scan is COUNT(pk...): with the
+    * full RELY primary key among the counted columns, every surviving row
+    * is already unique, so the DISTINCT's Expand + extra aggregation
+    * level buys nothing. Only fires when the aggregate's child traces to
+    * one bare scan through row-preserving ops (a join below could
+    * duplicate key values and genuinely needs the DISTINCT). */
+  private def rewriteCountDistinct(a: Aggregate): Aggregate = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+    a.copy(aggregateExpressions = a.aggregateExpressions.map(_.transform {
+      case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(children) if children.nonEmpty &&
+              children.forall(_.isInstanceOf[Attribute]) &&
+              coversPk(children.map(_.asInstanceOf[Attribute]), a.child) =>
+            ae.copy(isDistinct = false)
+          case _ => ae
+        }
+    }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (ConstraintCatalog.isEmpty) return plan
     plan.transform {
       case p @ Project(_, j: Join) =>
         eliminate(p.references, j).map(c => p.copy(child = c)).getOrElse(p)
       case a @ Aggregate(_, _, j: Join, _) if distinctShape(a).isEmpty =>
-        eliminate(a.references, j).map(c => a.copy(child = c)).getOrElse(a)
+        eliminate(a.references, j).map(c => a.copy(child = c)).getOrElse(rewriteCountDistinct(a))
       case a: Aggregate =>
         distinctShape(a) match {
           case Some(groupAttrs) if coversPk(groupAttrs, a.child) =>
             Project(a.aggregateExpressions, a.child)
           case _ =>
             a.child match {
-              case j: Join => eliminate(a.references, j).map(c => a.copy(child = c)).getOrElse(a)
-              case _ => a
+              case j: Join =>
+                eliminate(a.references, j).map(c => a.copy(child = c))
+                  .getOrElse(rewriteCountDistinct(a))
+              case _ => rewriteCountDistinct(a)
             }
         }
     }

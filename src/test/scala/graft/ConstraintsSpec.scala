@@ -145,6 +145,29 @@ class ConstraintsSpec extends AnyFunSuite {
     }
   }
 
+  test("COUNT(DISTINCT pk) drops its DISTINCT; non-key and joined cases keep it") {
+    withTpchConstraints() {
+      val onPk = Tables.orders(spark, sf)
+        .agg(count_distinct(col("o_orderkey")).as("n"))
+      val opt = optimized(onPk)
+      assert(!opt.contains("distinct"),
+        "count(distinct pk) over the bare scan must lose its DISTINCT:\n" + opt)
+      assert(onPk.collect()(0).getLong(0) == Tables.orders(spark, sf).count())
+
+      val onNonKey = Tables.orders(spark, sf)
+        .agg(count_distinct(col("o_custkey")).as("n"))
+      assert(optimized(onNonKey).contains("distinct"),
+        "count(distinct non-key) must keep its DISTINCT")
+
+      // below a join the key can repeat: DISTINCT must survive
+      val joined = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .agg(count_distinct(col("o_orderkey")).as("n"))
+      assert(optimized(joined).contains("distinct"),
+        "count(distinct pk) above a fact join counts deduped keys — must keep DISTINCT")
+    }
+  }
+
   test("empty registry is an exact no-op on a join-heavy plan") {
     ConstraintCatalog.clear()
     val df = Tables.lineitem(spark, sf)

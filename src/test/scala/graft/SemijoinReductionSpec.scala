@@ -55,6 +55,24 @@ class SemijoinReductionSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
+    // the reference's DynamicPartitionPruningOptimization.java exactly:
+    // the dim-side filter's key values prune fact PARTITIONS at runtime
+    val path = "target/storage/dppspec/orders_by_priority"
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p"), col("o_orderstatus"))
+      .filter(col("o_orderstatus") === "F").distinct()
+    val joined = fact.join(dim, col("o_orderpriority") === col("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("dynamicpruning"),
+      "partition-column join with a filtered dim must plan dynamic pruning:\n" + phys)
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("no injection when the join broadcasts or the filter is not selective") {
     withConfs(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
