@@ -342,6 +342,36 @@ object StorageOps {
     out
   }
 
+  /** Incremental MV maintenance end-to-end (plans/IncrementalMv — the
+    * HIVE-20962 append-only incremental rebuild): base written in batch
+    * 1, view created, batch 2 APPENDED, view refreshed — the refresh
+    * must take the O(new files) path (the require pins it) and the final
+    * cells must equal the oracle's full aggregate over all of orders.
+    * A merge bug (lost cell, double-counted delta, wrong merge fn) moves
+    * the hash. */
+  val q278_incremental_mv: Q = (s, d) => {
+    import graft.plans.IncrementalMv
+    import graft.plans.IncrementalMv.AggSpec
+    val tableDir = tmp(d, "orders_mv_base")
+    val mvPath = tmp(d, "mv_inc_orders")
+    val all = Tables.orders(s, d)
+    all.filter(col("o_orderkey") % 2 === 0).repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(tableDir)
+    val aggs = Seq(
+      AggSpec("count", "o_orderkey", "n_orders"),
+      AggSpec("sum", "o_orderkey", "sum_keys"),
+      AggSpec("min", "o_totalprice", "min_price"),
+      AggSpec("max", "o_totalprice", "max_price"))
+    IncrementalMv.create(s, "mv_q278", tableDir, None, Seq("o_orderpriority"), aggs, mvPath)
+    all.filter(col("o_orderkey") % 2 === 1).repartition(2)
+      .write.mode(SaveMode.Append).parquet(tableDir)
+    val r = IncrementalMv.refresh(s, tableDir, None, Seq("o_orderpriority"), aggs, mvPath)
+    require(r.mode == "incremental" && r.newFiles == 2,
+      s"refresh must ride the incremental path: $r")
+    graft.plans.MaterializedViews.drop("mv_q278")
+    IncrementalMv.read(s, mvPath).orderBy(col("o_orderpriority"))
+  }
+
   /** Versioned snapshot DML + time travel (acid.Versioned — the
     * base/delta multi-version idea from AcidUtils.java:56-68 with
     * commit-marker atomicity): commit supplier as v1, UPDATE to v2,
@@ -410,6 +440,7 @@ object StorageOps {
     "q269_compact_index" -> q269_compact_index,
     "q275_minmax_index" -> q275_minmax_index,
     "q276_mv_rewrite" -> q276_mv_rewrite,
+    "q278_incremental_mv" -> q278_incremental_mv,
     "q258_versioned_dml" -> q258_versioned_dml,
     "q259_merge_on_read" -> q259_merge_on_read,
     "q149_smb_join" -> q149_smb_join,
@@ -424,6 +455,11 @@ object StorageOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q278_incremental_mv" ->
+      """SELECT o_orderpriority, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q276_mv_rewrite" ->
       """SELECT o_orderstatus, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price

@@ -74,6 +74,8 @@ object MaterializedViews {
   }
 
   private[plans] def all: Seq[Mv] = registry.values.asScala.toSeq
+
+  private[plans] def register(mv: Mv): Unit = registry.put(mv.name, mv)
 }
 
 /** The rewrite rule, injected via GraftExtensions. Matching is top-down

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{IncrementalMv, MaterializedViews}
+import graft.plans.IncrementalMv.AggSpec
+
+/** Incremental aggregate-MV maintenance (plans/IncrementalMv). Pins:
+  * the incremental path reads ONLY appended files; merged cells equal a
+  * full recompute for every supported aggregate; removed files trigger
+  * the automatic full-recompute fallback; AVG is rejected; the
+  * registered view keeps routing queries after an incremental refresh. */
+class IncrementalMvSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val base = "target/storage/incmv"
+
+  private def aggs = Seq(
+    AggSpec("count", "o_orderkey", "n_orders"),
+    AggSpec("sum", "o_orderkey", "sum_keys"), // bigint: order-proof exact
+    AggSpec("min", "o_totalprice", "min_price"),
+    AggSpec("max", "o_totalprice", "max_price"))
+
+  private def fullRecompute(dir: String) =
+    spark.read.parquet(dir).groupBy(col("o_orderpriority"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           sum(col("o_orderkey")).as("sum_keys"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+  test("append-only refresh is incremental, reads only new files, and matches full recompute") {
+    MaterializedViews.clear()
+    val tableDir = s"$base/orders_growing"
+    val mvPath = s"$base/mv_growing"
+    val all = Tables.orders(spark, sf)
+    all.filter(col("o_orderkey") % 2 === 0).repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(tableDir)
+    IncrementalMv.create(spark, "mv_inc", tableDir, None,
+      Seq("o_orderpriority"), aggs, mvPath)
+
+    // batch 2 appended
+    all.filter(col("o_orderkey") % 2 === 1).repartition(2)
+      .write.mode(SaveMode.Append).parquet(tableDir)
+
+    // the delta frame sees exactly the appended files
+    val delta = IncrementalMv.deltaFrame(spark, tableDir, mvPath)
+    assert(delta.inputFiles.length == 2,
+      s"delta must be the 2 appended files, saw ${delta.inputFiles.length}")
+
+    val r = IncrementalMv.refresh(spark, tableDir, None, Seq("o_orderpriority"), aggs, mvPath)
+    assert(r.mode == "incremental" && r.newFiles == 2 && r.removedFiles == 0, r.toString)
+    assert(asMap(IncrementalMv.read(spark, mvPath)) == asMap(fullRecompute(tableDir)),
+      "incrementally merged cells must equal the full recompute")
+  }
+
+  test("removed files force the full-recompute fallback; noop when nothing changed") {
+    MaterializedViews.clear()
+    val tableDir = s"$base/orders_shrinking"
+    val mvPath = s"$base/mv_shrinking"
+    Tables.orders(spark, sf).repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(tableDir)
+    IncrementalMv.create(spark, "mv_shrink", tableDir, None,
+      Seq("o_orderpriority"), aggs, mvPath)
+
+    assert(IncrementalMv.refresh(spark, tableDir, None,
+      Seq("o_orderpriority"), aggs, mvPath).mode == "noop")
+
+    // rewrite the base smaller (files replaced) -> full
+    Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").repartition(2)
+      .write.mode(SaveMode.Overwrite).parquet(tableDir)
+    val r = IncrementalMv.refresh(spark, tableDir, None, Seq("o_orderpriority"), aggs, mvPath)
+    assert(r.mode == "full" && r.removedFiles > 0, r.toString)
+    assert(asMap(IncrementalMv.read(spark, mvPath)) == asMap(fullRecompute(tableDir)))
+  }
+
+  test("filtered view maintains only matching rows; AVG is rejected") {
+    MaterializedViews.clear()
+    val tableDir = s"$base/orders_filtered"
+    val mvPath = s"$base/mv_filtered"
+    val all = Tables.orders(spark, sf)
+    all.limit(800).write.mode(SaveMode.Overwrite).parquet(tableDir)
+    IncrementalMv.create(spark, "mv_filtered", tableDir,
+      Some(col("o_orderstatus") === "F"), Seq("o_orderpriority"), aggs, mvPath)
+    all.except(all.limit(800)).write.mode(SaveMode.Append).parquet(tableDir)
+    val r = IncrementalMv.refresh(spark, tableDir, Some(col("o_orderstatus") === "F"),
+      Seq("o_orderpriority"), aggs, mvPath)
+    assert(r.mode == "incremental")
+    val want = asMap(spark.read.parquet(tableDir).filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(col("o_orderkey")).as("n_orders"), sum(col("o_orderkey")).as("sum_keys"),
+           min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price")))
+    assert(asMap(IncrementalMv.read(spark, mvPath)) == want)
+
+    intercept[IllegalArgumentException] { AggSpec("avg", "o_totalprice", "bad") }
+    MaterializedViews.clear()
+  }
+
+  test("the registered view still routes queries after an incremental refresh") {
+    MaterializedViews.clear()
+    val tableDir = s"$base/orders_routed"
+    val mvPath = s"$base/mv_routed"
+    Tables.orders(spark, sf).repartition(3)
+      .write.mode(SaveMode.Overwrite).parquet(tableDir)
+    IncrementalMv.create(spark, "mv_routed", tableDir, None,
+      Seq("o_orderpriority"), Seq(AggSpec("count", "o_orderkey", "n_orders")), mvPath)
+    val q = spark.read.parquet(tableDir).groupBy(col("o_orderpriority"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    assert(q.queryExecution.executedPlan.toString.contains("mv_routed"),
+      "matching query must route to the maintained view")
+    MaterializedViews.clear()
+  }
+}
