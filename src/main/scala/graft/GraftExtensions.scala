@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)
     ext.injectOptimizerRule(_ => plans.ConstraintRewrites)
     ext.injectOptimizerRule(_ => plans.MvRewrite)
+    ext.injectOptimizerRule(_ => plans.IndexRoute)
     ext.injectPlannerStrategy(_ => new plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),

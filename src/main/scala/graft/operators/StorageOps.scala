@@ -342,6 +342,27 @@ object StorageOps {
     out
   }
 
+  /** TRANSPARENT index routing (plans/IndexRoute — the
+    * hive.optimize.index.filter compiler rewrite): after registration, a
+    * PLAIN filter over the indexed path — no index API in the query —
+    * must be routed through the file-pruned scan by the optimizer rule.
+    * Same data/layout as q269; the difference under test is that the
+    * QUERY is ordinary spark.read + filter. */
+  val q279_index_transparent: Q = (s, d) => {
+    val path = tmp(d, "orders_indexed")
+    val idx = tmp(d, "orders_idx_priority")
+    Tables.orders(s, d).repartitionByRange(8, col("o_orderpriority"), col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    graft.sources.CompactIndexIO.build(s, path, "o_orderpriority", idx)
+    graft.plans.IndexCatalog.register(s, path, "o_orderpriority", idx)
+    s.read.parquet(path)
+      .filter(col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Incremental MV maintenance end-to-end (plans/IncrementalMv — the
     * HIVE-20962 append-only incremental rebuild): base written in batch
     * 1, view created, batch 2 APPENDED, view refreshed — the refresh
@@ -441,6 +462,7 @@ object StorageOps {
     "q275_minmax_index" -> q275_minmax_index,
     "q276_mv_rewrite" -> q276_mv_rewrite,
     "q278_incremental_mv" -> q278_incremental_mv,
+    "q279_index_transparent" -> q279_index_transparent,
     "q258_versioned_dml" -> q258_versioned_dml,
     "q259_merge_on_read" -> q259_merge_on_read,
     "q149_smb_join" -> q149_smb_join,
@@ -455,6 +477,11 @@ object StorageOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q279_index_transparent" ->
+      """SELECT o_orderpriority, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q278_incremental_mv" ->
       """SELECT o_orderpriority, COUNT(o_orderkey) AS n_orders,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,

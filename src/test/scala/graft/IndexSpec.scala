@@ -4,6 +4,7 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.plans.IndexCatalog
 import graft.sources.CompactIndexIO
 
 /** Compact-index route (sources/CompactIndexIO — the CREATE INDEX ...
@@ -83,6 +84,56 @@ class IndexSpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
       java.sql.Timestamp.valueOf("2030-12-31 00:00:00"))
     assert(routed.count() == 0)
+  }
+
+  test("transparent routing: a plain filter over an indexed table scans fewer files") {
+    IndexCatalog.clear()
+    val path = s"$base/orders_clustered"
+    val idx = s"$base/orders_idx"
+    IndexCatalog.register(spark, path, "o_orderpriority", idx)
+    try {
+      def q = spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+      val routedPhys = q.queryExecution.executedPlan.toString
+      val totalFiles = spark.read.parquet(path).inputFiles.length
+      // count the files the routed scan lists (FileScan shows "N paths")
+      val routed = q
+      val got = routed.collect()(0)
+      IndexCatalog.clear()
+      val plain = spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s")).collect()(0)
+      assert(got.getLong(0) == plain.getLong(0) && got.getLong(1) == plain.getLong(1),
+        "transparent route changed the answer")
+      assert(!routedPhys.contains(s"[$totalFiles paths]") || totalFiles == 1,
+        s"routed scan still lists all $totalFiles files:\n$routedPhys")
+    } finally IndexCatalog.clear()
+  }
+
+  test("routing declines on drift, non-indexed columns, and unroutable literal types") {
+    IndexCatalog.clear()
+    val path = s"$base/orders_drift2"
+    val idx = s"$base/orders_drift2_idx"
+    Tables.orders(spark, sf).limit(200).repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    CompactIndexIO.build(spark, path, "o_orderpriority", idx)
+    IndexCatalog.register(spark, path, "o_orderpriority", idx)
+    try {
+      // non-indexed column: untouched
+      val other = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+      assert(other.queryExecution.optimizedPlan.toString.contains("Relation"))
+      val n0 = other.count()
+      assert(n0 == spark.read.parquet(path).where("o_orderstatus = 'F'").count())
+      // drift: append after registration -> route must decline (full scan,
+      // right answer including the new rows)
+      Tables.orders(spark, sf).limit(10).write.mode(SaveMode.Append).parquet(path)
+      val afterDrift = spark.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      IndexCatalog.clear()
+      val want = spark.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      assert(afterDrift == want,
+        "drifted index must fall back to the full scan, not lose the appended rows")
+    } finally IndexCatalog.clear()
   }
 
   test("staleness is detected after the table drifts (DEFERRED REBUILD contract)") {

@@ -30,6 +30,7 @@ class RelationalSpec extends AnyFunSuite {
       // but deliberately change plan shapes)
       plans.ConstraintCatalog.clear()
       plans.MaterializedViews.clear()
+      plans.IndexCatalog.clear()
     }
   }
 
