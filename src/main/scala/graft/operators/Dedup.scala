@@ -322,6 +322,43 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup: containment(S,L) = |S∩L| / |S|
+    * over shingle sets — the signal that catches a short document quoted
+    * verbatim inside a long one, which symmetric Jaccard (q65/q67)
+    * structurally misses (a 50-shingle doc inside a 5000-shingle doc has
+    * Jaccard 0.01 but containment 1.0). Candidate generation is the
+    * shingle INVERTED INDEX, not all-pairs: docs pair only through a
+    * shared shingle, and shingles hotter than maxDf are dropped from
+    * BOTH the pairing and the containment sets (boilerplate shingles are
+    * uninformative for containment and their posting lists are the
+    * quadratic hazard — the q215 ExactSubstr df-cap discipline). Sizes
+    * are counted over the SAME capped sets, so the score is exactly
+    * reproducible by the oracle. At 100 TB: one shuffle keyed by
+    * shingle, per-shingle work bounded by maxDf^2, one pair-keyed agg. */
+  def containmentPairs(docs: DataFrame, minShared: Long = 3L,
+                       minContainment: Double = 0.5, maxDf: Long = 64L): DataFrame = {
+    val sh = shingles(docs)
+    val dfCounts = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val keep = sh.join(dfCounts.filter(col("df") <= maxDf).select(col("sh")), Seq("sh"))
+    val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = keep.as("a")
+      .join(keep.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minShared)
+    inter
+      .join(sizes.select(col("doc_id").as("ida"), col("nsh").as("na")), Seq("ida"))
+      .join(sizes.select(col("doc_id").as("idb"), col("nsh").as("nb")), Seq("idb"))
+      .withColumn("containment",
+        round(col("inter") * lit(1.0) / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("ida"), col("idb"), col("inter"), col("na"), col("nb"), col("containment"))
+  }
+
+  /** Gate row: containment pairs over the documents corpus. */
+  val q280_containment: Q = (s, d) =>
+    containmentPairs(Tables.documents(s, d)).orderBy(col("ida"), col("idb"))
+
   /** Connected components over undirected (ida, idb) edges by iterative
     * min-label propagation WITH per-round pointer jumping (path
     * compression): every vertex starts labeled with its own id; each
@@ -921,6 +958,7 @@ object Dedup {
     "q65_minhash_lsh" -> q65_minhash_lsh,
     "q66_simhash" -> q66_simhash,
     "q268_simhash_md5" -> q268_simhash_md5,
+    "q280_containment" -> q280_containment,
     "q67_ngram_jaccard" -> q67_ngram_jaccard,
     "q123_dedup_clusters" -> q123_dedup_clusters,
     "q124_dedup_keep_best" -> q124_dedup_keep_best,
@@ -963,6 +1001,27 @@ object Dedup {
        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q280_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |    for i in range(1, len(s) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s
+        |        FROM documents)
+        |  WHERE len(s) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+        |keep AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s) WHERE df <= 64),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM keep GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT ida, idb, inter, sa.nsh AS na, sb.nsh AS nb,
+        |  round(inter * 1.0 / least(sa.nsh, sb.nsh), 6) AS containment
+        |FROM inter JOIN sizes sa ON ida = sa.doc_id
+        |           JOIN sizes sb ON idb = sb.doc_id
+        |WHERE round(inter * 1.0 / least(sa.nsh, sb.nsh), 6) >= 0.5
+        |ORDER BY ida, idb""".stripMargin,
     "q268_simhash_md5" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, lower(tok) AS tok

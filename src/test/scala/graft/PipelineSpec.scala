@@ -457,4 +457,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"), plan.take(800))
     assert(!plan.contains("LeftAnti"), plan.take(800))
   }
+
+  test("containment flags a planted quote that symmetric Jaccard misses") {
+    import spark.implicits._
+    // plant: a long host doc of DISTINCT tokens and a short doc that is a
+    // verbatim slice of it (distinct tokens -> distinct shingles, so the
+    // two similarity measures genuinely diverge)
+    val host = (1 to 240).map(i => s"tok$i").mkString(" ")
+    val quote = host.split(" ").slice(10, 25).mkString(" ") // 15-token slice
+    val filler = (1 to 30).map(i => s"filler$i unique$i token$i distinct$i never$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, quote), (3L, filler)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, minShared = 3, minContainment = 0.5, maxDf = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"planted quote pair must be flagged, got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 1.0, "a verbatim slice has containment exactly 1.0")
+    // and the symmetric-jaccard path at its production threshold misses it:
+    // the quote's shingles are a tiny fraction of the host's
+    val sh = Dedup.shingles(docs)
+    val exact = Dedup.exactJaccard(
+      Seq((1L, 2L)).toDF("ida", "idb"), sh, keepZero = true)
+      .collect()(0).getAs[Double]("jac")
+    assert(exact < 0.5, s"jaccard $exact should be small — that is the point of containment")
+    // plan shape: candidate generation is an equi-join on the shingle key
+    val plan = Dedup.containmentPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "containment pairing must ride the shingle inverted index, never all-pairs")
+  }
 }
