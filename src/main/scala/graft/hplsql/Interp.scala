@@ -519,6 +519,9 @@ object Hplsql {
       if (graft.plans.ConstraintDdl.matches(sql)) {
         graft.plans.ConstraintDdl.run(sql)
         spark.emptyDataFrame
+      } else if (graft.plans.MvDdl.matches(sql)) {
+        graft.plans.MvDdl.run(spark, sql)
+        spark.emptyDataFrame
       } else spark.sql(sql)
 
     private def runSelectInto(sql: String, into: Seq[String]): Unit = {

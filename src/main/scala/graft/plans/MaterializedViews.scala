@@ -70,12 +70,54 @@ object MaterializedViews {
     val mv = Option(registry.remove(name))
       .getOrElse(throw new IllegalArgumentException(s"no materialized view $name"))
     SqlShims.ofRows(spark, mv.definition).write.mode("overwrite").parquet(mv.path)
+    // frames planned against the previous materialization hold its file
+    // listing; drop the cached metadata so they re-list (Hive's rebuild
+    // has the same invalidation step)
+    spark.catalog.refreshByPath(mv.path)
     registry.put(name, mv)
   }
 
   private[plans] def all: Seq[Mv] = registry.values.asScala.toSeq
 
   private[plans] def register(mv: Mv): Unit = registry.put(mv.name, mv)
+}
+
+/** The Hive DDL surface for materialized views (HiveParser.g grew these
+  * productions right after 2.1 — createMaterializedViewStatement,
+  * alterMaterializedViewStatement):
+  *
+  *   CREATE MATERIALIZED VIEW name AS <select>
+  *   ALTER MATERIALIZED VIEW name REBUILD
+  *   DROP MATERIALIZED VIEW name
+  *
+  * Materializations land under the session warehouse dir. Routed from
+  * SQL dispatchers (HPL/SQL passthrough) the same way constraint DDL is.
+  */
+object MvDdl {
+
+  private val Create =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
+  private val Rebuild =
+    """(?is)\s*ALTER\s+MATERIALIZED\s+VIEW\s+(\w+)\s+REBUILD\s*""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+
+  def matches(sql: String): Boolean =
+    Create.matches(sql) || Rebuild.matches(sql) || DropMv.matches(sql)
+
+  private def pathFor(spark: SparkSession, name: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    s"$wh/graft_mv/$name"
+  }
+
+  def run(spark: SparkSession, sql: String): Unit = sql match {
+    case Create(name, select) =>
+      MaterializedViews.create(spark, name.toLowerCase, spark.sql(select),
+        pathFor(spark, name.toLowerCase))
+    case Rebuild(name) => MaterializedViews.refresh(spark, name.toLowerCase)
+    case DropMv(name) => MaterializedViews.drop(name.toLowerCase)
+    case other => throw new IllegalArgumentException(s"Unrecognized MV DDL: $other")
+  }
 }
 
 /** The rewrite rule, injected via GraftExtensions. Matching is top-down

@@ -60,6 +60,24 @@ class MvSpec extends AnyFunSuite {
     MaterializedViews.clear()
   }
 
+  test("MV DDL: CREATE ... AS SELECT registers and routes; REBUILD and DROP work") {
+    MaterializedViews.clear()
+    Tables.registerAll(spark, sf)
+    graft.hplsql.Hplsql.run(spark,
+      """CREATE MATERIALIZED VIEW mv_ddl AS
+        |  SELECT o_orderstatus, count(1) AS n FROM orders GROUP BY o_orderstatus;
+        |""".stripMargin)
+    assert(MaterializedViews.registered.contains("mv_ddl"))
+    def q = spark.sql("SELECT o_orderstatus, count(1) AS n FROM orders GROUP BY o_orderstatus")
+    assert(q.queryExecution.executedPlan.toString.contains("mv_ddl"),
+      "SQL-created view must route the matching SQL query")
+    graft.hplsql.Hplsql.run(spark, "ALTER MATERIALIZED VIEW mv_ddl REBUILD;")
+    assert(q.collect().map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    graft.hplsql.Hplsql.run(spark, "DROP MATERIALIZED VIEW mv_ddl;")
+    assert(!MaterializedViews.registered.contains("mv_ddl"))
+    MaterializedViews.clear()
+  }
+
   test("REFRESH re-materializes from the definition") {
     MaterializedViews.clear()
     val path = s"$base/mv_refresh"
