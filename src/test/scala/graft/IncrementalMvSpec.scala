@@ -101,6 +101,47 @@ class IncrementalMvSpec extends AnyFunSuite {
     MaterializedViews.clear()
   }
 
+  test("streaming maintenance: each micro-batch lands incrementally in the view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    MaterializedViews.clear()
+    val baseDir = s"$base/stream_base"
+    val mvPath = s"$base/stream_mv"
+    val ckpt = s"$base/stream_ckpt"
+    Seq(s"$base/stream_base", mvPath, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)].collect().toSeq
+    val (b1, b2) = orders.splitAt(orders.length / 2)
+
+    // seed the base + view with batch 1 (create runs on existing data)
+    b1.toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+      .repartition(2).write.mode("overwrite").parquet(baseDir)
+    val mvAggs = Seq(IncrementalMv.AggSpec("count", "o_orderkey", "n"),
+      IncrementalMv.AggSpec("sum", "o_orderkey", "s"))
+    IncrementalMv.create(spark, "mv_stream", baseDir, None,
+      Seq("o_orderpriority"), mvAggs, mvPath)
+
+    // stream batch 2 through the maintainer
+    val ms = MemoryStream[(String, Long, Double)]
+    ms.addData(b2)
+    val q = graft.streaming.MvStream.maintain(spark,
+      ms.toDF.toDF("o_orderpriority", "o_orderkey", "o_totalprice"),
+      baseDir, None, Seq("o_orderpriority"), mvAggs, mvPath, ckpt)
+    q.awaitTermination(120000)
+
+    val got = IncrementalMv.read(spark, mvPath).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = orders.groupBy(_._1).map { case (k, rows) =>
+      (k, (rows.size.toLong, rows.map(_._2).sum)) }
+    assert(got == want, "streamed batches must fold into the same cells as a full recompute")
+    MaterializedViews.clear()
+  }
+
   test("the registered view still routes queries after an incremental refresh") {
     MaterializedViews.clear()
     val tableDir = s"$base/orders_routed"
