@@ -36,16 +36,19 @@ import graft.sources.CompactIndexIO
 object IndexCatalog {
 
   final case class IndexMeta(tableDir: String, column: String, indexDir: String,
-                             knownFiles: Set[String])
+                             knownFiles: Set[String], kind: String = "value")
 
   private val byPath = new ConcurrentHashMap[String, IndexMeta]()
 
-  /** Register after CompactIndexIO.build. Captures the file snapshot so
-    * routing can detect drift without re-reading the index's stored
-    * listing on every query. */
-  def register(spark: SparkSession, tableDir: String, column: String, indexDir: String): Unit = {
+  /** Register after CompactIndexIO.build (kind="value") or buildMinMax
+    * (kind="minmax"). Captures the file snapshot so routing can detect
+    * drift without re-reading the index's stored listing on every
+    * query. */
+  def register(spark: SparkSession, tableDir: String, column: String, indexDir: String,
+               kind: String = "value"): Unit = {
+    require(Set("value", "minmax")(kind), s"unknown index kind $kind")
     val files = spark.read.parquet(tableDir).inputFiles.toSet
-    byPath.put(normalize(tableDir), IndexMeta(tableDir, column.toLowerCase, indexDir, files))
+    byPath.put(normalize(tableDir), IndexMeta(tableDir, column.toLowerCase, indexDir, files, kind))
   }
 
   def drop(tableDir: String): Unit = byPath.remove(normalize(tableDir))
@@ -63,36 +66,75 @@ object IndexCatalog {
 
 object IndexRoute extends Rule[LogicalPlan] {
 
-  /** Catalyst-internal literal → external value, for the types a value
-    * index is built on (strings and plain numerics; anything else —
-    * timestamps, intervals, binary — declines the route rather than risk
-    * an internal-vs-external representation mismatch in the lookup). */
-  private def external(v: Any): Option[Any] = v match {
-    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
-    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
-         _: java.lang.Boolean => Some(v)
-    case _ => None
+  /** Catalyst-internal literal → external value. Strings, numerics, and
+    * (for the zone-map route) timestamps/dates convert; anything else
+    * declines the route rather than risk an internal-vs-external
+    * representation mismatch in the lookup. */
+  private def external(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    (v, dt) match {
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
+      case (d: org.apache.spark.sql.types.Decimal, _) => Some(d.toJavaBigDecimal)
+      case (micros: java.lang.Long, TimestampType) =>
+        Some(DateTimeUtils.toJavaTimestamp(micros))
+      case (days: java.lang.Integer, DateType) => Some(DateTimeUtils.toJavaDate(days))
+      case (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+            _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+            _: java.lang.Boolean, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case o => Seq(o)
   }
 
   /** Literal values of an equality/IN predicate on `column`, if the
     * predicate conjunct set contains one. */
   private def valuesFor(cond: Expression, column: String): Option[Seq[Any]] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case o => Seq(o)
-    }
     val raw = conjuncts(cond).collectFirst {
-      case EqualTo(a: Attribute, Literal(v, _)) if a.name.toLowerCase == column => Seq(v)
-      case EqualTo(Literal(v, _), a: Attribute) if a.name.toLowerCase == column => Seq(v)
+      case EqualTo(a: Attribute, l @ Literal(v, _)) if a.name.toLowerCase == column =>
+        Seq((v, l.dataType))
+      case EqualTo(l @ Literal(v, _), a: Attribute) if a.name.toLowerCase == column =>
+        Seq((v, l.dataType))
       case In(a: Attribute, vs) if a.name.toLowerCase == column &&
           vs.forall(_.isInstanceOf[Literal]) =>
-        vs.map(_.asInstanceOf[Literal].value)
+        vs.map(x => (x.asInstanceOf[Literal].value, x.dataType))
     }
     raw.flatMap { vs =>
-      val ext = vs.map(external)
+      val ext = vs.map { case (v, dt) => external(v, dt) }
       if (ext.forall(_.isDefined)) Some(ext.flatten) else None
+    }
+  }
+
+  /** [lo, hi] bounds (either side optional, at least one present) from
+    * range conjuncts on `column`. Strict bounds widen to inclusive —
+    * sound for file pruning since the exact filter re-applies on top. */
+  private def boundsFor(cond: Expression, column: String): Option[(Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    var lo: Option[(Any, org.apache.spark.sql.types.DataType)] = None
+    var hi: Option[(Any, org.apache.spark.sql.types.DataType)] = None
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(a: Attribute, l @ Literal(v, _)) if a.name.toLowerCase == column => lo = Some((v, l.dataType))
+      case GreaterThan(a: Attribute, l @ Literal(v, _)) if a.name.toLowerCase == column => lo = Some((v, l.dataType))
+      case LessThanOrEqual(a: Attribute, l @ Literal(v, _)) if a.name.toLowerCase == column => hi = Some((v, l.dataType))
+      case LessThan(a: Attribute, l @ Literal(v, _)) if a.name.toLowerCase == column => hi = Some((v, l.dataType))
+      case LessThanOrEqual(l @ Literal(v, _), a: Attribute) if a.name.toLowerCase == column => lo = Some((v, l.dataType))
+      case LessThan(l @ Literal(v, _), a: Attribute) if a.name.toLowerCase == column => lo = Some((v, l.dataType))
+      case GreaterThanOrEqual(l @ Literal(v, _), a: Attribute) if a.name.toLowerCase == column => hi = Some((v, l.dataType))
+      case GreaterThan(l @ Literal(v, _), a: Attribute) if a.name.toLowerCase == column => hi = Some((v, l.dataType))
+      case EqualTo(a: Attribute, l @ Literal(v, _)) if a.name.toLowerCase == column =>
+        lo = Some((v, l.dataType)); hi = Some((v, l.dataType))
+      case _ =>
+    }
+    if (lo.isEmpty && hi.isEmpty) None
+    else {
+      val loExt = lo.map { case (v, dt) => external(v, dt) }
+      val hiExt = hi.map { case (v, dt) => external(v, dt) }
+      if (loExt.exists(_.isEmpty) || hiExt.exists(_.isEmpty)) None
+      else Some((loExt.flatten, hiExt.flatten))
     }
   }
 
@@ -105,9 +147,15 @@ object IndexRoute extends Rule[LogicalPlan] {
           meta <- IndexCatalog.lookup(root)
           // staleness guard: route only while the table is the one indexed
           if fs.location.inputFiles.toSet == meta.knownFiles
-          values <- valuesFor(cond, meta.column)
           spark = SparkSession.active
-          files = CompactIndexIO.prunedFiles(spark, meta.indexDir, values)
+          files <- meta.kind match {
+            case "value" =>
+              valuesFor(cond, meta.column)
+                .map(vs => CompactIndexIO.prunedFiles(spark, meta.indexDir, vs))
+            case "minmax" =>
+              boundsFor(cond, meta.column)
+                .map { case (lo, hi) => CompactIndexIO.prunedFilesRange(spark, meta.indexDir, lo, hi) }
+          }
           if files.size < meta.knownFiles.size
         } yield {
           val pruned =

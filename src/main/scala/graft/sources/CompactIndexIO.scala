@@ -88,6 +88,18 @@ object CompactIndexIO {
       .write.mode("overwrite").parquet(filesDir(indexDir))
   }
 
+  /** Zone files intersecting [lo, hi] (either bound optional) — the
+    * lookup the transparent route (plans/IndexRoute) uses. Null-zone
+    * files (all-null column) drop out of the >=/<= comparisons, which is
+    * correct for any range predicate no null row satisfies. */
+  def prunedFilesRange(spark: SparkSession, indexDir: String,
+                       lo: Option[Any], hi: Option[Any]): Seq[String] =
+    spark.read.parquet(dataDir(indexDir))
+      .filter(lo.map(v => col("max_value") >= lit(v)).getOrElse(lit(true)) &&
+              hi.map(v => col("min_value") <= lit(v)).getOrElse(lit(true)))
+      .select(col("idx_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
   /** Range-routed scan over a min/max index: keep files whose zone
     * intersects [lo, hi], re-apply the exact predicate. Files whose
     * indexed column was all-null have null min/max and are skipped —

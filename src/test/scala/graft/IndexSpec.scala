@@ -109,6 +109,29 @@ class IndexSpec extends AnyFunSuite {
     } finally IndexCatalog.clear()
   }
 
+  test("transparent zone-map routing: a plain range filter scans fewer files") {
+    IndexCatalog.clear()
+    val path = s"$base/orders_dates"
+    val idx = s"$base/orders_dates_idx"
+    IndexCatalog.register(spark, path, "o_orderdate", idx, kind = "minmax")
+    try {
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
+      def q = spark.read.parquet(path)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi))
+        .agg(count(lit(1)).as("n"))
+      val totalFiles = spark.read.parquet(path).inputFiles.length
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains(s"[$totalFiles paths]"),
+        s"range-routed scan still lists all $totalFiles files:\n$phys")
+      val got = q.collect()(0).getLong(0)
+      IndexCatalog.clear()
+      val want = q.collect()(0).getLong(0)
+      assert(got == want, "zone route changed the answer")
+      assert(got > 0)
+    } finally IndexCatalog.clear()
+  }
+
   test("routing declines on drift, non-indexed columns, and unroutable literal types") {
     IndexCatalog.clear()
     val path = s"$base/orders_drift2"
