@@ -60,6 +60,7 @@ object Bench {
     "q233_funnel",        // ordered funnel (multi-pass GROUP BY, exchange reuse)
     "q236_range_join_hot",// bucketed range join (equi-join, never BNLJ)
     "q246_kmv_distinct",  // mergeable KMV distinct sketch (direct + merged lanes)
+    "q281_dd_quantiles",  // DDSketch quantiles (direct + parquet-stored merged lanes)
     "q248_incremental_rollup", // stored-partials rollup maintenance (writes
                                // + re-reads the partial table inline, so this
                                // UPPER-BOUNDS the production merge-only cost)

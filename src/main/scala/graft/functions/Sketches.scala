@@ -17,8 +17,8 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
   * difference between a daily job that reads one day and one that reads
   * three years.
   *
-  * Two summaries, both typed [[Aggregator]]s (map-side partials merge in
-  * the combiner, exactly like the reference's UDAF partial2 mode):
+  * Three summaries, all typed [[Aggregator]]s (map-side partials merge
+  * in the combiner, exactly like the reference's UDAF partial2 mode):
   *
   *  - KMV (k-minimum-values) distinct sketch: keep the k smallest
   *    distinct 64-bit hashes; under-filled it IS the exact distinct set
@@ -31,6 +31,9 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
   *    frequency > n/(k+1) is guaranteed present and counts underestimate
   *    by at most n/(k+1) (Misra-Gries 1982; merge rule from Agarwal et
   *    al., "Mergeable Summaries", PODS 2012).
+  *  - DDSketch quantiles: fixed log-binned counter map with relative-
+  *    error guarantee alpha and counter-addition merge (order-invariant,
+  *    bit-exact under any partitioning) — see the section comment below.
   *
   * Hashing rides Spark's codegen'd `xxhash64`; sketch payloads are plain
   * `array<bigint>` / `map<string,bigint>` columns (Tungsten-native, no
@@ -177,4 +180,117 @@ object Sketches {
   /** Merge a column of stored Misra-Gries maps. */
   def mgMerge(sketch: Column, k: Int): Column =
     udaf(new MgMergeAgg(k)).apply(sketch)
+
+  // --- DDSketch: mergeable quantiles with relative-error guarantee ----
+  //
+  // The third member of the mergeable-summary family (KMV = distinct,
+  // Misra-Gries = heavy hitters, DDSketch = quantiles) — the reference's
+  // percentile_approx (GenericUDAFPercentileApprox + NumericHistogram,
+  // covered exactly by functions/NumericHistogram) answers the same
+  // question but its bin boundaries depend on arrival order, so two
+  // executors' partials merge to DIFFERENT bins than a single pass and
+  // the result is not reproducible under re-partitioning. DDSketch
+  // ("DDSketch: A Fast and Fully-Mergeable Quantile Sketch with
+  // Relative-Error Guarantees", Masson/Rim/Lee, VLDB 2019) fixes the
+  // bins up front: bucket i holds values in (gamma^(i-1), gamma^i] with
+  // gamma = (1+alpha)/(1-alpha), so any value is off by at most alpha
+  // relative error from its bucket representative 2*gamma^i/(gamma+1),
+  // and a sketch is just a bin->count map whose merge is counter
+  // ADDITION — commutative, associative, and bit-identical under any
+  // partitioning or merge order. That order-invariance is what makes the
+  // fleet rollup deterministic (and lets the DuckDB oracle replay the
+  // whole computation hash-exactly at ANY scale — no under-fill crutch).
+  //
+  // State bound: bin indices are confined to |i| <= ln(maxDouble)/
+  // ln(gamma) (~35k at alpha=0.01) and in practice to the data's dynamic
+  // range (a price column spanning 1e2..1e5 at alpha=0.01 is ~350 bins,
+  // ~6 KB). `maxBins` caps pathological ranges by collapsing the LOWEST
+  // bins into one (the paper's collapsing variant: upper quantiles — the
+  // ones SLOs care about — keep their guarantee). Collapse happens only
+  // at finish, never mid-merge, so partial buffers stay order-invariant.
+
+  /** Non-negative doubles only; zeros live in a dedicated bin below
+    * every log bin so they sort first in quantile walks. */
+  private[graft] val ZeroBin: Int = Int.MinValue
+
+  private[graft] def ddBin(v: Double, lnGamma: Double): Int = {
+    require(v >= 0 && !v.isNaN, s"ddsketch requires non-negative values, got $v")
+    if (v == 0d) ZeroBin else math.ceil(math.log(v) / lnGamma).toInt
+  }
+
+  private def ddCollapse(b: mutable.HashMap[Int, Long], maxBins: Int): Map[Int, Long] =
+    if (b.size <= maxBins) b.toMap
+    else {
+      val keys = b.keys.toArray.sorted
+      val keep = keys.drop(keys.length - maxBins)
+      val floor = keep.head
+      val folded = keys.take(keys.length - maxBins).map(b(_)).sum
+      b.update(floor, b(floor) + folded)
+      keys.take(keys.length - maxBins).foreach(b.remove)
+      b.toMap
+    }
+
+  /** DDSketch build: log-binned counter map over a double column. */
+  class DdAgg(alpha: Double, maxBins: Int)
+      extends Aggregator[Double, mutable.HashMap[Int, Long], Map[Int, Long]] {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    private val lnGamma = math.log((1 + alpha) / (1 - alpha))
+    def zero: mutable.HashMap[Int, Long] = mutable.HashMap.empty
+    def reduce(b: mutable.HashMap[Int, Long], v: Double): mutable.HashMap[Int, Long] = {
+      val i = ddBin(v, lnGamma)
+      b.update(i, b.getOrElse(i, 0L) + 1L); b
+    }
+    def merge(x: mutable.HashMap[Int, Long], y: mutable.HashMap[Int, Long]): mutable.HashMap[Int, Long] = {
+      y.foreach { case (i, c) => x.update(i, x.getOrElse(i, 0L) + c) }; x
+    }
+    def finish(b: mutable.HashMap[Int, Long]): Map[Int, Long] = ddCollapse(b, maxBins)
+    def bufferEncoder: Encoder[mutable.HashMap[Int, Long]] = Encoders.kryo
+    def outputEncoder: Encoder[Map[Int, Long]] = ExpressionEncoder()
+  }
+
+  /** Merge of stored DDSketch maps (counter addition + final collapse). */
+  class DdMergeAgg(maxBins: Int)
+      extends Aggregator[Map[Int, Long], mutable.HashMap[Int, Long], Map[Int, Long]] {
+    def zero: mutable.HashMap[Int, Long] = mutable.HashMap.empty
+    def reduce(b: mutable.HashMap[Int, Long], m: Map[Int, Long]): mutable.HashMap[Int, Long] = {
+      m.foreach { case (i, c) => b.update(i, b.getOrElse(i, 0L) + c) }; b
+    }
+    def merge(x: mutable.HashMap[Int, Long], y: mutable.HashMap[Int, Long]): mutable.HashMap[Int, Long] = {
+      y.foreach { case (i, c) => x.update(i, x.getOrElse(i, 0L) + c) }; x
+    }
+    def finish(b: mutable.HashMap[Int, Long]): Map[Int, Long] = ddCollapse(b, maxBins)
+    def bufferEncoder: Encoder[mutable.HashMap[Int, Long]] = Encoders.kryo
+    def outputEncoder: Encoder[Map[Int, Long]] = ExpressionEncoder()
+  }
+
+  /** Aggregate a double column into a DDSketch (`map<int,bigint>`). */
+  def ddSketch(c: Column, alpha: Double, maxBins: Int = 4096): Column =
+    udaf(new DdAgg(alpha, maxBins)).apply(c.cast("double"))
+
+  /** Merge a column of stored DDSketches. */
+  def ddMerge(sketch: Column, maxBins: Int = 4096): Column =
+    udaf(new DdMergeAgg(maxBins)).apply(sketch)
+
+  /** Quantile estimate off a sketch column — pure built-in expressions
+    * (post-aggregation, one row per group): nearest-rank r = ceil(q*n),
+    * walk bins ascending to the first with cum >= r, report the bucket
+    * representative 2*gamma^i/(gamma+1) (0 for the zero bin). */
+  def ddQuantile(sketch: Column, q: Double, alpha: Double): Column = {
+    require(q > 0 && q <= 1, s"q in (0,1], got $q")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val n = aggregate(map_values(sketch), lit(0L), (acc, c) => acc + c)
+    val r = ceil(n.cast("double") * lit(q)).cast("long")
+    // entries sorted by bin key; fold carries (cum, found-bin)
+    val entries = array_sort(map_entries(sketch))
+    val zeroAcc = struct(lit(0L).as("cum"), lit(null).cast("int").as("bin"))
+    val walked = aggregate(entries, zeroAcc, (acc, e) => {
+      val cum = acc.getField("cum") + e.getField("value")
+      val hit = acc.getField("bin").isNull && (cum >= r)
+      struct(cum.as("cum"),
+             when(hit, e.getField("key")).otherwise(acc.getField("bin")).as("bin"))
+    })
+    val bin = walked.getField("bin")
+    when(bin === lit(ZeroBin), lit(0d))
+      .otherwise(lit(2d) * pow(lit(gamma), bin.cast("double")) / lit(gamma + 1))
+  }
 }

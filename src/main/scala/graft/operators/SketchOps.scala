@@ -144,8 +144,42 @@ object SketchOps {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** DDSketch quantiles per return flag, twice: sketched directly and
+    * merged from per-month partial sketches that round-trip through a
+    * PARQUET store (`map<int,bigint>` payload — ordinary columns any
+    * later job can merge). Unlike q246/q211's exact-when-under-filled
+    * contract, this row is hash-exact at ANY scale: the sketch's bins
+    * are fixed by gamma alone, merge is counter addition (order-
+    * invariant), and the oracle replays binning + rank walk in SQL —
+    * sf100's answer would hash-match the same way. The reference's
+    * percentile_approx (GenericUDAFPercentileApprox.java) cannot make
+    * this claim: NumericHistogram bins depend on arrival order, so its
+    * merged partials differ from a single pass. */
+  val q281_dd_quantiles: Q = (s, d) => {
+    val alpha = 0.01
+    def quantiles(sk: org.apache.spark.sql.Column, suffix: String) = Seq(
+      round(Sketches.ddQuantile(sk, 0.5, alpha), 6).as(s"p50$suffix"),
+      round(Sketches.ddQuantile(sk, 0.9, alpha), 6).as(s"p90$suffix"),
+      round(Sketches.ddQuantile(sk, 0.99, alpha), 6).as(s"p99$suffix"))
+    val li = Tables.lineitem(s, d)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(Sketches.ddSketch(col("l_extendedprice"), alpha).as("sk"))
+      .select(col("l_returnflag") +: quantiles(col("sk"), "_direct"): _*)
+    val store = s"target/storage/${new java.io.File(d).getName}/dd_partials"
+    li.groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(Sketches.ddSketch(col("l_extendedprice"), alpha).as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val merged = s.read.parquet(store)
+      .groupBy(col("l_returnflag"))
+      .agg(Sketches.ddMerge(col("sk")).as("sk"))
+      .select(col("l_returnflag") +: quantiles(col("sk"), "_merged"): _*)
+    direct.join(merged, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q253_stream_heavy_hitters" -> q253_stream_heavy_hitters,
+    "q281_dd_quantiles" -> q281_dd_quantiles,
     "q246_kmv_distinct" -> q246_kmv_distinct,
     "q247_heavy_hitters" -> q247_heavy_hitters,
     "q248_incremental_rollup" -> q248_incremental_rollup,
@@ -153,6 +187,36 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full replay of the DDSketch computation: same gamma spelling
+    // (IEEE-identical (1+0.01)/(1-0.01)), same ceil(ln(x)/ln(gamma))
+    // binning, same nearest-rank walk, same bucket representative —
+    // the merged lane must be bit-identical to the direct lane, so one
+    // computation serves both column sets.
+    "q281_dd_quantiles" ->
+      """WITH g AS (SELECT (1 + 0.01::DOUBLE) / (1 - 0.01::DOUBLE) AS g),
+        |b AS (SELECT l_returnflag AS flag,
+        |        CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE))
+        |                  / ln((SELECT g FROM g))) AS INT) AS bin
+        |      FROM lineitem),
+        |c AS (SELECT flag, bin, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |w AS (SELECT flag, bin, cnt,
+        |        SUM(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY flag) AS n
+        |      FROM c),
+        |pick AS (SELECT flag,
+        |    MIN(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.5) THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.9) THEN bin END) AS b90,
+        |    MIN(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.99) THEN bin END) AS b99
+        |  FROM w GROUP BY flag)
+        |SELECT flag AS l_returnflag,
+        |  round(2 * power(g, b50) / (g + 1), 6) AS p50_direct,
+        |  round(2 * power(g, b90) / (g + 1), 6) AS p90_direct,
+        |  round(2 * power(g, b99) / (g + 1), 6) AS p99_direct,
+        |  round(2 * power(g, b50) / (g + 1), 6) AS p50_merged,
+        |  round(2 * power(g, b90) / (g + 1), 6) AS p90_merged,
+        |  round(2 * power(g, b99) / (g + 1), 6) AS p99_merged
+        |FROM pick, g ORDER BY l_returnflag""".stripMargin,
     "q253_stream_heavy_hitters" ->
       """WITH c AS (
         |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid, count(*) AS cnt

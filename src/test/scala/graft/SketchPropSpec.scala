@@ -127,4 +127,32 @@ class SketchPropSpec extends AnyFunSuite {
       maxSize <= k
     }, min = 30)
   }
+
+  test("DDSketch: any partitioning + merge order yields the single-pass map bit-for-bit") {
+    val agg = new Sketches.DdAgg(0.02, 4096)
+    val valGen = Gen.chooseNum(0.0, 1e9).map(v => math.abs(v))
+    val gen = for {
+      xs <- Gen.listOf(valGen)
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, 1000))
+      reversed <- Gen.oneOf(true, false)
+    } yield (xs, cuts, reversed)
+    check(Prop.forAll(gen) { case (xs, cuts, reversed) =>
+      val single = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val chunks = split(xs, cuts).map(_.foldLeft(agg.zero)(agg.reduce))
+      val ordered = if (reversed) chunks.reverse else chunks
+      val merged = agg.finish(ordered.foldLeft(agg.zero)(agg.merge))
+      single == merged
+    })
+  }
+
+  test("DDSketch: every value's bucket representative is within alpha relative error") {
+    val alpha = 0.01
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnGamma = math.log(gamma)
+    check(Prop.forAll(Gen.chooseNum(1e-12, 1e12)) { v =>
+      val i = Sketches.ddBin(v, lnGamma)
+      val rep = 2 * math.pow(gamma, i) / (gamma + 1)
+      math.abs(rep - v) <= alpha * v * (1 + 1e-9)
+    })
+  }
 }

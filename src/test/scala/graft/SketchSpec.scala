@@ -90,4 +90,62 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.kmvSketch(col("v"), 1))
     intercept[IllegalArgumentException](Sketches.mgSketch(col("v"), 0))
   }
+
+  test("DDSketch quantiles are within alpha relative error of exact order statistics") {
+    val alpha = 0.01
+    val n = 50000
+    // log-uniform-ish positive values, deterministic, many partitions
+    val df = spark.range(1, n + 1, 1, 17)
+      .select((exp(col("id").cast("double") / lit(n.toDouble) * 10d)).as("v"))
+    val exact = df.orderBy(col("v")).collect().map(_.getDouble(0))
+    val sk = df.agg(Sketches.ddSketch(col("v"), alpha).as("sk"))
+    for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val est = sk.select(Sketches.ddQuantile(col("sk"), q, alpha)).collect()(0).getDouble(0)
+      val truth = exact(math.ceil(q * n).toInt - 1)
+      assert(math.abs(est / truth - 1d) <= alpha + 1e-12, s"q=$q est=$est truth=$truth")
+    }
+  }
+
+  test("DDSketch merge of stored partials equals the direct sketch bit-for-bit") {
+    val df = tripled(20000, 13)
+      .select((col("v").cast("double") + 1d).as("x"), pmod(col("v"), lit(11)).as("part"))
+    val direct = df.agg(Sketches.ddSketch(col("x"), 0.02).as("sk"))
+      .collect()(0).getMap[Int, Long](0)
+    val merged = df.groupBy(col("part"))
+      .agg(Sketches.ddSketch(col("x"), 0.02).as("sk"))
+      .agg(Sketches.ddMerge(col("sk")))
+      .collect()(0).getMap[Int, Long](0)
+    assert(direct == merged)
+    assert(direct.values.sum == 60000L)
+  }
+
+  test("DDSketch: zeros live in the dedicated bin; low quantiles report exactly 0") {
+    val df = spark.range(0, 1000, 1, 7)
+      .select(when(col("id") < 300, 0d).otherwise(col("id").cast("double")).as("v"))
+    val sk = df.agg(Sketches.ddSketch(col("v"), 0.01).as("sk"))
+    val Seq(p10, p90) = Seq(0.1, 0.9).map(q =>
+      sk.select(Sketches.ddQuantile(col("sk"), q, 0.01)).collect()(0).getDouble(0))
+    assert(p10 == 0d)                      // rank 100 falls in the 300 zeros
+    assert(math.abs(p90 / 900d - 1) <= 0.01) // upper tail unaffected
+  }
+
+  test("DDSketch collapse caps the bin count and preserves upper quantiles") {
+    val maxBins = 32
+    val df = spark.range(1, 100001, 1, 9).select(col("id").cast("double").as("v"))
+    val sk = df.agg(Sketches.ddSketch(col("v"), 0.05, maxBins).as("sk"))
+    val m = sk.collect()(0).getMap[Int, Long](0)
+    assert(m.size <= maxBins)
+    assert(m.values.sum == 100000L)        // collapse folds, never drops
+    val p99 = sk.select(Sketches.ddQuantile(col("sk"), 0.99, 0.05)).collect()(0).getDouble(0)
+    assert(math.abs(p99 / 99000d - 1) <= 0.05 + 1e-12) // upper quantile keeps its bound
+  }
+
+  test("DDSketch rejects negative inputs and bad alpha") {
+    intercept[IllegalArgumentException](Sketches.ddSketch(col("v"), 1.5))
+    val thrown = intercept[Exception] {
+      spark.range(1).select(lit(-1d).as("v"))
+        .agg(Sketches.ddSketch(col("v"), 0.01)).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
 }
