@@ -317,6 +317,43 @@ object StorageOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Z-order layout + TWO-dimensional zone-map pruning — the layout half
+    * ([[ZOrder]]) composed with q275's read half. The reference can sort
+    * a table on one vector (`CLUSTERED BY ... SORTED BY`, tableBuckets in
+    * ql/.../parse/HiveParser.g), so only the leading column prunes;
+    * Morton-interleaving the (custkey, totalprice) ranks clusters BOTH
+    * dimensions into every file, and the conjunctive range scan below
+    * reads only files whose custkey zone AND totalprice zone intersect
+    * the predicate (ZOrderSpec pins the file counts: a fraction of the
+    * layout's files vs ALL files under single-column clustering). The
+    * exact re-filter masks over-selection, so only a lost file can move
+    * the hash — the pruning path itself is inside the oracle contract. */
+  val q283_zorder_2d: Q = (s, d) => {
+    val path = tmp(d, "orders_zorder")
+    val idxC = tmp(d, "orders_idx_z_custkey")
+    val idxP = tmp(d, "orders_idx_z_totalprice")
+    ZOrder.write(Tables.orders(s, d), Seq("o_custkey", "o_totalprice"), path,
+                 bits = 8, numFiles = 16)
+    graft.sources.CompactIndexIO.buildMinMax(s, path, "o_custkey", idxC)
+    graft.sources.CompactIndexIO.buildMinMax(s, path, "o_totalprice", idxP)
+    val files = graft.sources.CompactIndexIO
+      .prunedFilesRange(s, idxC, Some(400L), Some(600L)).toSet
+      .intersect(graft.sources.CompactIndexIO
+        .prunedFilesRange(s, idxP, Some(100000d), Some(200000d)).toSet)
+      .toSeq.sorted
+    val full = s.read.parquet(path)
+    val scanned =
+      if (files.isEmpty) full.limit(0)
+      else s.read.schema(full.schema).parquet(files: _*)
+    scanned
+      .filter(col("o_custkey").between(400L, 600L) &&
+              col("o_totalprice").between(100000d, 200000d))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Materialized view with automatic rewrite (plans/MaterializedViews —
     * the HIVE-14249 `ENABLE REWRITE` arc on the reference's Calcite CBO
     * base, ql/optimizer/calcite/): materialize the per-(priority, status)
@@ -460,6 +497,7 @@ object StorageOps {
     "q196_compaction" -> q196_compaction,
     "q269_compact_index" -> q269_compact_index,
     "q275_minmax_index" -> q275_minmax_index,
+    "q283_zorder_2d" -> q283_zorder_2d,
     "q276_mv_rewrite" -> q276_mv_rewrite,
     "q278_incremental_mv" -> q278_incremental_mv,
     "q279_index_transparent" -> q279_index_transparent,
@@ -497,6 +535,13 @@ object StorageOps {
         |FROM orders
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
         |                      AND TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q283_zorder_2d" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 400 AND 600
+        |  AND o_totalprice BETWEEN 100000 AND 200000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q269_compact_index" ->
       """SELECT o_orderpriority, COUNT(1) AS n_orders,

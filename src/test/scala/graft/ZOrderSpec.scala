@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ZOrder
+import graft.sources.CompactIndexIO
+
+/** Z-order layout contracts: the Morton code itself, losslessness of the
+  * rewrite, and the point of the whole exercise — multi-column zone
+  * pruning beats single-vector clustering on conjunctive range scans.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("Morton code interleaves rank bits (x even, y odd)") {
+    // identity quantization: lo=0, hi=255 at 8 bits maps v -> v
+    val df = Seq((3L, 1L), (0L, 0L), (255L, 0L), (0L, 255L), (170L, 85L))
+      .toDF("x", "y")
+    val got = df.select(
+      ZOrder.zvalue(Seq((col("x"), 0d, 255d), (col("y"), 0d, 255d)), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    assert(got == Seq(morton(3, 1), 0L, morton(255, 0), morton(0, 255), morton(170, 85)))
+    // max-rank x alone fills the even bits, max-rank y the odd bits
+    assert((got(2) | got(3)) == 0xFFFFL && (got(2) & got(3)) == 0L)
+  }
+
+  test("z-ordered rewrite is lossless and writes the requested file count") {
+    val src = Tables.orders(spark, sf)
+    val path = "target/storage/zorder_spec/orders_z"
+    ZOrder.write(src, Seq("o_custkey", "o_totalprice"), path, bits = 8, numFiles = 8)
+    val back = spark.read.parquet(path)
+    assert(back.inputFiles.length == 8)
+    assert(back.count() == src.count())
+    // multiset equality via sorted key + checksum columns
+    val a = src.select(col("o_orderkey"), col("o_custkey")).orderBy(col("o_orderkey")).collect()
+    val b = back.select(col("o_orderkey"), col("o_custkey")).orderBy(col("o_orderkey")).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("2-D range scan prunes z-ordered files; single-vector clustering reads everything") {
+    val src = Tables.orders(spark, "/root/testdata/sf0.01")
+    val n = 16
+    val zPath = "target/storage/zorder_spec/orders_z16"
+    val linPath = "target/storage/zorder_spec/orders_bykey"
+    ZOrder.write(src, Seq("o_custkey", "o_totalprice"), zPath, bits = 8, numFiles = n)
+    // the reference's one-sort-vector layout, on a column unrelated to
+    // the predicate dimensions
+    src.repartitionByRange(n, col("o_orderkey")).sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(linPath)
+
+    def prunedCount(path: String): Int = {
+      val idxC = s"$path-idxc"; val idxP = s"$path-idxp"
+      CompactIndexIO.buildMinMax(spark, path, "o_custkey", idxC)
+      CompactIndexIO.buildMinMax(spark, path, "o_totalprice", idxP)
+      CompactIndexIO.prunedFilesRange(spark, idxC, Some(400L), Some(600L)).toSet
+        .intersect(CompactIndexIO.prunedFilesRange(spark, idxP, Some(100000d), Some(200000d)).toSet)
+        .size
+    }
+    val zFiles = prunedCount(zPath)
+    val linFiles = prunedCount(linPath)
+    assert(linFiles == n, s"orderkey-sorted layout should match every file, got $linFiles")
+    assert(zFiles <= n / 2, s"z-order should prune most files, kept $zFiles of $n")
+
+    // soundness: the pruned scan misses no qualifying row
+    val pred = col("o_custkey").between(400L, 600L) &&
+      col("o_totalprice").between(100000d, 200000d)
+    val full = spark.read.parquet(zPath).filter(pred).count()
+    val idxC = s"$zPath-idxc"
+    val kept = CompactIndexIO.prunedFilesRange(spark, idxC, Some(400L), Some(600L))
+    val viaIndex = spark.read.parquet(kept: _*).filter(pred).count()
+    assert(viaIndex == full)
+  }
+}
