@@ -177,9 +177,35 @@ object SketchOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Streaming quantiles with BOUNDED state: the DDSketch inside a real
+    * streaming aggregation (complete mode, AvailableNow) — p50/p95
+    * reporting whose per-key state is a few-hundred-bin counter map no
+    * matter how many events flow past. Because the sketch's merge is
+    * order-invariant counter addition, micro-batch boundaries cannot
+    * move the answer: the bit-exactness q281 pins for batch partials
+    * holds verbatim for streaming state updates, so the oracle is the
+    * same full replay, not a parity approximation. */
+  val q285_stream_quantile_sketch: Q = (s, d) => {
+    val alpha = 0.01
+    s.catalog.dropTempView("q285_sink")
+    val q = graft.streaming.EventsStream.readEvents(s, d)
+      .groupBy(col("event_type"))
+      .agg(Sketches.ddSketch(col("value"), alpha).as("sk"))
+      .select(col("event_type"),
+        round(Sketches.ddQuantile(col("sk"), 0.5, alpha), 6).as("p50"),
+        round(Sketches.ddQuantile(col("sk"), 0.95, alpha), 6).as("p95"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("q285_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("q285_sink").orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q253_stream_heavy_hitters" -> q253_stream_heavy_hitters,
     "q281_dd_quantiles" -> q281_dd_quantiles,
+    "q285_stream_quantile_sketch" -> q285_stream_quantile_sketch,
     "q246_kmv_distinct" -> q246_kmv_distinct,
     "q247_heavy_hitters" -> q247_heavy_hitters,
     "q248_incremental_rollup" -> q248_incremental_rollup,
@@ -217,6 +243,26 @@ object SketchOps {
         |  round(2 * power(g, b90) / (g + 1), 6) AS p90_merged,
         |  round(2 * power(g, b99) / (g + 1), 6) AS p99_merged
         |FROM pick, g ORDER BY l_returnflag""".stripMargin,
+    "q285_stream_quantile_sketch" ->
+      """WITH g AS (SELECT (1 + 0.01::DOUBLE) / (1 - 0.01::DOUBLE) AS g),
+        |b AS (SELECT event_type,
+        |        CAST(ceil(ln(CAST(value AS DOUBLE))
+        |                  / ln((SELECT g FROM g))) AS INT) AS bin
+        |      FROM events),
+        |c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type, bin, cnt,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |      FROM c),
+        |pick AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.5) THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.95) THEN bin END) AS b95
+        |  FROM w GROUP BY event_type)
+        |SELECT event_type,
+        |  round(2 * power(g, b50) / (g + 1), 6) AS p50,
+        |  round(2 * power(g, b95) / (g + 1), 6) AS p95
+        |FROM pick, g ORDER BY event_type""".stripMargin,
     "q253_stream_heavy_hitters" ->
       """WITH c AS (
         |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid, count(*) AS cnt

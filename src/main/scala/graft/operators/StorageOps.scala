@@ -354,6 +354,30 @@ object StorageOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Bloom-filter file index over a HASH-clustered layout — the point-
+    * lookup sibling of q269 (value index) and q275 (zone map), analog of
+    * the reference's bitmap index (ql/index/bitmap/BitmapIndexHandler
+    * .java) and ORC bloom filters (ql/io/orc/WriterImpl BloomFilterIO).
+    * The table is hash-distributed on custkey, so every file's [min,max]
+    * spans the whole key domain and a zone map prunes NOTHING — but each
+    * key lives in exactly one file, and the per-file bloom probe finds
+    * it (plus vanishingly-rare false positives the exact re-filter
+    * absorbs; BloomIndexSpec pins the no-false-negative soundness and
+    * the FP rate). The membership test itself runs distributed over the
+    * index table — only surviving file names reach the driver. */
+  val q284_bloom_index: Q = (s, d) => {
+    val path = tmp(d, "orders_hash_custkey")
+    val idx = tmp(d, "orders_idx_bloom")
+    Tables.orders(s, d).repartition(16, col("o_custkey"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    graft.sources.CompactIndexIO.buildBloom(s, path, "o_custkey", idx)
+    graft.sources.CompactIndexIO.readBloom(s, path, idx, "o_custkey", Seq(101L, 512L, 1400L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Materialized view with automatic rewrite (plans/MaterializedViews —
     * the HIVE-14249 `ENABLE REWRITE` arc on the reference's Calcite CBO
     * base, ql/optimizer/calcite/): materialize the per-(priority, status)
@@ -498,6 +522,7 @@ object StorageOps {
     "q269_compact_index" -> q269_compact_index,
     "q275_minmax_index" -> q275_minmax_index,
     "q283_zorder_2d" -> q283_zorder_2d,
+    "q284_bloom_index" -> q284_bloom_index,
     "q276_mv_rewrite" -> q276_mv_rewrite,
     "q278_incremental_mv" -> q278_incremental_mv,
     "q279_index_transparent" -> q279_index_transparent,
@@ -536,6 +561,11 @@ object StorageOps {
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
         |                      AND TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q284_bloom_index" ->
+      """SELECT o_custkey, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey IN (101, 512, 1400)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q283_zorder_2d" ->
       """SELECT o_orderstatus, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price

@@ -46,7 +46,7 @@ object IndexCatalog {
     * query. */
   def register(spark: SparkSession, tableDir: String, column: String, indexDir: String,
                kind: String = "value"): Unit = {
-    require(Set("value", "minmax")(kind), s"unknown index kind $kind")
+    require(Set("value", "minmax", "bloom")(kind), s"unknown index kind $kind")
     val files = spark.read.parquet(tableDir).inputFiles.toSet
     byPath.put(normalize(tableDir), IndexMeta(tableDir, column.toLowerCase, indexDir, files, kind))
   }
@@ -155,6 +155,9 @@ object IndexRoute extends Rule[LogicalPlan] {
             case "minmax" =>
               boundsFor(cond, meta.column)
                 .map { case (lo, hi) => CompactIndexIO.prunedFilesRange(spark, meta.indexDir, lo, hi) }
+            case "bloom" =>
+              valuesFor(cond, meta.column)
+                .map(vs => CompactIndexIO.prunedFilesBloom(spark, meta.indexDir, vs))
           }
           if files.size < meta.knownFiles.size
         } yield {

@@ -116,6 +116,117 @@ object CompactIndexIO {
     else spark.read.schema(full.schema).parquet(files: _*).filter(pred)
   }
 
+  // --- Bloom-filter variant ------------------------------------------
+  //
+  // The point-lookup sibling for HASH-clustered layouts, where the
+  // reference reaches for its bitmap index (ql/index/bitmap/
+  // BitmapIndexHandler.java) or ORC bloom filters (orc.bloom.filter
+  // .columns, ql/io/orc/WriterImpl's BloomFilterIO): when a table is
+  // hash-distributed on a key, every file's [min, max] zone spans the
+  // whole domain and the zone map prunes nothing, but a per-file Bloom
+  // filter answers "might this file contain value v" in one bit-probe
+  // conjunction. The index row is (file, array<bigint> bitset) — at
+  // 16 KB per file it is ~1.6 GB for a 10^5-file 100 TB table, which is
+  // why the membership test runs DISTRIBUTED as a filter over the index
+  // table (the probe positions are query-side constants, so it is a
+  // codegen'd projection); only the surviving file NAMES reach the
+  // driver. False positives cost a wasted file read that the exact
+  // re-filter absorbs; false negatives cannot happen (no-false-negative
+  // pin in BloomIndexSpec), so the route is sound.
+  //
+  // Hashing is Kirsch-Mitzenmacher double hashing (pos_j = h1 + j*h2
+  // mod bits) over the engine's own codegen'd xxhash64; the lookup
+  // replays the identical Catalyst expressions driver-side after
+  // casting the probe value to the indexed column's type (stored in the
+  // index params), so build and probe can never disagree on a bit.
+
+  private def paramsDir(indexDir: String) = s"$indexDir/params"
+
+  /** OR rows' probe-position arrays into one fixed bitset per group. */
+  private class BloomAgg(words: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(b: Array[Long], pos: Seq[Long]): Array[Long] = {
+      pos.foreach(p => b((p >> 6).toInt) |= 1L << (p & 63)); b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; while (i < words) { x(i) |= y(i); i += 1 }; x
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  private def positionCols(c: Column, bits: Int, numHashes: Int): Column = {
+    val h1 = xxhash64(c)
+    val h2 = xxhash64(c, lit(1))
+    array((0 until numHashes).map(j => pmod(h1 + lit(j.toLong) * h2, lit(bits.toLong))): _*)
+  }
+
+  /** One pass over (file, key): OR each row's probe bits into the
+    * file's bitset. `bits` defaults to 16 KB per file — at 1 GB files
+    * and ~10^6 distinct keys per file that is ~0.1 bits/key too small,
+    * so size `bits` to ~10 x expected distinct keys per file. */
+  def buildBloom(spark: SparkSession, tableDir: String, column: String, indexDir: String,
+                 bits: Int = 1 << 17, numHashes: Int = 5): Unit = {
+    require(bits % 64 == 0 && bits > 0, s"bits must be a positive multiple of 64, got $bits")
+    val src = spark.read.parquet(tableDir)
+    val dt = src.schema(column).dataType
+    src.select(input_file_name().as("idx_file"),
+               positionCols(col(column), bits, numHashes).as("pos"))
+      .groupBy(col("idx_file"))
+      .agg(udaf(new BloomAgg(bits / 64)).apply(col("pos")).as("bloom"))
+      .write.mode("overwrite").parquet(dataDir(indexDir))
+    src.select(input_file_name().as("src_file")).distinct()
+      .write.mode("overwrite").parquet(filesDir(indexDir))
+    import spark.implicits._
+    Seq((bits, numHashes, dt.json)).toDF("bits", "num_hashes", "dtype")
+      .write.mode("overwrite").parquet(paramsDir(indexDir))
+  }
+
+  /** Driver-side replay of the build's probe positions: identical
+    * Catalyst XxHash64 expressions, after casting the probe value to
+    * the indexed column's type. */
+  private def bloomPositions(v: Any, dt: org.apache.spark.sql.types.DataType,
+                             bits: Int, numHashes: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val typed = Literal.create(Cast(Literal(v), dt).eval(null), dt)
+    val h1 = new XxHash64(Seq(typed)).eval(null).asInstanceOf[Long]
+    val h2 = new XxHash64(Seq(typed, Literal(1))).eval(null).asInstanceOf[Long]
+    (0 until numHashes).map(j => java.lang.Math.floorMod(h1 + j.toLong * h2, bits.toLong))
+  }
+
+  /** Files that MIGHT contain any of `values` — the distributed
+    * bit-probe filter over the index table. */
+  def prunedFilesBloom(spark: SparkSession, indexDir: String, values: Seq[Any]): Seq[String] = {
+    val p = spark.read.parquet(paramsDir(indexDir)).collect()(0)
+    val (bits, k) = (p.getInt(0), p.getInt(1))
+    val dt = org.apache.spark.sql.types.DataType.fromJson(p.getString(2))
+    val hit = values.map { v =>
+      bloomPositions(v, dt, bits, k).map { pos =>
+        val word = element_at(col("bloom"), (pos >> 6).toInt + 1)
+        shiftrightunsigned(word, (pos & 63).toInt).bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    spark.read.parquet(dataDir(indexDir))
+      .filter(hit)
+      .select(col("idx_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Bloom-routed scan: read only might-contain files, exact predicate
+    * on top (false positives vanish here; false negatives can't occur). */
+  def readBloom(spark: SparkSession, tableDir: String, indexDir: String,
+                column: String, values: Seq[Any]): DataFrame = {
+    val full = spark.read.parquet(tableDir)
+    val files = prunedFilesBloom(spark, indexDir, values)
+    val pred: Column = col(column).isin(values: _*)
+    if (files.isEmpty) full.filter(pred).limit(0)
+    else spark.read.schema(full.schema).parquet(files: _*).filter(pred)
+  }
+
   /** Has the table drifted since the index was built? (The DEFERRED
     * REBUILD contract: a stale index must be detectable, not silently
     * wrong.) */
