@@ -120,6 +120,29 @@ object Sketches {
       .otherwise(round(lit(k - 1) / theta).cast("long"))
   }
 
+  /** Pairwise union of two STORED KMV sketches as pure built-in
+    * expressions: k smallest distinct hashes of the concatenation.
+    * Stored values are sign-flipped (see [[flip]]), so signed
+    * `array_sort` IS unsigned hash order and the slice keeps the true
+    * k-minimum set — bit-identical to aggregating both inputs together. */
+  def kmvUnionPair(a: Column, b: Column, k: Int): Column = {
+    requireK(k)
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
+
+  /** Intersection NDV of two stored sketches by inclusion-exclusion:
+    * |A∩B| = est(A) + est(B) - est(A∪B). The segment-overlap question
+    * ("how many users appear in BOTH sources?") answered from two
+    * 32 KB summaries — no rescan, no join. Exact while |A∪B| < k;
+    * overflowed, the error is the KMV band on each term (the
+    * theta-sketch intersection of Dasgupta et al., "Theta Sketch
+    * Framework", 2016, in its simplest inclusion-exclusion form).
+    * Floored at 0: inclusion-exclusion of three estimates can land
+    * slightly negative on near-disjoint sets. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
+    greatest(lit(0L),
+      kmvEstimate(a, k) + kmvEstimate(b, k) - kmvEstimate(kmvUnionPair(a, b, k), k))
+
   /** Misra-Gries build: capacity-k counter map over string items. */
   class MgAgg(k: Int) extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
     requireK(k)

@@ -202,10 +202,31 @@ object SketchOps {
     s.table("q285_sink").orderBy(col("event_type"))
   }
 
+  /** Sketch set algebra: distinct-customer overlap between two order
+    * segments computed from their STORED sketches — union as a pure
+    * built-in pairwise merge (bit-identical to re-aggregating), then
+    * intersection by inclusion-exclusion. The cross-segment question a
+    * 100 TB warehouse answers from two 32 KB summaries instead of a
+    * distinct-join over history. Exact here by under-fill (|A∪B| < k);
+    * the overflow band is SketchSpec's job. */
+  val q286_kmv_set_ops: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def seg(p: String, alias: String) =
+      o.filter(col("o_orderpriority") === p)
+        .agg(Sketches.kmvSketch(col("o_custkey"), K).as(alias))
+    seg("1-URGENT", "ska").crossJoin(seg("2-HIGH", "skb"))
+      .select(
+        Sketches.kmvEstimate(col("ska"), K).as("ndv_a"),
+        Sketches.kmvEstimate(col("skb"), K).as("ndv_b"),
+        Sketches.kmvEstimate(Sketches.kmvUnionPair(col("ska"), col("skb"), K), K).as("ndv_union"),
+        Sketches.kmvIntersectEstimate(col("ska"), col("skb"), K).as("ndv_intersect"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q253_stream_heavy_hitters" -> q253_stream_heavy_hitters,
     "q281_dd_quantiles" -> q281_dd_quantiles,
     "q285_stream_quantile_sketch" -> q285_stream_quantile_sketch,
+    "q286_kmv_set_ops" -> q286_kmv_set_ops,
     "q246_kmv_distinct" -> q246_kmv_distinct,
     "q247_heavy_hitters" -> q247_heavy_hitters,
     "q248_incremental_rollup" -> q248_incremental_rollup,
@@ -243,6 +264,19 @@ object SketchOps {
         |  round(2 * power(g, b90) / (g + 1), 6) AS p90_merged,
         |  round(2 * power(g, b99) / (g + 1), 6) AS p99_merged
         |FROM pick, g ORDER BY l_returnflag""".stripMargin,
+    "q286_kmv_set_ops" ->
+      """SELECT
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_orderpriority = '1-URGENT') AS ndv_a,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_orderpriority = '2-HIGH') AS ndv_b,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS ndv_union,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |     INTERSECT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') t
+        |  ) AS ndv_intersect""".stripMargin,
     "q285_stream_quantile_sketch" ->
       """WITH g AS (SELECT (1 + 0.01::DOUBLE) / (1 - 0.01::DOUBLE) AS g),
         |b AS (SELECT event_type,

@@ -91,6 +91,37 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.mgSketch(col("v"), 0))
   }
 
+  test("KMV pairwise union is bit-identical to re-aggregating; intersection is exact under-fill") {
+    val k = 1024
+    // A = [0, 600), B = [400, 1000): |A∩B| = 200, |A∪B| = 1000 < k
+    val a = spark.range(0, 600, 1, 7).select(col("id").as("v"))
+      .agg(Sketches.kmvSketch(col("v"), k).as("sk"))
+    val b = spark.range(400, 1000, 1, 5).select(col("id").as("v"))
+      .agg(Sketches.kmvSketch(col("v"), k).as("sk"))
+    val both = spark.range(0, 1000, 1, 3).select(col("id").as("v"))
+      .agg(Sketches.kmvSketch(col("v"), k).as("sk")).collect()(0).getSeq[Long](0)
+    val row = a.crossJoin(b.select(col("sk").as("skb")))
+      .select(Sketches.kmvUnionPair(col("sk"), col("skb"), k).as("u"),
+              Sketches.kmvIntersectEstimate(col("sk"), col("skb"), k).as("i"))
+      .collect()(0)
+    assert(row.getSeq[Long](0) == both, "pairwise union != aggregated union")
+    assert(row.getLong(1) == 200L)
+  }
+
+  test("KMV intersection estimate stays in the error band when overflowed") {
+    val k = 1024
+    val n = 60000 // |A| = |B| = 60k, overlap 20k, union 100k >> k
+    val a = spark.range(0, n, 1, 9).select(col("id").as("v"))
+      .agg(Sketches.kmvSketch(col("v"), k).as("sk"))
+    val b = spark.range(n - 20000, 2 * n - 20000, 1, 9).select(col("id").as("v"))
+      .agg(Sketches.kmvSketch(col("v"), k).as("sk"))
+    val est = a.crossJoin(b.select(col("sk").as("skb")))
+      .select(Sketches.kmvIntersectEstimate(col("sk"), col("skb"), k))
+      .collect()(0).getLong(0)
+    // three ±3.1%-band terms over counts up to 100k: allow ±15k absolute
+    assert(math.abs(est - 20000L) < 15000L, s"intersection est=$est for truth=20000")
+  }
+
   test("DDSketch quantiles are within alpha relative error of exact order statistics") {
     val alpha = 0.01
     val n = 50000
