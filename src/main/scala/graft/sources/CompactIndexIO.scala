@@ -227,6 +227,61 @@ object CompactIndexIO {
     else spark.read.schema(full.schema).parquet(files: _*).filter(pred)
   }
 
+  /** Incremental REBUILD: because every index row depends on exactly one
+    * data file, the index is embarrassingly incremental — append-only
+    * drift re-indexes ONLY the new files, and a deleted/compacted-away
+    * file just drops its rows. The reference's `ALTER INDEX ... REBUILD`
+    * promises deferral but delivers a full re-scan
+    * (CompactIndexHandler's index-build task rebuilds the index table);
+    * here the nightly-append cost is O(new files) scan + a metadata-
+    * scale merge of the surviving index rows, which is the contract
+    * that keeps a 100 TB table's index maintainable at all. The merged
+    * index is staged and swapped (write-then-rename), so a concurrent
+    * reader sees the old or new index, never a half-written one. */
+  def refresh(spark: SparkSession, tableDir: String, column: String, indexDir: String,
+              kind: String = "value"): Unit = {
+    require(Set("value", "minmax", "bloom")(kind), s"unknown index kind $kind")
+    val known = spark.read.parquet(filesDir(indexDir))
+      .collect().map(_.getString(0)).toSet
+    val src = spark.read.parquet(tableDir)
+    val now = src.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (known == now) return
+    val newFiles = (now -- known).toSeq.sorted
+    val removed = known -- now
+    val newRows = if (newFiles.isEmpty) None else {
+      val fresh = spark.read.schema(src.schema).parquet(newFiles: _*)
+      Some(kind match {
+        case "value" =>
+          fresh.select(col(column).as("idx_value"), input_file_name().as("idx_file")).distinct()
+        case "minmax" =>
+          fresh.select(col(column).as("v"), input_file_name().as("idx_file"))
+            .groupBy(col("idx_file"))
+            .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+        case "bloom" =>
+          val p = spark.read.parquet(paramsDir(indexDir)).collect()(0)
+          val (bits, k) = (p.getInt(0), p.getInt(1))
+          fresh.select(input_file_name().as("idx_file"),
+                       positionCols(col(column), bits, k).as("pos"))
+            .groupBy(col("idx_file"))
+            .agg(udaf(new BloomAgg(bits / 64)).apply(col("pos")).as("bloom"))
+      })
+    }
+    val kept = spark.read.parquet(dataDir(indexDir))
+      .filter(if (removed.isEmpty) lit(true)
+              else !col("idx_file").isin(removed.toSeq: _*))
+    val merged = newRows.fold(kept)(kept.unionByName(_))
+    val stage = new org.apache.hadoop.fs.Path(s"$indexDir/.index_stage")
+    val target = new org.apache.hadoop.fs.Path(dataDir(indexDir))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.write.mode("overwrite").parquet(stage.toString) // materializes before the swap
+    fs.delete(target, true)
+    require(fs.rename(stage, target), s"index swap failed for $indexDir")
+    import spark.implicits._
+    now.toSeq.sorted.toDF("src_file")
+      .write.mode("overwrite").parquet(filesDir(indexDir))
+  }
+
   /** Has the table drifted since the index was built? (The DEFERRED
     * REBUILD contract: a stale index must be detectable, not silently
     * wrong.) */

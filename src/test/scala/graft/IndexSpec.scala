@@ -40,6 +40,64 @@ class IndexSpec extends AnyFunSuite {
     assert(sumRouted == sumFull)
   }
 
+  test("incremental refresh: appended files are indexed without a full rebuild; deletions drop rows") {
+    val path = s"$base/orders_refresh"
+    val idx = s"$base/orders_refresh_idx"
+    val o = Tables.orders(spark, sf)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .repartition(4).write.mode(SaveMode.Overwrite).parquet(path)
+    CompactIndexIO.build(spark, path, "o_orderpriority", idx)
+    assert(!CompactIndexIO.isStale(spark, path, idx))
+
+    // nightly append: new part files drift the table
+    o.filter(col("o_orderkey") % 2 === 1)
+      .repartition(2).write.mode(SaveMode.Append).parquet(path)
+    assert(CompactIndexIO.isStale(spark, path, idx))
+    CompactIndexIO.refresh(spark, path, "o_orderpriority", idx)
+    assert(!CompactIndexIO.isStale(spark, path, idx))
+    val routed = CompactIndexIO.read(spark, path, idx, "o_orderpriority", Seq("1-URGENT"))
+    val expect = spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT")
+    assert(routed.count() == expect.count())
+    // rows from BOTH generations are reachable through the refreshed index
+    assert(routed.filter(col("o_orderkey") % 2 === 1).count() > 0)
+
+    // compaction-style deletion: drop one data file, refresh drops its rows
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = spark.read.parquet(path).inputFiles.sorted.head
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    assert(CompactIndexIO.isStale(spark, path, idx))
+    CompactIndexIO.refresh(spark, path, "o_orderpriority", idx)
+    assert(!CompactIndexIO.isStale(spark, path, idx))
+    val after = CompactIndexIO.read(spark, path, idx, "o_orderpriority", Seq("1-URGENT"))
+    assert(after.count() ==
+      spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
+  test("incremental refresh maintains minmax and bloom kinds too") {
+    val path = s"$base/orders_refresh2"
+    val o = Tables.orders(spark, sf)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .repartition(4).write.mode(SaveMode.Overwrite).parquet(path)
+    val idxM = s"$base/orders_refresh2_minmax"
+    val idxB = s"$base/orders_refresh2_bloom"
+    CompactIndexIO.buildMinMax(spark, path, "o_custkey", idxM)
+    CompactIndexIO.buildBloom(spark, path, "o_custkey", idxB)
+    o.filter(col("o_orderkey") % 2 === 1)
+      .repartition(2).write.mode(SaveMode.Append).parquet(path)
+    CompactIndexIO.refresh(spark, path, "o_custkey", idxM, kind = "minmax")
+    CompactIndexIO.refresh(spark, path, "o_custkey", idxB, kind = "bloom")
+    assert(!CompactIndexIO.isStale(spark, path, idxM))
+    val lo = 100L; val hi = 300L
+    val ranged = CompactIndexIO.readRange(spark, path, idxM, "o_custkey", lo, hi)
+    val expect = spark.read.parquet(path).filter(col("o_custkey").between(lo, hi))
+    assert(ranged.count() == expect.count())
+    val keys = Seq(101L, 250L)
+    val bloomed = CompactIndexIO.readBloom(spark, path, idxB, "o_custkey", keys)
+    assert(bloomed.count() ==
+      spark.read.parquet(path).filter(col("o_custkey").isin(keys: _*)).count())
+  }
+
   test("multi-value lookup unions the value routes exactly once") {
     val path = s"$base/orders_clustered"
     val idx = s"$base/orders_idx"
