@@ -49,14 +49,29 @@ object ZOrder {
     round((c.cast("double") - lit(lo)) / lit(span) * lit((1 << bits) - 1)).cast("long")
   }
 
-  /** Morton code over the given (column, lo, hi) dimensions. */
-  def zvalue(dims: Seq[(Column, Double, Double)], bits: Int): Column = {
-    require(dims.size >= 2, "z-ordering needs at least 2 dimensions")
-    require(bits * dims.size <= 62, s"bits=$bits x ${dims.size} dims exceeds a long")
-    dims.zipWithIndex.map { case ((c, lo, hi), i) =>
-      spreadBits(linearRank(c, lo, hi, bits), bits, dims.size, i)
+  /** Morton code over pre-computed rank columns (each in [0, 2^bits)). */
+  def zvalueFromRanks(ranks: Seq[Column], bits: Int): Column = {
+    require(ranks.size >= 2, "z-ordering needs at least 2 dimensions")
+    require(bits * ranks.size <= 62, s"bits=$bits x ${ranks.size} dims exceeds a long")
+    ranks.zipWithIndex.map { case (r, i) =>
+      spreadBits(r, bits, ranks.size, i)
     }.reduce(_ bitwiseOR _)
   }
+
+  /** Morton code over the given (column, lo, hi) dimensions. */
+  def zvalue(dims: Seq[(Column, Double, Double)], bits: Int): Column =
+    zvalueFromRanks(dims.map { case (c, lo, hi) => linearRank(c, lo, hi, bits) }, bits)
+
+  /** Equi-depth rank: index of c's quantile bucket among `bounds`
+    * (the 2^bits - 1 interior quantile boundaries). A skewed dimension
+    * collapses under linear ranks — 99% of a long-tailed column can land
+    * in bucket 0, and the Morton code stops encoding it — while
+    * equi-depth boundaries spend the same number of buckets on every
+    * PERCENTILE, so dense regions keep their resolution. The boundary
+    * probe is a counting filter over a broadcast literal array
+    * (O(2^bits) per row inside codegen; bits <= 8 keeps that trivial). */
+  def equiDepthRank(c: Column, bounds: Seq[Double]): Column =
+    size(filter(typedLit(bounds), b => b < c.cast("double"))).cast("long")
 
   /** Rewrite df into `numFiles` z-ordered parquet files at `path`.
     * Lossless: same rows, new physical order. */
@@ -69,6 +84,28 @@ object ZOrder {
       (col(c), boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
     }
     df.withColumn("__z", zvalue(dims, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Equi-depth variant of [[write]] for skewed clustering columns:
+    * boundaries come from approxQuantile (Greenwald-Khanna — one pass,
+    * bounded driver state, deterministic for a fixed input), so each
+    * dimension's 2^bits ranks hold equal row mass regardless of the
+    * value distribution. Same interleave, same writer. */
+  def writeEquiDepth(df: DataFrame, cols: Seq[String], path: String,
+                     bits: Int = 8, numFiles: Int = 16): Unit = {
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val asDouble = cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"__ed_$c", col(c).cast("double"))
+    }
+    val ranks = cols.map { c =>
+      val bounds = asDouble.stat.approxQuantile(s"__ed_$c", probs, 0.001).toSeq
+      equiDepthRank(col(c), bounds)
+    }
+    df.withColumn("__z", zvalueFromRanks(ranks, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

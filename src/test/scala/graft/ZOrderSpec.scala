@@ -41,6 +41,44 @@ class ZOrderSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("equi-depth ranks keep pruning on a skewed dimension where linear ranks collapse") {
+    val n = 50000
+    // x long-tailed: 95% of rows dense in [0, 100), 5% tail up to ~1e6;
+    // y comes from id's HIGH digits so it carries no information about x
+    // (each y value sees the full dense x range)
+    val df = spark.range(0, n, 1, 8).select(
+      when(col("id") % 20 =!= 0, (col("id") % 100).cast("double"))
+        .otherwise(lit(1000d) + (col("id") % 1000).cast("double") * 1000d).as("x"),
+      ((col("id") / 100).cast("long") % 500).cast("double").as("y"),
+      col("id"))
+    val linPath = "target/storage/zorder_spec/skew_linear"
+    val edPath = "target/storage/zorder_spec/skew_equidepth"
+    ZOrder.write(df, Seq("x", "y"), linPath, bits = 8, numFiles = 16)
+    ZOrder.writeEquiDepth(df, Seq("x", "y"), edPath, bits = 8, numFiles = 16)
+
+    // narrow dense-region query (~3% of row mass): each equi-depth file
+    // confines x to ~a quarter of percentile space (16 files = 4 top
+    // interleaved bits = 2 bits per dim), so only zone-straddling files
+    // survive; under linear ranks every dense-carrying file's zone spans
+    // the whole dense region and nothing prunes
+    def prunedOnX(path: String): Int = {
+      val idx = s"$path-idx"
+      CompactIndexIO.buildMinMax(spark, path, "x", idx)
+      CompactIndexIO.prunedFilesRange(spark, idx, Some(60.5d), Some(63.5d)).size
+    }
+    val lin = prunedOnX(linPath)
+    val ed = prunedOnX(edPath)
+    // linear: the dense region all ranks to ~0, so x stops being encoded
+    // and every dense-carrying file's zone spans the query range
+    assert(lin >= 14, s"expected linear layout to keep ~all dense-carrying files, kept $lin")
+    assert(ed <= 10 && ed < lin, s"equi-depth should localize the dense region, kept $ed of 16 (linear: $lin)")
+    // losslessness of the equi-depth writer
+    val back = spark.read.parquet(edPath)
+    assert(back.count() == n)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) ==
+      df.agg(sum(col("id"))).collect()(0).getLong(0))
+  }
+
   test("2-D range scan prunes z-ordered files; single-vector clustering reads everything") {
     val src = Tables.orders(spark, "/root/testdata/sf0.01")
     val n = 16
