@@ -169,6 +169,44 @@ object Versioned {
   private val DeltaMarker = "_delta"
   private val OpCol = "_op"
 
+  /** Change-data feed between two committed snapshots — the CDC diff a
+    * downstream incremental consumer reads instead of re-scanning the
+    * table (the lakehouse "change data feed" idea; the reference's
+    * closest surface is streaming ingest's per-transaction deltas,
+    * hcatalog/streaming TransactionBatch). Emits the standard four-lane
+    * format: `insert` / `delete` rows plus `update_preimage` /
+    * `update_postimage` pairs for keys present in both snapshots whose
+    * non-key attributes differ (null-safely). One full-outer join of
+    * the two snapshots on the business key — both legs of the update
+    * pair project from the same joined exchange. At scale the from-
+    * snapshot is usually yesterday's — the join is the cost of ONE
+    * key-shuffle of two snapshots, bounded by table size, and with
+    * delta versions ([[commitDelta]]) the to-side is already just the
+    * changed rows. */
+  def diff(spark: SparkSession, base: String, fromV: Int, toV: Int,
+           keys: Seq[String]): DataFrame = {
+    val from = read(spark, base, Some(fromV))
+    val to = read(spark, base, Some(toV))
+    require(from.columns.toSeq == to.columns.toSeq,
+      s"snapshot schemas differ: ${from.columns.mkString(",")} vs ${to.columns.mkString(",")}")
+    val cols = from.columns.toIndexedSeq
+    val attrs = cols.filterNot(keys.contains)
+    val f = from.select(cols.map(c => col(c).as(s"__f_$c")): _*)
+    val t = to.select(cols.map(c => col(c).as(s"__t_$c")): _*)
+    val j = f.join(t, keys.map(k => col(s"__f_$k") === col(s"__t_$k")).reduce(_ && _),
+                   "full_outer")
+    val inFrom = col(s"__f_${keys.head}").isNotNull
+    val inTo = col(s"__t_${keys.head}").isNotNull
+    val changed = attrs.map(a => !(col(s"__f_$a") <=> col(s"__t_$a"))).reduce(_ || _)
+    def side(cond: Column, prefix: String, tpe: String) =
+      j.where(cond).select(
+        lit(tpe).as("_change_type") +: cols.map(c => col(s"$prefix$c").as(c)): _*)
+    side(!inFrom && inTo, "__t_", "insert")
+      .unionByName(side(inFrom && !inTo, "__f_", "delete"))
+      .unionByName(side(inFrom && inTo && changed, "__f_", "update_preimage"))
+      .unionByName(side(inFrom && inTo && changed, "__t_", "update_postimage"))
+  }
+
   private val TagFile = "_tag"
 
   /** Tags of committed versions, for idempotent replay (newest first). */

@@ -354,6 +354,56 @@ object StorageOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SCD Type 2 dimension maintenance (etl/Scd2) — the two-branch MERGE
+    * recipe the reference's MERGE INTO (MergeSemanticAnalyzer.java,
+    * q152) leaves to the user, owned by the engine: a customer-segment
+    * dimension initialized at 1995-01-01 takes one change batch at
+    * 2024-01-15 containing genuine changes, no-op rows (suppressed — no
+    * phantom versions), and brand-new keys. The emitted dimension shows
+    * closed-out history rows, untouched currents, and the new versions;
+    * a point-in-time asOf read is pinned in EtlSpec. */
+  val q287_scd2: Q = (s, d) => {
+    val base = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val dim0 = graft.etl.Scd2.init(base, lit("1995-01-01"))
+    val batch = base.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
+      .unionByName(base.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+                lit("AUTOMOBILE").as("c_mktsegment")))
+    graft.etl.Scd2.applyChanges(dim0, batch, Seq("c_custkey"), Seq("c_mktsegment"),
+                          lit("2024-01-15"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+              col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** Change-data feed between two versioned snapshots (acid/Versioned
+    * .diff) — v1 is the orders slice, v2 applies a delete (%13), an
+    * update (%7 → status 'X') and inserts (+3,000,000 keys), committed
+    * as real snapshot versions; the diff emits the standard four-lane
+    * CDC format a downstream incremental consumer would ingest. The
+    * oracle recomputes both snapshots and the diff relationally, so
+    * every lane (including the update pre/post pair) is hash-checked. */
+  val q288_snapshot_diff: Q = (s, d) => {
+    val store = tmp(d, "orders_cdc")
+    val fsPath = new org.apache.hadoop.fs.Path(store)
+    fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+    val v1 = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .unionByName(v1.filter(col("o_orderkey") % 113 === 0)
+        .select((col("o_orderkey") + 3000000L).as("o_orderkey"),
+                lit("N").as("o_orderstatus"), col("o_totalprice")))
+    val a = graft.acid.Versioned.commit(s, store, v1)
+    val b = graft.acid.Versioned.commit(s, store, v2)
+    graft.acid.Versioned.diff(s, store, a, b, Seq("o_orderkey"))
+      .select(col("_change_type"), col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast("double").as("price"))
+      .orderBy(col("o_orderkey"), col("_change_type"))
+  }
+
   /** Bloom-filter file index over a HASH-clustered layout — the point-
     * lookup sibling of q269 (value index) and q275 (zone map), analog of
     * the reference's bitmap index (ql/index/bitmap/BitmapIndexHandler
@@ -523,6 +573,8 @@ object StorageOps {
     "q275_minmax_index" -> q275_minmax_index,
     "q283_zorder_2d" -> q283_zorder_2d,
     "q284_bloom_index" -> q284_bloom_index,
+    "q287_scd2" -> q287_scd2,
+    "q288_snapshot_diff" -> q288_snapshot_diff,
     "q276_mv_rewrite" -> q276_mv_rewrite,
     "q278_incremental_mv" -> q278_incremental_mv,
     "q279_index_transparent" -> q279_index_transparent,
@@ -561,6 +613,65 @@ object StorageOps {
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
         |                      AND TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q288_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |           AS o_orderstatus,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, 'N', o_totalprice FROM orders
+        |  WHERE o_orderkey % 113 = 0),
+        |ins AS (SELECT 'insert' AS _change_type, b.o_orderkey, b.o_orderstatus,
+        |               CAST(b.o_totalprice AS DOUBLE) AS price
+        |        FROM v2 b LEFT JOIN v1 a ON a.o_orderkey = b.o_orderkey
+        |        WHERE a.o_orderkey IS NULL),
+        |del AS (SELECT 'delete', a.o_orderkey, a.o_orderstatus,
+        |               CAST(a.o_totalprice AS DOUBLE)
+        |        FROM v1 a LEFT JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        |        WHERE b.o_orderkey IS NULL),
+        |up AS (SELECT a.o_orderkey, a.o_orderstatus AS sa, b.o_orderstatus AS sb,
+        |              a.o_totalprice AS pa, b.o_totalprice AS pb
+        |       FROM v1 a JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        |       WHERE a.o_orderstatus <> b.o_orderstatus
+        |          OR a.o_totalprice <> b.o_totalprice),
+        |pre AS (SELECT 'update_preimage', o_orderkey, sa, CAST(pa AS DOUBLE) FROM up),
+        |post AS (SELECT 'update_postimage', o_orderkey, sb, CAST(pb AS DOUBLE) FROM up)
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
+    "q287_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, 'MACHINERY' AS new_seg FROM base WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'AUTOMOBILE' AS new_seg FROM base
+        |  WHERE c_custkey % 97 = 0),
+        |closed AS (
+        |  SELECT b.c_custkey, b.c_mktsegment,
+        |         DATE '1995-01-01' AS valid_from, DATE '2024-01-15' AS valid_to,
+        |         FALSE AS is_current
+        |  FROM base b JOIN chg ON b.c_custkey = chg.c_custkey
+        |  WHERE b.c_mktsegment <> chg.new_seg),
+        |kept AS (
+        |  SELECT b.c_custkey, b.c_mktsegment,
+        |         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |         TRUE AS is_current
+        |  FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM chg
+        |                    WHERE chg.c_custkey = b.c_custkey
+        |                      AND b.c_mktsegment <> chg.new_seg)),
+        |opened AS (
+        |  SELECT chg.c_custkey, chg.new_seg AS c_mktsegment,
+        |         DATE '2024-01-15' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |         TRUE AS is_current
+        |  FROM chg LEFT JOIN base b ON b.c_custkey = chg.c_custkey
+        |  WHERE b.c_custkey IS NULL OR b.c_mktsegment <> chg.new_seg)
+        |SELECT * FROM closed UNION ALL SELECT * FROM kept
+        |UNION ALL SELECT * FROM opened
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "q284_bloom_index" ->
       """SELECT o_custkey, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price

@@ -138,4 +138,35 @@ class EtlSpec extends AnyFunSuite {
       .select(Fingerprint.poly_hash(col("text")).as("fp")).collect().map(_.getLong(0))
     assert(a.sameElements(b))
   }
+
+  test("SCD2: no-op suppression, null-safe change detection, point-in-time lookup") {
+    import spark.implicits._
+    import graft.etl.Scd2
+    // k=1 unchanged, k=2 changed, k=3 NULL -> value (a change!), k=4 new key
+    val dim0 = Scd2.init(
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+        .toDF("k", "attr"), lit("2020-01-01"))
+    val batch = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("c")), (4L, Some("d")))
+      .toDF("k", "attr")
+    val dim1 = Scd2.applyChanges(dim0, batch, Seq("k"), Seq("attr"), lit("2021-06-15"))
+      .cache()
+    // row counts: 3 original (1 kept current, 2 closed) + 3 opened
+    assert(dim1.count() == 6)
+    assert(dim1.filter(col("is_current")).count() == 4) // k=1..4 current
+    // no-op suppression: k=1 kept its ORIGINAL valid_from, exactly one version
+    val k1 = dim1.filter(col("k") === 1).collect()
+    assert(k1.length == 1 && k1(0).getAs[java.sql.Date]("valid_from").toString == "2020-01-01")
+    // null -> value counted as a change: k=3 has a closed NULL version
+    val k3 = dim1.filter(col("k") === 3).orderBy(col("valid_from")).collect()
+    assert(k3.length == 2 && k3(0).isNullAt(k3(0).fieldIndex("attr")) && !k3(0).getBoolean(k3(0).fieldIndex("is_current")))
+    // point-in-time: before the batch k=2 reads 'b', after it reads 'B'
+    val before = Scd2.asOf(dim1, lit("2021-01-01")).filter(col("k") === 2).collect()
+    val after = Scd2.asOf(dim1, lit("2022-01-01")).filter(col("k") === 2).collect()
+    assert(before.length == 1 && before(0).getString(before(0).fieldIndex("attr")) == "b")
+    assert(after.length == 1 && after(0).getString(after(0).fieldIndex("attr")) == "B")
+    // asOf at exactly the change date reads the NEW version ([from, to))
+    val at = Scd2.asOf(dim1, lit("2021-06-15")).filter(col("k") === 2).collect()
+    assert(at.length == 1 && at(0).getString(at(0).fieldIndex("attr")) == "B")
+    dim1.unpersist()
+  }
 }

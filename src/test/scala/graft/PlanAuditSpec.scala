@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q198_token_rarity" -> "vocab sliver x broadcast(1-row corpus token total) — rarity scalar gate",
     "q239_source_token_drift" -> "source-totals sliver x broadcast(top-100 token lattice) + 1-row corpus total",
     "q252_skew_report" -> "per-key-profile 1x1 cross join of a singleton agg with a broadcast 10-row head",
+    "q286_kmv_set_ops" -> "1x1 cross join of two singleton sketch aggregates (set-algebra report row)",
   )
 
   test("no query plans a CartesianProduct; BNLJ only where justified") {

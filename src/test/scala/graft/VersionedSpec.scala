@@ -227,4 +227,26 @@ class VersionedSpec extends AnyFunSuite {
     assert(got == Seq(2, 3, 4, 5), s"version collision: $got")
     assert(Versioned.versions(spark, base) == Seq(1, 2, 3, 4, 5))
   }
+
+  test("snapshot diff emits the four CDC lanes, null-safely; identical snapshots diff empty") {
+    val base = freshBase()
+    // k=1 stays, k=2 deleted, k=3 value->NULL (update), k=4 NULL->value
+    // (update), k=5 inserted
+    val v1 = Versioned.commit(spark, base,
+      Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+          (4L, None: Option[String])).toDF("k", "v"))
+    val v2 = Versioned.commit(spark, base,
+      Seq((1L, Option("a")), (3L, None: Option[String]), (4L, Option("d")),
+          (5L, Option("e"))).toDF("k", "v"))
+    val d = Versioned.diff(spark, base, v1, v2, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+                 if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(d == Set(
+      ("delete", 2L, "b"),
+      ("update_preimage", 3L, "c"), ("update_postimage", 3L, null),
+      ("update_preimage", 4L, null), ("update_postimage", 4L, "d"),
+      ("insert", 5L, "e")))
+    // unchanged k=1 produces nothing; a self-diff is empty
+    assert(Versioned.diff(spark, base, v2, v2, Seq("k")).count() == 0)
+  }
 }
