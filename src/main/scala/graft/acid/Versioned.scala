@@ -207,6 +207,23 @@ object Versioned {
       .unionByName(side(inFrom && inTo && changed, "__t_", "update_postimage"))
   }
 
+  /** Consumer side of the change feed: apply a [[diff]]-format change
+    * set to a snapshot — drop deleted/replaced keys, append inserts and
+    * post-images. The contract is the exact round trip
+    * `applyDiff(read(v1), diff(v1, v2)) == read(v2)` (pinned in
+    * VersionedSpec), which is what lets a downstream table follow an
+    * upstream one by shipping only changes — O(changes) transfer per
+    * sync instead of O(table). */
+  def applyDiff(snapshot: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val gone = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(keys.map(col): _*)
+    val arrived = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    snapshot.join(gone, keys, "left_anti").unionByName(arrived)
+  }
+
   private val TagFile = "_tag"
 
   /** Tags of committed versions, for idempotent replay (newest first). */

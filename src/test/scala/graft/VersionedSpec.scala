@@ -249,4 +249,25 @@ class VersionedSpec extends AnyFunSuite {
     // unchanged k=1 produces nothing; a self-diff is empty
     assert(Versioned.diff(spark, base, v2, v2, Seq("k")).count() == 0)
   }
+
+  test("CDC round trip: applying diff(v1, v2) to snapshot v1 reproduces v2 exactly") {
+    val base = freshBase()
+    val v1df = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+              col("o_totalprice").cast("double").as("price"))
+    val v2df = v1df.filter(col("k") % 11 =!= 0)
+      .withColumn("price", when(col("k") % 5 === 0, col("price") * 2).otherwise(col("price")))
+      .unionByName(v1df.filter(col("k") % 31 === 0)
+        .select((col("k") + 9000000L).as("k"), lit("Z").as("st"), col("price")))
+    val v1 = Versioned.commit(spark, base, v1df)
+    val v2 = Versioned.commit(spark, base, v2df)
+    val changes = Versioned.diff(spark, base, v1, v2, Seq("k"))
+    val followed = Versioned.applyDiff(Versioned.read(spark, base, Some(v1)), changes, Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(canon(followed) == canon(Versioned.read(spark, base, Some(v2))))
+    // transfer is O(changes): the feed is far smaller than the table
+    assert(changes.count() < v1df.count() / 2)
+  }
 }
