@@ -94,7 +94,7 @@ object CopyOnWrite {
     }
   }
 
-  private def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
+  private[graft] def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(path + ".cow_lock")
     acquireLock(fs, lock, "COW")
@@ -106,8 +106,8 @@ object CopyOnWrite {
     * drop backup — rolling back the first rename if the promotion fails.
     * Readers during the window see the old or new table, never a mix.
     * Returns false without swapping when `write` reports a no-op. */
-  private def stagedSwap(spark: SparkSession, path: String)
-                        (write: Path => Boolean): Boolean = {
+  private[graft] def stagedSwap(spark: SparkSession, path: String)
+                                (write: Path => Boolean): Boolean = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + ".cow_staging")
     val backup = new Path(path + ".cow_backup")

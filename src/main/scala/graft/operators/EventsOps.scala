@@ -327,7 +327,63 @@ object EventsOps {
       .orderBy(col("n").desc, col("from_type"), col("to_type"))
   }
 
+  /** Regular-grid resampling with gap fill — the time-series alignment
+    * step every metrics/feature pipeline needs before models or
+    * dashboards consume event data (Hive users hand-roll it with a
+    * calendar table join + windows; packaged here as one operator).
+    * Buckets events onto a fixed step, densifies each key's span via
+    * `sequence` + explode (grid size = span/step per key — bounded,
+    * data-independent), left-joins the aggregates back, and fills gaps
+    * three ways: zero-fill, forward-fill (last observation carried
+    * forward), and linear interpolation between the surrounding
+    * observations. One shuffle on key for the aggregate, one per-key
+    * window sort for the fills — no driver loops, no calendar table.
+    * At 100 TB the grid is still |keys| x span/step rows: the operator's
+    * cost scales with the REPORT size, not the event volume. */
+  def resample(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column,
+               ts: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+               stepSec: Long): org.apache.spark.sql.DataFrame = {
+    val bucket = floor(ts.cast("long") / lit(stepSec.toDouble)).cast("long")
+    val agg = df.select(key.as("k"), bucket.as("bucket"), value.as("v"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("v").cast(DecimalType(25, 2))).cast("double").as("v"))
+    val spans = agg.groupBy(col("k")).agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val grid = spans.select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val joined = grid.join(agg, Seq("k", "bucket"), "left")
+    val past = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val future = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val prevV = last(col("v"), ignoreNulls = true).over(past)
+    val prevB = last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(past)
+    val nextV = first(col("v"), ignoreNulls = true).over(future)
+    val nextB = first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(future)
+    val interp = when(col("v").isNotNull, col("v"))
+      .when(prevV.isNull, nextV)
+      .when(nextV.isNull, prevV)
+      .otherwise(prevV + (nextV - prevV) * (col("bucket") - prevB).cast("double")
+                          / (nextB - prevB).cast("double"))
+    joined.select(col("k"), col("bucket"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("v"), lit(0d)).as("v_zero"),
+      prevV.as("v_ffill"),
+      interp.as("v_interp"))
+  }
+
+  /** Hourly per-type value series, densified and gap-filled three ways
+    * (the ~40 missing hours per type at sf0.01 exercise every fill). */
+  val q289_resample: Q = (s, d) => {
+    resample(Tables.events(s, d), col("event_type"), col("ts"), col("value"), 3600L)
+      .select(col("k").as("event_type"), col("bucket"), col("n"),
+              round(col("v_zero"), 6).as("v_zero"),
+              round(col("v_ffill"), 6).as("v_ffill"),
+              round(col("v_interp"), 6).as("v_interp"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q289_resample" -> q289_resample,
     "q251_session_transitions" -> q251_session_transitions,
     "q243_rolling_active" -> q243_rolling_active,
     "q241_stream_funnel_parity" -> q241_stream_funnel_parity,
@@ -386,6 +442,40 @@ object EventsOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q289_resample" ->
+      """WITH b AS (SELECT event_type AS k,
+        |             CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, value
+        |           FROM events),
+        |a AS (SELECT k, bucket, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS v
+        |      FROM b GROUP BY 1, 2),
+        |s AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM a GROUP BY 1),
+        |g AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket FROM s),
+        |j AS (SELECT g.k, g.bucket, a.n, a.v
+        |      FROM g LEFT JOIN a ON a.k = g.k AND a.bucket = g.bucket),
+        |w AS (SELECT k, bucket, n, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY bucket
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY bucket
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT k AS event_type, bucket, coalesce(n, 0) AS n,
+        |  round(coalesce(v, 0), 6) AS v_zero,
+        |  round(pv, 6) AS v_ffill,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (bucket - pb)
+        |                       / CAST(nb - pb AS DOUBLE) END, 6) AS v_interp
+        |FROM w ORDER BY event_type, bucket""".stripMargin,
     "q251_session_transitions" ->
       s"""WITH $sessionIslandCtes,
          |p AS (SELECT event_type,

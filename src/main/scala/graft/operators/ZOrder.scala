@@ -90,6 +90,36 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** In-place `OPTIMIZE ... ZORDER BY`: atomically rewrite an EXISTING
+    * table directory into the z-ordered layout — the lakehouse OPTIMIZE
+    * command, built from this module's writer plus [[graft.acid
+    * .CopyOnWrite]]'s locked staged-swap protocol (writers serialize on
+    * the sidecar lock; a concurrent reader sees the old or new layout,
+    * never a mix, and the row multiset is identical either way so the
+    * swap is invisible to queries). Compose with zone-map/bloom index
+    * `refresh` afterwards: OPTIMIZE replaces every file, which is
+    * exactly the drift `isStale` reports. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+               cols: Seq[String], bits: Int = 8, numFiles: Int = 16): Unit =
+    graft.acid.CopyOnWrite.withTableLock(spark, path) {
+      val df = spark.read.parquet(path)
+      // bounds + z-column resolve against the CURRENT files inside the lock
+      val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+      val boundsRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val dims = cols.zipWithIndex.map { case (c, i) =>
+        (col(c), boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
+      }
+      graft.acid.CopyOnWrite.stagedSwap(spark, path) { staging =>
+        df.withColumn("__z", zvalue(dims, bits))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(staging.toString)
+        true
+      }
+      ()
+    }
+
   /** Equi-depth variant of [[write]] for skewed clustering columns:
     * boundaries come from approxQuantile (Greenwald-Khanna — one pass,
     * bounded driver state, deterministic for a fixed input), so each

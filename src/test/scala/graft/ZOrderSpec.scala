@@ -79,6 +79,25 @@ class ZOrderSpec extends AnyFunSuite {
       df.agg(sum(col("id"))).collect()(0).getLong(0))
   }
 
+  test("OPTIMIZE ZORDER rewrites in place atomically: same rows, clustered layout, fresh staleness") {
+    val src = Tables.orders(spark, "/root/testdata/sf0.01")
+    val path = "target/storage/zorder_spec/orders_optimize"
+    src.repartition(32).write.mode("overwrite").parquet(path) // unclustered, fragmented
+    val before = spark.read.parquet(path).agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    val idx = s"$path-idx"
+    CompactIndexIO.buildMinMax(spark, path, "o_custkey", idx)
+    ZOrder.optimize(spark, path, Seq("o_custkey", "o_totalprice"), bits = 8, numFiles = 16)
+    val after = spark.read.parquet(path).agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    assert(before == after, "OPTIMIZE changed the row multiset")
+    assert(spark.read.parquet(path).inputFiles.length == 16)
+    // every file replaced: the old index must report stale, and a refresh
+    // against the new layout must prune the 2-D query
+    assert(CompactIndexIO.isStale(spark, path, idx))
+    CompactIndexIO.refresh(spark, path, "o_custkey", idx, kind = "minmax")
+    val kept = CompactIndexIO.prunedFilesRange(spark, idx, Some(400L), Some(600L))
+    assert(kept.size < 16, s"z-ordered layout should prune, kept ${kept.size}")
+  }
+
   test("2-D range scan prunes z-ordered files; single-vector clustering reads everything") {
     val src = Tables.orders(spark, "/root/testdata/sf0.01")
     val n = 16
