@@ -420,6 +420,25 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(a == b, "clean_text must not depend on physical row order")
   }
 
+  test("10x events: resample grid size is REPORT-sized, not data-sized; fills stay exact") {
+    import graft.operators.EventsOps
+    val base = Tables.events(spark, sf01).select(col("event_type"), col("ts"), col("value"))
+    // 10x volume inside the same time span: replicas shift by < 1 bucket
+    val dense = (0 until 10).map(k =>
+      base.withColumn("value", col("value") + lit(k * 0.01))).reduce(_ unionAll _)
+    val g1 = EventsOps.resample(base, col("event_type"), col("ts"), col("value"), 3600L)
+    val g10 = EventsOps.resample(dense, col("event_type"), col("ts"), col("value"), 3600L)
+    val (n1, n10) = (g1.count(), g10.count())
+    // the whole point: 10x the events, IDENTICAL grid cardinality
+    assert(n1 == n10, s"grid grew with data volume: $n1 -> $n10")
+    // fills still exact: zero-filled rows are exactly the empty buckets
+    // and event counts scale exactly 10x
+    val e1 = g1.agg(sum(col("n"))).collect()(0).getLong(0)
+    val e10 = g10.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(e10 == 10 * e1, s"bucket event counts must scale 10x: $e1 -> $e10")
+    assert(g10.filter(col("n") === 0 && col("v_zero") =!= 0d).count() == 0)
+  }
+
   test("weighted sample selects the identical row set under any partitioning (no rand())") {
     import spark.implicits._
     val base = (0 until 2000).map(i => (i.toLong, (i % 97) / 100.0)).toDF("doc_id", "p")
