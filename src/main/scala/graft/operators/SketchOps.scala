@@ -280,8 +280,9 @@ object SketchOps {
     "q285_stream_quantile_sketch" ->
       """WITH g AS (SELECT (1 + 0.01::DOUBLE) / (1 - 0.01::DOUBLE) AS g),
         |b AS (SELECT event_type,
-        |        CAST(ceil(ln(CAST(value AS DOUBLE))
-        |                  / ln((SELECT g FROM g))) AS INT) AS bin
+        |        CASE WHEN value = 0 THEN -2147483648
+        |             ELSE CAST(ceil(ln(CAST(value AS DOUBLE))
+        |                            / ln((SELECT g FROM g))) AS INT) END AS bin
         |      FROM events),
         |c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
         |      FROM b GROUP BY 1, 2),
@@ -294,8 +295,10 @@ object SketchOps {
         |    MIN(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.95) THEN bin END) AS b95
         |  FROM w GROUP BY event_type)
         |SELECT event_type,
-        |  round(2 * power(g, b50) / (g + 1), 6) AS p50,
-        |  round(2 * power(g, b95) / (g + 1), 6) AS p95
+        |  round(CASE WHEN b50 = -2147483648 THEN 0
+        |             ELSE 2 * power(g, b50) / (g + 1) END, 6) AS p50,
+        |  round(CASE WHEN b95 = -2147483648 THEN 0
+        |             ELSE 2 * power(g, b95) / (g + 1) END, 6) AS p95
         |FROM pick, g ORDER BY event_type""".stripMargin,
     "q253_stream_heavy_hitters" ->
       """WITH c AS (
