@@ -191,13 +191,18 @@ object Versioned {
       s"snapshot schemas differ: ${from.columns.mkString(",")} vs ${to.columns.mkString(",")}")
     val cols = from.columns.toIndexedSeq
     val attrs = cols.filterNot(keys.contains)
-    val f = from.select(cols.map(c => col(c).as(s"__f_$c")): _*)
-    val t = to.select(cols.map(c => col(c).as(s"__t_$c")): _*)
-    val j = f.join(t, keys.map(k => col(s"__f_$k") === col(s"__t_$k")).reduce(_ && _),
+    // presence markers + null-safe key equality: a NULL business key is
+    // a (single) legitimate key value, not an absent row — key-column
+    // isNotNull probes would silently drop its changes from every lane
+    val f = from.select(cols.map(c => col(c).as(s"__f_$c")) :+ lit(true).as("__f_in"): _*)
+    val t = to.select(cols.map(c => col(c).as(s"__t_$c")) :+ lit(true).as("__t_in"): _*)
+    val j = f.join(t, keys.map(k => col(s"__f_$k") <=> col(s"__t_$k")).reduce(_ && _),
                    "full_outer")
-    val inFrom = col(s"__f_${keys.head}").isNotNull
-    val inTo = col(s"__t_${keys.head}").isNotNull
-    val changed = attrs.map(a => !(col(s"__f_$a") <=> col(s"__t_$a"))).reduce(_ || _)
+    val inFrom = col("__f_in").isNotNull
+    val inTo = col("__t_in").isNotNull
+    // a key-only table is a legitimate CDC input (insert/delete lanes only)
+    val changed = attrs.map(a => !(col(s"__f_$a") <=> col(s"__t_$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
     def side(cond: Column, prefix: String, tpe: String) =
       j.where(cond).select(
         lit(tpe).as("_change_type") +: cols.map(c => col(s"$prefix$c").as(c)): _*)

@@ -47,11 +47,16 @@ object Scd2 {
       s"dimension columns ${dim.columns.mkString(",")} must be exactly keys + attrs + $MetaCols")
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
-    val b = batch.select((keys ++ attrs).map(c => col(c).as(s"__b_$c")): _*)
-    val joinCond = keys.map(k => col(k) === col(s"__b_$k")).reduce(_ && _)
-    val j = current.join(b, joinCond, "full_outer")
-    val inBatch = col(s"__b_${keys.head}").isNotNull
-    val inDim = col(keys.head).isNotNull
+    // presence markers + null-safe key equality: a NULL business key is
+    // a legitimate dimension member — probing the key columns with
+    // isNotNull would silently DELETE its current row on every apply
+    val b = batch.select(
+      (keys ++ attrs).map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__b_in"): _*)
+    val currentM = current.withColumn("__d_in", lit(true))
+    val joinCond = keys.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _)
+    val j = currentM.join(b, joinCond, "full_outer")
+    val inBatch = col("__b_in").isNotNull
+    val inDim = col("__d_in").isNotNull
     // null-safe: NULL -> value and value -> NULL both count as changes
     val changed = attrs.map(a => !(col(a) <=> col(s"__b_$a"))).reduce(_ || _)
 

@@ -73,22 +73,38 @@ object ZOrder {
   def equiDepthRank(c: Column, bounds: Seq[Double]): Column =
     size(filter(typedLit(bounds), b => b < c.cast("double"))).cast("long")
 
-  /** Rewrite df into `numFiles` z-ordered parquet files at `path`.
-    * Lossless: same rows, new physical order. */
-  def write(df: DataFrame, cols: Seq[String], path: String,
-            bits: Int = 8, numFiles: Int = 16): Unit = {
-    // one-row bounds aggregate: the metadata-scale driver read
-    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-    val boundsRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val dims = cols.zipWithIndex.map { case (c, i) =>
-      (col(c), boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
-    }
-    df.withColumn("__z", zvalue(dims, bits))
+  /** The one writer every entry point funnels through: attach the Morton
+    * code, range-partition + sort by it, drop it, write. */
+  private def writeClustered(df: DataFrame, z: Column, numFiles: Int, dest: String): Unit =
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(dest)
+
+  /** One-row bounds aggregate (the metadata-scale driver read). None for
+    * an empty input; a clear error for an all-null clustering column —
+    * either would otherwise surface as an opaque NPE mid-write. */
+  private def linearDims(df: DataFrame, cols: Seq[String]): Option[Seq[(Column, Double, Double)]] = {
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val boundsRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (boundsRow.isNullAt(0) && df.isEmpty) None
+    else Some(cols.zipWithIndex.map { case (c, i) =>
+      require(!boundsRow.isNullAt(2 * i),
+        s"cannot z-order on '$c': the column is entirely null")
+      (col(c), boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
+    })
   }
+
+  /** Rewrite df into `numFiles` z-ordered parquet files at `path`.
+    * Lossless: same rows, new physical order. An empty input writes an
+    * empty (but valid) table. */
+  def write(df: DataFrame, cols: Seq[String], path: String,
+            bits: Int = 8, numFiles: Int = 16): Unit =
+    linearDims(df, cols) match {
+      case Some(dims) => writeClustered(df, zvalue(dims, bits), numFiles, path)
+      case None => df.write.mode("overwrite").parquet(path)
+    }
 
   /** In-place `OPTIMIZE ... ZORDER BY`: atomically rewrite an EXISTING
     * table directory into the z-ordered layout — the lakehouse OPTIMIZE
@@ -104,20 +120,15 @@ object ZOrder {
     graft.acid.CopyOnWrite.withTableLock(spark, path) {
       val df = spark.read.parquet(path)
       // bounds + z-column resolve against the CURRENT files inside the lock
-      val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-      val boundsRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val dims = cols.zipWithIndex.map { case (c, i) =>
-        (col(c), boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
+      linearDims(df, cols) match {
+        case None => () // empty table: nothing to lay out, leave it alone
+        case Some(dims) =>
+          graft.acid.CopyOnWrite.stagedSwap(spark, path) { staging =>
+            writeClustered(df, zvalue(dims, bits), numFiles, staging.toString)
+            true
+          }
+          ()
       }
-      graft.acid.CopyOnWrite.stagedSwap(spark, path) { staging =>
-        df.withColumn("__z", zvalue(dims, bits))
-          .repartitionByRange(numFiles, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-          .write.mode("overwrite").parquet(staging.toString)
-        true
-      }
-      ()
     }
 
   /** Equi-depth variant of [[write]] for skewed clustering columns:
@@ -131,14 +142,16 @@ object ZOrder {
     val asDouble = cols.foldLeft(df) { (acc, c) =>
       acc.withColumn(s"__ed_$c", col(c).cast("double"))
     }
-    val ranks = cols.map { c =>
-      val bounds = asDouble.stat.approxQuantile(s"__ed_$c", probs, 0.001).toSeq
-      equiDepthRank(col(c), bounds)
+    // ONE multi-column quantile pass for all dimensions' boundaries —
+    // the per-column overload would re-scan the table per dimension
+    val allBounds = asDouble.stat
+      .approxQuantile(cols.map(c => s"__ed_$c").toArray, probs, 0.001)
+    if (allBounds.exists(_.isEmpty)) { // empty input: no boundaries exist
+      df.write.mode("overwrite").parquet(path); return
     }
-    df.withColumn("__z", zvalueFromRanks(ranks, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    val ranks = cols.zip(allBounds).map { case (c, bounds) =>
+      equiDepthRank(col(c), bounds.toSeq)
+    }
+    writeClustered(df, zvalueFromRanks(ranks, bits), numFiles, path)
   }
 }

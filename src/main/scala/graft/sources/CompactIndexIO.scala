@@ -241,12 +241,22 @@ object CompactIndexIO {
   def refresh(spark: SparkSession, tableDir: String, column: String, indexDir: String,
               kind: String = "value"): Unit = {
     require(Set("value", "minmax", "bloom")(kind), s"unknown index kind $kind")
-    val known = spark.read.parquet(filesDir(indexDir))
-      .collect().map(_.getString(0)).toSet
-    val src = spark.read.parquet(tableDir)
-    val now = src.select(input_file_name()).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (known == now) return
+    // serialize concurrent refreshers on the index's own sidecar lock
+    // (the known-files snapshot must be read INSIDE the lock, or a
+    // refresher could merge against a predecessor's pre-swap listing)
+    graft.acid.CopyOnWrite.withTableLock(spark, indexDir) {
+      val known = spark.read.parquet(filesDir(indexDir))
+        .collect().map(_.getString(0)).toSet
+      val src = spark.read.parquet(tableDir)
+      val now = src.select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (known != now) refreshLocked(spark, src, column, indexDir, kind, known, now)
+    }
+  }
+
+  private def refreshLocked(spark: SparkSession, src: DataFrame, column: String,
+                            indexDir: String, kind: String,
+                            known: Set[String], now: Set[String]): Unit = {
     val newFiles = (now -- known).toSeq.sorted
     val removed = known -- now
     val newRows = if (newFiles.isEmpty) None else {
@@ -271,15 +281,26 @@ object CompactIndexIO {
       .filter(if (removed.isEmpty) lit(true)
               else !col("idx_file").isin(removed.toSeq: _*))
     val merged = newRows.fold(kept)(kept.unionByName(_))
-    val stage = new org.apache.hadoop.fs.Path(s"$indexDir/.index_stage")
-    val target = new org.apache.hadoop.fs.Path(dataDir(indexDir))
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    merged.write.mode("overwrite").parquet(stage.toString) // materializes before the swap
-    fs.delete(target, true)
-    require(fs.rename(stage, target), s"index swap failed for $indexDir")
-    import spark.implicits._
-    now.toSeq.sorted.toDF("src_file")
-      .write.mode("overwrite").parquet(filesDir(indexDir))
+    val params =
+      if (kind == "bloom") Some(spark.read.parquet(paramsDir(indexDir)).collect()(0))
+      else None
+    // the whole index directory (rows + file snapshot + params) is built
+    // in staging and swapped with CopyOnWrite's backup-rename-rollback
+    // protocol — a concurrent route sees the old or new index, never a
+    // missing or half-written one, and a crash cannot leave the file
+    // snapshot out of step with the rows (the round-trip that would make
+    // the NEXT refresh union duplicate rows)
+    graft.acid.CopyOnWrite.stagedSwap(spark, indexDir) { staging =>
+      merged.write.parquet(s"$staging/index")
+      import spark.implicits._
+      now.toSeq.sorted.toDF("src_file").write.parquet(s"$staging/source_files")
+      params.foreach { p =>
+        Seq((p.getInt(0), p.getInt(1), p.getString(2)))
+          .toDF("bits", "num_hashes", "dtype").write.parquet(s"$staging/params")
+      }
+      true
+    }
+    ()
   }
 
   /** Has the table drifted since the index was built? (The DEFERRED

@@ -169,4 +169,24 @@ class EtlSpec extends AnyFunSuite {
     assert(at.length == 1 && at(0).getString(at(0).fieldIndex("attr")) == "B")
     dim1.unpersist()
   }
+
+  test("SCD2: a NULL-business-key member survives applies and versions like any other") {
+    import spark.implicits._
+    import graft.etl.Scd2
+    val dim0 = Scd2.init(
+      Seq((Option(1L), "a"), (None: Option[Long], "n1")).toDF("k", "attr"),
+      lit("2020-01-01"))
+    // batch does not mention the NULL key: its row must pass through untouched
+    val kept = Scd2.applyChanges(dim0, Seq((Option(9L), "z")).toDF("k", "attr"),
+      Seq("k"), Seq("attr"), lit("2021-01-01"))
+    assert(kept.filter(col("k").isNull).count() == 1)
+    // batch updates the NULL key: close + reopen, not silent deletion
+    val versioned = Scd2.applyChanges(dim0,
+      Seq((None: Option[Long], "n2")).toDF("k", "attr"),
+      Seq("k"), Seq("attr"), lit("2021-01-01"))
+    val nulls = versioned.filter(col("k").isNull).orderBy(col("valid_from")).collect()
+    assert(nulls.length == 2)
+    assert(nulls(0).getString(1) == "n1" && !nulls(0).getBoolean(nulls(0).fieldIndex("is_current")))
+    assert(nulls(1).getString(1) == "n2" && nulls(1).getBoolean(nulls(1).fieldIndex("is_current")))
+  }
 }

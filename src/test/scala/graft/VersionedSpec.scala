@@ -250,6 +250,27 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.diff(spark, base, v2, v2, Seq("k")).count() == 0)
   }
 
+  test("snapshot diff: NULL business keys and key-only tables are first-class") {
+    val base = freshBase()
+    // the NULL-key row changes its attribute between versions
+    val v1 = Versioned.commit(spark, base,
+      Seq((Option(1L), Option("a")), (None: Option[Long], Option("x"))).toDF("k", "v"))
+    val v2 = Versioned.commit(spark, base,
+      Seq((Option(1L), Option("a")), (None: Option[Long], Option("y"))).toDF("k", "v"))
+    val lanes = Versioned.diff(spark, base, v1, v2, Seq("k")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+      .toSet
+    assert(lanes == Set(("update_preimage", -1L, "x"), ("update_postimage", -1L, "y")),
+      s"null-key change must surface, got $lanes")
+    // key-only table (membership set): insert/delete lanes only, no crash
+    val base2 = freshBase()
+    val m1 = Versioned.commit(spark, base2, Seq(1L, 2L).toDF("k"))
+    val m2 = Versioned.commit(spark, base2, Seq(2L, 3L).toDF("k"))
+    val mem = Versioned.diff(spark, base2, m1, m2, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mem == Set(("delete", 1L), ("insert", 3L)))
+  }
+
   test("CDC round trip: applying diff(v1, v2) to snapshot v1 reproduces v2 exactly") {
     val base = freshBase()
     val v1df = Tables.orders(spark, sf)

@@ -98,6 +98,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(kept.size < 16, s"z-ordered layout should prune, kept ${kept.size}")
   }
 
+  test("degenerate inputs: empty table writes empty and OPTIMIZE no-ops; all-null column rejects clearly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val path = "target/storage/zorder_spec/empty"
+    ZOrder.write(empty, Seq("x", "y"), path)
+    assert(spark.read.parquet(path).count() == 0)
+    ZOrder.optimize(spark, path, Seq("x", "y")) // must not throw
+    ZOrder.writeEquiDepth(empty, Seq("x", "y"), path)
+    assert(spark.read.parquet(path).count() == 0)
+    val allNull = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("x", "y")
+    val e = intercept[IllegalArgumentException](
+      ZOrder.write(allNull, Seq("x", "y"), path + "2"))
+    assert(e.getMessage.contains("entirely null"))
+  }
+
   test("2-D range scan prunes z-ordered files; single-vector clustering reads everything") {
     val src = Tables.orders(spark, "/root/testdata/sf0.01")
     val n = 16
