@@ -61,6 +61,8 @@ object Bench {
     "q236_range_join_hot",// bucketed range join (equi-join, never BNLJ)
     "q246_kmv_distinct",  // mergeable KMV distinct sketch (direct + merged lanes)
     "q281_dd_quantiles",  // DDSketch quantiles (direct + parquet-stored merged lanes)
+    "q287_scd2",          // SCD2 dimension apply (current-slice full-outer join)
+    "q289_resample",      // time-series grid + 3-way gap fill (report-sized output)
     "q248_incremental_rollup", // stored-partials rollup maintenance (writes
                                // + re-reads the partial table inline, so this
                                // UPPER-BOUNDS the production merge-only cost)
