@@ -596,7 +596,63 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Hash-exact sign-LSH gate: the q69/q111 banded random-hyperplane
+    * pipeline re-run with md5-derived ±1 planes and INTEGER-quantized
+    * dots, so every stage — plane derivation, sign bits, band buckets,
+    * candidate equi-join, exact cosine verify — is DuckDB-replayable
+    * (the q268 trick, applied to the embedding family). Quantized dots
+    * (sum of floor(v*1000) x ±1, exact integers) make the sign bit
+    * summation-order-proof; the only doubles are the final cosine, in
+    * the list-ordered spelling q68/q70 prove engine-stable. The
+    * Murmur/xxhash production variants (q69/q111) stay spec-only by
+    * necessity; this row closes the family's last unhashed stage. The
+    * oracle derives the planes from md5 INDEPENDENTLY in SQL — the two
+    * engines must agree on the planes themselves, not just the pairs. */
+  val q291_signlsh_md5: Q = (s, d) => {
+    val dim = 64; val bands = 4; val bitsPerBand = 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(j: Int, k: Int): Long = {
+      val h = md.digest(s"lsh_${j}_${k}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0x8) == 0) 1L else -1L // first hex char in 0-7 -> +1
+    }
+    val planes = (0 until bands * bitsPerBand).map(j => (0 until dim).map(k => sgn(j, k)))
+    // the corpus has no natural cosine>=0.8 pairs at any SF (q70's
+    // finding), so the gate runs over the same planted-twin corpus —
+    // the emitted pairs are the twin pairs that survive banding
+    val aug = augmentWithTwins(
+      Tables.embeddings(s, d).select(col("label"), col("vec_id"), col("embedding")),
+      eps = 0.08f)
+    val base = aug.select(col("vec_id"), col("embedding"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val qdot = aggregate(
+        zip_with(col("qv"), typedLit(p), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+      when(qdot >= 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
+    }
+    val withBits = base.select(Seq(col("vec_id"), col("embedding")) ++ bits: _*)
+    val banded = withBits.select(col("vec_id"), col("embedding"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            (0 until bitsPerBand).map(r =>
+              col(s"bit${b * bitsPerBand + r}") * (1 << r)).reduce(_ + _).as("bv"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+                          col("band"), col("bv"))
+    val b = banded.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+                          col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("ea"), col("eb")).distinct()
+      .withColumn("score", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("score") >= 0.8)
+      .select(col("ida"), col("idb"), col("score"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+
   val queries: Map[String, Q] = Map(
+    "q291_signlsh_md5" -> q291_signlsh_md5,
     "q231_label_noise" -> q231_label_noise,
     "q235_label_drift" -> q235_label_drift,
     "q226_label_cohesion" -> q226_label_cohesion,
@@ -627,6 +683,45 @@ object Similarity {
   private val cosSql = cosSqlOf("a.embedding", "b.embedding")
 
   val oracles: Map[String, String] = Map(
+    // Planes re-derived from md5 IN SQL (not copied as literals): both
+    // engines must agree on the hyperplanes, the integer dots, the band
+    // buckets, and the surviving pairs.
+    "q291_signlsh_md5" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    list_transform(embedding, (x, i) -> CAST(x * (CASE WHEN (i-1)%2=0
+         |      THEN CAST(1.08 AS FLOAT) ELSE CAST(0.92 AS FLOAT) END) AS FLOAT))
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT j, k,
+         |    CASE WHEN substr(md5('lsh_' || j || '_' || k), 1, 1)
+         |         IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(range(0, 16)) AS j),
+         |       (SELECT unnest(range(0, 64)) AS k)),
+         |dots AS (
+         |  SELECT e.vec_id, p.j,
+         |    CAST(SUM(CAST(floor(CAST(e.embedding[p.k + 1] AS DOUBLE) * 1000)
+         |                  AS BIGINT) * p.s) AS BIGINT) AS dot
+         |  FROM aug e, planes p GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT vec_id, CAST(j // 4 AS INT) AS band,
+         |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 ELSE 0 END * (1 << (j % 4)))
+         |         AS BIGINT) AS bv
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT cand.ida, cand.idb,
+         |    round(${cosSqlOf("ea.embedding", "eb.embedding")}, 6) AS score
+         |  FROM cand
+         |  JOIN aug ea ON ea.vec_id = cand.ida
+         |  JOIN aug eb ON eb.vec_id = cand.idb)
+         |SELECT ida, idb, score FROM scored
+         |WHERE score >= 0.8 ORDER BY ida, idb""".stripMargin,
     "q231_label_noise" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS blabel,
