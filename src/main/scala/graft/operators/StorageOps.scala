@@ -404,6 +404,31 @@ object StorageOps {
       .orderBy(col("o_orderkey"), col("_change_type"))
   }
 
+  /** Dynamic-partition OVERWRITE (Hive's nonstrict dynamic partition
+    * INSERT OVERWRITE, hive.exec.dynamic.partition semantics in
+    * FileSinkOperator + MoveTask: only partitions RECEIVING rows are
+    * replaced, untouched partitions survive): the F partition is
+    * overwritten with just its 1996 slice while O and P keep their full
+    * contents — static overwrite mode would have dropped them. The
+    * oracle recomputes the expected post-state per partition, so
+    * replace-only-touched routing is inside the hash contract; EtlSpec
+    * additionally pins that untouched partitions keep their very FILES
+    * (zero rewrite) and that static mode differs. */
+  val q292_dynamic_overwrite: Q = (s, d) => {
+    val path = tmp(d, "orders_dynpart")
+    val base = Tables.orders(s, d)
+    base.write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+    base.filter(col("o_orderstatus") === "F" && year(col("o_orderdate")) === 1996)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Bloom-filter file index over a HASH-clustered layout — the point-
     * lookup sibling of q269 (value index) and q275 (zone map), analog of
     * the reference's bitmap index (ql/index/bitmap/BitmapIndexHandler
@@ -575,6 +600,7 @@ object StorageOps {
     "q284_bloom_index" -> q284_bloom_index,
     "q287_scd2" -> q287_scd2,
     "q288_snapshot_diff" -> q288_snapshot_diff,
+    "q292_dynamic_overwrite" -> q292_dynamic_overwrite,
     "q276_mv_rewrite" -> q276_mv_rewrite,
     "q278_incremental_mv" -> q278_incremental_mv,
     "q279_index_transparent" -> q279_index_transparent,
@@ -613,6 +639,15 @@ object StorageOps {
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
         |                      AND TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q292_dynamic_overwrite" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1996
+        |) t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q288_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |v2 AS (

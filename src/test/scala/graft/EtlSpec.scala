@@ -170,6 +170,27 @@ class EtlSpec extends AnyFunSuite {
     dim1.unpersist()
   }
 
+  test("dynamic partition overwrite replaces only touched partitions, keeping others' FILES") {
+    val path = "target/storage/etlspec/dynpart"
+    val base = Tables.orders(spark, sf)
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    def filesOf(st: String) =
+      spark.read.parquet(path).filter(col("o_orderstatus") === st)
+        .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val oBefore = filesOf("O")
+    base.filter(col("o_orderstatus") === "F").limit(10)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(path)
+    // untouched partition: the very same files (zero rewrite); touched: replaced
+    assert(filesOf("O") == oBefore, "dynamic overwrite rewrote an untouched partition")
+    assert(spark.read.parquet(path).filter(col("o_orderstatus") === "F").count() == 10)
+    // static mode is the destructive contrast: whole-table replace
+    base.filter(col("o_orderstatus") === "F").limit(5)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    assert(spark.read.parquet(path).count() == 5,
+      "static overwrite must replace the whole table")
+  }
+
   test("SCD2: a NULL-business-key member survives applies and versions like any other") {
     import spark.implicits._
     import graft.etl.Scd2
