@@ -13,6 +13,11 @@ import graft.{Q, Tables}
   * dynamic SQL, hplsql/src/test/queries/db), proving the procedural
   * layer orchestrates the set-based engine without corrupting values.
   *
+  * Money spelling: the balance is summed as DECIMAL(25,2) then cast to
+  * DOUBLE on both engine and oracle sides — the same convention every
+  * hash-green money row uses (see Relational.scala dsum) — so the
+  * driver's value hash canonicalizes identically on both engines.
+  *
   * Scale note: the loop runs once per REGION (5 rows) — the O(data)
   * work stays inside the set-based statements the interpreter ships to
   * Spark. That division is the design (see Interp.scala header); a
@@ -23,14 +28,15 @@ object HplsqlGate {
   private val script =
     """DROP TABLE IF EXISTS hpl_region_report;
       |CREATE TABLE hpl_region_report
-      |  (r_name STRING, nations INT, custs INT, total_bal DECIMAL(18,2))
+      |  (r_name STRING, nations INT, custs INT, total_bal DOUBLE)
       |  USING parquet LOCATION '%LOC%';
       |
       |CREATE PROCEDURE region_stats(IN rkey INT, OUT n_nations INT,
-      |                              OUT n_cust INT, OUT bal DECIMAL(18,2))
+      |                              OUT n_cust INT, OUT bal DOUBLE)
       |BEGIN
       |  SELECT COUNT(*) INTO n_nations FROM nation WHERE n_regionkey = rkey;
-      |  SELECT COUNT(*), CAST(COALESCE(SUM(c_acctbal), 0) AS DECIMAL(18,2))
+      |  SELECT COUNT(*),
+      |         CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(25,2))), 0) AS DOUBLE)
       |    INTO n_cust, bal
       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
       |  WHERE n_regionkey = rkey;
@@ -41,7 +47,7 @@ object HplsqlGate {
       |DECLARE rname STRING;
       |DECLARE nnat INT;
       |DECLARE ncust INT;
-      |DECLARE tbal DECIMAL(18,2);
+      |DECLARE tbal DOUBLE;
       |
       |OPEN c1;
       |FETCH c1 INTO rk, rname;
@@ -73,7 +79,7 @@ object HplsqlGate {
       """SELECT r.r_name,
         |  CAST(COUNT(DISTINCT n.n_nationkey) AS INT) AS nations,
         |  CAST(COUNT(c.c_custkey) AS INT) AS custs,
-        |  CAST(COALESCE(SUM(c.c_acctbal), 0) AS DECIMAL(18,2)) AS total_bal
+        |  CAST(COALESCE(SUM(CAST(c.c_acctbal AS DECIMAL(25,2))), 0) AS DOUBLE) AS total_bal
         |FROM region r
         |LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
         |LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
