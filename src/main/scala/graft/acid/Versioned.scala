@@ -103,7 +103,8 @@ object Versioned {
     * partial snapshot. Serialized against other writers by the same
     * lock-file protocol as [[CopyOnWrite]] (create-no-overwrite sidecar,
     * stale reclaim) so two writers cannot claim the same version. */
-  def commit(spark: SparkSession, base: String, df: DataFrame): Int =
+  def commit(spark: SparkSession, base: String, df: DataFrame): Int = {
+    graft.security.AccessPolicies.check(spark, base, "INSERT")
     withVersionLock(spark, base) {
       val f = fs(spark, base)
       val next = currentVersion(spark, base).getOrElse(0) + 1
@@ -113,24 +114,29 @@ object Versioned {
       f.create(new Path(dir, Marker), false).close() // THE commit point
       next
     }
+  }
 
   /** UPDATE ... SET assignments WHERE cond as a new version (SQL
     * simultaneous-assignment semantics — one projection over the
     * original rows, see CopyOnWrite.simultaneousUpdate). Returns the
     * new version number (the previous snapshot stays readable). */
   def update(spark: SparkSession, base: String,
-             cond: Column, assignments: Map[String, Column]): Int =
+             cond: Column, assignments: Map[String, Column]): Int = {
+    graft.security.AccessPolicies.check(spark, base, "UPDATE")
     withVersionLock(spark, base) {
       commitUnlocked(spark, base,
         CopyOnWrite.simultaneousUpdate(read(spark, base), cond, assignments))
     }
+  }
 
   /** DELETE FROM ... WHERE cond as a new version. */
-  def delete(spark: SparkSession, base: String, cond: Column): Int =
+  def delete(spark: SparkSession, base: String, cond: Column): Int = {
+    graft.security.AccessPolicies.check(spark, base, "DELETE")
     withVersionLock(spark, base) {
       commitUnlocked(spark, base,
         read(spark, base).filter(!coalesce(cond, lit(false))))
     }
+  }
 
   /** Drop committed versions older than `keep` latest — clamped so that
     * every RETAINED version's snapshot stays fully readable: a delta is
@@ -222,11 +228,18 @@ object Versioned {
   def applyDiff(snapshot: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
     val gone = changes
       .filter(col("_change_type").isin("delete", "update_preimage"))
-      .select(keys.map(col): _*)
+      .select(keys.map(k => col(k).as(s"__g_$k")): _*)
     val arrived = changes
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .drop("_change_type")
-    snapshot.join(gone, keys, "left_anti").unionByName(arrived)
+    // null-safe anti-join: diff() treats a NULL business key as a single
+    // legitimate key value (<=> join), so the apply side must match — a
+    // plain key anti-join would never drop a NULL-key delete/pre-image
+    // and the round trip applyDiff(read(v1), diff(v1,v2)) == read(v2)
+    // would break exactly on those rows
+    snapshot.join(gone,
+        keys.map(k => snapshot(k) <=> col(s"__g_$k")).reduce(_ && _), "left_anti")
+      .unionByName(arrived)
   }
 
   private val TagFile = "_tag"
@@ -262,7 +275,8 @@ object Versioned {
     * replaying the last micro-batch cannot double-apply it. */
   def commitDelta(spark: SparkSession, base: String, keys: Seq[String],
                   upserts: DataFrame, deletes: Option[DataFrame] = None,
-                  tag: Option[String] = None): Int =
+                  tag: Option[String] = None): Int = {
+    graft.security.AccessPolicies.check(spark, base, "INSERT")
     withVersionLock(spark, base) {
       require(keys.nonEmpty, "delta commit needs key columns")
       // lazy: untagged commits (the common batch path) must not pay the
@@ -272,6 +286,7 @@ object Versioned {
         case None => commitDeltaUnlocked(spark, base, keys, upserts, deletes, tag)
       }
     }
+  }
 
   private def commitDeltaUnlocked(spark: SparkSession, base: String, keys: Seq[String],
                                   upserts: DataFrame, deletes: Option[DataFrame],
@@ -355,6 +370,44 @@ object Versioned {
       if (!hasDeltas) vs.last
       else commitUnlocked(spark, base, readMerged(spark, base, keys))
     }
+
+  /** Maintenance outcome: how many deltas sat at the head, whether they
+    * were folded, and which versions retention dropped. */
+  final case class Maintenance(headDeltas: Int, compacted: Boolean, vacuumed: Seq[Int])
+
+  /** Automatic compaction + retention policy — the reference's background
+    * Initiator (txn/compactor/Initiator.java:58 inspects each table's
+    * delta count against `hive.compactor.delta.num.threshold` and queues
+    * a compaction when it crosses), re-expressed as an explicitly
+    * schedulable step: call it from a scheduler or a streaming
+    * `foreachBatch` hook after commits; each call is cheap (a version
+    * listing) until a threshold trips.
+    *
+    * When the deltas at the HEAD of the table (since the newest full
+    * base) reach `maxDeltas`, they fold into a fresh full version
+    * (major compaction; key columns come from the delta sidecar, so no
+    * caller plumbing). Afterwards, history beyond `retainVersions` is
+    * vacuumed under the usual lineage-safe rule. Both steps no-op below
+    * threshold, so calling after every commit is safe and idempotent. */
+  def maintain(spark: SparkSession, base: String, maxDeltas: Int = 10,
+               retainVersions: Int = Int.MaxValue): Maintenance = {
+    require(maxDeltas >= 1, s"maxDeltas >= 1, got $maxDeltas")
+    require(retainVersions >= 1, s"retainVersions >= 1, got $retainVersions")
+    val f = fs(spark, base)
+    val vs = resolveUnlocked(spark, base)
+    val headDeltas = vs.reverse
+      .takeWhile(v => f.exists(new Path(versionPath(base, v), DeltaMarker))).size
+    val compacted = headDeltas >= maxDeltas
+    if (compacted) {
+      val keys = deltaKeysOf(spark, base).getOrElse(
+        throw new IllegalStateException(s"head deltas without a key sidecar under $base"))
+      compactDeltas(spark, base, keys)
+    }
+    val vacuumed =
+      if (retainVersions == Int.MaxValue) Nil
+      else vacuum(spark, base, retainVersions)
+    Maintenance(headDeltas, compacted, vacuumed)
+  }
 
   private def resolveUnlocked(spark: SparkSession, base: String): Seq[Int] = {
     val vs = versions(spark, base)

@@ -244,25 +244,40 @@ object Sketches {
   private def ddCollapse(b: mutable.HashMap[Int, Long], maxBins: Int): Map[Int, Long] =
     if (b.size <= maxBins) b.toMap
     else {
-      val keys = b.keys.toArray.sorted
-      val keep = keys.drop(keys.length - maxBins)
-      val floor = keep.head
-      val folded = keys.take(keys.length - maxBins).map(b(_)).sum
-      b.update(floor, b(floor) + folded)
-      keys.take(keys.length - maxBins).foreach(b.remove)
-      b.toMap
+      // The dedicated zero bin NEVER collapses into a log bin: zeros must
+      // keep representative 0 (the ddQuantile contract), so only the
+      // lowest LOG bins fold into the lowest kept log bin. The zero bin
+      // occupies one slot of the budget when present.
+      val logKeys = b.keys.filter(_ != ZeroBin).toArray.sorted
+      val budget = math.max(1, maxBins - (if (b.contains(ZeroBin)) 1 else 0))
+      if (logKeys.length <= budget) b.toMap
+      else {
+        val drop = logKeys.take(logKeys.length - budget)
+        val floor = logKeys(logKeys.length - budget)
+        val folded = drop.map(b(_)).sum
+        b.update(floor, b(floor) + folded)
+        drop.foreach(b.remove)
+        b.toMap
+      }
     }
 
-  /** DDSketch build: log-binned counter map over a double column. */
+  /** DDSketch build: log-binned counter map over a double column.
+    * Input is Option[Double] (nullable-double encoder) so NULLs are
+    * SKIPPED like percentile_approx skips them — a primitive Double
+    * input would silently decode NULL as 0.0 and count it in the zero
+    * bin, shifting every quantile on columns with NULLs. */
   class DdAgg(alpha: Double, maxBins: Int)
-      extends Aggregator[Double, mutable.HashMap[Int, Long], Map[Int, Long]] {
+      extends Aggregator[Option[Double], mutable.HashMap[Int, Long], Map[Int, Long]] {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
     private val lnGamma = math.log((1 + alpha) / (1 - alpha))
     def zero: mutable.HashMap[Int, Long] = mutable.HashMap.empty
-    def reduce(b: mutable.HashMap[Int, Long], v: Double): mutable.HashMap[Int, Long] = {
-      val i = ddBin(v, lnGamma)
-      b.update(i, b.getOrElse(i, 0L) + 1L); b
-    }
+    def reduce(b: mutable.HashMap[Int, Long], v: Option[Double]): mutable.HashMap[Int, Long] =
+      v match {
+        case None => b
+        case Some(x) =>
+          val i = ddBin(x, lnGamma)
+          b.update(i, b.getOrElse(i, 0L) + 1L); b
+      }
     def merge(x: mutable.HashMap[Int, Long], y: mutable.HashMap[Int, Long]): mutable.HashMap[Int, Long] = {
       y.foreach { case (i, c) => x.update(i, x.getOrElse(i, 0L) + c) }; x
     }

@@ -146,8 +146,15 @@ object ZOrder {
     // the per-column overload would re-scan the table per dimension
     val allBounds = asDouble.stat
       .approxQuantile(cols.map(c => s"__ed_$c").toArray, probs, 0.001)
-    if (allBounds.exists(_.isEmpty)) { // empty input: no boundaries exist
-      df.write.mode("overwrite").parquet(path); return
+    if (allBounds.exists(_.isEmpty)) {
+      // approxQuantile returns an empty array BOTH for an empty input and
+      // for an all-null clustering column on a non-empty table. Only the
+      // former is a legitimate no-boundary write; the latter gets the same
+      // loud error write()/linearDims raises, not a silent plain write.
+      if (df.isEmpty) { df.write.mode("overwrite").parquet(path); return }
+      val nullCols = cols.zip(allBounds).collect { case (c, b) if b.isEmpty => c }
+      require(nullCols.isEmpty,
+        s"cannot z-order on '${nullCols.head}': the column is entirely null")
     }
     val ranks = cols.zip(allBounds).map { case (c, bounds) =>
       equiDepthRank(col(c), bounds.toSeq)

@@ -201,6 +201,9 @@ object CompactIndexIO {
   /** Files that MIGHT contain any of `values` — the distributed
     * bit-probe filter over the index table. */
   def prunedFilesBloom(spark: SparkSession, indexDir: String, values: Seq[Any]): Seq[String] = {
+    // an empty probe set can match no file anywhere — return that rather
+    // than letting the reduce below throw on an empty collection
+    if (values.isEmpty) return Nil
     val p = spark.read.parquet(paramsDir(indexDir)).collect()(0)
     val (bits, k) = (p.getInt(0), p.getInt(1))
     val dt = org.apache.spark.sql.types.DataType.fromJson(p.getString(2))

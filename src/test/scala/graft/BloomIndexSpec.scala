@@ -49,6 +49,12 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(viaIndex == full)
   }
 
+  test("empty probe set prunes to zero files instead of throwing") {
+    built
+    assert(CompactIndexIO.prunedFilesBloom(spark, idx, Nil).isEmpty)
+    assert(CompactIndexIO.readBloom(spark, path, idx, "o_custkey", Nil).count() == 0)
+  }
+
   test("absent keys almost never survive the probe (false-positive ceiling)") {
     built
     val absent = (0 until 20).map(i => 1000000L + i)

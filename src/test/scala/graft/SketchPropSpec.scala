@@ -137,8 +137,8 @@ class SketchPropSpec extends AnyFunSuite {
       reversed <- Gen.oneOf(true, false)
     } yield (xs, cuts, reversed)
     check(Prop.forAll(gen) { case (xs, cuts, reversed) =>
-      val single = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
-      val chunks = split(xs, cuts).map(_.foldLeft(agg.zero)(agg.reduce))
+      val single = agg.finish(xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, Some(v))))
+      val chunks = split(xs, cuts).map(_.foldLeft(agg.zero)((b, v) => agg.reduce(b, Some(v))))
       val ordered = if (reversed) chunks.reverse else chunks
       val merged = agg.finish(ordered.foldLeft(agg.zero)(agg.merge))
       single == merged

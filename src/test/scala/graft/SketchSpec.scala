@@ -171,6 +171,30 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(p99 / 99000d - 1) <= 0.05 + 1e-12) // upper quantile keeps its bound
   }
 
+  test("DDSketch collapse never folds the zero bin: zeros still report exactly 0") {
+    val maxBins = 16
+    // 500 zeros + a wide log range that forces collapse
+    val df = spark.range(0, 10500, 1, 5)
+      .select(when(col("id") < 500, 0d).otherwise(exp(col("id").cast("double") / 500d)).as("v"))
+    val sk = df.agg(Sketches.ddSketch(col("v"), 0.05, maxBins).as("sk"))
+    val m = sk.collect()(0).getMap[Int, Long](0)
+    assert(m.size <= maxBins)
+    assert(m.getOrElse(Int.MinValue, 0L) == 500L,
+      s"zero bin must survive collapse intact, got $m")
+    val pLow = sk.select(Sketches.ddQuantile(col("sk"), 0.01, 0.05)).collect()(0).getDouble(0)
+    assert(pLow == 0d, s"low quantile over zeros must be exactly 0, got $pLow")
+  }
+
+  test("DDSketch skips NULLs like percentile_approx (no phantom zero counts)") {
+    val df = spark.range(0, 1000, 1, 4)
+      .select(when(col("id") < 400, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("v"))
+    val m = df.agg(Sketches.ddSketch(col("v"), 0.01).as("sk"))
+      .collect()(0).getMap[Int, Long](0)
+    assert(m.values.sum == 600L, s"NULLs must not be counted, got ${m.values.sum}")
+    assert(m.getOrElse(Int.MinValue, 0L) == 0L, "no NULL row may land in the zero bin")
+  }
+
   test("DDSketch rejects negative inputs and bad alpha") {
     intercept[IllegalArgumentException](Sketches.ddSketch(col("v"), 1.5))
     val thrown = intercept[Exception] {

@@ -114,6 +114,34 @@ class VersionedSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(500))
   }
 
+  test("maintain(): delta threshold triggers auto-compaction, retention vacuums, below-threshold no-ops") {
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((1L, 0.0), (2L, 0.0)).toDF("id", "v"))
+    // two deltas: below the threshold of 3 -> maintain must not compact
+    (1 to 2).foreach(i => Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((1L, i.toDouble)).toDF("id", "v")))
+    val m1 = Versioned.maintain(spark, base, maxDeltas = 3)
+    assert(m1 == Versioned.Maintenance(2, compacted = false, Nil), m1.toString)
+    assert(Versioned.currentVersion(spark, base).contains(3))
+    // third delta crosses the threshold -> compaction folds the head
+    Versioned.commitDelta(spark, base, Seq("id"),
+      upserts = Seq((1L, 9.0)).toDF("id", "v"))
+    val m2 = Versioned.maintain(spark, base, maxDeltas = 3)
+    assert(m2.headDeltas == 3 && m2.compacted, m2.toString)
+    val head = Versioned.currentVersion(spark, base).get
+    assert(head == 5) // v5 = compacted full base
+    val got = Versioned.read(spark, base)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 9.0), (2L, 0.0)))
+    // retention: keep only the compacted head, old lineage vacuumed
+    val m3 = Versioned.maintain(spark, base, maxDeltas = 3, retainVersions = 1)
+    assert(!m3.compacted && m3.vacuumed == Seq(1, 2, 3, 4), m3.toString)
+    assert(Versioned.versions(spark, base) == Seq(5))
+    // idempotent: nothing left to do
+    assert(Versioned.maintain(spark, base, 3, 1) ==
+      Versioned.Maintenance(0, compacted = false, Nil))
+  }
+
   test("read on a delta head returns the merged table, never a delta fragment") {
     val base = freshBase()
     Versioned.commit(spark, base, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
@@ -215,6 +243,38 @@ class VersionedSpec extends AnyFunSuite {
       s"replayed micro-batch double-applied or lost: $got")
   }
 
+  test("streaming ingest with in-loop maintain(): deltas auto-compact mid-stream (Initiator analog)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshBase()
+    Versioned.commit(spark, base, Seq((0L, 0.0)).toDF("id", "v"))
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ver_mnt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Versioned.commitDelta(spark, base, Seq("id"),
+          upserts = batch, tag = Some(s"batch-$batchId"))
+        Versioned.maintain(spark, base, maxDeltas = 2)
+        ()
+      }.start()
+    try {
+      Seq(Seq((1L, 1.0)), Seq((2L, 2.0)), Seq((3L, 3.0))).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batches 0,1 -> 2 deltas -> compacted to a full base; batch 2 is one
+    // delta on top of it: the head never accumulates past the threshold
+    val f = new java.io.File(s"$base/_versions")
+    val heads = Versioned.versions(spark, base)
+    val deltaTail = heads.reverse.takeWhile(v =>
+      new java.io.File(f, f"v$v%08d/_delta").exists).size
+    assert(deltaTail < 2, s"head delta count must stay under threshold, got $deltaTail")
+    val got = Versioned.readMerged(spark, base, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("concurrent commits serialize: distinct versions, nothing lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -290,5 +350,22 @@ class VersionedSpec extends AnyFunSuite {
     assert(canon(followed) == canon(Versioned.read(spark, base, Some(v2))))
     // transfer is O(changes): the feed is far smaller than the table
     assert(changes.count() < v1df.count() / 2)
+
+    // NULL business key through the full round trip: diff joins null-safe,
+    // so applyDiff must too — the NULL-key update must REPLACE the old row
+    // (not keep it alongside the post-image), and a NULL-key delete must land
+    val base2 = freshBase()
+    val n1 = Versioned.commit(spark, base2,
+      Seq((Option(1L), "a"), (None: Option[Long], "x"), (Option(2L), "b"))
+        .toDF("k", "st"))
+    val n2 = Versioned.commit(spark, base2,
+      Seq((Option(1L), "a"), (None: Option[Long], "y")).toDF("k", "st"))
+    val nchanges = Versioned.diff(spark, base2, n1, n2, Seq("k"))
+    val nfollowed = Versioned.applyDiff(Versioned.read(spark, base2, Some(n1)), nchanges, Seq("k"))
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+        .sortBy(identity).toSeq
+    assert(canon2(nfollowed) == canon2(Versioned.read(spark, base2, Some(n2))),
+      s"NULL-key round trip broke: ${canon2(nfollowed)}")
   }
 }

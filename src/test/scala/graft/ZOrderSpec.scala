@@ -111,6 +111,12 @@ class ZOrderSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       ZOrder.write(allNull, Seq("x", "y"), path + "2"))
     assert(e.getMessage.contains("entirely null"))
+    // equi-depth must raise the SAME error for an all-null column on a
+    // non-empty table (approxQuantile returns [] for both cases; only a
+    // truly empty input is a legitimate silent plain write)
+    val e2 = intercept[IllegalArgumentException](
+      ZOrder.writeEquiDepth(allNull, Seq("x", "y"), path + "3"))
+    assert(e2.getMessage.contains("entirely null"))
   }
 
   test("2-D range scan prunes z-ordered files; single-vector clustering reads everything") {
