@@ -46,6 +46,27 @@ object CopyOnWrite {
     * check-then-act — two local writers can both pass the exists check —
     * so the local scheme goes through `File.createNewFile` (O_CREAT|
     * O_EXCL, atomic at the kernel). */
+  /** Schemes whose `create(overwrite=false)` is client-side
+    * check-then-act, NOT an atomic exclusive create — the object
+    * stores. The sidecar lock cannot exclude two concurrent writers
+    * there (both can pass the existence probe), so rather than silently
+    * degrading to best-effort, refuse loudly. A deployment that has
+    * writer mutual-exclusion from elsewhere (single-writer scheduler,
+    * external lock service) opts in with the hadoop conf
+    * `graft.lock.allowNonAtomicCreate=true`; conditional-put semantics
+    * (S3 If-None-Match) are not surfaced through the Hadoop create()
+    * API, so this is a documented capability boundary, not a bug. */
+  private[graft] val NonAtomicCreateSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift")
+
+  private[graft] def assertLockCapable(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    if (NonAtomicCreateSchemes(fs.getScheme) &&
+        !fs.getConf.getBoolean("graft.lock.allowNonAtomicCreate", false))
+      throw new UnsupportedOperationException(
+        s"writer lock needs atomic exclusive create, which '${fs.getScheme}' does not " +
+        "provide; supply external writer mutual-exclusion and set " +
+        "graft.lock.allowNonAtomicCreate=true to proceed")
+
   private[acid] def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
                                lock: Path): Boolean = {
     val tag = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
@@ -63,8 +84,9 @@ object CopyOnWrite {
     }
   }
 
-  private[acid] def acquireLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
+  private[graft] def acquireLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
                                 what: String): Unit = {
+    assertLockCapable(fs)
     val deadline = System.nanoTime() + LockWaitMs * 1000000L
     while (!tryAcquire(fs, lock)) {
       // Stale reclaim via atomic RENAME-then-verify, not check-then-delete:
@@ -131,6 +153,7 @@ object CopyOnWrite {
     * earlier ones' results and re-resolve cond against updated values. */
   def update(spark: SparkSession, path: String,
              cond: Column, assignments: Map[String, Column]): Long = {
+    graft.security.AccessPolicies.check(spark, path, "UPDATE")
     rewrite(spark, path, cond)(simultaneousUpdate(_, cond, assignments))
   }
 
@@ -146,8 +169,10 @@ object CopyOnWrite {
   }
 
   /** DELETE FROM path WHERE cond. Returns deleted-row count. */
-  def delete(spark: SparkSession, path: String, cond: Column): Long =
+  def delete(spark: SparkSession, path: String, cond: Column): Long = {
+    graft.security.AccessPolicies.check(spark, path, "DELETE")
     rewrite(spark, path, cond)(_.filter(!coalesce(cond, lit(false))))
+  }
 
   /** MERGE INTO (upsert), copy-on-write: rows of the target matching a
     * source row on `keys` are REPLACED by the source row; unmatched
@@ -166,6 +191,9 @@ object CopyOnWrite {
     * the returned counts reflect that row arithmetic). */
   def merge(spark: SparkSession, path: String, source: DataFrame,
             keys: Seq[String]): (Long, Long) = withTableLock(spark, path) {
+    // SQLStd MERGE privilege set: writes updates AND inserts
+    graft.security.AccessPolicies.check(spark, path, "UPDATE")
+    graft.security.AccessPolicies.check(spark, path, "INSERT")
     require(keys.nonEmpty, "merge needs at least one key column")
     // read INSIDE the lock: a serialized writer must see its
     // predecessor's files, not the listing from before it waited

@@ -197,4 +197,27 @@ class AcidSpec extends AnyFunSuite {
     assert(affected > 0)
     assert(!lock.exists, "lock not released after reclaim")
   }
+
+  test("object-store schemes without atomic create are refused loudly (opt-in overrides)") {
+    // a filesystem that claims an object-store scheme but is otherwise local
+    class FakeS3 extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    val fake = new FakeS3
+    fake.setConf(new org.apache.hadoop.conf.Configuration())
+    val e = intercept[UnsupportedOperationException](
+      CopyOnWrite.acquireLock(fake, new org.apache.hadoop.fs.Path("/tmp/never"), "test"))
+    assert(e.getMessage.contains("atomic exclusive create"))
+    // deployment with external writer exclusion opts in and proceeds
+    val lockDir = java.nio.file.Files.createTempDirectory("graft_s3lock")
+    fake.getConf.setBoolean("graft.lock.allowNonAtomicCreate", true)
+    val lock = new org.apache.hadoop.fs.Path(s"$lockDir/lk")
+    CopyOnWrite.acquireLock(fake, lock, "test")
+    assert(fake.exists(lock))
+    fake.delete(lock, false)
+    // HDFS-like and local schemes never hit the guard
+    val local = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    CopyOnWrite.assertLockCapable(local) // must not throw
+  }
 }
