@@ -71,9 +71,22 @@ object IncrementalMv {
   private def writeSnapshot(spark: SparkSession, path: String, baseDir: String,
                             cells: DataFrame): Unit = {
     import spark.implicits._
-    // materialize BEFORE overwriting: the new cells may read the old dir
-    val staged = cells.collectResult()
-    staged.write.mode("overwrite").parquet(dataDir(path))
+    // Distributed staged write + atomic swap (the CopyOnWrite protocol):
+    // the merged cells may read the CURRENT data dir, so they are written
+    // to a sibling staging dir first (old dir still intact while the plan
+    // executes) and promoted by two renames. Nothing is ever collected on
+    // the driver — a view grouped on a high-cardinality key stays
+    // executor-resident no matter how wide it gets.
+    val data = dataDir(path)
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(data))) {
+      cells.write.mode("overwrite").parquet(data) // initial create: no cycle
+    } else {
+      graft.acid.CopyOnWrite.stagedSwap(spark, data) { staging =>
+        cells.write.mode("overwrite").parquet(staging.toString); true
+      }
+    }
     listFiles(spark, baseDir).toSeq.toDF("src_file")
       .write.mode("overwrite").parquet(filesDir(path))
   }
@@ -126,18 +139,6 @@ object IncrementalMv {
     else spark.read.schema(schema).parquet(added.toSeq: _*)
   }
 
-  /** Small local staging helper: cells tables are view-sized (the whole
-    * point), so a driver round-trip is metadata-scale; it exists only to
-    * break the read-overwrite cycle on the data dir. */
-  private implicit class Staged(df: DataFrame) {
-    def collectResult(): DataFrame = {
-      val spark = df.sparkSession
-      val rows = df.collect().toIndexedSeq
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters
-          .SeqHasAsJava(rows).asJava), df.schema)
-    }
-  }
 }
 
 /** Registration back-door kept out of the public MaterializedViews API. */

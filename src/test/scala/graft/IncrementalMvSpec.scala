@@ -142,6 +142,55 @@ class IncrementalMvSpec extends AnyFunSuite {
     MaterializedViews.clear()
   }
 
+  test("refresh writes merged cells via staged swap, never collecting them on the driver") {
+    MaterializedViews.clear()
+    val tableDir = s"$base/orders_staged"
+    val mvPath = s"$base/mv_staged"
+    val all = Tables.orders(spark, sf)
+    all.limit(600).repartition(3).write.mode(SaveMode.Overwrite).parquet(tableDir)
+    IncrementalMv.create(spark, "mv_staged", tableDir, None,
+      Seq("o_orderpriority"), aggs, mvPath)
+    all.except(all.limit(600)).repartition(2).write.mode(SaveMode.Append).parquet(tableDir)
+
+    // Pin: no action named collect* ever runs over a cells-shaped plan.
+    // (The files-listing collect has schema [src_file] and is exempt —
+    // that one is metadata-scale by design.)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        events.add(funcName + "|" + qe.analyzed.schema.fieldNames.mkString(","))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = IncrementalMv.refresh(spark, tableDir, None, Seq("o_orderpriority"), aggs, mvPath)
+      assert(r.mode == "incremental", r.toString)
+      // the listener bus is async: wait until it goes quiet
+      var last = -1; var same = 0
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (same < 4 && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        val n = events.size
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+      val evs = events.toArray(Array.empty[String]).toSeq
+      assert(evs.nonEmpty, "listener saw no actions at all — pin is vacuous")
+      val cellCollects = evs.filter(e => e.startsWith("collect") && e.contains("n_orders"))
+      assert(cellCollects.isEmpty, s"merged cells materialized on the driver: $cellCollects")
+    } finally spark.listenerManager.unregister(listener)
+    // and the staged swap left a clean dir + correct cells behind
+    val fs = new org.apache.hadoop.fs.Path(mvPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/data.cow_staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/data.cow_backup")))
+    assert(asMap(IncrementalMv.read(spark, mvPath)) == asMap(fullRecompute(tableDir)))
+    MaterializedViews.clear()
+  }
+
   test("the registered view still routes queries after an incremental refresh") {
     MaterializedViews.clear()
     val tableDir = s"$base/orders_routed"
