@@ -23,6 +23,8 @@ import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => security.AuthorizationRule)
+    ext.injectOptimizerRule(_ => plans.TableMaskRule)
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)
     ext.injectOptimizerRule(_ => plans.ConstraintRewrites)
     ext.injectOptimizerRule(_ => plans.MvRewrite)

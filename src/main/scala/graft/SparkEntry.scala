@@ -46,6 +46,7 @@ object SparkEntry {
     (hplsql.HplsqlGate.queries, hplsql.HplsqlGate.oracles),
     (operators.ConstraintOps.queries, operators.ConstraintOps.oracles),
     (operators.BpeTrainer.queries, operators.BpeTrainer.oracles),
+    (operators.GovernanceOps.queries, operators.GovernanceOps.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

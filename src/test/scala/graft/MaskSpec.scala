@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MaskPolicies
+
+/** Policy-driven masking / row filtering (plans/TableMask). Pins: the
+  * governed scan is rewritten transparently (no mask in the query text);
+  * predicates evaluate against MASKED values, so a raw-value probe can
+  * never match; row-filtered rows are invisible to any query; the mask
+  * expression runs as builtins inside the plan (no UDF); a policy that
+  * changes a column's type is rejected at registration. */
+class MaskSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val dir = "target/storage/mask_spec/customer"
+
+  private def governed() = {
+    Tables.customer(spark, sf).write.mode(SaveMode.Overwrite).parquet(dir)
+    MaskPolicies.clear()
+    MaskPolicies.register(spark, dir,
+      rowFilter = Some("c_mktsegment <> 'BUILDING'"),
+      masks = Map("c_name" -> "md5(cast(c_name as binary))"))
+  }
+
+  test("plain scans of a governed table see masked values and filtered rows only") {
+    governed()
+    try {
+      val got = spark.read.parquet(dir)
+      // row policy: BUILDING rows do not exist for any consumer
+      assert(got.filter(col("c_mktsegment") === "BUILDING").count() == 0)
+      // column policy: every c_name is an md5 digest, never a raw name
+      val names = got.select(col("c_name")).limit(50).collect().map(_.getString(0))
+      assert(names.nonEmpty && names.forall(_.matches("[0-9a-f]{32}")), names.take(3).mkString(","))
+      // and the masked scan agrees with explicitly-masked raw data
+      val want = Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") =!= "BUILDING")
+        .agg(count(lit(1)), min(md5(col("c_name").cast("binary")))).collect()(0)
+      val have = got.agg(count(lit(1)), min(col("c_name"))).collect()(0)
+      assert(have == want)
+    } finally MaskPolicies.clear()
+  }
+
+  test("predicates see masked data: probing a raw value finds nothing, a digest finds rows") {
+    governed()
+    try {
+      val raw = Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") =!= "BUILDING")
+        .select(col("c_name")).first().getString(0)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val got = spark.read.parquet(dir)
+      assert(got.filter(col("c_name") === raw).count() == 0,
+        "a raw value must never match a governed scan")
+      assert(got.filter(col("c_name") === digest).count() >= 1)
+    } finally MaskPolicies.clear()
+  }
+
+  test("the rewrite stays codegen-friendly: md5 in the plan, no UDF, row filter pushed") {
+    governed()
+    try {
+      val plan = spark.read.parquet(dir).filter(col("c_custkey") < 100)
+        .select(col("c_name")).queryExecution.executedPlan.toString
+      assert(plan.contains("md5"), plan.take(800))
+      assert(!plan.contains("UDF"), plan.take(800))
+      assert(plan.contains("c_mktsegment"), "row policy vanished:\n" + plan.take(800))
+    } finally MaskPolicies.clear()
+  }
+
+  test("policies that change a column's type or name non-existent columns are rejected") {
+    Tables.customer(spark, sf).write.mode(SaveMode.Overwrite).parquet(dir)
+    MaskPolicies.clear()
+    val e = intercept[IllegalArgumentException](MaskPolicies.register(spark, dir,
+      None, Map("c_name" -> "length(c_name)")))
+    assert(e.getMessage.contains("preserve"))
+    val e2 = intercept[IllegalArgumentException](MaskPolicies.register(spark, dir,
+      None, Map("no_such" -> "md5(c_name)")))
+    assert(e2.getMessage.contains("non-existent"))
+    // and after clear() the raw values are visible again
+    MaskPolicies.clear()
+    val names = spark.read.parquet(dir).select(col("c_name")).limit(5)
+      .collect().map(_.getString(0))
+    assert(names.exists(!_.matches("[0-9a-f]{32}")))
+  }
+}

@@ -31,6 +31,7 @@ class RelationalSpec extends AnyFunSuite {
       plans.ConstraintCatalog.clear()
       plans.MaterializedViews.clear()
       plans.IndexCatalog.clear()
+      plans.MaskPolicies.clear()
     }
   }
 
