@@ -128,6 +128,27 @@ object MiscFunctions {
       .orderBy(col("l_returnflag"))
   }
 
+  /** histogram_numeric promoted from rows-only (q80) to a full oracle
+    * row, by the q211 fits-exactly argument: NumericHistogram merges the
+    * closest bin pair ONLY on overflow (NumericHistogram.scala, reference
+    * GenericUDAFHistogramNumeric.java), so when the group's distinct
+    * value count (l_quantity: 50) is under nbins (64), no merge ever
+    * fires — in any partition, in any merge order — and the result is
+    * exactly the sorted (value, count) pairs. DuckDB replays that as a
+    * relational GROUP BY, bit-for-bit. The under-capacity regime is the
+    * estimator's documented exactness contract, not a lucky case. */
+  val q294_histogram_exact: Q = (s, d) => {
+    HiveHistogramNumeric.register(s)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("hive_histogram_numeric(l_quantity, 64)").as("hist"))
+      .select(col("l_returnflag"), explode(col("hist")).as("bin"))
+      .select(col("l_returnflag"),
+        col("bin.x").cast("double").as("x"),
+        col("bin.y").cast("double").as("y"))
+      .orderBy(col("l_returnflag"), col("x"))
+  }
+
   /** Long-tail string builtins (FunctionRegistry.java:183-269) with
     * DuckDB twins: substring_index (±n), locate, printf/format_string,
     * space, chr. */
@@ -223,6 +244,7 @@ object MiscFunctions {
     "q79_hive_compat" -> q79_hive_compat,
     "q80_approx_aggs" -> q80_approx_aggs,
     "q211_percentile_exact" -> q211_percentile_exact,
+    "q294_histogram_exact" -> q294_histogram_exact,
     "q112_string_tail" -> q112_string_tail,
     "q113_date_tail" -> q113_date_tail,
   )
@@ -255,6 +277,13 @@ object MiscFunctions {
          |  CAST(max(m) AS BIGINT) AS m
          |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
+    "q294_histogram_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(l_quantity AS DOUBLE) AS x,
+        |  CAST(COUNT(*) AS DOUBLE) AS y
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_quantity
+        |ORDER BY l_returnflag, x""".stripMargin,
     "q197_xpath" ->
       """SELECT CAST(n_nationkey AS INT) AS k, n_name AS nm,
         |  n_regionkey = 0 AS in_r0, 3 AS n_children
