@@ -56,8 +56,14 @@ object IndexCatalog {
   def isEmpty: Boolean = byPath.isEmpty
 
   private def normalize(dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.toUri.getPath.stripSuffix("/")
+    // absolutize: scan rootPaths come back fully qualified, so a
+    // relative registration key would never match (the routing silently
+    // never fired for relative dirs before this — caught when the plan
+    // pins were made non-vacuous, see IndexSpec/BloomIndexSpec)
+    val p = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val abs = if (new java.io.File(p).isAbsolute) p
+              else new java.io.File(p).getAbsolutePath
+    abs.stripSuffix("/")
   }
 
   private[plans] def lookup(rootPath: org.apache.hadoop.fs.Path): Option[IndexMeta] =
@@ -72,12 +78,16 @@ object IndexRoute extends Rule[LogicalPlan] {
     * representation mismatch in the lookup. */
   private def external(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     (v, dt) match {
       case (s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
       case (d: org.apache.spark.sql.types.Decimal, _) => Some(d.toJavaBigDecimal)
       case (micros: java.lang.Long, TimestampType) =>
         Some(DateTimeUtils.toJavaTimestamp(micros))
+      case (micros: java.lang.Long, TimestampNTZType) =>
+        // NTZ literals must stay NTZ: a raw micros Long would reach the
+        // zone-map filter as BIGINT vs TIMESTAMP_NTZ (analysis error)
+        Some(DateTimeUtils.microsToLocalDateTime(micros))
       case (days: java.lang.Integer, DateType) => Some(DateTimeUtils.toJavaDate(days))
       case (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
             _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |

@@ -71,15 +71,15 @@ class BloomIndexSpec extends AnyFunSuite {
       def q = spark.read.parquet(path)
         .filter(col("o_custkey").isin(101L, 512L))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
-      val routedPhys = q.queryExecution.executedPlan.toString
+      val routedFiles = q.inputFiles.length
+      assert(routedFiles < 16,
+        s"transparent bloom route read $routedFiles of 16 files — no pruning")
       val got = q.collect()(0)
       IndexCatalog.clear()
       val plain = spark.read.parquet(path)
         .filter(col("o_custkey").isin(101L, 512L))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s")).collect()(0)
       assert(got == plain, "transparent bloom route changed the answer")
-      assert(!routedPhys.contains("[16 paths]"),
-        s"routed scan still lists all 16 files:\n$routedPhys")
     } finally IndexCatalog.clear()
   }
 }
