@@ -522,6 +522,10 @@ object Hplsql {
       } else if (graft.plans.MvDdl.matches(sql)) {
         graft.plans.MvDdl.run(spark, sql)
         spark.emptyDataFrame
+      } else if (graft.security.AuthDdl.matches(sql)) {
+        // GRANT / REVOKE / SHOW GRANT (HiveParser.g grantPrivileges) —
+        // grammar Spark lacks, routed to the engine's grant store
+        graft.security.AuthDdl.run(spark, sql)
       } else spark.sql(sql)
 
     private def runSelectInto(sql: String, into: Seq[String]): Unit = {

@@ -83,6 +83,17 @@ object MaskPolicies {
 
   private[plans] def lookup(rootPath: org.apache.hadoop.fs.Path): Option[Policy] =
     Option(byPath.get(rootPath.toUri.getPath.stripSuffix("/")))
+
+  /** True when the scan root is a STRICT descendant of a governed dir —
+    * a single data file or partition subdir of a masked table. Such a
+    * scan must be refused outright: masking it against the whole-table
+    * policy would change its row set, and letting it through would leak
+    * raw values around the policy (the same reason Ranger denies direct
+    * HDFS access to policy-covered tables). */
+  private[plans] def coversFragment(rootPath: org.apache.hadoop.fs.Path): Boolean = {
+    val p = rootPath.toUri.getPath.stripSuffix("/")
+    !byPath.containsKey(p) && byPath.keySet.asScala.exists(k => p.startsWith(k + "/"))
+  }
 }
 
 object TableMaskRule extends Rule[LogicalPlan] {
@@ -112,6 +123,10 @@ object TableMaskRule extends Rule[LogicalPlan] {
     plan.transform {
       case rel @ LogicalRelation(fs: HadoopFsRelation, out, _, _, _)
           if !out.exists(a => planted.contains(a.exprId.id)) =>
+        fs.location.rootPaths.find(MaskPolicies.coversFragment).foreach { frag =>
+          throw new org.apache.hadoop.security.AccessControlException(
+            s"direct read of a fragment of a policy-governed table: $frag")
+        }
         (for {
           root <- fs.location.rootPaths.headOption
           policy <- MaskPolicies.lookup(root)

@@ -68,6 +68,12 @@ object AccessPolicies {
   def currentUser(spark: SparkSession): String =
     spark.conf.getOption("graft.auth.user").getOrElse(spark.sparkContext.sparkUser)
 
+  /** Current grants on a dir: (principal, privilege) pairs, sorted. */
+  def grants(tableDir: String): Seq[(String, String)] =
+    Option(byPath.get(normalize(tableDir))).toSeq.flatMap { g =>
+      g.asScala.toSeq.flatMap { case (u, ps) => ps.toSeq.map(p => (u, p)) }
+    }.sorted
+
   /** Throw unless `principal` holds `priv` on a PROTECTED `dir`
     * (unprotected dirs are ungoverned objects: always allowed). */
   def check(spark: SparkSession, tableDir: String, priv: String): Unit =
@@ -84,9 +90,16 @@ object AccessPolicies {
       }
     }
 
+  /** Governed key for a scan root — PREFIX match, not equality: a scan
+    * of a partition subdir, a single data file, or a versioned table's
+    * `_versions/vN` snapshot dir is a read of the governed object and
+    * must face the same check (the reference resolves every entity back
+    * to its table before checkPrivileges; path containment is the
+    * path-addressed equivalent). */
   private[security] def lookupKey(rootPath: org.apache.hadoop.fs.Path): Option[String] = {
-    val key = rootPath.toUri.getPath.stripSuffix("/")
-    if (byPath.containsKey(key)) Some(key) else None
+    val p = rootPath.toUri.getPath.stripSuffix("/")
+    if (byPath.containsKey(p)) Some(p)
+    else byPath.keySet.asScala.find(k => p.startsWith(k + "/"))
   }
 
   private def normalize(dir: String): String = {
@@ -112,4 +125,62 @@ object AuthorizationRule extends Rule[LogicalPlan] {
     }
     plan
   }
+}
+
+/** SQL surface for the GRANT store — the reference's authorization DDL
+  * (HiveParser.g grantPrivileges/revokePrivileges/showGrants, executed
+  * by DDLTask against the metastore's grant tables). Spark has no
+  * GRANT grammar, so the HPL/SQL passthrough routes these three
+  * statements here, exactly as it routes constraint and MV DDL:
+  *
+  * {{{
+  *   GRANT SELECT, INSERT ON TABLE t TO USER alice;
+  *   REVOKE UPDATE ON t FROM alice;
+  *   SHOW GRANT [USER alice] ON TABLE t;
+  * }}}
+  *
+  * The table name resolves to its storage LOCATION through the session
+  * catalog (DESCRIBE FORMATTED — the public route), because the grant
+  * store is path-addressed like every governed object here. */
+object AuthDdl {
+
+  private val GrantRe =
+    """(?is)\s*GRANT\s+([A-Z, ]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(?:USER\s+)?([\w]+)\s*;?\s*""".r
+  private val RevokeRe =
+    """(?is)\s*REVOKE\s+([A-Z, ]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(?:USER\s+)?([\w]+)\s*;?\s*""".r
+  private val ShowRe =
+    """(?is)\s*SHOW\s+GRANT\s+(?:USER\s+([\w]+)\s+)?ON\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*""".r
+
+  def matches(sql: String): Boolean = sql match {
+    case GrantRe(_, _, _) | RevokeRe(_, _, _) | ShowRe(_, _) => true
+    case _ => false
+  }
+
+  def run(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = sql match {
+    case GrantRe(privs, table, user) =>
+      AccessPolicies.grant(locationOf(spark, table), user, splitPrivs(privs): _*)
+      spark.emptyDataFrame
+    case RevokeRe(privs, table, user) =>
+      AccessPolicies.revoke(locationOf(spark, table), user, splitPrivs(privs): _*)
+      spark.emptyDataFrame
+    case ShowRe(user, table) =>
+      import scala.jdk.CollectionConverters._
+      val rows = AccessPolicies.grants(locationOf(spark, table))
+        .filter { case (u, _) => user == null || u == user }
+        .map { case (u, p) => org.apache.spark.sql.Row(u, p) }
+      spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "principal STRING, privilege STRING"))
+    case _ => throw new IllegalArgumentException(s"not an authorization statement: $sql")
+  }
+
+  private def splitPrivs(s: String): Seq[String] =
+    s.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSeq
+
+  private def locationOf(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(r => Option(r.getString(0)).exists(_.trim.equalsIgnoreCase("Location")))
+      .map(_.getString(1).trim)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot resolve storage location for table $table"))
 }

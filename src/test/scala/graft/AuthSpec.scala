@@ -46,6 +46,10 @@ class AuthSpec extends AnyFunSuite {
       assert(spark.read.parquet(dir).count() == 200)
       AccessPolicies.revoke(dir, "alice", "SELECT")
       intercept[AccessControlException](spark.read.parquet(dir).count())
+      // reading a FILE of the protected dir is the same object: denied
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+      intercept[AccessControlException](spark.read.parquet(file).count())
       // an unprotected table is ungoverned throughout
       assert(Tables.orders(spark, sf).limit(5).count() == 5)
     } finally cleanup()
@@ -71,6 +75,32 @@ class AuthSpec extends AnyFunSuite {
     } finally cleanup()
   }
 
+  test("GRANT/REVOKE/SHOW GRANT SQL statements drive the grant store (HPL/SQL DDL route)") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_auth_ddl").toString
+    Tables.orders(spark, sf).limit(50).write.mode(SaveMode.Overwrite).parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS auth_t")
+    spark.sql(s"CREATE TABLE auth_t (o_orderkey BIGINT) USING parquet LOCATION '$loc'")
+    AccessPolicies.clear()
+    try {
+      graft.hplsql.Hplsql.run(spark, "GRANT SELECT, INSERT ON TABLE auth_t TO USER carol;")
+      // granting protected the location: default-deny for everyone else
+      spark.conf.set("graft.auth.user", "mallory")
+      intercept[AccessControlException](spark.table("auth_t").count())
+      spark.conf.set("graft.auth.user", "carol")
+      assert(spark.table("auth_t").count() == 50)
+      // SHOW GRANT reflects the store
+      val shown = graft.security.AuthDdl.run(spark, "SHOW GRANT USER carol ON TABLE auth_t")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(shown == Set(("carol", "SELECT"), ("carol", "INSERT")), shown.toString)
+      // REVOKE closes it again
+      graft.hplsql.Hplsql.run(spark, "REVOKE SELECT ON auth_t FROM carol;")
+      intercept[AccessControlException](spark.table("auth_t").count())
+    } finally {
+      cleanup()
+      spark.sql("DROP TABLE IF EXISTS auth_t")
+    }
+  }
+
   test("versioned commits require INSERT; the principal is session conf, not global") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_auth_ver").toString + "/t"
@@ -85,6 +115,12 @@ class AuthSpec extends AnyFunSuite {
       assert(Versioned.commit(spark, base, Seq((1L, "a")).toDF("k", "v")) == 1)
       assert(Versioned.commitDelta(spark, base, Seq("k"),
         upserts = Seq((2L, "b")).toDF("k", "v")) == 2)
+      // version snapshot dirs live UNDER base: SELECT is enforced on them
+      // by prefix (the versioned table is one governed object)
+      assert(Versioned.readMerged(spark, base, Seq("k")).count() == 2)
+      spark.conf.set("graft.auth.user", "intruder")
+      intercept[AccessControlException](
+        Versioned.readMerged(spark, base, Seq("k")).count())
     } finally cleanup()
   }
 }

@@ -69,6 +69,17 @@ class MaskSpec extends AnyFunSuite {
     } finally MaskPolicies.clear()
   }
 
+  test("reading a raw FILE of a governed table is refused, not silently unmasked") {
+    governed()
+    try {
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+      val e = intercept[org.apache.hadoop.security.AccessControlException](
+        spark.read.parquet(file).count())
+      assert(e.getMessage.contains("fragment"), e.getMessage)
+    } finally MaskPolicies.clear()
+  }
+
   test("policies that change a column's type or name non-existent columns are rejected") {
     Tables.customer(spark, sf).write.mode(SaveMode.Overwrite).parquet(dir)
     MaskPolicies.clear()
