@@ -269,6 +269,9 @@ object Sketches {
   class DdAgg(alpha: Double, maxBins: Int)
       extends Aggregator[Option[Double], mutable.HashMap[Int, Long], Map[Int, Long]] {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    // >= 2: at 1 the dedicated zero bin plus one log bin could not both
+    // be represented and the cap contract would be violated
+    require(maxBins >= 2, s"maxBins >= 2, got $maxBins")
     private val lnGamma = math.log((1 + alpha) / (1 - alpha))
     def zero: mutable.HashMap[Int, Long] = mutable.HashMap.empty
     def reduce(b: mutable.HashMap[Int, Long], v: Option[Double]): mutable.HashMap[Int, Long] =
@@ -289,6 +292,7 @@ object Sketches {
   /** Merge of stored DDSketch maps (counter addition + final collapse). */
   class DdMergeAgg(maxBins: Int)
       extends Aggregator[Map[Int, Long], mutable.HashMap[Int, Long], Map[Int, Long]] {
+    require(maxBins >= 2, s"maxBins >= 2, got $maxBins")
     def zero: mutable.HashMap[Int, Long] = mutable.HashMap.empty
     def reduce(b: mutable.HashMap[Int, Long], m: Map[Int, Long]): mutable.HashMap[Int, Long] = {
       m.foreach { case (i, c) => b.update(i, b.getOrElse(i, 0L) + c) }; b

@@ -55,16 +55,11 @@ object IndexCatalog {
   def clear(): Unit = byPath.clear()
   def isEmpty: Boolean = byPath.isEmpty
 
-  private def normalize(dir: String): String = {
-    // absolutize: scan rootPaths come back fully qualified, so a
-    // relative registration key would never match (the routing silently
-    // never fired for relative dirs before this — caught when the plan
-    // pins were made non-vacuous, see IndexSpec/BloomIndexSpec)
-    val p = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    val abs = if (new java.io.File(p).isAbsolute) p
-              else new java.io.File(p).getAbsolutePath
-    abs.stripSuffix("/")
-  }
+  // absolutized key (graft.PathKeys): scan rootPaths come back fully
+  // qualified, so a relative registration key would never match (the
+  // routing silently never fired for relative dirs before this — caught
+  // when the plan pins were made non-vacuous, see IndexSpec)
+  private def normalize(dir: String): String = graft.PathKeys.normalize(dir)
 
   private[plans] def lookup(rootPath: org.apache.hadoop.fs.Path): Option[IndexMeta] =
     Option(byPath.get(rootPath.toUri.getPath.stripSuffix("/")))
@@ -175,7 +170,11 @@ object IndexRoute extends Rule[LogicalPlan] {
             if (files.isEmpty)
               SqlShims.analyzed(spark.createDataFrame(
                 new java.util.ArrayList[org.apache.spark.sql.Row](), rel.schema))
-            else SqlShims.analyzed(spark.read.schema(rel.schema).parquet(files: _*))
+            else SqlShims.analyzed(spark.read.schema(rel.schema)
+              // engine-planted marker: a routed file-level scan must not
+              // be mistaken for a user probing governed-table fragments
+              .option(graft.PathKeys.PlantedOption, "true")
+              .parquet(files: _*))
           val aliased = out.zip(pruned.output).map { case (want, have) =>
             Alias(have, want.name)(exprId = want.exprId, qualifier = want.qualifier)
           }

@@ -65,23 +65,16 @@ object MaskPolicies {
     val after = masked.schema.map(f => (f.name.toLowerCase, f.dataType))
     require(before == after,
       s"policy must preserve the table schema; got $after, want $before")
-    byPath.put(normalize(tableDir), policy)
+    byPath.put(graft.PathKeys.normalize(tableDir), policy)
   }
 
-  def drop(tableDir: String): Unit = byPath.remove(normalize(tableDir))
-  def clear(): Unit = { byPath.clear(); TableMaskRule.reset() }
+  def drop(tableDir: String): Unit = byPath.remove(graft.PathKeys.normalize(tableDir))
+  def clear(): Unit = byPath.clear()
   def isEmpty: Boolean = byPath.isEmpty
 
-  private def normalize(dir: String): String = {
-    // absolutize: gate rows register relative dirs, while a scan's
-    // rootPaths come back fully qualified — both must hit the same key
-    val p = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    val abs = if (new java.io.File(p).isAbsolute) p
-              else new java.io.File(p).getAbsolutePath
-    abs.stripSuffix("/")
-  }
-
   private[plans] def lookup(rootPath: org.apache.hadoop.fs.Path): Option[Policy] =
+    // exact key only: a governed dir's own root. Longest-key resolution
+    // is unnecessary here because fragments are refused outright below.
     Option(byPath.get(rootPath.toUri.getPath.stripSuffix("/")))
 
   /** True when the scan root is a STRICT descendant of a governed dir —
@@ -90,20 +83,11 @@ object MaskPolicies {
     * policy would change its row set, and letting it through would leak
     * raw values around the policy (the same reason Ranger denies direct
     * HDFS access to policy-covered tables). */
-  private[plans] def coversFragment(rootPath: org.apache.hadoop.fs.Path): Boolean = {
-    val p = rootPath.toUri.getPath.stripSuffix("/")
-    !byPath.containsKey(p) && byPath.keySet.asScala.exists(k => p.startsWith(k + "/"))
-  }
+  private[plans] def coversFragment(rootPath: org.apache.hadoop.fs.Path): Boolean =
+    graft.PathKeys.isFragment(byPath.keySet.asScala, rootPath)
 }
 
 object TableMaskRule extends Rule[LogicalPlan] {
-
-  // Scans this rule itself planted (by attribute id): the masked subplan
-  // contains a fresh scan of the SAME governed dir, which must not be
-  // rewritten again on the next fixpoint iteration.
-  private val planted = ConcurrentHashMap.newKeySet[Long]()
-
-  private[plans] def reset(): Unit = planted.clear()
 
   /** The Filter(rowPolicy) + Project(masks) frame over `raw`, columns in
     * `raw`'s order under their original names. */
@@ -118,28 +102,42 @@ object TableMaskRule extends Rule[LogicalPlan] {
     }.toIndexedSeq: _*)
   }
 
+  /** A scan the ENGINE planted during a rewrite — the mask frame's own
+    * fresh scan, or an index-route's pruned file scan under it. Marked
+    * structurally by a relation option ([[graft.PathKeys.PlantedOption]]),
+    * so recognition survives plan copies with no global id set to leak.
+    * Planted scans are exempt from re-masking AND from the fragment
+    * refusal (an index route legitimately narrows a planted scan to
+    * specific files; the mask projection stays above it). */
+  private def isPlanted(fs: HadoopFsRelation): Boolean =
+    fs.options.contains(graft.PathKeys.PlantedOption)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MaskPolicies.isEmpty) return plan
     plan.transform {
-      case rel @ LogicalRelation(fs: HadoopFsRelation, out, _, _, _)
-          if !out.exists(a => planted.contains(a.exprId.id)) =>
-        fs.location.rootPaths.find(MaskPolicies.coversFragment).foreach { frag =>
+      case rel @ LogicalRelation(fs: HadoopFsRelation, out, _, _, _) if !isPlanted(fs) =>
+        val roots = fs.location.rootPaths
+        val governed = roots.flatMap(r => MaskPolicies.lookup(r).map(r -> _))
+        roots.find(MaskPolicies.coversFragment).foreach { frag =>
           throw new org.apache.hadoop.security.AccessControlException(
             s"direct read of a fragment of a policy-governed table: $frag")
         }
-        (for {
-          root <- fs.location.rootPaths.headOption
-          policy <- MaskPolicies.lookup(root)
-        } yield {
+        if (governed.isEmpty) rel
+        else if (roots.size > 1)
+          // a multi-root relation mixing governed and other data cannot
+          // be masked by substituting one table's frame (the other
+          // roots' rows would silently vanish) — refuse loudly
+          throw new org.apache.hadoop.security.AccessControlException(
+            s"multi-path scan includes policy-governed table ${governed.head._1}; " +
+            "query the governed table on its own")
+        else {
+          val policy = governed.head._2
           val spark = SparkSession.active
           // fresh full-width scan: the governed relation may already be
           // column-pruned, but masks/filters may need other raw columns
-          val masked = SqlShims.analyzed(
-            maskedFrame(spark, spark.read.parquet(policy.tableDir), policy))
-          masked.foreach {
-            case LogicalRelation(_, o, _, _, _) => o.foreach(a => planted.add(a.exprId.id))
-            case _ =>
-          }
+          val masked = SqlShims.analyzed(maskedFrame(spark,
+            spark.read.option(graft.PathKeys.PlantedOption, "true")
+              .parquet(policy.tableDir), policy))
           val byName = masked.output.map(a => (a.name.toLowerCase, a)).toMap
           val aliased = out.map { want =>
             val have = byName.getOrElse(want.name.toLowerCase,
@@ -147,7 +145,7 @@ object TableMaskRule extends Rule[LogicalPlan] {
             Alias(have, want.name)(exprId = want.exprId, qualifier = want.qualifier)
           }
           org.apache.spark.sql.catalyst.plans.logical.Project(aliased, masked)
-        }).getOrElse(rel)
+        }
     }
   }
 }

@@ -75,9 +75,14 @@ object AccessPolicies {
     }.sorted
 
   /** Throw unless `principal` holds `priv` on a PROTECTED `dir`
-    * (unprotected dirs are ungoverned objects: always allowed). */
+    * (unprotected dirs are ungoverned objects: always allowed). Resolves
+    * by CONTAINMENT like the read side: DML addressed at a subpath of a
+    * protected dir (a partition dir, a versioned snapshot dir) is DML on
+    * the governed object and faces the same check. */
   def check(spark: SparkSession, tableDir: String, priv: String): Unit =
-    checkPath(spark, normalize(tableDir), priv)
+    graft.PathKeys.containingKey(byPath.keySet.asScala,
+        new org.apache.hadoop.fs.Path(normalize(tableDir)))
+      .foreach(key => checkPath(spark, key, priv))
 
   private[security] def checkPath(spark: SparkSession, key: String, priv: String): Unit =
     Option(byPath.get(key)).foreach { grants =>
@@ -90,24 +95,17 @@ object AccessPolicies {
       }
     }
 
-  /** Governed key for a scan root — PREFIX match, not equality: a scan
+  /** Governed key for a scan root — CONTAINMENT, not equality: a scan
     * of a partition subdir, a single data file, or a versioned table's
     * `_versions/vN` snapshot dir is a read of the governed object and
     * must face the same check (the reference resolves every entity back
-    * to its table before checkPrivileges; path containment is the
-    * path-addressed equivalent). */
-  private[security] def lookupKey(rootPath: org.apache.hadoop.fs.Path): Option[String] = {
-    val p = rootPath.toUri.getPath.stripSuffix("/")
-    if (byPath.containsKey(p)) Some(p)
-    else byPath.keySet.asScala.find(k => p.startsWith(k + "/"))
-  }
+    * to its table before checkPrivileges). Nested governed dirs resolve
+    * to the LONGEST key — the most specific object's grants decide, never
+    * hash-iteration order. */
+  private[security] def lookupKey(rootPath: org.apache.hadoop.fs.Path): Option[String] =
+    graft.PathKeys.containingKey(byPath.keySet.asScala, rootPath)
 
-  private def normalize(dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    val abs = if (new java.io.File(p).isAbsolute) p
-              else new java.io.File(p).getAbsolutePath
-    abs.stripSuffix("/")
-  }
+  private def normalize(dir: String): String = graft.PathKeys.normalize(dir)
 }
 
 /** Read-path enforcement: reject any plan scanning a protected dir
@@ -118,9 +116,11 @@ object AuthorizationRule extends Rule[LogicalPlan] {
     if (AccessPolicies.isEmpty) return plan
     plan.foreach {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.headOption
-          .flatMap(AccessPolicies.lookupKey)
-          .foreach(key => AccessPolicies.checkPath(SparkSession.active, key, "SELECT"))
+        // EVERY root of a multi-path relation is checked — a protected
+        // dir must not slip through behind an unprotected first path
+        fs.location.rootPaths.foreach(r =>
+          AccessPolicies.lookupKey(r)
+            .foreach(key => AccessPolicies.checkPath(SparkSession.active, key, "SELECT")))
       case _ =>
     }
     plan

@@ -75,6 +75,31 @@ class AuthSpec extends AnyFunSuite {
     } finally cleanup()
   }
 
+  test("multi-path scans, nested protections, and subpath DML cannot bypass enforcement") {
+    val open = "target/storage/auth_spec/open"
+    Tables.orders(spark, sf).limit(50).write.mode(SaveMode.Overwrite).parquet(open)
+    freshProtected("alice") // protected dir, no grants
+    try {
+      // a protected dir behind an unprotected first path is still denied
+      intercept[AccessControlException](spark.read.parquet(open, dir).count())
+      // nested protection: the MOST SPECIFIC key's grants decide
+      val outer = "target/storage/auth_spec/outer"
+      val inner = s"$outer/secret"
+      Tables.orders(spark, sf).limit(20).write.mode(SaveMode.Overwrite).parquet(inner)
+      AccessPolicies.grant(outer, "alice", "SELECT")
+      AccessPolicies.protect(inner) // no grants: default deny
+      intercept[AccessControlException](spark.read.parquet(inner).count())
+      val innerFile = new java.io.File(inner).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+      intercept[AccessControlException](spark.read.parquet(innerFile).count())
+      // subpath DML: UPDATE aimed at a child dir of a protected table is
+      // DML on the governed object (alice holds no UPDATE anywhere here)
+      intercept[AccessControlException](
+        CopyOnWrite.update(spark, inner, lit(true),
+          Map("o_orderpriority" -> lit("X"))))
+    } finally cleanup()
+  }
+
   test("GRANT/REVOKE/SHOW GRANT SQL statements drive the grant store (HPL/SQL DDL route)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_auth_ddl").toString
     Tables.orders(spark, sf).limit(50).write.mode(SaveMode.Overwrite).parquet(loc)

@@ -80,6 +80,49 @@ class MaskSpec extends AnyFunSuite {
     } finally MaskPolicies.clear()
   }
 
+  test("a multi-path scan mixing a governed table with other data is refused") {
+    governed()
+    val other = "target/storage/mask_spec/other"
+    Tables.customer(spark, sf).limit(20).write.mode(SaveMode.Overwrite).parquet(other)
+    try {
+      // governed dir in head AND non-head position: both refused — one
+      // frame substitution would silently drop the other root's rows,
+      // and skipping it would leak raw values
+      for (paths <- Seq(Seq(dir, other), Seq(other, dir))) {
+        val e = intercept[org.apache.hadoop.security.AccessControlException](
+          spark.read.parquet(paths: _*).count())
+        assert(e.getMessage.contains("multi-path"), e.getMessage)
+      }
+    } finally MaskPolicies.clear()
+  }
+
+  test("a masked table with a registered index still answers (routed, masked, no refusal)") {
+    import graft.plans.IndexCatalog
+    import graft.sources.CompactIndexIO
+    val tdir = "target/storage/mask_spec/indexed"
+    val idx = "target/storage/mask_spec/indexed_idx"
+    // hash-cluster on custkey so the index prunes; mask the NAME column
+    Tables.customer(spark, sf)
+      .repartition(8, col("c_custkey"))
+      .write.mode(SaveMode.Overwrite).parquet(tdir)
+    CompactIndexIO.build(spark, tdir, "c_custkey", idx)
+    MaskPolicies.clear(); IndexCatalog.clear()
+    IndexCatalog.register(spark, tdir, "c_custkey", idx)
+    MaskPolicies.register(spark, tdir, None,
+      Map("c_name" -> "md5(cast(c_name as binary))"))
+    try {
+      val key = Tables.customer(spark, sf).select(col("c_custkey")).first().getLong(0)
+      val q = spark.read.parquet(tdir).filter(col("c_custkey") === key)
+        .select(col("c_name"))
+      val rows = q.collect().map(_.getString(0))
+      assert(rows.nonEmpty && rows.forall(_.matches("[0-9a-f]{32}")),
+        s"indexed+masked scan must stay masked, got ${rows.take(2).mkString(",")}")
+      // and the route actually pruned under the mask frame
+      assert(q.inputFiles.length < 8,
+        s"route did not prune: ${q.inputFiles.length} of 8 files")
+    } finally { MaskPolicies.clear(); IndexCatalog.clear() }
+  }
+
   test("policies that change a column's type or name non-existent columns are rejected") {
     Tables.customer(spark, sf).write.mode(SaveMode.Overwrite).parquet(dir)
     MaskPolicies.clear()

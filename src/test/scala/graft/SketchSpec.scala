@@ -196,6 +196,7 @@ class SketchSpec extends AnyFunSuite {
   }
 
   test("DDSketch rejects negative inputs and bad alpha") {
+    intercept[IllegalArgumentException](Sketches.ddSketch(col("v"), 0.01, maxBins = 1))
     intercept[IllegalArgumentException](Sketches.ddSketch(col("v"), 1.5))
     val thrown = intercept[Exception] {
       spark.range(1).select(lit(-1d).as("v"))

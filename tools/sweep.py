@@ -36,14 +36,31 @@ BY_DESIGN = {
 
 
 def run_with_timeout(con, sql, seconds):
-    timer = threading.Timer(seconds, con.interrupt)
+    """Returns (df, status) with status in {None, 'timeout', 'error: ...'}.
+
+    A genuine oracle SQL error must NOT be reported as a timeout (a
+    verification tool that masks its own failures is worse than none).
+    The timer flags interrupt intent; each query runs on its own cursor
+    so a late-firing interrupt cannot poison the next oracle."""
+    interrupted = threading.Event()
+    cur = con.cursor()  # own connection state; shares the view catalog
+
+    def fire():
+        interrupted.set()
+        cur.interrupt()
+
+    timer = threading.Timer(seconds, fire)
     timer.start()
     try:
-        return con.execute(sql).fetchdf(), None
-    except Exception as e:  # includes the interrupt exception
-        return None, e
+        df = cur.execute(sql).fetchdf()
+        if interrupted.is_set():  # raced the finish line: treat as timeout
+            return None, "timeout"
+        return df, None
+    except Exception as e:
+        return None, ("timeout" if interrupted.is_set() else f"error: {e}")
     finally:
         timer.cancel()
+        cur.close()
 
 
 def compare(exp, got):
@@ -95,10 +112,14 @@ def main():
             counts["ROWS_ONLY"] += 1
             print(f"[INFO] {name}: ROWS_ONLY rows={len(got)}")
             continue
-        exp, err = run_with_timeout(con, oracle[name], args.timeout)
-        if exp is None:
+        exp, status = run_with_timeout(con, oracle[name], args.timeout)
+        if exp is None and status == "timeout":
             counts["TIMEOUT"] += 1
-            print(f"[TIME] {name}: oracle exceeded {args.timeout}s ({err})")
+            print(f"[TIME] {name}: oracle exceeded {args.timeout}s")
+            continue
+        if exp is None:
+            counts["FAIL"] += 1
+            print(f"[FAIL] {name}: ORACLE_SQL_{status}")
             continue
         bad = compare(exp, got)
         if bad and name in BY_DESIGN:
