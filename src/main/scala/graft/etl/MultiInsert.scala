@@ -70,8 +70,6 @@ object MultiInsert {
     def label: String = name
   }
 
-  private val FromClause =
-    """(?is)^\s*FROM\s+(.+?)\s+(INSERT\s+(?:OVERWRITE|INTO)\s+.*)$""".r
   // one alternation per Hive target form (HiveParser.g destination rule):
   // OVERWRITE DIRECTORY 'path' | OVERWRITE TABLE t | INTO [TABLE] t —
   // anchored at a clause start; clause boundaries come from the
@@ -158,8 +156,8 @@ object MultiInsert {
     * with the WHERE clause unchanged.
     */
   def sql(spark: org.apache.spark.sql.SparkSession, statement: String,
-          format: String = "parquet"): Map[String, Long] = statement match {
-    case FromClause(src, inserts) =>
+          format: String = "parquet"): Map[String, Long] = splitFrom(statement) match {
+    case Some((src, inserts)) =>
       val srcDf = spark.sql(s"SELECT * FROM $src")
       // toHexString: sign-free (math.abs(Int.MinValue) is negative) and a
       // valid identifier suffix
@@ -199,5 +197,22 @@ object MultiInsert {
       } finally { spark.catalog.dropTempView(view); () }
     case _ => throw new IllegalArgumentException(
       "expected: FROM <src> INSERT {OVERWRITE DIRECTORY '<path>' | OVERWRITE TABLE <t> | INTO [TABLE] <t>} SELECT ... [more INSERTs]")
+  }
+
+  /** Split `FROM <src> INSERT ...` at the first TOP-LEVEL `INSERT` —
+    * the same quote/paren-aware scan the clause boundaries use, so a
+    * string literal (or subquery text) in the source containing
+    * " insert into " cannot split the statement inside the literal
+    * the way a regex split would. */
+  private def splitFrom(statement: String): Option[(String, String)] = {
+    val t = statement.trim
+    if (t.length < 5 || !t.regionMatches(true, 0, "FROM", 0, 4) ||
+        isWordChar(t.charAt(4))) return None
+    val rest = t.substring(4)
+    topLevelOffsets(rest, Seq("insert")).headOption.flatMap { off =>
+      val src = rest.substring(0, off).trim
+      val inserts = rest.substring(off).trim
+      if (src.isEmpty) None else Some((src, inserts))
+    }
   }
 }

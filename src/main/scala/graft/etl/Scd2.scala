@@ -45,6 +45,16 @@ object Scd2 {
     require(keys.nonEmpty && attrs.nonEmpty, "scd2 needs key and attribute columns")
     require(dim.columns.toSet == (keys ++ attrs ++ MetaCols).toSet,
       s"dimension columns ${dim.columns.mkString(",")} must be exactly keys + attrs + $MetaCols")
+    // The one-row-per-key batch precondition is ENFORCED, not assumed: a
+    // duplicate key would fan the full-outer join out and emit multiple
+    // is_current versions, silently corrupting the dimension (the same
+    // cardinality contract SQL MERGE raises an error for). The probe is
+    // one aggregation over the batch — O(changes), not O(dimension).
+    val dups = batch.groupBy(keys.map(k => col(k) as k): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"scd2 batch carries duplicate business key ${dups.headOption.getOrElse("")}" +
+        " — one row per key per apply (merge upstream duplicates first)")
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
     // presence markers + null-safe key equality: a NULL business key is

@@ -24,7 +24,11 @@ import graft.plans.ConstraintDdl
   */
 object ConstraintOps {
 
-  private def registerTpchConstraints(): Unit = {
+  private def registerTpchConstraints(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    // scan identity is VERIFIED against the session catalog (see
+    // ConstraintRewrites.scanTable), so the names must resolve to the
+    // same locations the queries below scan
+    Tables.registerAll(s, d)
     ConstraintDdl.run(
       "ALTER TABLE orders ADD CONSTRAINT pk_orders PRIMARY KEY (o_orderkey) DISABLE NOVALIDATE RELY")
     ConstraintDdl.run(
@@ -42,7 +46,7 @@ object ConstraintOps {
     * RELY asserts). Decimal-sum then one final cast, the repo's standard
     * summation-order-proof aggregation spelling. */
   val q272_pkfk_join_elim: Q = (s, d) => {
-    registerTpchConstraints()
+    registerTpchConstraints(s, d)
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
@@ -55,7 +59,7 @@ object ConstraintOps {
     * key dedupes nothing; the rule deletes the aggregate (and with it the
     * exchange). Oracle keeps the DISTINCT. */
   val q273_distinct_pk_elim: Q = (s, d) => {
-    registerTpchConstraints()
+    registerTpchConstraints(s, d)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       .distinct()
@@ -68,7 +72,7 @@ object ConstraintOps {
     * survive null-extended): eliminated without any FK declared — the
     * shape BI tools emit for every "optional dimension" lookup. */
   val q274_leftouter_pk_elim: Q = (s, d) => {
-    registerTpchConstraints()
+    registerTpchConstraints(s, d)
     Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
       .groupBy(col("o_orderpriority"))
@@ -82,7 +86,7 @@ object ConstraintOps {
     * count-distinct (o_custkey, NOT a key) that must keep its DISTINCT,
     * so the row also proves the rewrite is surgical. */
   val q277_count_distinct_pk: Q = (s, d) => {
-    registerTpchConstraints()
+    registerTpchConstraints(s, d)
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(count_distinct(col("o_orderkey")).as("n_orders"),

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Deduplication suite for training-data pipelines over `documents`:
-  * exact (hash-groupBy), MinHash+LSH near-dup (shingle -> 64-hash
-  * signature -> 16x4 banding -> bucket self-join -> exact-Jaccard verify),
+  * exact (hash-groupBy), MinHash+LSH near-dup (shingle -> 32-hash
+  * signature -> 8x4 banding -> bucket self-join -> exact-Jaccard verify),
   * SimHash, and exact n-gram Jaccard. Scale analysis (100 TB):
   *
   *  - exact: one shuffle on text-hash; group sizes are near-1 so AQE
@@ -196,9 +196,13 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified at Jaccard >= 0.7.
-    * The oracle is the all-pairs exact answer: banding at 16x4 catches a
-    * 0.8-Jaccard pair with p ~ 0.9998, and this corpus's near-dups are
-    * all >= 0.8 (verified: the jaccard distribution is bimodal 0.8+/<0.1). */
+    * The oracle is the all-pairs exact answer. Recall at the CURRENT
+    * k=32 / 8x4 parameters (see minhashSignatures): a 0.9-Jaccard pair
+    * is caught with p ~ 1-(1-0.9^4)^8 = 0.99985, a 0.8-Jaccard pair with
+    * p ~ 0.954 — acceptable because this corpus's verified jaccard
+    * distribution is bimodal (planted near-dups >= 0.9, background
+    * < 0.1). A corpus with mass near 0.8 should raise k back to 64 with
+    * 16x4 banding (p ~ 0.9998 at 0.8) at 2x signature cost. */
   val q65_minhash_lsh: Q = (s, d) => {
     val shRaw = shingleHashes(Tables.documents(s, d))
     // No mid-query cache: the candidate lineage (shingle scan + groupBy +
@@ -278,16 +282,23 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
-  /** Hash-exact SimHash gate: same vote-per-bit algorithm as
-    * simhashSignatures (the production path, which banding + q66 pin),
-    * re-run on 32 bits of md5 — the one hash both engines spell
-    * identically — so the ENTIRE SimHash computation (tokenize, distinct,
-    * per-bit majority vote, bit reassembly) becomes a DuckDB-replayable
-    * closed form. The xxhash64 production variant stays spec-only by
-    * necessity; this row removes the family's only unhashed stage. Plan
-    * shape matches production: one distinct on (doc_id, token), one
-    * groupBy(doc_id) carrying 32 codegen'd conditional sums — no per-bit
-    * explode, no shuffle beyond the two aggregates. */
+  /** Hash-exact SimHash gate: the vote-per-bit algorithm re-run on 32
+    * bits of md5 — the one hash both engines spell identically — so the
+    * ENTIRE SimHash computation (tokenize, distinct, per-bit majority
+    * vote, bit reassembly) becomes a DuckDB-replayable closed form. The
+    * xxhash64 production variant stays spec-only by necessity; this row
+    * removes the family's only unhashed stage. Plan shape matches
+    * production: one distinct on (doc_id, token), one groupBy(doc_id)
+    * carrying 32 codegen'd conditional sums — no per-bit explode, no
+    * shuffle beyond the two aggregates.
+    *
+    * DELIBERATE divergences from simhashSignatures (the production
+    * path, which banding + q66 pin): this row votes over DISTINCT
+    * tokens and sets a bit on vote > 0, while production keeps duplicate
+    * tokens (term frequency weights the vote) and breaks vote ties
+    * toward 1 (>= 0). The row pins the closed-form replay, NOT
+    * production's tie/multiplicity semantics — align both before reusing
+    * either as a drop-in for the other. */
   val q268_simhash_md5: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "[^A-Za-z0-9]+")).as("tok"))
@@ -464,6 +475,13 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("ida"), col("idb"))
   }
+
+  /** Distinct doc ids touched by any verified near-dup pair, marked for
+    * a left-join probe — the sliver q234/q245 fold corpus stats against. */
+  private def dupIdSliver(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairs.select(col("ida").as("doc_id"))
+      .unionByName(pairs.select(col("idb").as("doc_id")))
+      .distinct().withColumn("hit", lit(1))
 
   /** Dedup clusters: connected components over the verified near-dup
     * pairs, summarized per cluster (cluster id = min member id). */
@@ -768,11 +786,8 @@ object Dedup {
     * path itself; the source labels join on doc_id (a projected
     * two-column sliver) and the output is |sources|^2 at most. */
   val q230_cross_source_dup: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val sh = shingleHashes(docs)
-    val pairs = exactJaccard(lshCandidates(minhashSignatures(sh)), sh, keepZero = false)
-      .filter(col("jac") >= 0.7)
-    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = nearDupEdges(s, d, 0.7)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("ida"), col("source").as("src_a")), Seq("ida"))
       .join(src.select(col("doc_id").as("idb"), col("source").as("src_b")), Seq("idb"))
@@ -791,14 +806,8 @@ object Dedup {
     * ingest cost). Corpus-sized work is the shared LSH path; the dup-id
     * set is a one-column distinct sliver left-joined on doc_id. */
   val q234_source_dup_rate: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val sh = shingleHashes(docs)
-    val pairs = exactJaccard(lshCandidates(minhashSignatures(sh)), sh, keepZero = false)
-      .filter(col("jac") >= 0.7)
-    val dupIds = pairs.select(col("ida").as("doc_id"))
-      .unionByName(pairs.select(col("idb").as("doc_id")))
-      .distinct().withColumn("hit", lit(1))
-    docs.select(col("doc_id"), col("source"))
+    val dupIds = dupIdSliver(nearDupEdges(s, d, 0.7))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
       .join(dupIds, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_dup"))
@@ -843,14 +852,8 @@ object Dedup {
     * The dup-id sliver comes from the shared LSH path; the corpus pays
     * one projection and one left join. */
   val q245_dup_by_quality: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val sh = shingleHashes(docs)
-    val pairs = exactJaccard(lshCandidates(minhashSignatures(sh)), sh, keepZero = false)
-      .filter(col("jac") >= 0.7)
-    val dupIds = pairs.select(col("ida").as("doc_id"))
-      .unionByName(pairs.select(col("idb").as("doc_id")))
-      .distinct().withColumn("hit", lit(1))
-    docs.select(col("doc_id"),
+    val dupIds = dupIdSliver(nearDupEdges(s, d, 0.7))
+    Tables.documents(s, d).select(col("doc_id"),
         floor(round(TextAnalysis.qualityExpr, 6) * 10).as("q_bucket"))
       .join(dupIds, Seq("doc_id"), "left")
       .groupBy(col("q_bucket"))
@@ -967,6 +970,50 @@ object Dedup {
 
   /** Shingle-set + threshold-filtered all-pairs CTEs shared by the
     * jaccard and connected-component oracles. */
+  /** Shared eval/train span-oracle SQL (q216/q225/q229): tokenize ->
+    * positional 8-shingles -> cross eval/train shingle matches on the
+    * %5 split -> per-diagonal islands. MUST shingle identically to the
+    * Scala side (positionalShingles) — change either side only with the
+    * other, and q215 keeps its own bespoke corpus variant. */
+  private val spanMatchCtes: String =
+    """WITH toks AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM documents)
+        |  WHERE len(s) >= 8),
+        |sh AS (
+        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
+        |m AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, t.pos AS pa,
+        |         t.pos - e.pos AS diag
+        |  FROM sh t JOIN sh e ON t.sh = e.sh
+        |  WHERE t.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
+        |isl AS (
+        |  SELECT eval_id, train_id, diag, pa,
+        |         pa - row_number() OVER (PARTITION BY eval_id, train_id, diag ORDER BY pa) AS island
+        |  FROM m)""".stripMargin
+
+  /** Qualifying spans (run >= 20) -> interval-union sweep -> merged
+    * [lo, hi] leak regions per train doc (q225/q229). */
+  private val spanMergeCtes: String =
+    """spans AS (
+        |  SELECT train_id, min(pa) AS st, min(pa) + count(1) + 6 AS en
+        |  FROM isl GROUP BY eval_id, train_id, diag, island
+        |  HAVING count(1) + 7 >= 20),
+        |swp AS (
+        |  SELECT train_id, st, en,
+        |    max(en) OVER (PARTITION BY train_id ORDER BY st, en
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
+        |  FROM spans),
+        |grp AS (
+        |  SELECT train_id, st, en,
+        |    SUM(CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY train_id ORDER BY st, en
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM swp),
+        |merged AS (SELECT train_id, g, min(st) AS lo, max(en) AS hi
+        |           FROM grp GROUP BY train_id, g)""".stripMargin
+
   private def shPairsCtes(threshold: Double, docCap: Long = Long.MaxValue): String =
     s"""sh AS (
        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
@@ -1096,39 +1143,8 @@ object Dedup {
          |FROM pairs JOIN lab a ON ida = a.doc_id JOIN lab b ON idb = b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q229_span_scrub" ->
-      """WITH toks AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM documents)
-        |  WHERE len(s) >= 8),
-        |sh AS (
-        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
-        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
-        |m AS (
-        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, t.pos AS pa,
-        |         t.pos - e.pos AS diag
-        |  FROM sh t JOIN sh e ON t.sh = e.sh
-        |  WHERE t.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
-        |isl AS (
-        |  SELECT eval_id, train_id, diag, pa,
-        |         pa - row_number() OVER (PARTITION BY eval_id, train_id, diag ORDER BY pa) AS island
-        |  FROM m),
-        |spans AS (
-        |  SELECT train_id, min(pa) AS st, min(pa) + count(1) + 6 AS en
-        |  FROM isl GROUP BY eval_id, train_id, diag, island
-        |  HAVING count(1) + 7 >= 20),
-        |swp AS (
-        |  SELECT train_id, st, en,
-        |    max(en) OVER (PARTITION BY train_id ORDER BY st, en
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
-        |  FROM spans),
-        |grp AS (
-        |  SELECT train_id, st, en,
-        |    SUM(CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY train_id ORDER BY st, en
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-        |  FROM swp),
-        |merged AS (SELECT train_id, g, min(st) AS lo, max(en) AS hi
-        |           FROM grp GROUP BY train_id, g),
+      s"""$spanMatchCtes,
+        |$spanMergeCtes,
         |tok AS (
         |  SELECT doc_id, pos, s[pos] AS tk
         |  FROM (SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS pos
@@ -1144,39 +1160,8 @@ object Dedup {
         |  string_agg(tk, ' ' ORDER BY pos) AS clean_text
         |FROM kept GROUP BY doc_id ORDER BY train_id""".stripMargin,
     "q225_span_coverage" ->
-      """WITH toks AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM documents)
-        |  WHERE len(s) >= 8),
-        |sh AS (
-        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
-        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
-        |m AS (
-        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, t.pos AS pa,
-        |         t.pos - e.pos AS diag
-        |  FROM sh t JOIN sh e ON t.sh = e.sh
-        |  WHERE t.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
-        |isl AS (
-        |  SELECT eval_id, train_id, diag, pa,
-        |         pa - row_number() OVER (PARTITION BY eval_id, train_id, diag ORDER BY pa) AS island
-        |  FROM m),
-        |spans AS (
-        |  SELECT train_id, min(pa) AS st, min(pa) + count(1) + 6 AS en
-        |  FROM isl GROUP BY eval_id, train_id, diag, island
-        |  HAVING count(1) + 7 >= 20),
-        |swp AS (
-        |  SELECT train_id, st, en,
-        |    max(en) OVER (PARTITION BY train_id ORDER BY st, en
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
-        |  FROM spans),
-        |grp AS (
-        |  SELECT train_id, st, en,
-        |    SUM(CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY train_id ORDER BY st, en
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-        |  FROM swp),
-        |merged AS (SELECT train_id, g, min(st) AS lo, max(en) AS hi
-        |           FROM grp GROUP BY train_id, g),
+      s"""$spanMatchCtes,
+        |$spanMergeCtes,
         |cov AS (SELECT train_id, count(1) AS n_regions, sum(hi - lo + 1) AS covered
         |        FROM merged GROUP BY train_id),
         |nt AS (SELECT doc_id AS train_id,
@@ -1188,22 +1173,7 @@ object Dedup {
         |FROM cov c JOIN nt ON c.train_id = nt.train_id
         |ORDER BY c.train_id""".stripMargin,
     "q216_span_decontamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS s FROM documents)
-        |  WHERE len(s) >= 8),
-        |sh AS (
-        |  SELECT doc_id, pos, array_to_string(s[pos:pos+7], ' ') AS sh
-        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM toks)),
-        |m AS (
-        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, t.pos AS pa,
-        |         t.pos - e.pos AS diag
-        |  FROM sh t JOIN sh e ON t.sh = e.sh
-        |  WHERE t.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
-        |isl AS (
-        |  SELECT eval_id, train_id, diag,
-        |         pa - row_number() OVER (PARTITION BY eval_id, train_id, diag ORDER BY pa) AS island
-        |  FROM m),
+      s"""$spanMatchCtes,
         |runs AS (
         |  SELECT eval_id, train_id, count(1) + 7 AS run
         |  FROM isl GROUP BY eval_id, train_id, diag, island)

@@ -475,7 +475,16 @@ object StorageOps {
       .agg(sum(col("n_orders")).as("n_orders"),
            sum(col("sum_price_dec")).cast("double").as("sum_price"))
       .orderBy(col("o_orderstatus"))
-    out
+    // exercise + pin the rewrite NOW, then deregister: a gate row must
+    // not leave a JVM-global registration that reroutes every later
+    // matching aggregate in this session to the gate's temp files (and
+    // breaks outright once those files are cleaned up)
+    val routed = out.queryExecution.executedPlan.toString
+    require(routed.contains("mv_prio_status"),
+      "mv rewrite did not route the coarser aggregate:\n" + routed.take(600))
+    out.count() // execute while routing is live
+    graft.plans.MaterializedViews.drop("mv_prio_status")
+    out // re-optimizes without the view on write: same rows from base
   }
 
   /** TRANSPARENT index routing (plans/IndexRoute — the

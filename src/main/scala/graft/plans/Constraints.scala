@@ -34,11 +34,16 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * constraints; Spark 4 has no informational-constraint surface, so this
   * is genuinely additive.
   *
-  * Tables are identified by the basename of their parquet location
-  * (`.../orders.parquet` -> `orders`), the same identity
-  * `Tables.registerAll` uses for its temp views — the registry is the
-  * session-shared metastore analog (one per JVM, like
-  * metastore/HiveMetaStore.java's embedded mode).
+  * Table identity is VERIFIED, not guessed: a scan counts as registered
+  * table `t` only when (a) it is a single-root scan, (b) the root's
+  * basename is `t`, AND (c) the session's current resolution of the name
+  * `t` (temp view or catalog table) lands on that exact location. A
+  * derived copy that merely shares the basename (`/tmp/backup/
+  * orders.parquet`), or a multi-root scan whose first root matches,
+  * never licenses a rewrite — these rewrites DELETE joins and
+  * aggregates, so a loose identity would return wrong rows, not just a
+  * slow plan. The registry is the session-shared metastore analog (one
+  * per JVM, like metastore/HiveMetaStore.java's embedded mode).
   */
 object ConstraintCatalog {
 
@@ -76,6 +81,14 @@ object ConstraintCatalog {
       fk.childTable == childTable.toLowerCase && fk.parentTable == parentTable.toLowerCase)
 
   def isEmpty: Boolean = pks.isEmpty && fks.isEmpty
+
+  /** Any constraint mentions this table name? (Cheap pre-filter before
+    * the session-catalog verification in ConstraintRewrites.scanTable.) */
+  private[plans] def knowsTable(table: String): Boolean = {
+    val t = table.toLowerCase
+    pks.containsKey(t) ||
+      fks.values.asScala.exists(fk => fk.childTable == t || fk.parentTable == t)
+  }
 
   /** Catalog listing, the `DESCRIBE EXTENDED` constraint-section analog. */
   def describe(spark: SparkSession): DataFrame = {
@@ -179,9 +192,30 @@ object ConstraintRewrites extends Rule[LogicalPlan] {
         bareScan(child).map { case (t, nn) => (t, nn ++ notNulls) }
       else None
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths.headOption
-        .map(p => (p.getName.toLowerCase.stripSuffix(".parquet"), Set.empty[String]))
+      scanTable(fs).map(t => (t, Set.empty[String]))
     case _ => None
+  }
+
+  /** VERIFIED table identity for a scan (see the object doc): the
+    * basename must be a registered table name AND the session's current
+    * resolution of that name must land on this exact single-root
+    * location. Anything else — derived copies sharing the basename,
+    * multi-root scans, unresolvable names — declines the rewrite. */
+  private def scanTable(fs: HadoopFsRelation): Option[String] = {
+    val roots = fs.location.rootPaths
+    if (roots.size != 1) return None
+    val path = roots.head.toUri.getPath.stripSuffix("/")
+    val base = roots.head.getName.toLowerCase.stripSuffix(".parquet")
+    if (!ConstraintCatalog.knowsTable(base)) return None
+    try {
+      val registered = org.apache.spark.sql.SparkSession.active.table(base)
+        .queryExecution.analyzed.collect {
+          case LogicalRelation(f: HadoopFsRelation, _, _, _, _) => f.location.rootPaths
+        }.flatten
+      if (registered.size == 1 &&
+          registered.head.toUri.getPath.stripSuffix("/") == path) Some(base)
+      else None
+    } catch { case _: Exception => None } // name doesn't resolve: not that table
   }
 
   /** Table identity for the FK (fact) side: arbitrary Filters are fine —
@@ -191,8 +225,7 @@ object ConstraintRewrites extends Rule[LogicalPlan] {
   private def factTable(plan: LogicalPlan): Option[String] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) => factTable(child)
     case Filter(_, child) => factTable(child)
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths.headOption.map(_.getName.toLowerCase.stripSuffix(".parquet"))
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => scanTable(fs)
     case _ => None
   }
 
@@ -285,8 +318,7 @@ object ConstraintRewrites extends Rule[LogicalPlan] {
         }.toMap
         walk(surviving, child)
       case LogicalRelation(fs: HadoopFsRelation, out, _, _, _) =>
-        val table = fs.location.rootPaths.headOption.map(_.getName.toLowerCase.stripSuffix(".parquet"))
-        table.flatMap(t => ConstraintCatalog.primaryKey(t).filter(_.rely)) match {
+        scanTable(fs).flatMap(t => ConstraintCatalog.primaryKey(t).filter(_.rely)) match {
           case Some(pk) =>
             val traced = out.filter(a => names.contains(a.exprId.id)).map(_.name.toLowerCase).toSet
             pk.cols.forall(traced.contains)

@@ -215,11 +215,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (MaterializedViews.isEmpty) return plan
     val views = MaterializedViews.all
     plan.transformDown {
-      case t if views.exists(v => t.sameResult(v.definition)) =>
-        val mv = views.find(v => t.sameResult(v.definition)).get
-        fullScan(mv, t).getOrElse(t)
-      case t: Aggregate =>
-        views.view.flatMap(v => aggProjection(t, v)).headOption.getOrElse(t)
+      case t =>
+        // single sameResult pass per node — the canonicalized comparison
+        // is the expensive part, so never run it twice (guard + body)
+        views.find(v => t.sameResult(v.definition))
+          .flatMap(mv => fullScan(mv, t))
+          .orElse(t match {
+            case a: Aggregate => views.view.flatMap(v => aggProjection(a, v)).headOption
+            case _ => None
+          })
+          .getOrElse(t)
     }
   }
 }

@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsStream {
 
+  /** THE event-time <-> micros contract, shared by every stateful
+    * operator here (flatMapGroupsWithState and transformWithState twins
+    * are pinned row-for-row against each other — one conversion, one
+    * place to fix, like the Tables.events/readEvents dual chokepoint). */
+  private[streaming] def us(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private[streaming] def ts(u: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+    java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double, props: String)
 
@@ -124,11 +134,6 @@ object EventsStream {
                       delay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    def us(t: java.sql.Timestamp) = {
-      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
-    def ts(u: Long) = java.sql.Timestamp.from(
-      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
@@ -179,11 +184,6 @@ object EventsStream {
                    delay: String = "2 hours"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     val dayUs = 86400L * 1000000L
-    def us(t: java.sql.Timestamp) = {
-      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
-    def ts(u: Long) = java.sql.Timestamp.from(
-      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -265,11 +265,6 @@ object EventsStream {
     private val gapUs = gapMinutes * 60L * 1000000L
     @transient private var open: ValueState[OpenSession] = _
 
-    private def us(t: java.sql.Timestamp) = {
-      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
-    private def ts(u: Long) = java.sql.Timestamp.from(
-      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
     private def timerMs(endUs: Long) = endUs / 1000L + gapMinutes * 60000L
 
     override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =

@@ -18,6 +18,9 @@ class ConstraintsSpec extends AnyFunSuite {
 
   private def withTpchConstraints[A](rely: Boolean = true)(body: => A): A = {
     ConstraintCatalog.clear()
+    // scan identity verifies against the session catalog: names must
+    // resolve to the scanned locations or no rewrite fires
+    Tables.registerAll(spark, sf)
     val suffix = if (rely) "RELY" else "NORELY"
     ConstraintDdl.run(s"ALTER TABLE orders ADD CONSTRAINT pk_orders PRIMARY KEY (o_orderkey) DISABLE NOVALIDATE $suffix")
     ConstraintDdl.run(s"ALTER TABLE customer ADD CONSTRAINT pk_customer PRIMARY KEY (c_custkey) DISABLE NOVALIDATE $suffix")
@@ -165,6 +168,28 @@ class ConstraintsSpec extends AnyFunSuite {
         .agg(count_distinct(col("o_orderkey")).as("n"))
       assert(optimized(joined).contains("distinct"),
         "count(distinct pk) above a fact join counts deduped keys — must keep DISTINCT")
+    }
+  }
+
+  test("a derived copy sharing the table's basename never licenses a rewrite") {
+    withTpchConstraints() {
+      // duplicated keys in a file whose BASENAME matches the registered
+      // table: if identity were by basename alone, DISTINCT elimination
+      // would silently return duplicates
+      val copyDir = "target/storage/constraints_spec/orders.parquet"
+      val half = Tables.orders(spark, sf).limit(100)
+      half.union(half).write.mode("overwrite").parquet(copyDir)
+      val q = spark.read.parquet(copyDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")).distinct()
+      assert(optimized(q).contains("Aggregate"),
+        "DISTINCT must survive on a non-registered copy:\n" + optimized(q))
+      assert(q.count() == 100)
+      // and a multi-root scan mixing the true table with the copy also
+      // declines (identity requires a single verified root)
+      val multi = spark.read.parquet(
+          s"$sf/orders.parquet", copyDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")).distinct()
+      assert(optimized(multi).contains("Aggregate"))
     }
   }
 

@@ -105,6 +105,14 @@ class EtlSpec extends AnyFunSuite {
     assert(written(s"$tmp/lit") == li.filter(col("l_quantity") > 45).count())
     assert(spark.read.parquet(s"$tmp/lit").select("note").distinct()
       .collect().map(_.getString(0)).toSeq == Seq("logged insert into audit"))
+    // the FROM/INSERT boundary itself is quote-aware too: a literal with
+    // " insert into " INSIDE THE SOURCE subquery must not split there
+    val written2 = MultiInsert.sql(spark,
+      s"""FROM (SELECT 'audit insert into log' AS note, l_quantity FROM lineitem) s
+         |INSERT OVERWRITE DIRECTORY '$tmp/src_lit' SELECT note WHERE l_quantity > 45""".stripMargin)
+    assert(written2(s"$tmp/src_lit") == li.filter(col("l_quantity") > 45).count())
+    assert(spark.read.parquet(s"$tmp/src_lit").select("note").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("audit insert into log"))
   }
 
   test("partitioned + bucketed write round-trips and prunes") {
@@ -209,5 +217,17 @@ class EtlSpec extends AnyFunSuite {
     assert(nulls.length == 2)
     assert(nulls(0).getString(1) == "n1" && !nulls(0).getBoolean(nulls(0).fieldIndex("is_current")))
     assert(nulls(1).getString(1) == "n2" && nulls(1).getBoolean(nulls(1).fieldIndex("is_current")))
+  }
+
+  test("scd2 rejects a batch with duplicate business keys instead of corrupting the dimension") {
+    import spark.implicits._
+    import graft.etl.Scd2
+    val dim0 = Scd2.init(Seq((1L, "a")).toDF("k", "attr"), lit("2020-01-01"))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(dim0,
+        Seq((1L, "b"), (1L, "c")).toDF("k", "attr"),
+        Seq("k"), Seq("attr"), lit("2021-01-01"))
+    }
+    assert(e.getMessage.contains("duplicate business key"), e.getMessage)
   }
 }
