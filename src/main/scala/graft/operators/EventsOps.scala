@@ -42,18 +42,27 @@ object EventsOps {
       .orderBy(col("win_start"))
   }
 
-  /** Gap-based sessionization (30-min inactivity): session id by
-    * cumulative break count, then per-session metrics. */
-  val q73_sessionize: Q = (s, d) => {
+  /** THE gap-sessionization prelude (30-min inactivity): session id by
+    * cumulative break count over the (ts, event_id)-total order — shared
+    * by q73 and q251 exactly as their SQL sides share sessionIslandCtes,
+    * so the gap constant and tie-break can never drift between them. */
+  private def withSessionIds(events: org.apache.spark.sql.DataFrame,
+                             gapMinutes: Int = 30): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("brk",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("brk")).over(cum))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): session id by
+    * cumulative break count, then per-session metrics. */
+  val q73_sessionize: Q = (s, d) => {
+    withSessionIds(Tables.events(s, d))
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"),
@@ -309,17 +318,9 @@ object EventsOps {
     * pair counts aggregate a 25-row sliver. Ordering is total
     * ((ts, event_id) unique), so the lead is deterministic. */
   val q251_session_transitions: Q = (s, d) => {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bySess = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("brk",
-        when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("brk")).over(cum))
+    withSessionIds(Tables.events(s, d))
       .withColumn("next_type", lead(col("event_type"), 1).over(bySess))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))

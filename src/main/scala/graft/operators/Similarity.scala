@@ -435,23 +435,28 @@ object Similarity {
     (sub, cent)
   }
 
-  /** The stored PQ index: (vec_id, codes) with `codes` = m codebook
-    * indices ordered by subspace — m bytes per vector at ks <= 256. */
-  def pqEncode(emb: DataFrame, m: Int, ks: Int, lloydIters: Int = 2): DataFrame = {
-    val (sub, cent) = pqModel(emb, m, ks, lloydIters)
+  /** (vec_id, codes) from per-subspace assignments — ONE definition of
+    * the stored code layout (subspace-sorted cid list), shared by the
+    * index builder and the query path so ordering/tie-breaking can never
+    * diverge between them (or from the q257 oracle's list(cid ORDER BY
+    * sub)). */
+  private def codesOf(sub: DataFrame, cent: DataFrame): DataFrame =
     pqAssign(sub, cent)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
       .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
+
+  /** The stored PQ index: (vec_id, codes) with `codes` = m codebook
+    * indices ordered by subspace — m bytes per vector at ks <= 256. */
+  def pqEncode(emb: DataFrame, m: Int, ks: Int, lloydIters: Int = 2): DataFrame = {
+    val (sub, cent) = pqModel(emb, m, ks, lloydIters)
+    codesOf(sub, cent)
   }
 
   def pqTopK(emb: DataFrame, m: Int, ks: Int, nQueries: Int, k: Int,
              shortlist: Int = 50, lloydIters: Int = 2): DataFrame = {
     val (sub, cent) = pqModel(emb, m, ks, lloydIters)
-    val codes = pqAssign(sub, cent)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
-      .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
+    val codes = codesOf(sub, cent)
 
     // per-query ADC tables: dtab[sub][cid] = exact query-centroid sub-distance
     val qsub = sub.filter(col("vec_id") < nQueries).withColumnRenamed("vec_id", "qid")
@@ -523,14 +528,20 @@ object Similarity {
               floor(col("v").cast("double") * 1000).as("qv"))
     val s = q.groupBy(col("label"), col("pos"))
       .agg(sum(col("qv")).as("sp"), count(lit(1)).as("n"))
+    // exact integers, but NOT in LongType: (n*qv - sp)^2 scales ~n^3 per
+    // label and a long sum would wrap silently past 9.2e18 (DuckDB sums
+    // in HUGEINT). Decimal(38,0) keeps the identity exact to 38 digits;
+    // the final cast back to long is range-checked by the gate values.
+    val diff = (col("n") * col("qv") - col("sp"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
     q.join(s, Seq("label", "pos"))
       .groupBy(col("label"))
       .agg(
         max(col("n")).as("n_vecs"),
-        sum((col("n") * col("qv") - col("sp")) * (col("n") * col("qv") - col("sp")))
-          .as("scatter"))
-      .select(col("label"), col("n_vecs"), col("scatter"),
-        (col("scatter").cast("double") /
+        sum(diff * diff).as("scatter_dec"))
+      .select(col("label"), col("n_vecs"),
+        col("scatter_dec").cast("long").as("scatter"),
+        (col("scatter_dec").cast("double") /
           (col("n_vecs").cast("double") * col("n_vecs") * col("n_vecs") * lit(1000000.0)))
           .as("mean_sq_dist"))
       .orderBy(col("label"))
@@ -629,21 +640,26 @@ object Similarity {
         zip_with(col("qv"), typedLit(p), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
       when(qdot >= 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
     }
-    val withBits = base.select(Seq(col("vec_id"), col("embedding")) ++ bits: _*)
-    val banded = withBits.select(col("vec_id"), col("embedding"),
+    val withBits = base.select(Seq(col("vec_id")) ++ bits: _*)
+    val banded = withBits.select(col("vec_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             (0 until bitsPerBand).map(r =>
               col(s"bit${b * bitsPerBand + r}") * (1 << r)).reduce(_ + _).as("bv"))
         }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val a = banded.select(col("vec_id").as("ida"), col("embedding").as("ea"),
-                          col("band"), col("bv"))
-    val b = banded.select(col("vec_id").as("idb"), col("embedding").as("eb"),
-                          col("band"), col("bv"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // dedup candidate pairs on IDS ONLY, then rejoin the vectors — the
+    // q69/nearDupLsh discipline: a pair surfaced by several bands must
+    // not ship its two 64-float embeddings through the distinct exchange
+    // once per band
+    val a = banded.select(col("vec_id").as("ida"), col("band"), col("bv"))
+    val b = banded.select(col("vec_id").as("idb"), col("band"), col("bv"))
+    val vecs = base.select(col("vec_id"), col("embedding"))
     a.join(b, Seq("band", "bv"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("ea"), col("eb")).distinct()
+      .select(col("ida"), col("idb")).distinct()
+      .join(vecs.select(col("vec_id").as("ida"), col("embedding").as("ea")), Seq("ida"))
+      .join(vecs.select(col("vec_id").as("idb"), col("embedding").as("eb")), Seq("idb"))
       .withColumn("score", round(cosine(col("ea"), col("eb")), 6))
       .filter(col("score") >= 0.8)
       .select(col("ida"), col("idb"), col("score"))

@@ -102,10 +102,7 @@ object TextAnalysis {
         round(npunct / nchars, 6).as("punct_ratio"),
         round(ndigit / nchars, 6).as("digit_ratio"),
         round(nstop / ntok, 6).as("stopword_ratio"),
-        round(
-          least(ntok / lit(50.0), lit(1.0)) * 0.4
-            + (lit(1.0) - npunct / nchars) * 0.3
-            + least(nstop / ntok * 5, lit(1.0)) * 0.3, 6).as("quality"))
+        round(qualityExpr, 6).as("quality")) // THE shared formula — q61/q121/q232 must agree
       .orderBy(col("doc_id"))
   }
 
@@ -138,6 +135,11 @@ object TextAnalysis {
   val q63_ngrams: Q = (s, d) => {
     Tables.documents(s, d)
       .withColumn("ts", split(trim(col("text")), " +"))
+      // size(ts) < 2 must yield NO bigrams: a bare sequence(0, size-2)
+      // would be sequence(0, -1) = [0, -1] (descending default step) and
+      // a 1-token doc would emit two bogus unigram "bigrams" the DuckDB
+      // oracle (range-based, empty below 2 tokens) never sees
+      .filter(size(col("ts")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))"))
         .as("bigram"))
@@ -310,9 +312,7 @@ object TextAnalysis {
     val npunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
     val nstop = hitCount(toks, stopwords("en")).cast("double")
     val ntok = size(toks).cast("double")
-    val quality = least(ntok / lit(50.0), lit(1.0)) * 0.4 +
-      (lit(1.0) - npunct / nchars) * 0.3 +
-      least(nstop / ntok * 5, lit(1.0)) * 0.3
+    val quality = qualityExpr // THE shared formula — one definition, never re-spelled
     val langs = Seq("en", "de", "es", "fr", "zh")
     val cEn = hitCount(toksLower, stopwords("en"))
     val enPredicted = cEn > 0 && langs.filter(_ != "en")

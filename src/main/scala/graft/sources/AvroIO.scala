@@ -173,10 +173,16 @@ object AvroIO {
           writer.append(rec)
         }
         writer.close()
-        // last attempt to commit wins; both attempts hold identical data
-        fsx.delete(finalPath, false)
-        committed = fsx.rename(tmpPath, finalPath)
-        if (!committed) throw new java.io.IOException(s"commit rename failed: $tmpPath")
+        // FIRST attempt to commit wins; both attempts hold identical
+        // data, so a loser simply discards its temp. Never delete-then-
+        // rename: a zombie speculative attempt could delete the winner's
+        // committed file and die before its own rename, leaving _SUCCESS
+        // blessing a directory with a silently missing partition.
+        val won = fsx.rename(tmpPath, finalPath)
+        if (!won && !fsx.exists(finalPath))
+          throw new java.io.IOException(s"commit rename failed: $tmpPath")
+        if (!won) fsx.delete(tmpPath, false) // lost the race: identical data landed
+        committed = true
       } finally {
         if (!committed) { try writer.close() catch { case _: Exception => () }
                           fsx.delete(tmpPath, false); () }

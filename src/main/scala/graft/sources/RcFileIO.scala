@@ -46,6 +46,18 @@ object RcFileIO {
     * reference's ColumnarStruct behavior. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val n = schema.length
+    // completeness gate for directories THIS writer produced: part files
+    // without the commit marker mean a failed/partial write and must not
+    // read back as a valid-but-short dataset. Bare files and external
+    // (e.g. MR-produced) dirs with their own _SUCCESS pass through.
+    val root = new Path(path)
+    val gfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (gfs.getFileStatus(root).isDirectory) {
+      val entries = gfs.listStatus(root).map(_.getPath.getName)
+      if (entries.exists(_.endsWith(".rc")) && !entries.contains("_SUCCESS"))
+        throw new java.io.IOException(
+          s"incomplete rcfile write at $path (part files present, no _SUCCESS)")
+    }
     val rows = spark.sparkContext.hadoopFile(
         path, classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
         classOf[LongWritable], classOf[BytesRefArrayWritable])
@@ -100,13 +112,18 @@ object RcFileIO {
     fs.delete(p, true)
     fs.mkdirs(p)
     val pathStr = path
+    // ship the DRIVER's hadoop conf (the AvroIO idiom): a bare executor
+    // Configuration would lose fs.defaultFS/credentials, so a scheme-less
+    // path would resolve to executor-LOCAL disks — a "successful" write
+    // the driver-side read then sees as empty
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
     val text = df.select(df.schema.map(f => col(f.name).cast("string")).toIndexedSeq: _*)
     text.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        // executor-side Configuration: only the column count matters to
-        // the Writer, and the filesystem resolves from the path scheme
-        val conf = new org.apache.hadoop.conf.Configuration()
+        // copy before mutating: the broadcast value is shared task-wide
+        val conf = new org.apache.hadoop.conf.Configuration(hconf.value.value)
         RCFileOutputFormat.setColumnNumber(conf, nCols)
         val dest = new Path(f"$pathStr/part-$idx%05d.rc")
         // per-ATTEMPT temp + rename-on-commit (the AvroIO idiom): a
@@ -135,9 +152,17 @@ object RcFileIO {
           writer.append(refs) // append copies into column buffers: reuse is safe
         }
         writer.close()
-        if (!lfs.rename(tmp, dest)) lfs.delete(tmp, false) // lost the commit race
+        // first commit wins; a failed rename with NO committed dest is a
+        // real failure and must fail the task — silently deleting the
+        // only copy would later read back as a valid-but-short dataset
+        if (!lfs.rename(tmp, dest)) {
+          if (!lfs.exists(dest))
+            throw new java.io.IOException(s"rcfile commit rename failed: $tmp")
+          lfs.delete(tmp, false) // lost the race: identical data landed
+        }
         Iterator.single(idx)
       }
     }.count(): Unit
+    fs.create(new Path(p, "_SUCCESS"), true).close()
   }
 }
