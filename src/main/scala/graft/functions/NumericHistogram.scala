@@ -39,6 +39,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * spec the builtin needed.
   */
 final class StreamingHistogram(val maxBins: Int) extends Serializable {
+
+  // the reference rejects non-positive B up front
+  // (GenericUDAFHistogramNumeric "must be >= 2"); without this,
+  // maxBins=0 would ArrayIndexOutOfBounds deep inside trim() on an
+  // executor instead of failing the query with a readable message
+  require(maxBins >= 2, s"histogram needs at least 2 bins, got $maxBins")
   // parallel arrays sorted by x; one spare slot so insert-then-trim
   // never reallocates
   private[graft] var n = 0

@@ -13,7 +13,8 @@ package graft.hplsql
   */
 private[hplsql] object Tok {
   sealed trait Kind
-  case object Ident extends Kind   // bare, "q", [q], `q`, @x, #x, $x forms
+  case object Ident extends Kind   // bare, @x, #x, $x forms
+  case object QIdent extends Kind  // delimited: "q", [q], `q` — never a keyword, never substituted
   case object Num extends Kind
   case object Str extends Kind     // raw value WITHOUT quotes, '' unescaped
   case object Op extends Kind      // punctuation / operators
@@ -23,7 +24,7 @@ private[hplsql] object Tok {
 private[hplsql] final case class Token(kind: Tok.Kind, text: String, line: Int) {
   /** Uppercased text — keyword comparisons are case-insensitive. */
   lazy val up: String = text.toUpperCase
-  def is(s: String): Boolean = kind != Tok.Str && up == s
+  def is(s: String): Boolean = kind != Tok.Str && kind != Tok.QIdent && up == s
 }
 
 private[hplsql] object Ast {
@@ -74,6 +75,9 @@ private[hplsql] object Ast {
   case class CloseCur(name: String) extends Stmt
   case class SelectInto(sqlNoInto: Seq[Token], into: Seq[String]) extends Stmt
   case class ExecDyn(sql: Expr, into: Seq[String]) extends Stmt
+  /** `EXEC name;` — ambiguous until runtime: a registered procedure is
+    * CALLED; otherwise a variable of that name holds dynamic SQL. */
+  case class ExecName(name: String) extends Stmt
   case class ValuesInto(values: Seq[Expr], into: Seq[String]) extends Stmt
   case class CreateRoutine(name: String, params: Seq[Param], body: Seq[Stmt],
                            isFunction: Boolean) extends Stmt

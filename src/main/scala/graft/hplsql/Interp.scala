@@ -47,6 +47,10 @@ object Hplsql {
   final case class HplError(cond: String, msg: String) extends RuntimeException(msg)
 
   private final case class ExitLoop(label: Option[String]) extends RuntimeException
+
+  /** HPL/SQL identifiers (loop labels included) are case-insensitive. */
+  private def labelEq(a: Option[String], b: Option[String]): Boolean =
+    a.map(_.toUpperCase) == b.map(_.toUpperCase)
   private final case class ReturnEx(value: Any) extends RuntimeException
 
   private final class Variable(var value: Any, val dtype: String)
@@ -193,7 +197,7 @@ object Hplsql {
         try {
           while (truthy(eval(cond))) body.foreach(exec)
         } catch {
-          case ExitLoop(l) if l.isEmpty || l == label => ()
+          case ExitLoop(l) if l.isEmpty || labelEq(l, label) => ()
         }
       case f @ ForRange(v, fromE, toE, byE, reverse, body, label) =>
         val from = toLong(eval(fromE))
@@ -212,7 +216,7 @@ object Hplsql {
             cont = if (reverse) i >= end else i <= end
           }
         } catch {
-          case ExitLoop(l) if l.isEmpty || l == label => ()
+          case ExitLoop(l) if l.isEmpty || labelEq(l, label) => ()
         } finally popScope()
       case ForCursor(rec, sql, body, label) =>
         val df = try runSql(renderSql(sql)) catch {
@@ -240,7 +244,7 @@ object Hplsql {
             }
           }
         } catch {
-          case ExitLoop(l) if l.isEmpty || l == label => ()
+          case ExitLoop(l) if l.isEmpty || labelEq(l, label) => ()
         } finally popScope()
       case ExitS(label, when) =>
         if (when.forall(e => truthy(eval(e)))) throw ExitLoop(label)
@@ -300,6 +304,12 @@ object Hplsql {
         cursorRef(name).foreach(_.open = false)
       case SelectInto(sql, into) =>
         runSelectInto(renderSql(sql), into)
+      case ExecName(name) =>
+        // `EXEC name;`: a registered procedure is a CALL; otherwise the
+        // name must be a variable holding dynamic SQL (the reference's
+        // exec_immediate over an ident) — same error as before if neither
+        if (resolveRoutine(name).isDefined) { callRoutine(name, Nil); () }
+        else exec(ExecDyn(VarRef(name), Nil))
       case ExecDyn(sqlE, into) =>
         val text = Option(eval(sqlE)).map(_.toString)
           .getOrElse(throw HplError("UNDEFINED", "EXECUTE of NULL statement"))
@@ -616,6 +626,7 @@ object Hplsql {
         val next = if (i + 1 < tokens.length) tokens(i + 1) else Token(Tok.EOF, "", 0)
         val piece = t.kind match {
           case Tok.Str => "'" + t.text.replace("'", "''") + "'"
+          case Tok.QIdent => "`" + t.text + "`" // delimited: re-quote, never substitute
           case Tok.Ident
             if prev.text != "." && next.text != "(" && next.text != "." && findVar(t.text).isDefined =>
             literal(findVar(t.text).get.value)
@@ -707,9 +718,13 @@ object Hplsql {
         if (neg) !isNull else isNull
       case Between(x, lo, hi, neg) =>
         val v = eval(x)
-        if (v == null) null
+        val lv = eval(lo)
+        val hv = eval(hi)
+        // three-valued logic like =/IN/LIKE: a NULL bound yields NULL,
+        // never an UNDEFINED error from comparing against null
+        if (v == null || lv == null || hv == null) null
         else {
-          val b = cmp(v, eval(lo)) >= 0 && cmp(v, eval(hi)) <= 0
+          val b = cmp(v, lv) >= 0 && cmp(v, hv) <= 0
           if (neg) !b else b
         }
       case InList(x, items, neg) =>
@@ -935,8 +950,12 @@ object Hplsql {
         case "TO_CHAR" | "CHAR" => Option(args.head).map(render).orNull
         case "TO_NUMBER" => Option(args.head).map(toNum).orNull
         case "CAST" => args.head
-        case "GREATEST" => args.filter(_ != null).maxByOption(toNum).orNull
-        case "LEAST" => args.filter(_ != null).minByOption(toNum).orNull
+        // general cmp, not toNum: GREATEST('abc','abd') compares as
+        // strings exactly like the engine fallback would
+        case "GREATEST" =>
+          args.filter(_ != null).reduceOption((a, b) => if (cmp(a, b) >= 0) a else b).orNull
+        case "LEAST" =>
+          args.filter(_ != null).reduceOption((a, b) => if (cmp(a, b) <= 0) a else b).orNull
         case "TIMESTAMP_ISO" => Option(args.head).map(v => parseTs(render(v))).orNull
         case "DATE" => Option(args.head).map(v => LocalDate.parse(render(v).take(10))).orNull
         case "PRINT" => emit(Option(args.head).map(render).getOrElse("")); null
@@ -1032,8 +1051,16 @@ object Hplsql {
       case l: Long => BigDecimal(l)
       case s: Short => BigDecimal(s.toInt)
       case b: Byte => BigDecimal(b.toInt)
-      case d: Double => BigDecimal(d)
-      case f: Float => BigDecimal(f.toDouble)
+      case d: Double =>
+        // BigDecimal(NaN/Inf) throws raw NumberFormatException, which no
+        // WHEN OTHERS handler could catch — raise the catchable form
+        if (d.isNaN || d.isInfinite)
+          throw HplError("CONVERSION", s"non-finite double from SQL: $d")
+        BigDecimal(d)
+      case f: Float =>
+        if (f.isNaN || f.isInfinite)
+          throw HplError("CONVERSION", s"non-finite float from SQL: $f")
+        BigDecimal(f.toDouble)
       case d: java.math.BigDecimal => BigDecimal(d)
       case d: java.sql.Date => d.toLocalDate
       case t: java.sql.Timestamp => t.toLocalDateTime

@@ -44,20 +44,32 @@ private[hplsql] object Lexer {
         }
         out += Token(Tok.Str, sb.toString, line)
       } else if (c == '"' || c == '`' || c == '[') {
+        // DELIMITED identifier: keep its quoted-ness (QIdent) so renderSql
+        // re-quotes it for Spark, variable substitution skips it, and a
+        // quoted keyword (`end`, `select`) can never derail parsing
         val close = if (c == '[') ']' else c
         val sb = new StringBuilder
         i += 1
         while (i < n && src.charAt(i) != close) { sb.append(src.charAt(i)); i += 1 }
         i += 1
-        out += Token(Tok.Ident, sb.toString, line)
+        out += Token(Tok.QIdent, sb.toString, line)
       } else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         val sb = new StringBuilder
         var seenDot = false
         var stop = false
+        var seenExp = false
         while (i < n && !stop) {
           val ch = src.charAt(i)
           if (ch.isDigit) { sb.append(ch); i += 1 }
-          else if (ch == '.' && !seenDot && peek(1) != '.') { seenDot = true; sb.append(ch); i += 1 }
+          else if (ch == '.' && !seenDot && !seenExp && peek(1) != '.') { seenDot = true; sb.append(ch); i += 1 }
+          else if ((ch == 'e' || ch == 'E') && !seenExp &&
+                   (peek(1).isDigit ||
+                    ((peek(1) == '+' || peek(1) == '-') && peek(2).isDigit))) {
+            // scientific notation: 1e6 / 1.5E-3 is ONE literal — split
+            // tokens would render as "1 e6" (an alias) in passthrough SQL
+            seenExp = true; sb.append(ch); i += 1
+            if (!src.charAt(i).isDigit) { sb.append(src.charAt(i)); i += 1 }
+          }
           else stop = true
         }
         out += Token(Tok.Num, sb.toString, line)
@@ -220,6 +232,13 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
         (la(1).is("OR") && la(2).is("REPLACE") && la(3).is("PACKAGE"))))
       return parseCreatePackage(ln)
     if (at("INCLUDE")) { advance(); return mark(IncludeS(captureSqlTokens()), ln) }
+    if (at("BEGIN") && (la(1).is("TRANSACTION") || la(1).is("TRAN") || la(1).is("WORK"))) {
+      // T-SQL BEGIN TRANSACTION: a no-op against an autocommit engine
+      // (reference grammar's begin_transaction_stmt), NOT a block open —
+      // treating it as one would swallow the rest of the script
+      advance(); advance()
+      return mark(NullS, ln)
+    }
     if (at("BEGIN")) return parseBeginBlock(ln, Nil)
     if (at("VALUES")) return parseValuesInto(ln)
     if (at("NULL")) { advance(); return mark(NullS, ln) }
@@ -299,7 +318,7 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     if (cur.kind == Tok.Ident && (atSemiNext || la(1).kind == Tok.EOF) &&
         !sqlLeading.contains(cur.up))
       return mark(CallProc(advance().text, Nil), ln)
-    if (cur.kind == Tok.Ident) return parsePassthrough(ln)
+    if (cur.kind == Tok.Ident || cur.kind == Tok.QIdent) return parsePassthrough(ln)
     // bare expression statement (the reference's expr_stmt: `1 + 1;`)
     mark(ExprStmt(parseExpr()), ln)
   }
@@ -481,6 +500,15 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
       expectKw("END"); eatKw("LOOP")
       return mark(ForCursor(v, sql, body, label), ln)
     }
+    if (at("SELECT") || at("WITH")) {
+      // parens are OPTIONAL in the reference grammar (for_cursor_stmt:
+      // T_FOR ident T_IN T_OPEN_P? select_stmt T_CLOSE_P? T_LOOP)
+      val sql = captureSqlTokens(stopAtKw = Some("LOOP"))
+      expectKw("LOOP")
+      val body = parseStmtsUntil(Set("END"))
+      expectKw("END"); eatKw("LOOP")
+      return mark(ForCursor(v, sql, body, label), ln)
+    }
     val reverse = eatKw("REVERSE")
     val from = parseExpr()
     expectOp("..")
@@ -497,7 +525,15 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
   private def parseExec(ln: Int): Stmt = {
     advance() // EXEC | EXECUTE
     eatKw("IMMEDIATE")
-    if (cur.kind == Tok.Str || (cur.kind == Tok.Ident && (la(1).kind == Tok.Op && (la(1).text == ";" || la(1).up == "INTO" || la(1).text == "||")) ) || (cur.kind == Tok.Ident && la(1).is("INTO"))) {
+    // `EXEC name;` on a KNOWN procedure is a call, not dynamic SQL from a
+    // variable — routines register at parse-run order in the interp, so
+    // the decision is made there via CallProc; only a STRING or a
+    // var||expr spelling is dynamic SQL. (`EXEC v;` where v holds SQL
+    // still works: CallProc falls back to dynamic execution when no
+    // routine of that name exists — see Interp's CallProc handler.)
+    if (cur.kind == Tok.Str ||
+        (cur.kind == Tok.Ident && la(1).kind == Tok.Op && (la(1).up == "INTO" || la(1).text == "||")) ||
+        (cur.kind == Tok.Ident && la(1).is("INTO"))) {
       val sqlE = parseExpr()
       val into = if (eatKw("INTO")) {
         val xs = ArrayBuffer(advance().text)
@@ -507,8 +543,13 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
       mark(ExecDyn(sqlE, into), ln)
     } else {
       val name = advance().text
-      val args = if (eatOp("(")) parseArgs() else Nil
-      mark(CallProc(name, args), ln)
+      if (eatOp("(")) mark(CallProc(name, parseArgs()), ln)
+      else if (!atOp(";") && cur.kind != Tok.EOF) {
+        // T-SQL paren-less argument list: EXEC p 'x', 2;
+        val xs = ArrayBuffer(parseExpr())
+        while (eatOp(",")) xs += parseExpr()
+        mark(CallProc(name, xs.toSeq), ln)
+      } else mark(ExecName(name), ln) // procedure vs SQL-holding variable: decided at run time
     }
   }
 
@@ -659,7 +700,8 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
   // ---- SELECT [INTO] / passthrough ---------------------------------------
 
   /** Capture raw SQL tokens up to a top-level ';' (or unbalanced ')'). */
-  private def captureSqlTokens(stopAtCloseParen: Boolean = false): Seq[Token] = {
+  private def captureSqlTokens(stopAtCloseParen: Boolean = false,
+                               stopAtKw: Option[String] = None): Seq[Token] = {
     val out = ArrayBuffer.empty[Token]
     var depth = 0
     var done = false
@@ -669,6 +711,7 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
         if (depth == 0 && stopAtCloseParen) done = true
         else depth -= 1
       }
+      if (depth == 0 && stopAtKw.exists(cur.is)) done = true
       if (!done) {
         if (atOp(";") && depth == 0) done = true
         else out += advance()

@@ -576,6 +576,71 @@ class HplsqlSpec extends AnyFunSuite {
     assert(out == Seq("caught"))
   }
 
+  test("quoted identifiers survive the passthrough round trip; scientific literals stay whole") {
+    spark.range(3).selectExpr("id", "CAST(id * 10 AS BIGINT) AS `status`")
+      .createOrReplaceTempView("qid_t")
+    // a QUOTED column name must re-quote for Spark and must NOT be
+    // substituted even when a variable of the same name is in scope;
+    // bare `end`-style keyword columns also survive via quoting
+    val out = lines(
+      """DECLARE status STRING DEFAULT 'boom';
+        |DECLARE v BIGINT;
+        |SELECT max(`status`) INTO v FROM qid_t;
+        |PRINT v;
+        |DECLARE e DOUBLE;
+        |SELECT max(id) + 1e2 INTO e FROM qid_t;
+        |PRINT e;""".stripMargin)
+    assert(out == Seq("20", "102"), out.toString)
+  }
+
+  test("three-valued BETWEEN; case-insensitive loop labels; GREATEST/LEAST on strings") {
+    val out = lines(
+      """DECLARE hi INT;
+        |IF 5 BETWEEN 1 AND hi THEN PRINT 'yes'; ELSE PRINT 'not-true'; END IF;
+        |<<outer>> WHILE 1 = 1 LOOP
+        |  EXIT OUTER;
+        |END LOOP;
+        |PRINT 'exited';
+        |PRINT GREATEST('abc', 'abd');
+        |PRINT LEAST('abc', 'abd');""".stripMargin)
+    assert(out == Seq("not-true", "exited", "abd", "abc"), out.toString)
+  }
+
+  test("BEGIN TRANSACTION is a no-op, not a block; EXEC forms route correctly") {
+    val out = lines(
+      """BEGIN TRANSACTION;
+        |PRINT 'after-begin-tran';
+        |COMMIT;
+        |CREATE PROCEDURE p1() BEGIN PRINT 'p1-ran'; END;
+        |EXEC p1;
+        |DECLARE dyn STRING DEFAULT 'DROP TABLE IF EXISTS exec_dyn_never_exists';
+        |EXEC dyn;
+        |PRINT 'dyn-ok';""".stripMargin)
+    assert(out == Seq("after-begin-tran", "p1-ran", "dyn-ok"), out.toString)
+  }
+
+  test("FOR cursor loop accepts an unparenthesized SELECT (reference grammar T_OPEN_P?)") {
+    import org.apache.spark.sql.functions.col
+    spark.range(3).createOrReplaceTempView("forsel_t")
+    val out = lines(
+      """FOR r IN SELECT id FROM forsel_t ORDER BY id LOOP
+        |  PRINT r.id;
+        |END LOOP;""".stripMargin)
+    assert(out == Seq("0", "1", "2"), out.toString)
+  }
+
+  test("non-finite doubles from SQL raise a CATCHABLE conversion error") {
+    val out = lines(
+      """BEGIN
+        |  DECLARE v DOUBLE;
+        |  SELECT CAST('NaN' AS DOUBLE) INTO v;
+        |  PRINT 'unreachable';
+        |EXCEPTION WHEN OTHERS THEN
+        |  PRINT 'caught-nan';
+        |END""".stripMargin)
+    assert(out == Seq("caught-nan"), out.toString)
+  }
+
   test("SETERROR downgrades a failing HOST command to HOSTCODE (seterror.sql)") {
     val out = lines(
       """BEGIN
