@@ -60,9 +60,19 @@ object ExportImport {
       try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
 
     // SHOW CREATE TABLE emits `CREATE TABLE <qualified original name> (`;
-    // replay it under the import name
-    val rewritten = ddl.replaceFirst(
-      """(?s)^CREATE TABLE\s+\S+""", s"CREATE TABLE $asTable")
+    // replay it under the import name. Two rewrites matter:
+    //  - the name: quoteReplacement guards '$'/'\' in asTable, and the
+    //    emitted name is matched as the (possibly backtick-quoted)
+    //    qualified identifier, not a bare \S+ that breaks on spaces
+    //  - the LOCATION clause is STRIPPED: replaying an external table's
+    //    own location would alias the import onto the LIVE source dir —
+    //    the copy below would pour exported files back into the source
+    //    table and every later write/drop of the import would mutate it.
+    //    The import owns a fresh (managed or caller-chosen) location.
+    val rewritten = ddl
+      .replaceFirst("""(?s)^CREATE TABLE\s+(`[^`]*`(?:\.`[^`]*`)*|\S+)""",
+        java.util.regex.Matcher.quoteReplacement(s"CREATE TABLE $asTable"))
+      .replaceAll("""(?i)\sLOCATION\s+'[^']*'""", "")
     spark.sql(rewritten)
 
     val destMeta = spark.sessionState.catalog.getTableMetadata(

@@ -41,22 +41,33 @@ object LoadData {
     require(meta.tableType != CatalogTableType.VIEW,
       s"LOAD DATA target $table is a view")
     val partCols = meta.partitionColumnNames
-    require(partition.map(_._1.toLowerCase) == partCols.map(_.toLowerCase),
+    // the spec is a MAP (Hive semantics): any order, but exactly the
+    // partition columns; re-sequence it into declaration order so the
+    // directory layout is always .../k1=v1/k2=v2
+    require(partition.map(_._1.toLowerCase).toSet == partCols.map(_.toLowerCase).toSet &&
+        partition.size == partCols.size,
       s"LOAD DATA partition spec (${partition.map(_._1).mkString(", ")}) must name " +
         s"exactly the partition columns (${partCols.mkString(", ")}) of $table")
+    val partOrdered = partCols.map(pc =>
+      partition.find(_._1.equalsIgnoreCase(pc)).get match { case (_, v) => (pc, v) })
 
     val conf = spark.sessionState.newHadoopConf()
     val src = new Path(inpath)
     val srcFs = src.getFileSystem(conf)
     require(srcFs.exists(src), s"LOAD DATA source path $inpath does not exist")
     val files =
-      if (srcFs.getFileStatus(src).isDirectory)
-        srcFs.listStatus(src).toSeq
-          .filter(st => st.isFile && !isHidden(st.getPath.getName)).map(_.getPath)
-      else Seq(src)
+      if (srcFs.getFileStatus(src).isDirectory) {
+        val entries = srcFs.listStatus(src).toSeq.filter(st => !isHidden(st.getPath.getName))
+        // Hive rejects a source containing directories; silently loading
+        // only the top level would drop the nested data without a trace
+        val dirs = entries.filter(_.isDirectory)
+        require(dirs.isEmpty,
+          s"LOAD DATA source $inpath contains subdirectories (${dirs.map(_.getPath.getName).mkString(", ")})")
+        entries.filter(_.isFile).map(_.getPath)
+      } else Seq(src)
     require(files.nonEmpty, s"LOAD DATA source path $inpath holds no files")
 
-    val targetDir = partition.foldLeft(new Path(meta.location)) {
+    val targetDir = partOrdered.foldLeft(new Path(meta.location)) {
       case (p, (k, v)) => new Path(p, s"$k=$v")
     }
     val fs = targetDir.getFileSystem(conf)
@@ -73,8 +84,10 @@ object LoadData {
       require(ok, s"LOAD DATA failed to land $f at $dest")
     }
 
-    if (partition.nonEmpty) {
-      val spec = partition.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+    if (partOrdered.nonEmpty) {
+      // escape quotes: a value like it's must not break (or inject into)
+      // the generated ALTER statement
+      val spec = partOrdered.map { case (k, v) => s"$k='${v.replace("'", "''")}'" }.mkString(", ")
       spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)")
     }
     spark.sql(s"REFRESH TABLE $table")
@@ -90,8 +103,9 @@ object LoadData {
     * INTO TABLE <name> [PARTITION (k='v', ...)]`. */
   def sql(spark: SparkSession, statement: String): Long = statement match {
     case Grammar(local, inpath, overwrite, table, partSpec) =>
+      // split on commas OUTSIDE quotes: p='a,b' is one value, not two
       val partition = Option(partSpec).map(_.trim).filter(_.nonEmpty)
-        .map(_.split(",").toSeq.map { kv =>
+        .map(_.split(",(?=(?:[^']*'[^']*')*[^']*$)").toSeq.map { kv =>
           val Array(k, v) = kv.split("=", 2).map(_.trim)
           k -> v.stripPrefix("'").stripSuffix("'")
         }).getOrElse(Nil)

@@ -64,12 +64,26 @@ object BpeTrainer {
     out.toIndexedSeq
   }
 
+  /** Split into CODEPOINT symbols, not UTF-16 code units — a surrogate
+    * pair (emoji, CJK-B) must stay one symbol or the learned merges and
+    * encodings contain invalid lone-surrogate strings. */
+  private[operators] def symbols(w: String): IndexedSeq[String] = {
+    val out = scala.collection.immutable.IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Learn up to `rounds` merges with corpus frequency >= minFreq. */
   def train(spark: SparkSession, docs: DataFrame, rounds: Int, minFreq: Long = 2L): Seq[Merge] = {
     import spark.implicits._
     var vocab: Dataset[(Seq[String], Long)] = wordFreq(docs)
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString) :+ EndOfWord, f) }
+      .map { case (w, f) => (symbols(w) :+ EndOfWord, f) }
     vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
     vocab.count() // materialize round 0 so the corpus pass runs exactly once
 
@@ -108,7 +122,7 @@ object BpeTrainer {
   /** Encode a word with a learned merge list (applied in rank order —
     * the inference half; used by the spec's round-trip pin). */
   def encodeWord(word: String, merges: Seq[Merge]): IndexedSeq[String] = {
-    var syms: IndexedSeq[String] = word.map(_.toString).toIndexedSeq :+ EndOfWord
+    var syms: IndexedSeq[String] = symbols(word) :+ EndOfWord
     merges.foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }

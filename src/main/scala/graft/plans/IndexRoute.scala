@@ -51,6 +51,18 @@ object IndexCatalog {
     byPath.put(normalize(tableDir), IndexMeta(tableDir, column.toLowerCase, indexDir, files, kind))
   }
 
+  /** Re-capture the file snapshot after an index refresh: the staleness
+    * guard pins the listing captured at register time, so a refreshed
+    * index would otherwise NEVER route again (guard mismatch on every
+    * query, silently degrading to full scans). No-op if unregistered. */
+  def refreshSnapshot(spark: SparkSession, tableDir: String): Unit = {
+    val key = normalize(tableDir)
+    Option(byPath.get(key)).foreach { meta =>
+      byPath.put(key, meta.copy(knownFiles =
+        spark.read.parquet(meta.tableDir).inputFiles.toSet))
+    }
+  }
+
   def drop(tableDir: String): Unit = byPath.remove(normalize(tableDir))
   def clear(): Unit = byPath.clear()
   def isEmpty: Boolean = byPath.isEmpty

@@ -38,13 +38,33 @@ object CompactIndexIO {
   /** One shuffle of (key, file): the distinct is the map-side-combinable
     * aggregate; file paths are stored relative-free (full URI) so the
     * index survives being read from a different working directory. */
+  /** Write the whole index dir (rows + snapshot [+ params]) atomically:
+    * direct on the first build, staged-swap rebuild afterwards — the
+    * same hardening refresh() has. A plain overwrite deletes the live
+    * index first, so a concurrently routed query would see a missing or
+    * half-written index and silently return empty prunes. */
+  private def writeIndexDir(spark: SparkSession, indexDir: String)
+                           (write: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) write(indexDir)
+    else {
+      graft.acid.CopyOnWrite.stagedSwap(spark, indexDir) { st =>
+        write(st.toString); true
+      }
+      ()
+    }
+  }
+
   def build(spark: SparkSession, tableDir: String, column: String, indexDir: String): Unit = {
     val src = spark.read.parquet(tableDir)
-    src.select(col(column).as("idx_value"), input_file_name().as("idx_file"))
-      .distinct()
-      .write.mode("overwrite").parquet(dataDir(indexDir))
-    src.select(input_file_name().as("src_file")).distinct()
-      .write.mode("overwrite").parquet(filesDir(indexDir))
+    writeIndexDir(spark, indexDir) { dir =>
+      src.select(col(column).as("idx_value"), input_file_name().as("idx_file"))
+        .distinct()
+        .write.mode("overwrite").parquet(dataDir(dir))
+      src.select(input_file_name().as("src_file")).distinct()
+        .write.mode("overwrite").parquet(filesDir(dir))
+    }
   }
 
   /** The source files the index knows for these values. Driver-side
@@ -80,12 +100,14 @@ object CompactIndexIO {
     * files whose [min,max] intersects the query range. */
   def buildMinMax(spark: SparkSession, tableDir: String, column: String, indexDir: String): Unit = {
     val src = spark.read.parquet(tableDir)
-    src.select(col(column).as("v"), input_file_name().as("idx_file"))
-      .groupBy(col("idx_file"))
-      .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"))
-      .write.mode("overwrite").parquet(dataDir(indexDir))
-    src.select(input_file_name().as("src_file")).distinct()
-      .write.mode("overwrite").parquet(filesDir(indexDir))
+    writeIndexDir(spark, indexDir) { dir =>
+      src.select(col(column).as("v"), input_file_name().as("idx_file"))
+        .groupBy(col("idx_file"))
+        .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+        .write.mode("overwrite").parquet(dataDir(dir))
+      src.select(input_file_name().as("src_file")).distinct()
+        .write.mode("overwrite").parquet(filesDir(dir))
+    }
   }
 
   /** Zone files intersecting [lo, hi] (either bound optional) — the
@@ -107,10 +129,8 @@ object CompactIndexIO {
   def readRange(spark: SparkSession, tableDir: String, indexDir: String,
                 column: String, lo: Any, hi: Any): DataFrame = {
     val full = spark.read.parquet(tableDir)
-    val files = spark.read.parquet(dataDir(indexDir))
-      .filter(col("max_value") >= lit(lo) && col("min_value") <= lit(hi))
-      .select(col("idx_file")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // same lookup the transparent route uses — one definition to fix
+    val files = prunedFilesRange(spark, indexDir, Some(lo), Some(hi))
     val pred: Column = col(column).between(lit(lo), lit(hi))
     if (files.isEmpty) full.filter(pred).limit(0)
     else spark.read.schema(full.schema).parquet(files: _*).filter(pred)
@@ -174,16 +194,18 @@ object CompactIndexIO {
     require(bits % 64 == 0 && bits > 0, s"bits must be a positive multiple of 64, got $bits")
     val src = spark.read.parquet(tableDir)
     val dt = src.schema(column).dataType
-    src.select(input_file_name().as("idx_file"),
-               positionCols(col(column), bits, numHashes).as("pos"))
-      .groupBy(col("idx_file"))
-      .agg(udaf(new BloomAgg(bits / 64)).apply(col("pos")).as("bloom"))
-      .write.mode("overwrite").parquet(dataDir(indexDir))
-    src.select(input_file_name().as("src_file")).distinct()
-      .write.mode("overwrite").parquet(filesDir(indexDir))
-    import spark.implicits._
-    Seq((bits, numHashes, dt.json)).toDF("bits", "num_hashes", "dtype")
-      .write.mode("overwrite").parquet(paramsDir(indexDir))
+    writeIndexDir(spark, indexDir) { dir =>
+      src.select(input_file_name().as("idx_file"),
+                 positionCols(col(column), bits, numHashes).as("pos"))
+        .groupBy(col("idx_file"))
+        .agg(udaf(new BloomAgg(bits / 64)).apply(col("pos")).as("bloom"))
+        .write.mode("overwrite").parquet(dataDir(dir))
+      src.select(input_file_name().as("src_file")).distinct()
+        .write.mode("overwrite").parquet(filesDir(dir))
+      import spark.implicits._
+      Seq((bits, numHashes, dt.json)).toDF("bits", "num_hashes", "dtype")
+        .write.mode("overwrite").parquet(paramsDir(dir))
+    }
   }
 
   /** Driver-side replay of the build's probe positions: identical
@@ -255,6 +277,10 @@ object CompactIndexIO {
         .collect().map(_.getString(0)).toSet
       if (known != now) refreshLocked(spark, src, column, indexDir, kind, known, now)
     }
+    // the transparent route pins the file snapshot captured at register
+    // time; without this a refreshed index NEVER routes again (the
+    // staleness guard keeps comparing against the pre-append listing)
+    graft.plans.IndexCatalog.refreshSnapshot(spark, tableDir)
   }
 
   private def refreshLocked(spark: SparkSession, src: DataFrame, column: String,

@@ -250,9 +250,24 @@ class CatalogSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         LoadData.load(spark, s"$stage/b2", "graft_loadp")
       }
+      // the spec is a MAP: any order; values may contain commas; a source
+      // containing subdirectories is rejected, not silently half-loaded
+      spark.sql("DROP TABLE IF EXISTS graft_loadp2")
+      spark.sql(
+        """CREATE TABLE graft_loadp2 (id BIGINT, s STRING, y INT, m STRING)
+          |USING parquet PARTITIONED BY (y, m)""".stripMargin)
+      Seq((4L, "d")).toDF("id", "s").write.parquet(s"$stage/b4")
+      LoadData.sql(spark,
+        s"LOAD DATA INPATH '$stage/b4' INTO TABLE graft_loadp2 PARTITION (m='a,b', y='2024')")
+      assert(spark.table("graft_loadp2").filter($"y" === 2024 && $"m" === "a,b").count() == 1)
+      val e = intercept[IllegalArgumentException] {
+        LoadData.sql(spark, s"LOAD DATA LOCAL INPATH '$stage' INTO TABLE graft_load")
+      }
+      assert(e.getMessage.contains("subdirectories"), e.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_load")
       spark.sql("DROP TABLE IF EXISTS graft_loadp")
+      spark.sql("DROP TABLE IF EXISTS graft_loadp2")
     }
   }
 

@@ -62,6 +62,33 @@ class ExportImportSpec extends AnyFunSuite {
     }
   }
 
+  test("importing an EXTERNAL table never aliases the live source location") {
+    spark.sql("DROP TABLE IF EXISTS graft_ext_src")
+    spark.sql("DROP TABLE IF EXISTS graft_ext_imp")
+    val loc = tmp("graft_ext_loc_")
+    spark.sql(s"CREATE TABLE graft_ext_src (id BIGINT) USING parquet LOCATION '$loc'")
+    spark.sql("INSERT INTO graft_ext_src VALUES (1), (2)")
+    val dir = tmp("graft_ext_exp_")
+    try {
+      ExportImport.exportTable(spark, "graft_ext_src", dir)
+      // source keeps evolving after the export
+      spark.sql("INSERT INTO graft_ext_src VALUES (3)")
+      ExportImport.importTable(spark, dir, "graft_ext_imp")
+      val impLoc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_ext_imp")).location
+      assert(new org.apache.hadoop.fs.Path(impLoc).toUri.getPath !=
+        new org.apache.hadoop.fs.Path(loc).toUri.getPath,
+        "imported table must own a fresh location, not the live source dir")
+      // import = snapshot at export time; source = snapshot + later insert
+      assert(spark.table("graft_ext_imp").count() == 2)
+      assert(spark.table("graft_ext_src").count() == 3,
+        "import corrupted the live source table")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ext_src")
+      spark.sql("DROP TABLE IF EXISTS graft_ext_imp")
+    }
+  }
+
   test("export refuses a non-empty target; import refuses a dir without _metadata") {
     spark.sql("DROP TABLE IF EXISTS graft_exp3")
     spark.sql("CREATE TABLE graft_exp3 USING parquet AS SELECT id FROM range(5)")

@@ -191,6 +191,31 @@ class IndexSpec extends AnyFunSuite {
     } finally IndexCatalog.clear()
   }
 
+  test("refresh re-arms transparent routing after an append (snapshot re-captured)") {
+    IndexCatalog.clear()
+    val path = s"$base/orders_rearm"
+    val idx = s"$base/orders_rearm_idx"
+    Tables.orders(spark, sf).limit(400)
+      .repartitionByRange(6, col("o_orderpriority"), col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    CompactIndexIO.build(spark, path, "o_orderpriority", idx)
+    IndexCatalog.register(spark, path, "o_orderpriority", idx)
+    try {
+      // append drifts the table: route declines (full scan, right answer)
+      Tables.orders(spark, sf).limit(30).write.mode(SaveMode.Append).parquet(path)
+      def q = spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT")
+      val total = spark.read.parquet(path).inputFiles.length
+      assert(q.inputFiles.length == total, "drifted route must decline")
+      // refresh merges the new files AND re-captures the catalog snapshot:
+      // routing must fire again without a manual re-register
+      CompactIndexIO.refresh(spark, path, "o_orderpriority", idx)
+      assert(q.inputFiles.length < total,
+        s"refresh did not re-arm the route: ${q.inputFiles.length} of $total files")
+      assert(q.count() == spark.read.parquet(path)
+        .where("o_orderpriority = '1-URGENT'").count())
+    } finally IndexCatalog.clear()
+  }
+
   test("routing declines on drift, non-indexed columns, and unroutable literal types") {
     IndexCatalog.clear()
     val path = s"$base/orders_drift2"
