@@ -26,7 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => security.AuthorizationRule)
     ext.injectOptimizerRule(_ => plans.TableMaskRule)
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)
-    ext.injectOptimizerRule(_ => plans.ConstraintRewrites)
+    // per-session instance: constraint identity must be verified against
+    // the catalog of the session that OWNS the plan, not SparkSession
+    // .active (which on a shared thread may be a different session)
+    ext.injectOptimizerRule(s => new plans.ConstraintRewrites(() => s))
     ext.injectOptimizerRule(_ => plans.MvRewrite)
     ext.injectOptimizerRule(_ => plans.IndexRoute)
     ext.injectPlannerStrategy(_ => new plans.AsofJoinStrategy)

@@ -276,7 +276,17 @@ object Versioned {
   def commitDelta(spark: SparkSession, base: String, keys: Seq[String],
                   upserts: DataFrame, deletes: Option[DataFrame] = None,
                   tag: Option[String] = None): Int = {
+    // SQLStd statement-shape privilege mapping, same as CopyOnWrite
+    // .merge: upserts CAN overwrite same-key rows (that is their
+    // definition), so the lane needs INSERT + UPDATE; a deletes frame
+    // removes rows from the merged state, so passing one — empty or not,
+    // the check is on the statement shape like the reference's
+    // validator, never a data-dependent job — needs DELETE. Without
+    // this, an INSERT-only principal could delete through the delta
+    // lane around the DELETE check that Versioned.delete enforces.
     graft.security.AccessPolicies.check(spark, base, "INSERT")
+    graft.security.AccessPolicies.check(spark, base, "UPDATE")
+    if (deletes.isDefined) graft.security.AccessPolicies.check(spark, base, "DELETE")
     withVersionLock(spark, base) {
       require(keys.nonEmpty, "delta commit needs key columns")
       // lazy: untagged commits (the common batch path) must not pay the

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Deduplication suite for training-data pipelines over `documents`:
-  * exact (hash-groupBy), MinHash+LSH near-dup (shingle -> 32-hash
-  * signature -> 8x4 banding -> bucket self-join -> exact-Jaccard verify),
+  * exact (hash-groupBy), MinHash+LSH near-dup (shingle -> k-hash
+  * signature -> banding -> bucket self-join -> exact-Jaccard verify;
+  * k/banding caller-tunable, default 64 / 16x4 — see minhashSignatures),
   * SimHash, and exact n-gram Jaccard. Scale analysis (100 TB):
   *
   *  - exact: one shuffle on text-hash; group sizes are near-1 so AQE
@@ -47,9 +48,21 @@ object Dedup {
   def shingles(docs: DataFrame): DataFrame = shingleHashes(docs).distinct()
 
   /** MinHash signature per doc: sig_j = min over shingles of
-    * xxhash64(j, sh). k=32 at 8x4 banding catches a 0.9-Jaccard pair with
-    * p ~ 1 - (1 - 0.9^4)^8 = 0.99985; the corpus near-dups are all >= 0.9. */
-  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    * xxhash64(j, sh).
+    *
+    * Recall is set by (k, banding) and is the caller's dial. The library
+    * DEFAULT is k=64 with 16x4 banding: a 0.8-Jaccard pair is caught
+    * with p ~ 1-(1-0.8^4)^16 = 0.9998, a 0.9 pair with ~1-1e-15 — the
+    * general-corpus setting, where similarity mass near the threshold is
+    * normal. The CHEAP setting k=32 / 8x4 halves signature cost but
+    * drops 0.8-Jaccard recall to ~0.954 (0.9 stays 0.99985); it is the
+    * right trade only when the corpus is known bimodal (near-dups >= 0.9,
+    * background < 0.1) — the gate rows pin it explicitly for exactly
+    * that reason. Keep k = bands x rowsPerBand consistent across
+    * [[minhashSignatures]]/[[bandIndex]]/[[lshCandidates]], and note a
+    * PERSISTED band index is only joinable against a new-batch index
+    * built with the same (k, bands, rowsPerBand). */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"s$j"))
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
@@ -76,7 +89,7 @@ object Dedup {
     * by (band, bh) once per corpus snapshot, and each day's new batch
     * joins its own (tiny) index against it — no full-corpus re-pairing.
     * See [[incrementalCandidates]]. */
-  def bandIndex(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+  def bandIndex(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
              xxhash64((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*).as("bh"))
@@ -86,7 +99,7 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  def lshCandidates(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                     maxBucket: Int = 4096): DataFrame = {
     val exploded = bandIndex(sigs, bands, rowsPerBand)
     val stats = exploded.groupBy(col("band"), col("bh"))
@@ -196,19 +209,19 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified at Jaccard >= 0.7.
-    * The oracle is the all-pairs exact answer. Recall at the CURRENT
-    * k=32 / 8x4 parameters (see minhashSignatures): a 0.9-Jaccard pair
-    * is caught with p ~ 1-(1-0.9^4)^8 = 0.99985, a 0.8-Jaccard pair with
-    * p ~ 0.954 — acceptable because this corpus's verified jaccard
-    * distribution is bimodal (planted near-dups >= 0.9, background
-    * < 0.1). A corpus with mass near 0.8 should raise k back to 64 with
-    * 16x4 banding (p ~ 0.9998 at 0.8) at 2x signature cost. */
+    * The oracle is the all-pairs exact answer. The gate PINS the cheap
+    * k=32 / 8x4 setting (half the library default's signature cost):
+    * this corpus's verified jaccard distribution is bimodal (planted
+    * near-dups >= 0.9 — caught with p = 0.99985 — background < 0.1), so
+    * the ~5% recall loss the cheap setting has at Jaccard 0.8 cannot
+    * bite here. General callers get the 64 / 16x4 default
+    * (see [[minhashSignatures]]). */
   val q65_minhash_lsh: Q = (s, d) => {
     val shRaw = shingleHashes(Tables.documents(s, d))
     // No mid-query cache: the candidate lineage (shingle scan + groupBy +
     // band join) is cheap to recompute and caching made the plan hostage
     // to block-manager pressure in a shared long-lived session.
-    val cands = lshCandidates(minhashSignatures(shRaw))
+    val cands = lshCandidates(minhashSignatures(shRaw, k = 32), bands = 8)
     exactJaccard(cands, shRaw, keepZero = false)
       .filter(col("jac") >= 0.7)
       .select(col("ida"), col("idb"), round(col("jac"), 6).as("jac"))
@@ -468,10 +481,12 @@ object Dedup {
   }
 
   /** Near-dup edges at exact Jaccard >= `threshold` — the q65 pipeline
-    * (MinHash LSH candidates, exact verify) minus the presentation cols. */
+    * (MinHash LSH candidates, exact verify) minus the presentation cols.
+    * Same gate-pinned cheap 32 / 8x4 setting as q65 (bimodal corpus). */
   private def nearDupEdges(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val shRaw = shingleHashes(Tables.documents(s, d))
-    exactJaccard(lshCandidates(minhashSignatures(shRaw)), shRaw, keepZero = false)
+    exactJaccard(lshCandidates(minhashSignatures(shRaw, k = 32), bands = 8),
+                 shRaw, keepZero = false)
       .filter(col("jac") >= threshold)
       .select(col("ida"), col("idb"))
   }
@@ -521,7 +536,8 @@ object Dedup {
     // one index build over the whole corpus, flagged by batch — the
     // gate pays the old-index build inline; production reads it from
     // the persisted snapshot (see PipelineSpec's round-trip test)
-    val idx = bandIndex(minhashSignatures(shingleHashes(docs)))
+    // gate-pinned cheap 32 / 8x4 setting, matching q65 (bimodal corpus)
+    val idx = bandIndex(minhashSignatures(shingleHashes(docs), k = 32), bands = 8)
       .withColumn("is_new", col("doc_id") % 4 === 0)
     val shAll = shingleHashes(docs)
     exactJaccard(incrementalCandidatesFlagged(idx), shAll, keepZero = false)

@@ -54,15 +54,19 @@ object ConstraintCatalog {
   private val pks = new ConcurrentHashMap[String, PrimaryKey]()
   private val fks = new ConcurrentHashMap[String, ForeignKey]() // keyed by constraint name
 
-  def addPrimaryKey(name: String, table: String, cols: Seq[String], rely: Boolean): Unit =
+  def addPrimaryKey(name: String, table: String, cols: Seq[String], rely: Boolean): Unit = {
     pks.put(table.toLowerCase,
       PrimaryKey(name.toLowerCase, table.toLowerCase, cols.map(_.toLowerCase), rely))
+    invalidateResolutionCache()
+  }
 
   def addForeignKey(name: String, childTable: String, childCols: Seq[String],
-                    parentTable: String, parentCols: Seq[String], rely: Boolean): Unit =
+                    parentTable: String, parentCols: Seq[String], rely: Boolean): Unit = {
     fks.put(name.toLowerCase,
       ForeignKey(childTable.toLowerCase, childCols.map(_.toLowerCase),
         parentTable.toLowerCase, parentCols.map(_.toLowerCase), rely))
+    invalidateResolutionCache()
+  }
 
   def dropConstraint(name: String): Unit = {
     fks.remove(name.toLowerCase)
@@ -70,9 +74,49 @@ object ConstraintCatalog {
     // HiveParser.g allows a single primaryKeyWithName), so scan by name.
     pks.entrySet.asScala.filter(_.getValue.name == name.toLowerCase)
       .foreach(e => pks.remove(e.getKey))
+    invalidateResolutionCache()
   }
 
-  def clear(): Unit = { pks.clear(); fks.clear() }
+  def clear(): Unit = { pks.clear(); fks.clear(); invalidateResolutionCache() }
+
+  // --- table-name -> location resolution cache -----------------------
+  //
+  // ConstraintRewrites verifies scan identity by resolving the table
+  // NAME through the session catalog. Unbounded, that is a catalog
+  // lookup + full analysis inside an optimizer rule, for every
+  // candidate scan, on every (re)optimization. The resolution is cached
+  // per (session, table) and invalidated on every constraint mutation —
+  // so the documented refresh point for a table whose LOCATION moved
+  // (e.g. a re-created temp view) is re-registering its constraints
+  // (what ConstraintOps.registerAll does) or clear(). The cache is
+  // identity-keyed on the session so two sessions with different
+  // catalogs never see each other's bindings.
+  private val locCache = new ConcurrentHashMap[String, Option[String]]()
+
+  /** Drop all cached name->location bindings (called on every constraint
+    * mutation; call directly after re-pointing a registered table's name
+    * at a new location without touching its constraints). */
+  def invalidateResolutionCache(): Unit = locCache.clear()
+
+  /** The single-root storage location the session currently resolves
+    * `table` to, or None (multi-root, unresolvable). Cached — see above. */
+  private[plans] def resolvedLocation(spark: SparkSession, table: String): Option[String] =
+    locCache.computeIfAbsent(
+      System.identityHashCode(spark).toString + "#" + table.toLowerCase,
+      _ => resolveNow(spark, table.toLowerCase))
+
+  private def resolveNow(spark: SparkSession, table: String): Option[String] =
+    try {
+      val roots = spark.table(table).queryExecution.analyzed.collect {
+        case LogicalRelation(f: HadoopFsRelation, _, _, _, _) => f.location.rootPaths
+      }.flatten
+      if (roots.size == 1) Some(roots.head.toUri.getPath.stripSuffix("/")) else None
+    } catch {
+      // name doesn't resolve in this session: not that table. Narrow on
+      // purpose — a genuine failure (OOM, interrupt) must propagate, not
+      // silently disable rewrites.
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 
   def primaryKey(table: String): Option[PrimaryKey] = Option(pks.get(table.toLowerCase))
 
@@ -173,7 +217,7 @@ object ConstraintDdl {
   * is a guaranteed no-op (the rule is in every session via extensions, so
   * the no-fire path must be free).
   */
-object ConstraintRewrites extends Rule[LogicalPlan] {
+class ConstraintRewrites(sessionOf: () => SparkSession) extends Rule[LogicalPlan] {
 
   /** Basename table identity of a bare (un-filtered) scan, tolerating two
     * wrappers the optimizer itself inserts on join inputs: the
@@ -207,15 +251,11 @@ object ConstraintRewrites extends Rule[LogicalPlan] {
     val path = roots.head.toUri.getPath.stripSuffix("/")
     val base = roots.head.getName.toLowerCase.stripSuffix(".parquet")
     if (!ConstraintCatalog.knowsTable(base)) return None
-    try {
-      val registered = org.apache.spark.sql.SparkSession.active.table(base)
-        .queryExecution.analyzed.collect {
-          case LogicalRelation(f: HadoopFsRelation, _, _, _, _) => f.location.rootPaths
-        }.flatten
-      if (registered.size == 1 &&
-          registered.head.toUri.getPath.stripSuffix("/") == path) Some(base)
-      else None
-    } catch { case _: Exception => None } // name doesn't resolve: not that table
+    // cached per (session, name) — see ConstraintCatalog.resolvedLocation;
+    // resolves against THIS rule's owning session, not whatever session
+    // happens to be thread-active during optimization
+    if (ConstraintCatalog.resolvedLocation(sessionOf(), base).contains(path)) Some(base)
+    else None
   }
 
   /** Table identity for the FK (fact) side: arbitrary Filters are fine —
@@ -371,3 +411,9 @@ object ConstraintRewrites extends Rule[LogicalPlan] {
     }
   }
 }
+
+/** Session-agnostic singleton for tests and ad-hoc invocation — resolves
+  * table names against the thread-active session. GraftExtensions
+  * injects a per-session instance instead, so each session's rule
+  * verifies identity against ITS OWN catalog. */
+object ConstraintRewrites extends ConstraintRewrites(() => SparkSession.active)

@@ -185,7 +185,7 @@ object IndexRoute extends Rule[LogicalPlan] {
             else SqlShims.analyzed(spark.read.schema(rel.schema)
               // engine-planted marker: a routed file-level scan must not
               // be mistaken for a user probing governed-table fragments
-              .option(graft.PathKeys.PlantedOption, "true")
+              .option(graft.PathKeys.PlantedOption, graft.PathKeys.plantedToken)
               .parquet(files: _*))
           val aliased = out.zip(pruned.output).map { case (want, have) =>
             Alias(have, want.name)(exprId = want.exprId, qualifier = want.qualifier)

@@ -85,6 +85,14 @@ object MaskPolicies {
     * HDFS access to policy-covered tables). */
   private[plans] def coversFragment(rootPath: org.apache.hadoop.fs.Path): Boolean =
     graft.PathKeys.isFragment(byPath.keySet.asScala, rootPath)
+
+  /** Governed dirs a scan rooted at an ANCESTOR would sweep up (e.g. a
+    * recursive read of the warehouse parent). Such scans are refused:
+    * the relation's schema/row set is not the governed table's, so the
+    * policy frame cannot be substituted — and letting it through would
+    * return the governed rows raw. */
+  private[plans] def coveredBy(rootPath: org.apache.hadoop.fs.Path): Seq[String] =
+    graft.PathKeys.containedKeys(byPath.keySet.asScala, rootPath)
 }
 
 object TableMaskRule extends Rule[LogicalPlan] {
@@ -104,13 +112,16 @@ object TableMaskRule extends Rule[LogicalPlan] {
 
   /** A scan the ENGINE planted during a rewrite — the mask frame's own
     * fresh scan, or an index-route's pruned file scan under it. Marked
-    * structurally by a relation option ([[graft.PathKeys.PlantedOption]]),
-    * so recognition survives plan copies with no global id set to leak.
+    * structurally by a relation option ([[graft.PathKeys.PlantedOption]])
+    * whose VALUE is a per-JVM random nonce, so recognition survives plan
+    * copies with no global id set to leak AND a user cannot forge the
+    * exemption by setting the option themselves (the value they would
+    * need is unguessable and never surfaces in query-readable output).
     * Planted scans are exempt from re-masking AND from the fragment
     * refusal (an index route legitimately narrows a planted scan to
     * specific files; the mask projection stays above it). */
   private def isPlanted(fs: HadoopFsRelation): Boolean =
-    fs.options.contains(graft.PathKeys.PlantedOption)
+    graft.PathKeys.isPlanted(fs.options)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MaskPolicies.isEmpty) return plan
@@ -121,6 +132,16 @@ object TableMaskRule extends Rule[LogicalPlan] {
         roots.find(MaskPolicies.coversFragment).foreach { frag =>
           throw new org.apache.hadoop.security.AccessControlException(
             s"direct read of a fragment of a policy-governed table: $frag")
+        }
+        // the mirror bypass: a scan rooted ABOVE a governed dir (e.g.
+        // recursiveFileLookup on its parent) would sweep up governed
+        // rows raw — refuse it symmetrically to the fragment refusal
+        roots.foreach { r =>
+          val swept = MaskPolicies.coveredBy(r)
+          if (swept.nonEmpty)
+            throw new org.apache.hadoop.security.AccessControlException(
+              s"scan rooted at $r includes policy-governed table(s) " +
+              s"${swept.mkString(", ")}; query the governed table on its own")
         }
         if (governed.isEmpty) rel
         else if (roots.size > 1)
@@ -136,7 +157,7 @@ object TableMaskRule extends Rule[LogicalPlan] {
           // fresh full-width scan: the governed relation may already be
           // column-pruned, but masks/filters may need other raw columns
           val masked = SqlShims.analyzed(maskedFrame(spark,
-            spark.read.option(graft.PathKeys.PlantedOption, "true")
+            spark.read.option(graft.PathKeys.PlantedOption, graft.PathKeys.plantedToken)
               .parquet(policy.tableDir), policy))
           val byName = masked.output.map(a => (a.name.toLowerCase, a)).toMap
           val aliased = out.map { want =>

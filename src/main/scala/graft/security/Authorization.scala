@@ -34,6 +34,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * differently-privileged sessions the way HiveServer2 sessions carry
   * their authenticated user. Checks are one concurrent-map lookup —
   * nothing touches the data path, so enforcement is free at 100 TB.
+  *
+  * Trust boundary (by design, same as [[graft.PathKeys.plantedToken]]'s
+  * doc): this is in-process enforcement for a TRUSTED application
+  * serving untrusted queries/sessions — the application authenticates
+  * its users and sets `graft.auth.user` on their behalf (the
+  * HiveServer2 model, where the server process is trusted and `set
+  * hive.server2...` style confs are gated by the server). Code that can
+  * call `spark.conf.set` directly is inside the trust boundary and can
+  * impersonate; that is the documented model, not a bypass.
   */
 object AccessPolicies {
 
@@ -105,6 +114,13 @@ object AccessPolicies {
   private[security] def lookupKey(rootPath: org.apache.hadoop.fs.Path): Option[String] =
     graft.PathKeys.containingKey(byPath.keySet.asScala, rootPath)
 
+  /** Protected dirs that are STRICT descendants of a scan root — the
+    * ancestor bypass (a recursive read of the warehouse parent sweeps
+    * up protected data): every swept-up object's grants must be checked
+    * too, not just containment upward. */
+  private[security] def keysUnder(rootPath: org.apache.hadoop.fs.Path): Seq[String] =
+    graft.PathKeys.containedKeys(byPath.keySet.asScala, rootPath)
+
   private def normalize(dir: String): String = graft.PathKeys.normalize(dir)
 }
 
@@ -117,10 +133,17 @@ object AuthorizationRule extends Rule[LogicalPlan] {
     plan.foreach {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         // EVERY root of a multi-path relation is checked — a protected
-        // dir must not slip through behind an unprotected first path
-        fs.location.rootPaths.foreach(r =>
+        // dir must not slip through behind an unprotected first path.
+        // Both directions of containment face the check: a root INSIDE a
+        // protected dir reads the governed object (lookupKey), and a
+        // root ABOVE one sweeps its files up (keysUnder — the
+        // recursiveFileLookup-on-parent bypass).
+        fs.location.rootPaths.foreach { r =>
           AccessPolicies.lookupKey(r)
-            .foreach(key => AccessPolicies.checkPath(SparkSession.active, key, "SELECT")))
+            .foreach(key => AccessPolicies.checkPath(SparkSession.active, key, "SELECT"))
+          AccessPolicies.keysUnder(r)
+            .foreach(key => AccessPolicies.checkPath(SparkSession.active, key, "SELECT"))
+        }
       case _ =>
     }
     plan

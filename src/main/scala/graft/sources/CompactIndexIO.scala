@@ -35,6 +35,43 @@ object CompactIndexIO {
   private def dataDir(indexDir: String) = s"$indexDir/index"
   private def filesDir(indexDir: String) = s"$indexDir/source_files"
 
+  // --- canonical file-URI spelling ------------------------------------
+  //
+  // Two Spark APIs name the same file differently: input_file_name()
+  // renders a local file as `file:///p` while DataFrame.inputFiles (the
+  // metadata-only listing) renders `file:/p`. An index stores file names
+  // and later compares them against fresh listings — a spelling mismatch
+  // would make every refresh see all files as simultaneously added and
+  // removed (a silent full rebuild at best, duplicate index rows at
+  // worst). Every stored name and every listing therefore passes through
+  // ONE canonicalizer: `scheme:/path` becomes `scheme:///path`; URIs
+  // already carrying `//` (file:///, hdfs://nn/, s3a://bucket/) are
+  // untouched. canonFile (driver, java.lang.String.replaceFirst) and
+  // canonFileCol (Catalyst regexp_replace) share the same Java regex, so
+  // build-side and compare-side can never disagree. Applied on READ of
+  // stored values too, so indexes persisted before canonicalization
+  // migrate transparently on their first refresh.
+  private val CanonRe = "^([A-Za-z][A-Za-z0-9+.-]*):/(?!/)"
+
+  private[graft] def canonFile(s: String): String = s.replaceFirst(CanonRe, "$1:///")
+
+  private def canonFileCol(c: Column): Column = regexp_replace(c, CanonRe, "$1:///")
+
+  /** Metadata-only canonical file listing of a table dir — the same
+    * driver-side listing the scan itself performs, NOT a distributed
+    * read of the data (the previous
+    * `select(input_file_name()).distinct().collect()` spelling was a
+    * full-table scan just to learn the file names). */
+  private def listFiles(df: DataFrame): Set[String] =
+    df.inputFiles.iterator.map(canonFile).toSet
+
+  /** Persist a canonical file-name snapshot (sorted for determinism;
+    * metadata-scale — one short string per data file). */
+  private def writeSnapshot(spark: SparkSession, files: Set[String], dir: String): Unit = {
+    import spark.implicits._
+    files.toSeq.sorted.toDF("src_file").write.mode("overwrite").parquet(dir)
+  }
+
   /** One shuffle of (key, file): the distinct is the map-side-combinable
     * aggregate; file paths are stored relative-free (full URI) so the
     * index survives being read from a different working directory. */
@@ -59,11 +96,11 @@ object CompactIndexIO {
   def build(spark: SparkSession, tableDir: String, column: String, indexDir: String): Unit = {
     val src = spark.read.parquet(tableDir)
     writeIndexDir(spark, indexDir) { dir =>
-      src.select(col(column).as("idx_value"), input_file_name().as("idx_file"))
+      src.select(col(column).as("idx_value"),
+                 canonFileCol(input_file_name()).as("idx_file"))
         .distinct()
         .write.mode("overwrite").parquet(dataDir(dir))
-      src.select(input_file_name().as("src_file")).distinct()
-        .write.mode("overwrite").parquet(filesDir(dir))
+      writeSnapshot(spark, listFiles(src), filesDir(dir))
     }
   }
 
@@ -101,12 +138,11 @@ object CompactIndexIO {
   def buildMinMax(spark: SparkSession, tableDir: String, column: String, indexDir: String): Unit = {
     val src = spark.read.parquet(tableDir)
     writeIndexDir(spark, indexDir) { dir =>
-      src.select(col(column).as("v"), input_file_name().as("idx_file"))
+      src.select(col(column).as("v"), canonFileCol(input_file_name()).as("idx_file"))
         .groupBy(col("idx_file"))
         .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"))
         .write.mode("overwrite").parquet(dataDir(dir))
-      src.select(input_file_name().as("src_file")).distinct()
-        .write.mode("overwrite").parquet(filesDir(dir))
+      writeSnapshot(spark, listFiles(src), filesDir(dir))
     }
   }
 
@@ -195,13 +231,12 @@ object CompactIndexIO {
     val src = spark.read.parquet(tableDir)
     val dt = src.schema(column).dataType
     writeIndexDir(spark, indexDir) { dir =>
-      src.select(input_file_name().as("idx_file"),
+      src.select(canonFileCol(input_file_name()).as("idx_file"),
                  positionCols(col(column), bits, numHashes).as("pos"))
         .groupBy(col("idx_file"))
         .agg(udaf(new BloomAgg(bits / 64)).apply(col("pos")).as("bloom"))
         .write.mode("overwrite").parquet(dataDir(dir))
-      src.select(input_file_name().as("src_file")).distinct()
-        .write.mode("overwrite").parquet(filesDir(dir))
+      writeSnapshot(spark, listFiles(src), filesDir(dir))
       import spark.implicits._
       Seq((bits, numHashes, dt.json)).toDF("bits", "num_hashes", "dtype")
         .write.mode("overwrite").parquet(paramsDir(dir))
@@ -271,10 +306,9 @@ object CompactIndexIO {
     // refresher could merge against a predecessor's pre-swap listing)
     graft.acid.CopyOnWrite.withTableLock(spark, indexDir) {
       val known = spark.read.parquet(filesDir(indexDir))
-        .collect().map(_.getString(0)).toSet
+        .collect().map(r => canonFile(r.getString(0))).toSet
       val src = spark.read.parquet(tableDir)
-      val now = src.select(input_file_name()).distinct()
-        .collect().map(_.getString(0)).toSet
+      val now = listFiles(src)
       if (known != now) refreshLocked(spark, src, column, indexDir, kind, known, now)
     }
     // the transparent route pins the file snapshot captured at register
@@ -292,21 +326,26 @@ object CompactIndexIO {
       val fresh = spark.read.schema(src.schema).parquet(newFiles: _*)
       Some(kind match {
         case "value" =>
-          fresh.select(col(column).as("idx_value"), input_file_name().as("idx_file")).distinct()
+          fresh.select(col(column).as("idx_value"),
+                       canonFileCol(input_file_name()).as("idx_file")).distinct()
         case "minmax" =>
-          fresh.select(col(column).as("v"), input_file_name().as("idx_file"))
+          fresh.select(col(column).as("v"), canonFileCol(input_file_name()).as("idx_file"))
             .groupBy(col("idx_file"))
             .agg(min(col("v")).as("min_value"), max(col("v")).as("max_value"))
         case "bloom" =>
           val p = spark.read.parquet(paramsDir(indexDir)).collect()(0)
           val (bits, k) = (p.getInt(0), p.getInt(1))
-          fresh.select(input_file_name().as("idx_file"),
+          fresh.select(canonFileCol(input_file_name()).as("idx_file"),
                        positionCols(col(column), bits, k).as("pos"))
             .groupBy(col("idx_file"))
             .agg(udaf(new BloomAgg(bits / 64)).apply(col("pos")).as("bloom"))
       })
     }
+    // idx_file is re-canonicalized on read so a pre-canonicalization
+    // index migrates here: `removed` holds canonical names, and the
+    // kept rows are persisted back in canonical spelling
     val kept = spark.read.parquet(dataDir(indexDir))
+      .withColumn("idx_file", canonFileCol(col("idx_file")))
       .filter(if (removed.isEmpty) lit(true)
               else !col("idx_file").isin(removed.toSeq: _*))
     val merged = newRows.fold(kept)(kept.unionByName(_))
@@ -321,9 +360,9 @@ object CompactIndexIO {
     // the NEXT refresh union duplicate rows)
     graft.acid.CopyOnWrite.stagedSwap(spark, indexDir) { staging =>
       merged.write.parquet(s"$staging/index")
-      import spark.implicits._
-      now.toSeq.sorted.toDF("src_file").write.parquet(s"$staging/source_files")
+      writeSnapshot(spark, now, s"$staging/source_files")
       params.foreach { p =>
+        import spark.implicits._
         Seq((p.getInt(0), p.getInt(1), p.getString(2)))
           .toDF("bits", "num_hashes", "dtype").write.parquet(s"$staging/params")
       }
@@ -337,10 +376,8 @@ object CompactIndexIO {
     * wrong.) */
   def isStale(spark: SparkSession, tableDir: String, indexDir: String): Boolean = {
     val known = spark.read.parquet(filesDir(indexDir))
-      .collect().map(_.getString(0)).toSet
-    val now = spark.read.parquet(tableDir)
-      .select(input_file_name()).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => canonFile(r.getString(0))).toSet
+    val now = listFiles(spark.read.parquet(tableDir))
     known != now
   }
 }

@@ -22,7 +22,7 @@ object CcProbe {
 
     val shRaw = shingleHashes(docs)
     val cands = time("lshCandidates (count)") {
-      val c = lshCandidates(minhashSignatures(shRaw)); c.write.format("noop").mode("overwrite").save(); c
+      val c = lshCandidates(minhashSignatures(shRaw, k = 32), bands = 8); c.write.format("noop").mode("overwrite").save(); c
     }
     val edges = time("exactJaccard verify (noop)") {
       val e = exactJaccard(cands, shRaw, keepZero = false)

@@ -97,6 +97,12 @@ class AuthSpec extends AnyFunSuite {
       intercept[AccessControlException](
         CopyOnWrite.update(spark, inner, lit(true),
           Map("o_orderpriority" -> lit("X"))))
+      // ancestor bypass: a recursive scan rooted ABOVE the protected dir
+      // sweeps its files up and must face the same SELECT check
+      intercept[AccessControlException](
+        spark.read.option("recursiveFileLookup", "true")
+          .schema(Tables.orders(spark, sf).schema)
+          .parquet("target/storage/auth_spec").count())
     } finally cleanup()
   }
 
@@ -131,7 +137,7 @@ class AuthSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_auth_ver").toString + "/t"
     AccessPolicies.clear()
     AccessPolicies.protect(base)
-    AccessPolicies.grant(base, "ingest", "INSERT", "SELECT")
+    AccessPolicies.grant(base, "ingest", "INSERT", "UPDATE", "SELECT")
     try {
       spark.conf.set("graft.auth.user", "intruder")
       intercept[AccessControlException](
@@ -140,6 +146,19 @@ class AuthSpec extends AnyFunSuite {
       assert(Versioned.commit(spark, base, Seq((1L, "a")).toDF("k", "v")) == 1)
       assert(Versioned.commitDelta(spark, base, Seq("k"),
         upserts = Seq((2L, "b")).toDF("k", "v")) == 2)
+      // the delta lane maps privileges by statement shape (SQLStd MERGE
+      // rule): a deletes frame needs DELETE — an INSERT+UPDATE-only
+      // principal must not delete through commitDelta around the check
+      // Versioned.delete enforces
+      intercept[AccessControlException](
+        Versioned.commitDelta(spark, base, Seq("k"),
+          upserts = Seq((3L, "c")).toDF("k", "v"),
+          deletes = Some(Seq(Tuple1(1L)).toDF("k"))))
+      AccessPolicies.grant(base, "ingest", "DELETE")
+      assert(Versioned.commitDelta(spark, base, Seq("k"),
+        upserts = Seq((3L, "c")).toDF("k", "v"),
+        deletes = Some(Seq(Tuple1(1L)).toDF("k"))) == 3)
+      assert(Versioned.readMerged(spark, base, Seq("k")).count() == 2) // k=2,3 (1 deleted)
       // version snapshot dirs live UNDER base: SELECT is enforced on them
       // by prefix (the versioned table is one governed object)
       assert(Versioned.readMerged(spark, base, Seq("k")).count() == 2)

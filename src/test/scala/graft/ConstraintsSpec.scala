@@ -193,6 +193,29 @@ class ConstraintsSpec extends AnyFunSuite {
     }
   }
 
+  test("resolution cache: constraint re-registration is the refresh point for a moved name") {
+    val moved = "target/storage/constraints_spec/orders"
+    try withTpchConstraints() {
+      def distinctOnOld = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")).distinct()
+      // fires — and the verified name->location binding is now cached
+      assert(!optimized(distinctOnOld).contains("Aggregate"))
+      // re-point the NAME at a copy (same basename, different location)
+      Tables.orders(spark, sf).write.mode("overwrite").parquet(moved)
+      spark.read.parquet(moved).createOrReplaceTempView("orders")
+      // the documented refresh point: any constraint mutation invalidates
+      ConstraintDdl.run("ALTER TABLE orders ADD CONSTRAINT pk_orders PRIMARY KEY (o_orderkey) DISABLE NOVALIDATE RELY")
+      // the old location is no longer what the session calls `orders`:
+      // a stale cached binding here would delete a live DISTINCT
+      assert(optimized(distinctOnOld).contains("Aggregate"),
+        "stale resolution cache licensed a rewrite on a moved-away location")
+      // and the new location now verifies, so the rewrite follows the name
+      val onNew = spark.read.parquet(moved)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")).distinct()
+      assert(!optimized(onNew).contains("Aggregate"))
+    } finally Tables.registerAll(spark, sf) // restore the shared temp views
+  }
+
   test("empty registry is an exact no-op on a join-heavy plan") {
     ConstraintCatalog.clear()
     val df = Tables.lineitem(spark, sf)

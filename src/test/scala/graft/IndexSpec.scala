@@ -40,6 +40,28 @@ class IndexSpec extends AnyFunSuite {
     assert(sumRouted == sumFull)
   }
 
+  test("file-URI spellings are canonicalized: the two Spark listing APIs agree") {
+    // input_file_name() says file:///p, DataFrame.inputFiles says file:/p
+    // — the staleness/refresh compare crosses the two, so both funnel
+    // through one canonical spelling (a mismatch here would make every
+    // fresh index look stale and every refresh a full add+remove)
+    assert(CompactIndexIO.canonFile("file:/tmp/t/part-0.parquet")
+      == "file:///tmp/t/part-0.parquet")
+    assert(CompactIndexIO.canonFile("file:///tmp/t/part-0.parquet")
+      == "file:///tmp/t/part-0.parquet")
+    assert(CompactIndexIO.canonFile("hdfs://nn:8020/t/part-0.parquet")
+      == "hdfs://nn:8020/t/part-0.parquet")
+    assert(CompactIndexIO.canonFile("s3a://bucket/t/part-0.parquet")
+      == "s3a://bucket/t/part-0.parquet")
+    // end-to-end: a freshly built index is NOT stale (stored snapshot
+    // from the scan-time names vs metadata-only listing)
+    val path = s"$base/orders_canon"
+    val idx = s"$base/orders_canon_idx"
+    Tables.orders(spark, sf).limit(100).write.mode(SaveMode.Overwrite).parquet(path)
+    CompactIndexIO.build(spark, path, "o_orderpriority", idx)
+    assert(!CompactIndexIO.isStale(spark, path, idx))
+  }
+
   test("incremental refresh: appended files are indexed without a full rebuild; deletions drop rows") {
     val path = s"$base/orders_refresh"
     val idx = s"$base/orders_refresh_idx"

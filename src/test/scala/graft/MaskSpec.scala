@@ -123,6 +123,36 @@ class MaskSpec extends AnyFunSuite {
     } finally { MaskPolicies.clear(); IndexCatalog.clear() }
   }
 
+  test("a forged planted-scan option exempts nothing: masked on the table, refused on a fragment") {
+    governed()
+    try {
+      // the marker's VALUE is a per-JVM nonce — option("...", "true")
+      // is just an unknown reader option, so the scan is masked normally
+      val forged = spark.read.option(graft.PathKeys.PlantedOption, "true").parquet(dir)
+      val names = forged.select(col("c_name")).limit(20).collect().map(_.getString(0))
+      assert(names.nonEmpty && names.forall(_.matches("[0-9a-f]{32}")),
+        s"forged marker must not unmask: ${names.take(2).mkString(",")}")
+      assert(forged.filter(col("c_mktsegment") === "BUILDING").count() == 0,
+        "forged marker must not disable the row policy")
+      // and a fragment probe with the forged marker is still refused
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+      intercept[org.apache.hadoop.security.AccessControlException](
+        spark.read.option(graft.PathKeys.PlantedOption, "true").parquet(file).count())
+    } finally MaskPolicies.clear()
+  }
+
+  test("a recursive scan rooted ABOVE a governed table is refused, not silently raw") {
+    governed()
+    try {
+      val parent = new java.io.File(dir).getParentFile.getPath
+      val e = intercept[org.apache.hadoop.security.AccessControlException](
+        spark.read.option("recursiveFileLookup", "true")
+          .schema(Tables.customer(spark, sf).schema).parquet(parent).count())
+      assert(e.getMessage.contains("includes policy-governed"), e.getMessage)
+    } finally MaskPolicies.clear()
+  }
+
   test("policies that change a column's type or name non-existent columns are rejected") {
     Tables.customer(spark, sf).write.mode(SaveMode.Overwrite).parquet(dir)
     MaskPolicies.clear()

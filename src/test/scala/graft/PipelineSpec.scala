@@ -19,6 +19,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
   }
 
+  test("MinHash library defaults are the high-recall 64 / 16x4 setting") {
+    // the cheap 32 / 8x4 setting (~0.954 recall at Jaccard 0.8) is a
+    // gate-row pin for the bimodal corpus, never the default a general
+    // caller inherits (advisor finding, round 7)
+    import spark.implicits._
+    val sh = Dedup.shingleHashes(Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"))
+    val sigs = Dedup.minhashSignatures(sh)
+    assert(sigs.columns.length == 65, s"expect doc_id + 64 sig cols, got ${sigs.columns.length}")
+    val bands = Dedup.bandIndex(sigs).select(col("band")).distinct().count()
+    assert(bands == 16, s"expect 16 bands by default, got $bands")
+  }
+
   test("incremental dedup == full-corpus pairs restricted to the new batch") {
     // the daily-ingest contract: indexing old once and joining only the
     // new batch must find exactly the full-recompute pairs that touch
