@@ -23,12 +23,14 @@ import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => security.AuthorizationRule)
-    ext.injectOptimizerRule(_ => plans.TableMaskRule)
+    // per-session instances: the authorization principal, mask-frame
+    // builder, and constraint identity must come from the session that
+    // OWNS the plan, not SparkSession.active (which on a shared thread
+    // may be a different session — a cross-session privilege confusion
+    // for the first two, a wrong-catalog rewrite for the third)
+    ext.injectOptimizerRule(s => new security.AuthorizationRule(() => s))
+    ext.injectOptimizerRule(s => new plans.TableMaskRule(() => s))
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)
-    // per-session instance: constraint identity must be verified against
-    // the catalog of the session that OWNS the plan, not SparkSession
-    // .active (which on a shared thread may be a different session)
     ext.injectOptimizerRule(s => new plans.ConstraintRewrites(() => s))
     ext.injectOptimizerRule(_ => plans.MvRewrite)
     ext.injectOptimizerRule(_ => plans.IndexRoute)

@@ -84,14 +84,22 @@ object ConstraintCatalog {
   // ConstraintRewrites verifies scan identity by resolving the table
   // NAME through the session catalog. Unbounded, that is a catalog
   // lookup + full analysis inside an optimizer rule, for every
-  // candidate scan, on every (re)optimization. The resolution is cached
-  // per (session, table) and invalidated on every constraint mutation —
-  // so the documented refresh point for a table whose LOCATION moved
-  // (e.g. a re-created temp view) is re-registering its constraints
-  // (what ConstraintOps.registerAll does) or clear(). The cache is
-  // identity-keyed on the session so two sessions with different
-  // catalogs never see each other's bindings.
-  private val locCache = new ConcurrentHashMap[String, Option[String]]()
+  // candidate scan, on every (re)optimization. Successful resolutions
+  // are cached per (session, table) and invalidated on every constraint
+  // mutation — so the documented refresh point for a table whose
+  // LOCATION moved (e.g. a re-created temp view) is re-registering its
+  // constraints (what ConstraintOps.registerAll does) or clear().
+  // The outer map holds the SESSION OBJECT weakly: identity keying
+  // without identityHashCode (which is neither collision-free across
+  // live sessions nor stable across GC'd ones — a hash reuse would let
+  // one session's binding license a join deletion against another's
+  // catalog), and a closed session's entries vanish with it.
+  // FAILED resolutions are NOT cached: a view created after its
+  // constraints were registered starts firing on its first query, and
+  // the failed-lookup path a misconfigured name pays per optimization is
+  // a cheap catalog miss, not the full analysis the cache exists for.
+  private val locCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]())
 
   /** Drop all cached name->location bindings (called on every constraint
     * mutation; call directly after re-pointing a registered table's name
@@ -100,10 +108,19 @@ object ConstraintCatalog {
 
   /** The single-root storage location the session currently resolves
     * `table` to, or None (multi-root, unresolvable). Cached — see above. */
-  private[plans] def resolvedLocation(spark: SparkSession, table: String): Option[String] =
-    locCache.computeIfAbsent(
-      System.identityHashCode(spark).toString + "#" + table.toLowerCase,
-      _ => resolveNow(spark, table.toLowerCase))
+  private[plans] def resolvedLocation(spark: SparkSession, table: String): Option[String] = {
+    val perSession = locCache.synchronized {
+      var m = locCache.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, String](); locCache.put(spark, m) }
+      m
+    }
+    val t = table.toLowerCase
+    Option(perSession.get(t)).orElse {
+      val resolved = resolveNow(spark, t)
+      resolved.foreach(perSession.put(t, _))
+      resolved
+    }
+  }
 
   private def resolveNow(spark: SparkSession, table: String): Option[String] =
     try {

@@ -95,38 +95,28 @@ object MaskPolicies {
     graft.PathKeys.containedKeys(byPath.keySet.asScala, rootPath)
 }
 
-object TableMaskRule extends Rule[LogicalPlan] {
-
-  /** The Filter(rowPolicy) + Project(masks) frame over `raw`, columns in
-    * `raw`'s order under their original names. */
-  private[plans] def maskedFrame(spark: SparkSession,
-                                 raw: org.apache.spark.sql.DataFrame,
-                                 p: MaskPolicies.Policy): org.apache.spark.sql.DataFrame = {
-    val filtered = p.rowFilter.map(raw.filter).getOrElse(raw)
-    filtered.selectExpr(raw.columns.map { c =>
-      p.masks.get(c.toLowerCase)
-        .map(m => s"($m) AS `$c`")
-        .getOrElse(s"`$c`")
-    }.toIndexedSeq: _*)
-  }
-
-  /** A scan the ENGINE planted during a rewrite — the mask frame's own
-    * fresh scan, or an index-route's pruned file scan under it. Marked
-    * structurally by a relation option ([[graft.PathKeys.PlantedOption]])
-    * whose VALUE is a per-JVM random nonce, so recognition survives plan
-    * copies with no global id set to leak AND a user cannot forge the
-    * exemption by setting the option themselves (the value they would
-    * need is unguessable and never surfaces in query-readable output).
-    * Planted scans are exempt from re-masking AND from the fragment
-    * refusal (an index route legitimately narrows a planted scan to
-    * specific files; the mask projection stays above it). */
-  private def isPlanted(fs: HadoopFsRelation): Boolean =
-    graft.PathKeys.isPlanted(fs.options)
+class TableMaskRule(sessionOf: () => SparkSession) extends Rule[LogicalPlan] {
+  import TableMaskRule.maskedFrame
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MaskPolicies.isEmpty) return plan
     plan.transform {
-      case rel @ LogicalRelation(fs: HadoopFsRelation, out, _, _, _) if !isPlanted(fs) =>
+      // DataSource V2 lane (the graftkv external-storage connector):
+      // the mask frame substitutes a parquet relation, so it cannot be
+      // grafted onto a kv scan — a governed kv dir (or a kv store inside
+      // or above one) is refused outright, never returned raw
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        rel.table match {
+          case kv: graft.sources.KvTable => refuseGovernedKv(kv.dir); rel
+          case _ => rel
+        }
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        rel.relation.table match {
+          case kv: graft.sources.KvTable => refuseGovernedKv(kv.dir); rel
+          case _ => rel
+        }
+      case rel @ LogicalRelation(fs: HadoopFsRelation, out, _, _, _)
+          if !graft.PathKeys.isPlanted(fs.options) =>
         val roots = fs.location.rootPaths
         val governed = roots.flatMap(r => MaskPolicies.lookup(r).map(r -> _))
         roots.find(MaskPolicies.coversFragment).foreach { frag =>
@@ -153,7 +143,7 @@ object TableMaskRule extends Rule[LogicalPlan] {
             "query the governed table on its own")
         else {
           val policy = governed.head._2
-          val spark = SparkSession.active
+          val spark = sessionOf()
           // fresh full-width scan: the governed relation may already be
           // column-pruned, but masks/filters may need other raw columns
           val masked = SqlShims.analyzed(maskedFrame(spark,
@@ -169,4 +159,31 @@ object TableMaskRule extends Rule[LogicalPlan] {
         }
     }
   }
+
+  private def refuseGovernedKv(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(graft.PathKeys.normalize(dir))
+    val governed = MaskPolicies.lookup(p).nonEmpty ||
+      MaskPolicies.coversFragment(p) || MaskPolicies.coveredBy(p).nonEmpty
+    if (governed)
+      throw new org.apache.hadoop.security.AccessControlException(
+        s"graftkv scan of a policy-governed location: $dir — masking is not " +
+        "expressible through the kv connector; query the governed table directly")
+  }
+}
+
+object TableMaskRule extends TableMaskRule(() => SparkSession.active) {
+
+  /** The Filter(rowPolicy) + Project(masks) frame over `raw`, columns in
+    * `raw`'s order under their original names. */
+  private[plans] def maskedFrame(spark: SparkSession,
+                                 raw: org.apache.spark.sql.DataFrame,
+                                 p: MaskPolicies.Policy): org.apache.spark.sql.DataFrame = {
+    val filtered = p.rowFilter.map(raw.filter).getOrElse(raw)
+    filtered.selectExpr(raw.columns.map { c =>
+      p.masks.get(c.toLowerCase)
+        .map(m => s"($m) AS `$c`")
+        .getOrElse(s"`$c`")
+    }.toIndexedSeq: _*)
+  }
+
 }

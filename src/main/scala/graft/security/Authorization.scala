@@ -126,29 +126,55 @@ object AccessPolicies {
 
 /** Read-path enforcement: reject any plan scanning a protected dir
   * without SELECT. Runs in the optimizer, so EVERY execution path —
-  * DataFrame, SQL, a subquery inside somebody's view — hits it. */
-object AuthorizationRule extends Rule[LogicalPlan] {
+  * DataFrame, SQL, a subquery inside somebody's view — hits it.
+  *
+  * Per-session instances are injected by GraftExtensions so the
+  * principal is read from the session that OWNS the plan — on a shared
+  * thread, `SparkSession.active` may be a DIFFERENT session, and an
+  * authorization decision made with another session's principal is
+  * exactly the cross-session confusion this must never have. */
+class AuthorizationRule(sessionOf: () => SparkSession) extends Rule[LogicalPlan] {
+  private def checkRoot(r: org.apache.hadoop.fs.Path): Unit = {
+    // Both directions of containment face the check: a root INSIDE a
+    // protected dir reads the governed object (lookupKey), and a root
+    // ABOVE one sweeps its files up (keysUnder — the
+    // recursiveFileLookup-on-parent bypass).
+    AccessPolicies.lookupKey(r)
+      .foreach(key => AccessPolicies.checkPath(sessionOf(), key, "SELECT"))
+    AccessPolicies.keysUnder(r)
+      .foreach(key => AccessPolicies.checkPath(sessionOf(), key, "SELECT"))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (AccessPolicies.isEmpty) return plan
     plan.foreach {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         // EVERY root of a multi-path relation is checked — a protected
-        // dir must not slip through behind an unprotected first path.
-        // Both directions of containment face the check: a root INSIDE a
-        // protected dir reads the governed object (lookupKey), and a
-        // root ABOVE one sweeps its files up (keysUnder — the
-        // recursiveFileLookup-on-parent bypass).
-        fs.location.rootPaths.foreach { r =>
-          AccessPolicies.lookupKey(r)
-            .foreach(key => AccessPolicies.checkPath(SparkSession.active, key, "SELECT"))
-          AccessPolicies.keysUnder(r)
-            .foreach(key => AccessPolicies.checkPath(SparkSession.active, key, "SELECT"))
+        // dir must not slip through behind an unprotected first path
+        fs.location.rootPaths.foreach(checkRoot)
+      // DataSource V2 lane (the graftkv external-storage connector):
+      // a kv store under a protected dir is the same governed object
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case kv: graft.sources.KvTable =>
+            checkRoot(new org.apache.hadoop.fs.Path(graft.PathKeys.normalize(kv.dir)))
+          case _ =>
+        }
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table match {
+          case kv: graft.sources.KvTable =>
+            checkRoot(new org.apache.hadoop.fs.Path(graft.PathKeys.normalize(kv.dir)))
+          case _ =>
         }
       case _ =>
     }
     plan
   }
 }
+
+/** Thread-active-session singleton for tests/ad-hoc use; GraftExtensions
+  * injects per-session instances. */
+object AuthorizationRule extends AuthorizationRule(() => SparkSession.active)
 
 /** SQL surface for the GRANT store — the reference's authorization DDL
   * (HiveParser.g grantPrivileges/revokePrivileges/showGrants, executed

@@ -53,6 +53,16 @@ object CompactIndexIO {
   // migrate transparently on their first refresh.
   private val CanonRe = "^([A-Za-z][A-Za-z0-9+.-]*):/(?!/)"
 
+  /** Scheme-spelling canonicalizer only — deliberately NOT a
+    * Path->toUri round trip, which double-encodes already-encoded
+    * input (`my%20t` -> `my%2520t`, verified against this Hadoop
+    * build) and would corrupt every stored value containing `%`.
+    * Percent-encoding needs no normalization here: on this Spark
+    * build both DataFrame.inputFiles and input_file_name() return the
+    * SAME URI-encoded `file:///...%20...` spelling (verified
+    * empirically with a space-containing table dir), so the only drift
+    * axis ever observed is `scheme:/` vs `scheme:///`, which this
+    * regex fixes on both the driver and the column side. */
   private[graft] def canonFile(s: String): String = s.replaceFirst(CanonRe, "$1:///")
 
   private def canonFileCol(c: Column): Column = regexp_replace(c, CanonRe, "$1:///")

@@ -166,8 +166,35 @@ object Formats {
       .orderBy(col("o_year"), col("status_np").asc_nulls_last)
   }
 
+  /** External-storage-handler analog (hbase-handler/src/java/org/apache/
+    * hadoop/hive/hbase/HBaseStorageHandler.java:90 + its
+    * decomposePredicate split): documents keyed by doc_id live in the
+    * graftkv sorted-segment store and are read back through the
+    * DataSource V2 connector ([[KvSource]]) with a key-range predicate.
+    * The connector prunes segments by key range (HBase region pruning)
+    * and stops each surviving segment at the range's stop-row; the
+    * oracle reads the same rows straight from parquet, so the hash
+    * proves the store round trip AND that pruning is a sound superset.
+    * KvHandlerSpec pins the pruning itself (fewer splits than
+    * segments). */
+  val q295_kv_handler: Q = (s, d) => {
+    val dir = tmpDir(d, "kv_documents")
+    KvStore.write(s,
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      dir, "doc_id", numSegments = 8)
+    s.read.format("graftkv").load(dir)
+      .filter(col("doc_id") >= 50 && col("doc_id") <= 249)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_id"),
+           max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_csv_roundtrip" -> q100_csv_roundtrip,
+    "q295_kv_handler" -> q295_kv_handler,
     "q101_orc_scan" -> q101_orc_scan,
     "q102_json_source" -> q102_json_source,
     "q103_text_delimited" -> q103_text_delimited,
@@ -179,6 +206,12 @@ object Formats {
   /** Oracles read the SAME data straight from parquet — the round-trip
     * must be lossless for the hash to match. */
   val oracles: Map[String, String] = Map(
+    "q295_kv_handler" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id >= 50 AND doc_id <= 249
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q100_csv_roundtrip" ->
       """SELECT c_mktsegment, COUNT(1) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_bal

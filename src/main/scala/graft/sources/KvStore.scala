@@ -1,0 +1,356 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Key-addressed segment store — the storage half of the reference's
+  * external-storage-handler contract (hbase-handler/src/java/org/apache/
+  * hadoop/hive/hbase/HBaseStorageHandler.java:90: a Hive table whose rows
+  * live in a row-key-sorted external store, where the handler's
+  * `decomposePredicate` turns row-key predicates into a narrowed store
+  * scan instead of a full sweep). The store half here is deliberately
+  * minimal — sorted row-segments with key ranges, HBase's region model in
+  * one directory — because the POINT is the engine half ([[KvSource]]):
+  * graft's DataSource V2 connector binds this store into Spark with
+  * column pruning and key-predicate pushdown, exactly the seam a real
+  * deployment uses to bind HBase/Cassandra/Bigtable through their
+  * published connectors.
+  *
+  * Layout:
+  * {{{
+  *   dir/_kv_meta          # text: version, key column, schema DDL, segment lines
+  *   dir/seg-00007-<uuid>  # rows sorted by key, binary-encoded
+  * }}}
+  *
+  * The writer range-partitions on the key, so segments are
+  * non-overlapping and ordered — a key-range query touches only the
+  * segments whose [min, max] intersects it (HBase region pruning), and a
+  * reader inside one segment can STOP at the first key past the range's
+  * upper bound (the region scan's stop-row).
+  *
+  * Scale: segments are independent write tasks and independent read
+  * splits; the meta file is one line per segment (~10^5 lines for a
+  * 100 TB store at 1 GB segments — client-metadata scale, the same
+  * cardinality as HBase's region directory). Keys are BIGINT or STRING
+  * (the rowkey analog); string ranges compare as unsigned UTF-8 bytes,
+  * which is exactly Spark's UTF8String binary order, so the writer's
+  * range partitioner and the reader's pruning can never disagree.
+  */
+object KvStore {
+
+  private[sources] val Magic = "GKV1"
+  private[sources] val MetaFile = "_kv_meta"
+  private val SegMetaDir = "_segs"
+
+  final case class Segment(file: String, rows: Long, minKey: Any, maxKey: Any)
+  final case class Meta(keyCol: String, schema: StructType, segments: Seq[Segment]) {
+    def keyIndex: Int = schema.fieldIndex(keyCol)
+    def keyIsString: Boolean = schema(keyCol).dataType == StringType
+  }
+
+  private[sources] val SupportedTypes: Set[DataType] =
+    Set(LongType, IntegerType, DoubleType, BooleanType, StringType,
+        DateType, TimestampNTZType, TimestampType)
+
+  /** Unsigned-UTF-8-byte comparison for string keys == UTF8String's
+    * binary order == the order Spark's range partitioner sorted by. */
+  private[sources] def compareKeys(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(x.getBytes(UTF_8), y.getBytes(UTF_8))
+    case _ => throw new IllegalStateException(s"unordered key pair: $a / $b")
+  }
+
+  /** Executor-shippable Hadoop configuration (the session's, not an
+    * empty default — s3a keys, fs.defaultFS, security settings must
+    * reach the tasks that open segment files). Spark's own
+    * SerializableConfiguration is private[spark], so this is the same
+    * three-line wrapper every connector writes. */
+  private[sources] final class SerConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Write `df` as a KV store keyed on `keyCol`, in `numSegments`
+    * non-overlapping sorted segments. One range shuffle (the same cost
+    * any sorted-store bulk load pays — HBase bulk loads through an
+    * identical total-order partitioning in HFileOutputFormat), then each
+    * partition streams to its segment file with no driver involvement;
+    * the driver writes the one-line-per-segment meta file LAST, which is
+    * the commit point (a crashed write leaves no meta and reads fail
+    * loudly rather than seeing half a store).
+    *
+    * DML governance: replacing a store is an INSERT that destroys the
+    * previous contents, so a protected dir demands INSERT + DELETE
+    * (the SQLStd INSERT OVERWRITE mapping, same chokepoint style as
+    * CopyOnWrite/Versioned). Replacing an EXISTING store goes through
+    * CopyOnWrite's staged swap — a concurrent reader sees the old or the
+    * new store, never a half-deleted one, and a crashed write cannot
+    * destroy the committed store.
+    *
+    * Task idempotence: segment/sidecar names are DETERMINISTIC in the
+    * partition id and each task stages to an attempt-unique temp file
+    * renamed into place on success — a retried task replaces its own
+    * output instead of duplicating it, and the meta merge can never see
+    * two files for one partition. */
+  def write(spark: SparkSession, df: DataFrame, dir: String, keyCol: String,
+            numSegments: Int): Unit = {
+    val schema = df.schema
+    require(schema.fieldNames.contains(keyCol), s"no key column $keyCol in ${schema.simpleString}")
+    val keyType = schema(keyCol).dataType
+    require(keyType == LongType || keyType == StringType,
+      s"key must be BIGINT or STRING (the rowkey analog), got ${keyType.simpleString}")
+    val unsupported = schema.fields.filterNot(f => SupportedTypes(f.dataType))
+    require(unsupported.isEmpty,
+      s"unsupported column types: ${unsupported.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    require(numSegments > 0, "numSegments must be positive")
+    graft.security.AccessPolicies.check(spark, dir, "INSERT")
+    graft.security.AccessPolicies.check(spark, dir, "DELETE")
+
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) writeInto(spark, df, root.toString, keyCol, numSegments)
+    else {
+      graft.acid.CopyOnWrite.stagedSwap(spark, dir) { staging =>
+        writeInto(spark, df, staging.toString, keyCol, numSegments); true
+      }
+      ()
+    }
+  }
+
+  private def writeInto(spark: SparkSession, df: DataFrame, dirStr: String,
+                        keyCol: String, numSegments: Int): Unit = {
+    val schema = df.schema
+    val fs = new Path(dirStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dirStr, SegMetaDir))
+    val keyIdx = schema.fieldIndex(keyCol)
+    val ddl = schema.toDDL
+    val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    // null keys are unaddressable in a key-ordered store (same contract
+    // as an HBase rowkey); sorted ascending inside each range partition
+    val sorted = df.filter(col(keyCol).isNotNull)
+      .repartitionByRange(numSegments, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+    // InternalRow lane: the on-disk encoding IS the Catalyst internal
+    // representation (micros, days, UTF8 bytes), so the read side builds
+    // InternalRows with zero conversion
+    sorted.queryExecution.toRdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val f = new Path(dirStr).getFileSystem(serConf.conf)
+        val name = f"seg-$pid%05d"
+        // attempt-unique staging + rename: the task's commit point. A
+        // rename over a competing attempt's identical deterministic
+        // output is harmless (same bytes); a failed attempt leaves only
+        // a .tmp the meta merge ignores.
+        val tmp = new Path(s"$dirStr/$SegMetaDir/$name-attempt${tc.taskAttemptId()}.tmp")
+        val out = new DataOutputStream(new java.io.BufferedOutputStream(
+          f.create(tmp, true), 1 << 16))
+        val fields = StructType.fromDDL(ddl).fields
+        var n = 0L
+        var minKey: Any = null
+        var maxKey: Any = null
+        out.writeUTF(Magic)
+        out.writeInt(fields.length)
+        out.writeUTF(ddl)
+        while (rows.hasNext) {
+          val r = rows.next()
+          val k = keyOf(r, keyIdx, fields(keyIdx).dataType)
+          if (minKey == null) minKey = k
+          maxKey = k
+          writeRow(out, r, fields)
+          n += 1
+        }
+        out.close()
+        val dest = new Path(s"$dirStr/$name")
+        f.delete(dest, false) // clear a dead attempt's rename, if any
+        require(f.rename(tmp, dest), s"cannot commit segment $dest")
+        val sm = f.create(new Path(s"$dirStr/$SegMetaDir/$name.meta"), true)
+        sm.write(s"$name\t$n\t${encKey(minKey)}\t${encKey(maxKey)}\n".getBytes(UTF_8))
+        sm.close()
+      }
+    }
+    // merge the per-segment sidecars into the single meta (commit point)
+    val segLines = fs.listStatus(new Path(dirStr, SegMetaDir)).toSeq
+      .filter(_.getPath.getName.endsWith(".meta"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val line = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        in.close(); line
+      }.sorted
+    val meta = fs.create(new Path(dirStr, MetaFile), true)
+    meta.write((s"$Magic\nkey\t$keyCol\nschema\t$ddl\n" +
+      segLines.map("seg\t" + _).mkString("\n") + "\n").getBytes(UTF_8))
+    meta.close()
+    fs.delete(new Path(dirStr, SegMetaDir), true)
+  }
+
+  private def keyOf(r: InternalRow, idx: Int, dt: DataType): Any = dt match {
+    case LongType => r.getLong(idx)
+    case StringType => r.getUTF8String(idx).toString
+    case other => throw new IllegalStateException(s"bad key type $other")
+  }
+
+  // base64 for string keys keeps the tab-separated meta line unambiguous
+  private def encKey(k: Any): String = k match {
+    case l: Long => s"L$l"
+    case s: String => "S" + java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+  }
+
+  private[sources] def decKey(s: String): Any =
+    if (s.startsWith("L")) s.drop(1).toLong
+    else new String(java.util.Base64.getDecoder.decode(s.drop(1)), UTF_8)
+
+  private def writeRow(out: DataOutputStream, r: InternalRow, fields: Array[StructField]): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      if (r.isNullAt(i)) out.writeBoolean(true)
+      else {
+        out.writeBoolean(false)
+        fields(i).dataType match {
+          case LongType | TimestampNTZType | TimestampType => out.writeLong(r.getLong(i))
+          case IntegerType | DateType => out.writeInt(r.getInt(i))
+          case DoubleType => out.writeDouble(r.getDouble(i))
+          case BooleanType => out.writeBoolean(r.getBoolean(i))
+          case StringType =>
+            val b = r.getUTF8String(i).getBytes
+            out.writeInt(b.length); out.write(b)
+          case other => throw new IllegalStateException(s"unsupported $other")
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Read the store meta; loud failure on a missing/garbled meta file
+    * (an uncommitted or half-deleted store must never read as empty). */
+  def readMeta(fs: FileSystem, dir: String): Meta = {
+    val p = new Path(dir, MetaFile)
+    require(fs.exists(p), s"not a graftkv store (no $MetaFile): $dir")
+    val in = fs.open(p)
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    in.close()
+    require(lines.headOption.contains(Magic), s"bad magic in $p")
+    var key: String = null
+    var schema: StructType = null
+    val segs = Seq.newBuilder[Segment]
+    lines.drop(1).filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1).toList match {
+        case "key" :: k :: Nil => key = k
+        case "schema" :: ddl :: Nil => schema = StructType.fromDDL(ddl)
+        case "seg" :: name :: rows :: minK :: maxK :: Nil =>
+          segs += Segment(name, rows.toLong, decKey(minK), decKey(maxK))
+        case other => throw new IllegalStateException(s"garbled meta line: $line")
+      }
+    }
+    require(key != null && schema != null, s"incomplete meta in $p")
+    Meta(key, schema, segs.result())
+  }
+
+  /** Streaming decoder over one segment file, projecting `required`
+    * columns (others are skipped without decoding) and STOPPING at the
+    * first key past `stopAt` (rows are key-sorted — the region scan's
+    * stop-row). Returns Catalyst InternalRows. */
+  private[sources] final class SegmentReader(fs: FileSystem, dir: String, file: String,
+                                             full: StructType, required: StructType,
+                                             keyCol: String, stopAt: Option[Any])
+      extends Iterator[InternalRow] with AutoCloseable {
+    private val in = new DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(dir, file)), 1 << 16))
+    require(in.readUTF() == Magic, s"bad segment magic: $file")
+    require(in.readInt() == full.fields.length, s"field-count drift: $file")
+    private val fileSchema = StructType.fromDDL(in.readUTF())
+    require(fileSchema == full, s"segment/meta schema drift in $file")
+    private val keyIdx = full.fieldIndex(keyCol)
+    // required position for each file column, -1 = skip
+    private val proj: Array[Int] = full.fields.map(f =>
+      if (required.fieldNames.contains(f.name)) required.fieldIndex(f.name) else -1)
+    private var nextRow: InternalRow = _
+    private var done = false
+
+    private def advance(): Unit = {
+      if (done) return
+      // EOFException is a clean end ONLY on the very first byte of a
+      // row; mid-row EOF is a truncated segment and propagates loudly
+      val firstNull = try in.readBoolean() catch {
+        case _: EOFException => done = true; nextRow = null; close(); return
+      }
+      val vals = new Array[Any](required.length)
+      var key: Any = null
+      readField(0, firstNull, vals)
+      if (!firstNull && keyIdx == 0) key = lastKey
+      var i = 1
+      while (i < full.length) {
+        val isNull = in.readBoolean()
+        readField(i, isNull, vals)
+        if (!isNull && i == keyIdx) key = lastKey
+        i += 1
+      }
+      if (stopAt.exists(hi => key != null && compareKeys(key, hi) > 0)) {
+        // sorted segment: every later row is past the bound too
+        done = true; nextRow = null; close()
+      } else nextRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    }
+
+    private var lastKey: Any = _
+
+    /** Decode field `i` into the projection (or skip its bytes). Key
+      * fields remember their external value for the stop-row check. */
+    private def readField(i: Int, isNull: Boolean, vals: Array[Any]): Unit = {
+      val dt = full.fields(i).dataType
+      val p = proj(i)
+      if (isNull) { if (p >= 0) vals(p) = null; return }
+      dt match {
+        case LongType | TimestampNTZType | TimestampType =>
+          val v = in.readLong()
+          if (i == keyIdx) lastKey = v
+          if (p >= 0) vals(p) = v
+        case IntegerType | DateType =>
+          val v = in.readInt(); if (p >= 0) vals(p) = v
+        case DoubleType =>
+          val v = in.readDouble(); if (p >= 0) vals(p) = v
+        case BooleanType =>
+          val v = in.readBoolean(); if (p >= 0) vals(p) = v
+        case StringType =>
+          val len = in.readInt()
+          if (p >= 0 || i == keyIdx) {
+            val b = new Array[Byte](len); in.readFully(b)
+            if (i == keyIdx) lastKey = new String(b, UTF_8)
+            if (p >= 0) vals(p) = UTF8String.fromBytes(b)
+          } else {
+            // skipBytes may skip FEWER bytes than asked (its contract);
+            // a short skip would desync the decoder silently — loop and
+            // fall back to readFully, which throws loudly on truncation
+            var left = len
+            while (left > 0) {
+              val skipped = in.skipBytes(left)
+              if (skipped > 0) left -= skipped
+              else { in.readFully(new Array[Byte](left)); left = 0 }
+            }
+          }
+        case other => throw new IllegalStateException(s"unsupported $other")
+      }
+    }
+
+    advance()
+    override def hasNext: Boolean = nextRow != null
+    override def next(): InternalRow = { val r = nextRow; advance(); r }
+    override def close(): Unit = in.close()
+  }
+}

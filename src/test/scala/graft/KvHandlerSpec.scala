@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.KvStore
+
+/** The graftkv DataSource V2 connector — the engine half of the
+  * reference's external-storage-handler contract (HBaseStorageHandler +
+  * decomposePredicate). Pins: lossless round trip for every supported
+  * type; key-range pushdown actually PRUNES splits (region pruning) and
+  * stays a sound superset; column pruning reaches the scan; string keys
+  * order by unsigned UTF-8 bytes like Spark itself; write-side contract
+  * checks (key type, unsupported columns, null keys); loud failure on an
+  * uncommitted store. */
+class KvHandlerSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan:\n" + df.queryExecution.executedPlan))
+
+  test("round trip is lossless across all supported types, nulls included") {
+    import spark.implicits._
+    val dir = "target/storage/kv_spec/typed"
+    val src = Seq(
+      (1L, Some("aa"), Some(1.5), Some(7), Some(true)),
+      (2L, None: Option[String], None: Option[Double], None: Option[Int], None: Option[Boolean]),
+      (3L, Some(""), Some(-0.0), Some(-7), Some(false)),
+      (4L, Some("z\n\ttab"), Some(Double.NaN), Some(Int.MaxValue), Some(true))
+    ).toDF("k", "s", "d", "i", "b")
+      .withColumn("ts", to_timestamp_ntz(lit("2024-01-02 03:04:05.123456")))
+      .withColumn("dt", to_date(lit("2024-02-29")))
+    KvStore.write(spark, src, dir, "k", numSegments = 2)
+    val back = spark.read.format("graftkv").load(dir)
+    assert(back.schema == src.schema, back.schema.toDDL)
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+  }
+
+  test("key-range pushdown prunes segments; answers match an unpruned scan") {
+    val dir = "target/storage/kv_spec/orders"
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+    KvStore.write(spark, src, dir, "o_orderkey", numSegments = 8)
+    val kv = spark.read.format("graftkv").load(dir)
+    // full scan plans one split per segment
+    assert(scanOf(kv).inputRDD.getNumPartitions == 8)
+    val (lo, hi) = {
+      val r = src.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      (r.getLong(0), r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8)
+    }
+    val narrowed = kv.filter(col("o_orderkey").between(lo, hi))
+    val parts = scanOf(narrowed).inputRDD.getNumPartitions
+    assert(parts < 8 && parts >= 1, s"key range did not prune: $parts of 8 splits")
+    // soundness: pruned answer == the same predicate over the source
+    val want = src.filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum("o_custkey")).collect()(0)
+    assert(narrowed.agg(count(lit(1)), sum("o_custkey")).collect()(0) == want)
+    // point lookup (EqualTo) and IN prune too, and re-filter exactly
+    val key = src.select(col("o_orderkey")).orderBy(col("o_orderkey").desc).first().getLong(0)
+    val point = kv.filter(col("o_orderkey") === key)
+    assert(scanOf(point).inputRDD.getNumPartitions == 1)
+    assert(point.count() == src.filter(col("o_orderkey") === key).count())
+    val inq = kv.filter(col("o_orderkey").isin(lo, key))
+    assert(inq.count() == src.filter(col("o_orderkey").isin(lo, key)).count())
+  }
+
+  test("column pruning reaches the scan: only required columns in the batch scan output") {
+    val dir = "target/storage/kv_spec/orders_prune" // own fixture: no test-order dependency
+    KvStore.write(spark,
+      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+      dir, "o_orderkey", numSegments = 4)
+    val kv = spark.read.format("graftkv").load(dir)
+    val pruned = kv.filter(col("o_orderkey") > 0).select(col("o_orderpriority"))
+    val out = scanOf(pruned).output.map(_.name).toSet
+    assert(out.subsetOf(Set("o_orderpriority", "o_orderkey")), out.toString)
+    assert(!out.contains("o_totalprice"), "unneeded column not pruned: " + out)
+  }
+
+  test("string keys: unsigned UTF-8 range pruning agrees with Spark's string ordering") {
+    import spark.implicits._
+    val dir = "target/storage/kv_spec/strkeys"
+    // includes a non-ASCII key: unsigned byte order puts it after ASCII
+    val src = Seq(("alpha", 1L), ("bravo", 2L), ("mike", 3L),
+                  ("zulu", 4L), ("éclair", 5L)).toDF("k", "v")
+    KvStore.write(spark, src, dir, "k", numSegments = 3)
+    val kv = spark.read.format("graftkv").load(dir)
+    assert(kv.count() == 5)
+    val got = kv.filter(col("k") >= "m" && col("k") <= "zz")
+      .select(col("v")).collect().map(_.getLong(0)).toSet
+    val want = src.filter(col("k") >= "m" && col("k") <= "zz")
+      .select(col("v")).collect().map(_.getLong(0)).toSet
+    assert(got == want, s"got $got want $want")
+    // the non-ASCII key sorts above 'zz' in unsigned byte order — both
+    // engine and store must agree it is OUT of this range
+    assert(!got.contains(5L))
+  }
+
+  test("governance: graftkv reads face SELECT checks; writes face INSERT+DELETE; masked dirs refuse") {
+    import graft.security.AccessPolicies
+    import graft.plans.MaskPolicies
+    import org.apache.hadoop.security.AccessControlException
+    import spark.implicits._
+    val dir = "target/storage/kv_spec/governed"
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    KvStore.write(spark, src, dir, "k", numSegments = 1)
+    AccessPolicies.clear(); MaskPolicies.clear()
+    try {
+      // read side: the DSv2 relation is checked like any scan of the dir
+      AccessPolicies.protect(dir)
+      spark.conf.set("graft.auth.user", "nobody")
+      intercept[AccessControlException](spark.read.format("graftkv").load(dir).count())
+      AccessPolicies.grant(dir, "nobody", "SELECT")
+      assert(spark.read.format("graftkv").load(dir).count() == 2)
+      // write side: replacing a store destroys its contents — INSERT+DELETE
+      intercept[AccessControlException](KvStore.write(spark, src, dir, "k", 1))
+      AccessPolicies.grant(dir, "nobody", "INSERT", "DELETE")
+      KvStore.write(spark, src, dir, "k", 1)
+      AccessPolicies.clear()
+      // mask side: masking is not expressible through the connector, so
+      // a governed location refuses rather than returning raw rows
+      val parquetTwin = "target/storage/kv_spec/governed_twin"
+      src.write.mode("overwrite").parquet(parquetTwin)
+      MaskPolicies.register(spark, parquetTwin, None, Map("v" -> "md5(cast(v as binary))"))
+      val nested = s"$parquetTwin/kvstore"
+      MaskPolicies.drop(parquetTwin) // write the kv store without tripping governance
+      KvStore.write(spark, src, nested, "k", 1)
+      MaskPolicies.register(spark, parquetTwin, None, Map("v" -> "md5(cast(v as binary))"))
+      val e = intercept[AccessControlException](
+        spark.read.format("graftkv").load(nested).count())
+      assert(e.getMessage.contains("graftkv"), e.getMessage)
+    } finally {
+      AccessPolicies.clear(); MaskPolicies.clear()
+      spark.conf.unset("graft.auth.user")
+    }
+  }
+
+  test("write contract: key type, unsupported columns, null keys, uncommitted store") {
+    import spark.implicits._
+    val base = "target/storage/kv_spec/contract"
+    intercept[IllegalArgumentException] { // double key
+      KvStore.write(spark, Seq((1.0, "x")).toDF("k", "v"), s"$base/a", "k", 2)
+    }
+    intercept[IllegalArgumentException] { // array column unsupported
+      KvStore.write(spark, Seq((1L, Seq(1, 2))).toDF("k", "v"), s"$base/b", "k", 2)
+    }
+    // null keys are unaddressable and dropped (rowkey contract)
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("k")
+    KvStore.write(spark, withNull, s"$base/c", "k", 2)
+    assert(spark.read.format("graftkv").load(s"$base/c").count() == 2)
+    // a dir without the meta commit point fails loudly, never reads empty
+    val broken = s"$base/d"
+    new java.io.File(broken).mkdirs()
+    val e = intercept[Exception](spark.read.format("graftkv").load(broken).count())
+    assert(e.getMessage.contains("graftkv"), e.getMessage)
+  }
+}
