@@ -601,7 +601,56 @@ object StorageOps {
     merged.unionAll(compacted).orderBy(col("lane"), col("o_orderstatus"))
   }
 
+  /** Warehouse replication round-trip (etl/Replication — the reference's
+    * replication-v1: EXPORT/IMPORT FOR REPLICATION + notification-log
+    * replay, ReplicationSpec.java / DbNotificationListener.java): a
+    * versioned source table is BOOTSTRAP-synced to a replica, then
+    * mutated (deletes + attribute updates + inserts in one commit) and
+    * INCREMENTALLY synced — only the CDC events ship the second time.
+    * An extra replay of the same incremental dump pins idempotency
+    * (ReplicationSpec.allowEventReplacementInto: events at or below the
+    * replica's state are no-ops); a duplicate apply would double rows
+    * and break the hash. The oracle recomputes the FINAL source state
+    * relationally — the replica must equal it exactly. */
+  val q296_replication: Q = (s, d) => {
+    import graft.etl.Replication
+    val src = tmp(d, "repl_src")
+    val dst = tmp(d, "repl_dst")
+    val dump1 = tmp(d, "repl_dump_boot")
+    val dump2 = tmp(d, "repl_dump_inc")
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(src, dst, dump1, dump2).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val keys = Seq("o_orderkey")
+    val v1 = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Versioned.commit(s, src, v1)
+    Replication.sync(s, src, dst, dump1, keys) // bootstrap
+
+    val v2 = v1.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("P")).otherwise(col("o_orderstatus")))
+      .unionByName(Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+                lit("R").as("o_orderstatus"), col("o_totalprice")))
+    Versioned.commit(s, src, v2)
+    Replication.sync(s, src, dst, dump2, keys) // incremental: CDC only
+    Replication.load(s, dump2, dst)            // replay: must be a no-op
+
+    Versioned.read(s, dst)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"),
+           min(col("o_orderkey")).as("min_key"),
+           max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q296_replication" -> q296_replication,
     "q196_compaction" -> q196_compaction,
     "q269_compact_index" -> q269_compact_index,
     "q275_minmax_index" -> q275_minmax_index,
@@ -627,6 +676,23 @@ object StorageOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q296_replication" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'P' ELSE o_orderstatus END
+        |           AS o_orderstatus,
+        |         o_totalprice
+        |  FROM v1 WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, 'R', o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q279_index_transparent" ->
       """SELECT o_orderpriority, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price

@@ -96,13 +96,26 @@ object AccessPolicies {
   private[security] def checkPath(spark: SparkSession, key: String, priv: String): Unit =
     Option(byPath.get(key)).foreach { grants =>
       val user = currentUser(spark)
-      val held = Option(grants.get(user)).getOrElse(Set.empty)
+      val held = effective(spark, grants, user)
       if (!held(priv.toUpperCase)) {
         val heldStr = if (held.isEmpty) "none" else held.mkString(",")
         throw new AccessControlException(
           s"principal '$user' lacks $priv on $key (held: $heldStr)")
       }
     }
+
+  /** Effective privileges = direct user grants + grants of every
+    * CURRENTLY ACTIVE role (SQLAuthorizationUtils
+    * .getPrivilegesFromMetaStore unions user- and role-principal grants
+    * the same way; activation is [[Roles.currentRoles]]). */
+  private def effective(spark: SparkSession,
+                        grants: ConcurrentHashMap[String, Set[String]],
+                        user: String): Set[String] = {
+    val direct = Option(grants.get(user)).getOrElse(Set.empty)
+    val viaRoles = Roles.currentRoles(spark).flatMap(r =>
+      Option(grants.get(Roles.rolePrincipal(r))).getOrElse(Set.empty))
+    direct ++ viaRoles
+  }
 
   /** Governed key for a scan root — CONTAINMENT, not equality: a scan
     * of a partition subdir, a single data file, or a versioned table's
@@ -120,6 +133,23 @@ object AccessPolicies {
     * too, not just containment upward. */
   private[security] def keysUnder(rootPath: org.apache.hadoop.fs.Path): Seq[String] =
     graft.PathKeys.containedKeys(byPath.keySet.asScala, rootPath)
+
+  /** Every governed object a scan of `root` touches, without throwing —
+    * the EXPLAIN AUTHORIZATION probe (ExplainTask's authorization mode
+    * reports required privileges instead of failing the query): the
+    * containing governed dir plus any governed dirs swept up underneath
+    * an ancestor scan. */
+  def governing(root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(normalize(root))
+    (lookupKey(p).toSeq ++ keysUnder(p)).distinct
+  }
+
+  /** Privileges the current principal EFFECTIVELY holds on a governed
+    * key — direct plus active-role grants, the same view enforcement
+    * uses (read by EXPLAIN AUTHORIZATION). */
+  def held(spark: SparkSession, key: String): Set[String] =
+    Option(byPath.get(key))
+      .map(g => effective(spark, g, currentUser(spark))).getOrElse(Set.empty)
 
   private def normalize(dir: String): String = graft.PathKeys.normalize(dir)
 }
@@ -194,32 +224,90 @@ object AuthorizationRule extends AuthorizationRule(() => SparkSession.active)
 object AuthDdl {
 
   private val GrantRe =
-    """(?is)\s*GRANT\s+([A-Z, ]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(?:USER\s+)?([\w]+)\s*;?\s*""".r
+    """(?is)\s*GRANT\s+([A-Z, ]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(?:(USER|ROLE)\s+)?([\w]+)\s*;?\s*""".r
   private val RevokeRe =
-    """(?is)\s*REVOKE\s+([A-Z, ]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(?:USER\s+)?([\w]+)\s*;?\s*""".r
+    """(?is)\s*REVOKE\s+([A-Z, ]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(?:(USER|ROLE)\s+)?([\w]+)\s*;?\s*""".r
   private val ShowRe =
-    """(?is)\s*SHOW\s+GRANT\s+(?:USER\s+([\w]+)\s+)?ON\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+GRANT\s+(?:(USER|ROLE)\s+([\w]+)\s+)?ON\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*""".r
+
+  // Role administration (HiveParser.g createRoleStatement,
+  // grantRole/revokeRole, setRole, showRoles/showCurrentRole/
+  // showRolePrincipals — executed by DDLTask against
+  // SQLStdHiveAccessController).
+  private val CreateRoleRe = """(?is)\s*CREATE\s+ROLE\s+([\w]+)\s*;?\s*""".r
+  private val DropRoleRe = """(?is)\s*DROP\s+ROLE\s+([\w]+)\s*;?\s*""".r
+  private val GrantRoleRe =
+    """(?is)\s*GRANT\s+ROLE\s+([\w]+)\s+TO\s+(USER|ROLE)\s+([\w]+)\s*;?\s*""".r
+  private val RevokeRoleRe =
+    """(?is)\s*REVOKE\s+ROLE\s+([\w]+)\s+FROM\s+(USER|ROLE)\s+([\w]+)\s*;?\s*""".r
+  private val SetRoleRe = """(?is)\s*SET\s+ROLE\s+([\w]+)\s*;?\s*""".r
+  private val ShowRolesRe = """(?is)\s*SHOW\s+ROLES\s*;?\s*""".r
+  private val ShowCurrentRe = """(?is)\s*SHOW\s+CURRENT\s+ROLES\s*;?\s*""".r
+  private val ShowRoleGrantRe =
+    """(?is)\s*SHOW\s+ROLE\s+GRANT\s+USER\s+([\w]+)\s*;?\s*""".r
+  private val ShowPrincipalsRe =
+    """(?is)\s*SHOW\s+PRINCIPALS\s+([\w]+)\s*;?\s*""".r
 
   def matches(sql: String): Boolean = sql match {
-    case GrantRe(_, _, _) | RevokeRe(_, _, _) | ShowRe(_, _) => true
+    case GrantRoleRe(_, _, _) | RevokeRoleRe(_, _, _) => true
+    case GrantRe(_, _, _, _) | RevokeRe(_, _, _, _) | ShowRe(_, _, _) => true
+    case CreateRoleRe(_) | DropRoleRe(_) | SetRoleRe(_) => true
+    case ShowRolesRe() | ShowCurrentRe() | ShowRoleGrantRe(_) | ShowPrincipalsRe(_) => true
     case _ => false
   }
 
+  /** "role:x" for ROLE principals (the grant store's discriminator),
+    * the bare name for USER (absent type defaults to USER, as in the
+    * reference grammar's principalName). A ROLE grantee must exist —
+    * the metastore fails grants to unknown roles. */
+  private def principalKey(kind: String, name: String): String =
+    if (kind != null && kind.equalsIgnoreCase("ROLE")) {
+      if (!Roles.exists(name))
+        throw new IllegalArgumentException(s"role $name does not exist")
+      Roles.rolePrincipal(name)
+    } else name
+
   def run(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = sql match {
-    case GrantRe(privs, table, user) =>
-      AccessPolicies.grant(locationOf(spark, table), user, splitPrivs(privs): _*)
+    case GrantRoleRe(role, kind, grantee) =>
+      if (kind.equalsIgnoreCase("ROLE")) Roles.grantToRole(spark, role, grantee)
+      else Roles.grantToUser(spark, role, grantee)
       spark.emptyDataFrame
-    case RevokeRe(privs, table, user) =>
-      AccessPolicies.revoke(locationOf(spark, table), user, splitPrivs(privs): _*)
+    case RevokeRoleRe(role, kind, grantee) =>
+      if (kind.equalsIgnoreCase("ROLE")) Roles.revokeFromRole(spark, role, grantee)
+      else Roles.revokeFromUser(spark, role, grantee)
       spark.emptyDataFrame
-    case ShowRe(user, table) =>
+    case GrantRe(privs, table, kind, principal) =>
+      AccessPolicies.grant(locationOf(spark, table),
+        principalKey(kind, principal), splitPrivs(privs): _*)
+      spark.emptyDataFrame
+    case RevokeRe(privs, table, kind, principal) =>
+      AccessPolicies.revoke(locationOf(spark, table),
+        principalKey(kind, principal), splitPrivs(privs): _*)
+      spark.emptyDataFrame
+    case ShowRe(kind, principal, table) =>
       import scala.jdk.CollectionConverters._
+      val want = if (principal == null) null else principalKey(kind, principal)
       val rows = AccessPolicies.grants(locationOf(spark, table))
-        .filter { case (u, _) => user == null || u == user }
+        .filter { case (u, _) => want == null || u == want }
         .map { case (u, p) => org.apache.spark.sql.Row(u, p) }
       spark.createDataFrame(rows.asJava,
         org.apache.spark.sql.types.StructType.fromDDL(
           "principal STRING, privilege STRING"))
+    case CreateRoleRe(role) => Roles.create(spark, role); spark.emptyDataFrame
+    case DropRoleRe(role) => Roles.drop(spark, role); spark.emptyDataFrame
+    case SetRoleRe(role) => Roles.setCurrentRole(spark, role); spark.emptyDataFrame
+    case ShowRolesRe() => Roles.df(spark, "role", Roles.showRoles(spark))
+    case ShowCurrentRe() =>
+      Roles.df(spark, "role", Roles.currentRoles(spark).toSeq.sorted)
+    case ShowRoleGrantRe(user) =>
+      Roles.df(spark, "role", Roles.rolesOf(user).toSeq.sorted)
+    case ShowPrincipalsRe(role) =>
+      import scala.jdk.CollectionConverters._
+      val rows = Roles.principals(spark, role)
+        .map { case (k, n) => org.apache.spark.sql.Row(k, n) }
+      spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "principal_type STRING, principal_name STRING"))
     case _ => throw new IllegalArgumentException(s"not an authorization statement: $sql")
   }
 

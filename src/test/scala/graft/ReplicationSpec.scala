@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.acid.Versioned
+import graft.etl.Replication
+
+/** Warehouse replication (etl/Replication — ReplicationSpec.java +
+  * notification-log replay analog). Pins: bootstrap then incremental
+  * sync converge the replica to the source; incremental ships ONLY the
+  * CDC events (no full snapshot in the dump); replay of an applied dump
+  * is a no-op; a gap (missing events) and a re-bootstrap of a live
+  * replica are refused; the state marker tracks repl.last.id. */
+class ReplicationSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def dirs(name: String): (String, String, String) = {
+    val root = s"target/storage/repl_spec/$name"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$root/src", s"$root/dst", s"$root/dump").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    (s"$root/src", s"$root/dst", s"$root/dump")
+  }
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("o_orderkey").collect().toSeq
+
+  test("bootstrap + incremental sync converge the replica; incremental dumps carry only events") {
+    val (src, dst, dump) = dirs("converge")
+    val keys = Seq("o_orderkey")
+    val v1 = Tables.orders(spark, sf).limit(300)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Versioned.commit(spark, src, v1)
+    val s1 = Replication.sync(spark, src, dst, dump, keys)
+    assert(s1 == 1 && Replication.lastReplicatedId(spark, dst).contains(1))
+    assert(sorted(Versioned.read(spark, dst)) == sorted(v1))
+
+    val v2 = v1.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 2 === 0, lit("Z")).otherwise(col("o_orderstatus")))
+    Versioned.commit(spark, src, v2)
+    val s2 = Replication.sync(spark, src, dst, dump, keys)
+    assert(s2 == 2)
+    assert(sorted(Versioned.read(spark, dst)) == sorted(v2))
+
+    // the incremental dump holds CDC rows, not a snapshot: every row is
+    // one of the four lanes and the count is bounded by the churn
+    val events = spark.read.parquet(s"$dump/events")
+    val lanes = events.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(lanes.subsetOf(Set("insert", "delete", "update_preimage", "update_postimage")))
+    assert(events.count() < 2 * v1.count())
+  }
+
+  test("replaying an applied dump is a no-op; gaps and re-bootstraps are refused") {
+    val (src, dst, dump) = dirs("idem")
+    val keys = Seq("o_orderkey")
+    val v1 = Tables.orders(spark, sf).limit(120)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Versioned.commit(spark, src, v1)
+    Replication.sync(spark, src, dst, dump, keys)
+    Versioned.commit(spark, src, v1.filter(col("o_orderkey") % 3 =!= 0))
+    Replication.sync(spark, src, dst, dump, keys)
+    val after = sorted(Versioned.read(spark, dst))
+
+    // idempotent replay: same dump again changes nothing
+    assert(Replication.load(spark, dump, dst) == 2)
+    assert(sorted(Versioned.read(spark, dst)) == after)
+    assert(Versioned.currentVersion(spark, dst).contains(2))
+
+    // gap: a dump starting past the replica's state is refused
+    Versioned.commit(spark, src, v1.limit(50))
+    Versioned.commit(spark, src, v1.limit(40))
+    Replication.dump(spark, src, dump, keys, fromId = Some(3))
+    intercept[Replication.ReplGapException](Replication.load(spark, dump, dst))
+
+    // re-bootstrap of a live replica is refused (would fork history)
+    Replication.dump(spark, src, dump, keys, fromId = None)
+    intercept[Replication.ReplGapException](Replication.load(spark, dump, dst))
+  }
+
+  test("empty incremental (no new events) advances nothing and is valid") {
+    val (src, dst, dump) = dirs("empty")
+    val keys = Seq("o_orderkey")
+    Versioned.commit(spark, src,
+      Tables.orders(spark, sf).limit(60).select(col("o_orderkey"), col("o_totalprice")))
+    Replication.sync(spark, src, dst, dump, keys)
+    // no new source commits: sync dumps an empty event batch and no-ops
+    assert(Replication.sync(spark, src, dst, dump, keys) == 1)
+    assert(Versioned.currentVersion(spark, dst).contains(1))
+    assert(Replication.lastReplicatedId(spark, dst).contains(1))
+  }
+}
