@@ -116,12 +116,24 @@ object CopyOnWrite {
     }
   }
 
-  private[graft] def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = new Path(path + ".cow_lock")
-    acquireLock(fs, lock, "COW")
-    try body finally fs.delete(lock, false)
-  }
+  private[graft] def withTableLock[T](spark: SparkSession, path: String)(body: => T): T =
+    spark.conf.getOption("graft.txn.dir") match {
+      case Some(txnDir) =>
+        // shared lock-service mode (DbTxnManager/TxnHandler analog): the
+        // writer's X lock goes through the cross-process queue in
+        // `txnDir`, so COW/versioned writers coordinate with every other
+        // client of that service, not just writers of this table path
+        val tm = TxnManager(spark, txnDir)
+        val h = tm.acquireLocks(Seq(TxnManager.LockComponent(
+          TxnManager.Exclusive, "default", Some(new Path(path).getName))))
+        val hb = tm.startHeartbeater(30000L)
+        try body finally { hb.close(); tm.unlock(h.extLockId) }
+      case None =>
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lock = new Path(path + ".cow_lock")
+        acquireLock(fs, lock, "COW")
+        try body finally fs.delete(lock, false)
+    }
 
   /** The shared staged-swap protocol: clear staging/backup, let `write`
     * produce the staging dir, then current -> backup, staging -> current,
@@ -238,6 +250,7 @@ object CopyOnWrite {
     val ideal = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (nFiles <= 2 * ideal) (nFiles, nFiles)
     else {
+      val start = System.currentTimeMillis()
       stagedSwap(spark, path) { staging =>
         // coalesce, not repartition: compaction must not shuffle the data,
         // only concatenate scan splits into fewer writers
@@ -247,6 +260,8 @@ object CopyOnWrite {
       }
       val after = fs.listStatus(new Path(path))
         .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      CompactionHistory.record(spark, new Path(path).getName, None,
+        "MINOR", "succeeded", start)
       (nFiles, after)
     }
   }

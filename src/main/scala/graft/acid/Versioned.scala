@@ -155,7 +155,12 @@ object Versioned {
         f.exists(new Path(versionPath(base, v), DeltaMarker)))
       val baseOfOldestKept = fulls.filter(_ <= oldestKept).last
       val old = vs.filter(_ < baseOfOldestKept)
-      old.foreach(v => f.delete(versionPath(base, v), true))
+      if (old.nonEmpty) {
+        val start = System.currentTimeMillis()
+        old.foreach(v => f.delete(versionPath(base, v), true))
+        CompactionHistory.record(spark, new Path(base).getName, None,
+          "CLEANER", "succeeded", start)
+      }
       old
     }
 
@@ -378,7 +383,13 @@ object Versioned {
       val vs = resolveUnlocked(spark, base)
       val hasDeltas = f.exists(new Path(versionPath(base, vs.last), DeltaMarker))
       if (!hasDeltas) vs.last
-      else commitUnlocked(spark, base, readMerged(spark, base, keys))
+      else {
+        val start = System.currentTimeMillis()
+        val v = commitUnlocked(spark, base, readMerged(spark, base, keys))
+        CompactionHistory.record(spark, new Path(base).getName, None,
+          "MAJOR", "succeeded", start)
+        v
+      }
     }
 
   /** Maintenance outcome: how many deltas sat at the head, whether they

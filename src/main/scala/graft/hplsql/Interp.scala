@@ -536,6 +536,13 @@ object Hplsql {
         // GRANT / REVOKE / SHOW GRANT (HiveParser.g grantPrivileges) —
         // grammar Spark lacks, routed to the engine's grant store
         graft.security.AuthDdl.run(spark, sql)
+      } else if (graft.acid.TxnDdl.matches(sql)) {
+        // SHOW LOCKS / SHOW TRANSACTIONS / SHOW COMPACTIONS / ABORT
+        // (HiveParser.g showStatement, abortTransactionStatement)
+        graft.acid.TxnDdl.run(spark, sql)
+      } else if (graft.plans.ExplainDdl.matches(sql)) {
+        // EXPLAIN DEPENDENCY / AUTHORIZATION (ExplainTask.java:88)
+        graft.plans.ExplainDdl.run(spark, sql)
       } else spark.sql(sql)
 
     private def runSelectInto(sql: String, into: Seq[String]): Unit = {
