@@ -77,6 +77,10 @@ object Bench {
     "q276_mv_rewrite",     // materialized-view rewrite (builds the view inline
                            // each pass, so this UPPER-BOUNDS the production
                            // cost of a view-routed read)
+    "q296_replication",    // bootstrap + incremental CDC replication round
+                           // trip (source build, two syncs and a replay all
+                           // inline — upper-bounds a production sync, which
+                           // pays only the incremental diff)
   )
 
   /** Every headline name must resolve in SparkEntry.queries — a silent

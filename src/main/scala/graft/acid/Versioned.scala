@@ -61,6 +61,12 @@ object Versioned {
     new Path(s"$base/$VersionsDir/v${("%0" + Pad + "d").format(v)}")
 
   /** Committed version numbers, ascending (metadata listing only). */
+  /** Whether `base` is a versioned table (has a version history dir) —
+    * the warehouse-scan probe the auto-compactor uses; one metadata
+    * existence check, no data read. */
+  def isVersionedTable(spark: SparkSession, base: String): Boolean =
+    fs(spark, base).exists(new Path(s"$base/$VersionsDir"))
+
   def versions(spark: SparkSession, base: String): Seq[Int] = {
     val f = fs(spark, base)
     val dir = new Path(s"$base/$VersionsDir")

@@ -407,6 +407,14 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
 
   private def parseSet(ln: Int): Stmt = {
     advance() // SET
+    if (at("ROLE") && la(1).text != "=" && la(1).text != ",") {
+      // SET ROLE r|ALL|NONE (HiveParser.g setRole) — session role
+      // activation, not a variable assignment (a variable legitimately
+      // NAMED role still assigns: `SET role = 5`); routed like the
+      // other authorization DDL
+      return mark(SqlPassthrough(
+        Token(Tok.Ident, "SET", ln) +: captureSqlTokens()), ln)
+    }
     if (atOp("(")) { // SET (a, b) = (e1, e2)
       advance()
       val names = ArrayBuffer(advance().text)

@@ -50,8 +50,32 @@ object GovernanceOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Role-scoped masking (the Ranger policy-item carve-out grafted onto
+    * plans/TableMask + security/Roles): the policy names an exempt role
+    * (`auditor`); the gate session holds no such role, so its PLAIN
+    * read must come back masked and row-filtered — which the oracle
+    * recomputes relationally. The exemption side (an ACTIVE auditor
+    * role reads raw; dropping it re-masks) is pinned by RolesSpec,
+    * since "raw" is only observable against the engine itself. */
+  val q297_role_masking: Q = (s, d) => {
+    val dir = gateDir(d, "governed_customer_roles")
+    Tables.customer(s, d).write.mode(SaveMode.Overwrite).parquet(dir)
+    MaskPolicies.drop(dir)
+    MaskPolicies.register(s, dir,
+      rowFilter = Some("c_acctbal > 0"),
+      masks = Map("c_name" -> "md5(cast(c_name as binary))"),
+      exemptRoles = Set("auditor"))
+    s.read.parquet(dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+           min(col("c_name")).as("min_masked_name"),
+           max(col("c_name")).as("max_masked_name"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q293_masked_policy" -> q293_masked_policy,
+    "q297_role_masking" -> q297_role_masking,
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,5 +96,16 @@ object GovernanceOps {
         |FROM masked
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q297_role_masking" ->
+      """WITH masked AS (
+        |  SELECT c_nationkey, md5(c_name) AS c_name
+        |  FROM customer
+        |  WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS n,
+        |       min(c_name) AS min_masked_name,
+        |       max(c_name) AS max_masked_name
+        |FROM masked
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
   )
 }

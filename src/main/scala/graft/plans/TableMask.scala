@@ -46,16 +46,25 @@ object MaskPolicies {
 
   /** `masks`: column name -> SQL expression over the table's raw columns
     * (must evaluate to the column's own type). `rowFilter`: SQL boolean
-    * over raw columns; rows failing it are invisible. */
+    * over raw columns; rows failing it are invisible. `exemptRoles`:
+    * sessions whose ACTIVE roles intersect this set read the table RAW
+    * — the Ranger policy-item model, where a mask/row-filter policy
+    * names the users/groups/roles it applies to and privileged roles
+    * (auditors, data stewards) are carved out. Empty = applies to
+    * everyone. */
   final case class Policy(tableDir: String, rowFilter: Option[String],
-                          masks: Map[String, String])
+                          masks: Map[String, String],
+                          exemptRoles: Set[String] = Set.empty)
 
   private val byPath = new ConcurrentHashMap[String, Policy]()
 
   def register(spark: SparkSession, tableDir: String, rowFilter: Option[String],
-               masks: Map[String, String]): Unit = {
+               masks: Map[String, String],
+               exemptRoles: Set[String] = Set.empty): Unit = {
     require(rowFilter.nonEmpty || masks.nonEmpty, "empty policy")
-    val policy = Policy(tableDir, rowFilter, masks.map { case (k, v) => (k.toLowerCase, v) })
+    val policy = Policy(tableDir, rowFilter,
+      masks.map { case (k, v) => (k.toLowerCase, v) },
+      exemptRoles.map(_.toLowerCase))
     val raw = spark.read.parquet(tableDir)
     val unknown = policy.masks.keySet -- raw.columns.map(_.toLowerCase).toSet
     require(unknown.isEmpty, s"mask on non-existent column(s): ${unknown.mkString(", ")}")
@@ -141,7 +150,16 @@ class TableMaskRule(sessionOf: () => SparkSession) extends Rule[LogicalPlan] {
           throw new org.apache.hadoop.security.AccessControlException(
             s"multi-path scan includes policy-governed table ${governed.head._1}; " +
             "query the governed table on its own")
-        else {
+        else if ({
+          val policy = governed.head._2
+          policy.exemptRoles.nonEmpty &&
+            graft.security.Roles.currentRoles(sessionOf()).exists(policy.exemptRoles)
+        }) {
+          // an ACTIVE exempt role reads raw — the Ranger policy-item
+          // carve-out. Activation is SET ROLE state, so an auditor who
+          // drops the role (SET ROLE NONE) is masked again immediately.
+          rel
+        } else {
           val policy = governed.head._2
           val spark = sessionOf()
           // fresh full-width scan: the governed relation may already be

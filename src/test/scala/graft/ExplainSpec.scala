@@ -46,6 +46,35 @@ class ExplainSpec extends AnyFunSuite {
       names.exists(_.contains("nation.parquet")))
   }
 
+  test("EXPLAIN AUTHORIZATION verdicts reflect EFFECTIVE privileges: a role grant flips allowed with activation") {
+    import graft.security.Roles
+    val dir = Files.createTempDirectory("graft_explain_roles").toString + "/guarded"
+    Tables.nation(spark, sf).write.parquet(dir)
+    AccessPolicies.clear(); Roles.clear()
+    Roles.addAdmin("root")
+    spark.conf.set("graft.auth.user", "root")
+    Roles.setCurrentRole(spark, "admin")
+    try {
+      AccessPolicies.protect(dir)
+      Roles.create(spark, "readers")
+      Roles.grantToUser(spark, "readers", "lena")
+      AccessPolicies.grant(dir, Roles.rolePrincipal("readers"), "SELECT")
+      val probe = spark.read.parquet(dir)
+      def allowed(): Boolean = GraftExplain.authorization(spark, probe)
+        .collect().forall(_.getBoolean(4))
+      spark.conf.set("graft.auth.user", "lena")
+      spark.conf.unset("graft.auth.roles")
+      assert(allowed()) // role active by default
+      Roles.setCurrentRole(spark, "none")
+      assert(!allowed()) // deactivated: direct grants only, none held
+      Roles.setCurrentRole(spark, "readers")
+      assert(allowed())
+    } finally {
+      AccessPolicies.clear(); Roles.clear()
+      spark.conf.unset("graft.auth.user"); spark.conf.unset("graft.auth.roles")
+    }
+  }
+
   test("EXPLAIN AUTHORIZATION reports governance verdicts without running or throwing") {
     val dir = Files.createTempDirectory("graft_explain_auth").toString + "/secret"
     Tables.orders(spark, sf).write.parquet(dir)

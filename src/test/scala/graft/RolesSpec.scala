@@ -140,6 +140,57 @@ class RolesSpec extends AnyFunSuite {
     } finally cleanup()
   }
 
+  test("mask policies honor exempt roles: active auditor reads raw, dropping it re-masks") {
+    fresh()
+    try {
+      val gov = "target/storage/roles_spec/governed_customer"
+      Tables.customer(spark, sf).limit(80)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(gov)
+      graft.plans.MaskPolicies.drop(gov)
+      graft.plans.MaskPolicies.register(spark, gov,
+        rowFilter = None, masks = Map("c_name" -> "mask(c_name)"),
+        exemptRoles = Set("auditor"))
+      try {
+        Roles.create(spark, "auditor")
+        Roles.grantToUser(spark, "auditor", "amy")
+        def names() = spark.read.parquet(gov).select("c_name")
+          .limit(5).collect().map(_.getString(0)).toSeq
+        // no auditor role: masked (digits become n)
+        as("zed") { assert(names().forall(_.forall(c => !c.isDigit))) }
+        as("amy") {
+          assert(names().exists(_.exists(_.isDigit))) // role active by default
+          Roles.setCurrentRole(spark, "none")
+          assert(names().forall(_.forall(c => !c.isDigit))) // re-masked
+          Roles.setCurrentRole(spark, "auditor")
+          assert(names().exists(_.exists(_.isDigit))) // raw again
+        }
+      } finally graft.plans.MaskPolicies.drop(gov)
+    } finally cleanup()
+  }
+
+  test("role DDL routes through the HPL/SQL passthrough (HiveParser.g setRole/showRoles)") {
+    fresh()
+    try {
+      import graft.hplsql.Hplsql
+      Hplsql.run(spark,
+        """CREATE ROLE pipeline;
+          |GRANT ROLE pipeline TO USER ivan;""".stripMargin)
+      assert(Roles.exists("pipeline"))
+      assert(Roles.rolesOf("ivan").contains("pipeline"))
+      as("ivan") {
+        Hplsql.run(spark, "SET ROLE pipeline;")
+        assert(Roles.currentRoles(spark) == Set("pipeline", "public"))
+        Hplsql.run(spark, "SET ROLE NONE;")
+        assert(Roles.currentRoles(spark) == Set("public"))
+        Hplsql.run(spark, "SET ROLE ALL;")
+        assert(Roles.currentRoles(spark) == Set("pipeline", "public"))
+      }
+      // a variable legitimately named role still assigns
+      assert(Hplsql.run(spark,
+        "DECLARE role INT; SET role = 5; PRINT role;").output.trim == "5")
+    } finally cleanup()
+  }
+
   test("role DDL surface: CREATE/GRANT/SET/SHOW/REVOKE/DROP ROLE round-trip") {
     fresh()
     try {
