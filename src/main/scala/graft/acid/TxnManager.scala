@@ -242,8 +242,15 @@ final class TxnManager(spark: SparkSession, dir: String, user: String) {
     require(components.nonEmpty, "empty lock request")
     if (txnId != 0L && !fs.exists(txnFile("open", txnId)))
       throw new TxnAbortedException(s"txn $txnId is not open")
-    val extId = allocate(lockIdsDir, fmtId)
     withMutex {
+      // id allocation MUST sit inside the critical section with the
+      // component-file writes: allocated-outside, a later requester's
+      // grant check (which scans only SMALLER ids) could run in the
+      // window where this id exists but its files don't — and both
+      // sides of an exclusive conflict would grant. The reference gets
+      // this atomicity from TxnHandler's serializable DB transaction
+      // (enqueue + checkLock in one txn); the mutex is our stand-in.
+      val extId = allocate(lockIdsDir, fmtId)
       val f = fs
       components.zipWithIndex.foreach { case (c, i) =>
         writeAtomic(f, lockFileName(extId, i, Waiting),

@@ -71,6 +71,14 @@ object Replication {
       throw new IllegalArgumentException(s"$srcBase is not a versioned table"))
     val from = fromId.getOrElse(0)
     require(from >= 0 && from <= last, s"fromId $from outside history 0..$last")
+    // vacuumed history: the from-snapshot is gone, so the CDC diff is
+    // uncomputable — say so and name the fix (the reference's repl
+    // equivalent: events aged out of the notification log force a
+    // fresh bootstrap)
+    if (from > 0 && !Versioned.versions(spark, srcBase).contains(from))
+      throw new ReplGapException(
+        s"source history at version $from has been vacuumed; the " +
+          "destination must be re-bootstrapped (drop it and dump with fromId=None)")
 
     val out = new Path(dumpDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -166,7 +166,30 @@ object LongTail {
       .orderBy(col("p_partkey"))
   }
 
+  /** Compiled-UDF deployment end-to-end (functions/UdfDeploy — the
+    * FunctionTask/Registry analog): two example classes (the contrib
+    * module analog) deployed via the DDL through the HPL/SQL route,
+    * then called from a plain relational query. The oracle recomputes
+    * both evaluate bodies relationally; overload resolution is visible
+    * in the hash (the Int overload returns ints, the Double one
+    * doubles). DROP at the end proves deregistration (UdfDeploySpec
+    * pins the post-drop failure). */
+  val q298_udf_deploy: Q = (s, d) => {
+    graft.hplsql.Hplsql.run(s,
+      """CREATE TEMPORARY FUNCTION example_add AS 'graft.examples.ExampleAddUdf';
+        |CREATE TEMPORARY FUNCTION redact_digits AS 'graft.examples.ExampleRedactDigitsUdf';""".stripMargin)
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 400)
+      .select(
+        col("p_partkey"),
+        expr("example_add(cast(p_size as int), 7)").as("v_int_add"),
+        expr("example_add(cast(p_retailprice as double), 0.5d)").as("v_dbl_add"),
+        expr("redact_digits(p_name)").as("v_redacted"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q298_udf_deploy" -> q298_udf_deploy,
     "q167_longtail_scalars" -> q167_longtail_scalars,
     "q168_complex_access" -> q168_complex_access,
     "q169_bitmap_index" -> q169_bitmap_index,
@@ -176,6 +199,14 @@ object LongTail {
   )
 
   val oracles: Map[String, String] = Map(
+    "q298_udf_deploy" ->
+      """SELECT p_partkey,
+        |       CAST(p_size AS INTEGER) + 7 AS v_int_add,
+        |       p_retailprice + 0.5 AS v_dbl_add,
+        |       regexp_replace(p_name, '[0-9]', '#', 'g') AS v_redacted
+        |FROM part
+        |WHERE p_partkey <= 400
+        |ORDER BY p_partkey""".stripMargin,
     "q264_reflect2" ->
       """SELECT p_partkey,
         |  CAST(length(p_brand) AS INT) AS v_len,

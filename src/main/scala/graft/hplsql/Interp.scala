@@ -543,6 +543,10 @@ object Hplsql {
       } else if (graft.plans.ExplainDdl.matches(sql)) {
         // EXPLAIN DEPENDENCY / AUTHORIZATION (ExplainTask.java:88)
         graft.plans.ExplainDdl.run(spark, sql)
+      } else if (graft.functions.FunctionDdl.matches(sql)) {
+        // CREATE/DROP FUNCTION ... AS 'class' — compiled-UDF deployment
+        // (FunctionSemanticAnalyzer / FunctionTask)
+        graft.functions.FunctionDdl.run(spark, sql)
       } else spark.sql(sql)
 
     private def runSelectInto(sql: String, into: Seq[String]): Unit = {

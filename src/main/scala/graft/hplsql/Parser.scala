@@ -226,8 +226,16 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     }
     if (at("EXEC") || at("EXECUTE")) return parseExec(ln)
     if (at("CREATE") && (la(1).is("PROCEDURE") || la(1).is("PROC") || la(1).is("FUNCTION") ||
-        (la(1).is("OR") && la(2).is("REPLACE") && (la(3).is("PROCEDURE") || la(3).is("PROC") || la(3).is("FUNCTION")))))
-      return parseCreateRoutine(ln)
+        (la(1).is("OR") && la(2).is("REPLACE") && (la(3).is("PROCEDURE") || la(3).is("PROC") || la(3).is("FUNCTION"))))) {
+      // CREATE [OR REPLACE] FUNCTION name AS '<classname>' is compiled-UDF
+      // deployment DDL (FunctionSemanticAnalyzer), not a procedural
+      // routine: AS is followed by a string literal, never a body
+      val base = if (la(1).is("OR")) 3 else 1
+      val compiledUdf = la(base).is("FUNCTION") &&
+        la(base + 2).is("AS") && la(base + 3).kind == Tok.Str
+      if (!compiledUdf) return parseCreateRoutine(ln)
+      return parsePassthrough(ln)
+    }
     if (at("CREATE") && (la(1).is("PACKAGE") ||
         (la(1).is("OR") && la(2).is("REPLACE") && la(3).is("PACKAGE"))))
       return parseCreatePackage(ln)

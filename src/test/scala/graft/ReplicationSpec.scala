@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -80,6 +81,56 @@ class ReplicationSpec extends AnyFunSuite {
     // re-bootstrap of a live replica is refused (would fork history)
     Replication.dump(spark, src, dump, keys, fromId = None)
     intercept[Replication.ReplGapException](Replication.load(spark, dump, dst))
+  }
+
+  test("continuous replication from a stream: foreachBatch commit + sync keeps the replica converged") {
+    // the scheduler pattern a deployment runs: every micro-batch lands
+    // in the source versioned table (tagged — exactly-once under
+    // replay), then one sync ships the batch's CDC events to the
+    // replica. The replica is consistent after EVERY sync, not only at
+    // the end.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (src, dst, dump) = dirs("stream")
+    val keys = Seq("o_orderkey")
+    Versioned.commit(spark, src,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("o_orderkey", "o_totalprice"))
+    Replication.sync(spark, src, dst, dump, keys)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("o_orderkey", "o_totalprice").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Versioned.commitDelta(spark, src, keys, upserts = batch,
+          tag = Some(s"batch-$id"))
+        Replication.sync(spark, src, dst, dump, keys)
+        ()
+      }.start()
+    try {
+      in.addData((2L, 25.0), (3L, 30.0)) // update + insert
+      q.processAllAvailable()
+      assert(sorted(Versioned.read(spark, dst)) ==
+        Seq(Row(1L, 10.0), Row(2L, 25.0), Row(3L, 30.0)))
+      in.addData((1L, 11.0))
+      q.processAllAvailable()
+      assert(sorted(Versioned.read(spark, dst)) ==
+        Seq(Row(1L, 11.0), Row(2L, 25.0), Row(3L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("a dump from vacuumed source history is refused with re-bootstrap advice") {
+    val (src, dst, dump) = dirs("vacuumed")
+    val keys = Seq("o_orderkey")
+    val base = Tables.orders(spark, sf).limit(40)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_totalprice"))
+    Versioned.commit(spark, src, base)
+    Replication.sync(spark, src, dst, dump, keys)
+    Versioned.commit(spark, src, base.limit(30))
+    Versioned.commit(spark, src, base.limit(20))
+    Versioned.vacuum(spark, src, keep = 1) // replica's v1 is gone
+    val e = intercept[Replication.ReplGapException](
+      Replication.sync(spark, src, dst, dump, keys))
+    assert(e.getMessage.contains("re-bootstrapped"))
   }
 
   test("empty incremental (no new events) advances nothing and is valid") {
