@@ -34,7 +34,8 @@ import org.apache.spark.sql.SparkSession
 object Compactor {
 
   final case class TableOutcome(table: String, headDeltas: Int,
-                                compacted: Boolean, vacuumed: Seq[Int])
+                                compacted: Boolean, vacuumed: Seq[Int],
+                                error: Option[String] = None)
 
   /** One Initiator pass: maintain every versioned table directly under
     * `warehouseDir`. Tables below both thresholds no-op (cheap listing
@@ -53,6 +54,15 @@ object Compactor {
       else scala.util.Try {
         val m = Versioned.maintain(spark, dir.toString, maxDeltas, retainVersions)
         TableOutcome(dir.getName, m.headDeltas, m.compacted, m.vacuumed)
+      }.recover { case e =>
+        // one broken table must not stop the rest (the reference wraps
+        // each table in its own try) — but the failure is REPORTED in
+        // the outcome and the history, never swallowed silently
+        CompactionHistory.record(spark, dir.getName, None, "MAJOR",
+          s"failed: ${String.valueOf(e.getMessage).take(200)}",
+          System.currentTimeMillis())
+        TableOutcome(dir.getName, -1, compacted = false, Nil,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }.toOption
     }
   }

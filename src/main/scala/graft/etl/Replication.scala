@@ -146,6 +146,14 @@ object Replication {
               s"destination at state $s cannot be re-bootstrapped to ${info.lastId}; " +
                 "load the incremental dumps instead")
           case None =>
+            // a table with history but NO replication state is someone
+            // else's data, not an uninitialized replica — refusing here
+            // is what keeps a mistyped destBase from silently becoming
+            // a fork of the source
+            if (Versioned.currentVersion(spark, destBase).nonEmpty)
+              throw new ReplGapException(
+                s"$destBase has committed versions but no replication state; " +
+                  "refusing to bootstrap over a non-replica table")
             val df = spark.read.parquet(new Path(dump, DataDir).toString)
             Versioned.commit(spark, destBase, df)
             writeState(spark, destBase, info.lastId)

@@ -187,7 +187,16 @@ object Hplsql {
           err.foreach(throw _) // divide-by-zero: assign NULL, then raise
         }
       case ConfSet(key, value) => conf(key) = value
-      case Print(e) => emit(e.map(v => render(eval(v))).getOrElse(""))
+      case Print(e) => e match {
+        // a bare UNDEFINED identifier prints its own name — the
+        // reference's Var(Type.IDENT, name).toString():568 returns the
+        // name while every OPERATION sees the var as null (isNull:557)
+        case Some(VarRef(n)) if findVar(n).isEmpty &&
+            !Set("CURRENT_DATE", "SYSDATE", "CURRENT_TIMESTAMP", "NOW",
+                 "HOSTCODE", "SQLCODE", "ERRORCODE", "SQLSTATE")(n.toUpperCase) =>
+          emit(n)
+        case _ => emit(e.map(v => render(eval(v))).getOrElse(""))
+      }
       case IfS(branches, els) =>
         branches.find(b => truthy(eval(b._1))) match {
           case Some((_, body)) => body.foreach(exec)
@@ -342,8 +351,18 @@ object Hplsql {
           if (tokens.headOption.exists(_.kind == Tok.Str))
             render(eval(new Parser(tokens.toVector :+ Token(Tok.EOF, "", 0)).parseExpr()))
           else tokens.map(_.text).mkString // bare unquoted path
-        val text = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path.trim)))
+        // relative includes resolve against the CWD first, then against
+        // `graft.hplsql.include.dir` (the reference resolves against its
+        // own CWD — the conf lets a caller replay corpus scripts whose
+        // includes hardcode that layout)
+        val p0 = java.nio.file.Paths.get(path.trim)
+        val p =
+          if (java.nio.file.Files.exists(p0) || p0.isAbsolute) p0
+          else spark.conf.getOption("graft.hplsql.include.dir")
+            .map(d => java.nio.file.Paths.get(d).resolve(path.trim))
+            .filter(java.nio.file.Files.exists(_))
+            .getOrElse(p0)
+        val text = new String(java.nio.file.Files.readAllBytes(p))
         execProgram(Parser.parse(text))
       case CallProc(name, args) =>
         // bare call statement: a FUNCTION's result prints (the reference's
@@ -543,6 +562,9 @@ object Hplsql {
       } else if (graft.plans.ExplainDdl.matches(sql)) {
         // EXPLAIN DEPENDENCY / AUTHORIZATION (ExplainTask.java:88)
         graft.plans.ExplainDdl.run(spark, sql)
+      } else if (graft.acid.ConcatenateDdl.matches(sql)) {
+        // ALTER TABLE ... CONCATENATE (alterStatementSuffixMergeFiles)
+        graft.acid.ConcatenateDdl.run(spark, sql)
       } else if (graft.functions.FunctionDdl.matches(sql)) {
         // CREATE/DROP FUNCTION ... AS 'class' — compiled-UDF deployment
         // (FunctionSemanticAnalyzer / FunctionTask)
@@ -685,7 +707,11 @@ object Hplsql {
                 evalBuiltin(name.toUpperCase, Nil)
               case "HOSTCODE" | "SQLCODE" | "ERRORCODE" => BigDecimal(0)
               case "SQLSTATE" => "00000"
-              case _ => throw HplError("UNDEFINED", s"Variable not found: $name")
+              // reference Exec.visitIdent:2124: an undefined identifier
+              // becomes a NULL-valued IDENT var (name only, no value) —
+              // `'j: ' || j` prints "j: " (operatorConcat skips nulls),
+              // never an error (var_scope.sql replay pins this)
+              case _ => null
             }
         }
       case FieldRef(rec, field) =>
@@ -968,6 +994,27 @@ object Hplsql {
         case "LEAST" =>
           args.filter(_ != null).reduceOption((a, b) => if (cmp(a, b) <= 0) a else b).orNull
         case "TIMESTAMP_ISO" => Option(args.head).map(v => parseTs(render(v))).orNull
+        case "TO_TIMESTAMP" =>
+          // Oracle-style patterns, case-insensitive (reference
+          // FunctionDatetime.toTimestamp: YYYY/MM/DD/HH24/MI/SS via
+          // SimpleDateFormat after upper-normalization) — translated to
+          // java.time tokens; missing time fields default to midnight
+          if (args.take(2).contains(null)) null
+          else {
+            val pat = str(args(1)).toUpperCase
+              .replace("HH24", "HH").replace("HH12", "hh")
+              .replace("YYYY", "uuuu").replace("YY", "uu")
+              .replace("DD", "dd").replace("MI", "m~")
+              .replace("MM", "MM").replace("SS", "ss")
+              .replace("m~", "mm")
+            val fmt = new java.time.format.DateTimeFormatterBuilder()
+              .parseCaseInsensitive().appendPattern(pat)
+              .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+              .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+              .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+              .toFormatter()
+            LocalDateTime.from(fmt.parse(str(args.head)))
+          }
         case "DATE" => Option(args.head).map(v => LocalDate.parse(render(v).take(10))).orNull
         case "PRINT" => emit(Option(args.head).map(render).getOrElse("")); null
         case _ =>

@@ -239,7 +239,17 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     if (at("CREATE") && (la(1).is("PACKAGE") ||
         (la(1).is("OR") && la(2).is("REPLACE") && la(3).is("PACKAGE"))))
       return parseCreatePackage(ln)
-    if (at("INCLUDE")) { advance(); return mark(IncludeS(captureSqlTokens()), ln) }
+    if (at("INCLUDE")) {
+      // the reference's include_stmt is LINE-scoped (no semicolon
+      // needed): capture only tokens on the INCLUDE's own line, or up
+      // to an explicit semicolon — otherwise a bare `include path`
+      // swallows the next statement
+      advance()
+      val toks = scala.collection.mutable.ArrayBuffer.empty[Token]
+      while (cur.kind != Tok.EOF && cur.line == ln && !atOp(";")) toks += advance()
+      eatSemi()
+      return mark(IncludeS(toks.toSeq), ln)
+    }
     if (at("BEGIN") && (la(1).is("TRANSACTION") || la(1).is("TRAN") || la(1).is("WORK"))) {
       // T-SQL BEGIN TRANSACTION: a no-op against an autocommit engine
       // (reference grammar's begin_transaction_stmt), NOT a block open —
@@ -256,7 +266,8 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     if (at("HOST")) { advance(); return mark(HostCmd(parseExpr()), ln) }
     if (at("SIGNAL")) { advance(); return mark(SignalS(advance().text.toUpperCase), ln) }
     if (at("RAISE") && (atSemiNext || la(1).kind == Tok.EOF)) { advance(); return mark(RaiseS, ln) }
-    if (at("FUNCTION") || at("PROCEDURE")) return parseCreateRoutine(ln)
+    if (at("FUNCTION") || at("PROCEDURE") || (at("PROC") && la(1).kind == Tok.Ident))
+      return parseCreateRoutine(ln)
     if (at("ALLOCATE")) {
       advance()
       val name = advance().text

@@ -106,6 +106,12 @@ object GraftExplain {
         case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
         case _ => Nil
       }
+      // DSv2 lane parity: the enforcement rule SELECT-checks graftkv
+      // stores, so the probe must report them too
+      case r: DataSourceV2Relation => r.table match {
+        case kv: graft.sources.KvTable => Seq(graft.PathKeys.normalize(kv.dir))
+        case _ => Nil
+      }
     }.flatten.distinct
     val rows = roots.flatMap { r =>
       val keys = AccessPolicies.governing(r)

@@ -77,6 +77,13 @@ object AccessPolicies {
   def currentUser(spark: SparkSession): String =
     spark.conf.getOption("graft.auth.user").getOrElse(spark.sparkContext.sparkUser)
 
+  /** Remove every grant held by `principal` across all governed dirs —
+    * DROP ROLE's privilege cleanup (the metastore deletes the role's
+    * rows from the privilege tables, so a LATER role of the same name
+    * starts with nothing; without this, stale grants would resurrect). */
+  private[security] def purgePrincipal(principal: String): Unit =
+    byPath.forEach((_, grants) => grants.remove(principal))
+
   /** Current grants on a dir: (principal, privilege) pairs, sorted. */
   def grants(tableDir: String): Seq[(String, String)] =
     Option(byPath.get(normalize(tableDir))).toSeq.flatMap { g =>

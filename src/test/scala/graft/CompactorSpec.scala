@@ -39,10 +39,17 @@ class CompactorSpec extends AnyFunSuite {
     seed(s"$w/cold", nDeltas = 1)
     Tables.nation(spark, sf).write.parquet(s"$w/plain_parquet")
 
+    // a broken table (version dir with no committed versions) must not
+    // stop the scan — it reports an error outcome instead
+    new org.apache.hadoop.fs.Path(s"$w/broken/_versions")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(s"$w/broken/_versions"))
+
     val out = Compactor.scanWarehouse(spark, w, maxDeltas = 3).sortBy(_.table)
-    assert(out.map(_.table) == Seq("cold", "hot"))
+    assert(out.map(_.table) == Seq("broken", "cold", "hot"))
     assert(out.collect { case t if t.table == "hot" => t.compacted } == Seq(true))
     assert(out.collect { case t if t.table == "cold" => t.compacted } == Seq(false))
+    assert(out.find(_.table == "broken").get.error.isDefined)
     // post-compaction state is the merged view, and the head is a full base
     val hot = Versioned.read(spark, s"$w/hot")
     assert(hot.count() == 100)

@@ -17,7 +17,16 @@ import graft.hplsql.Hplsql
   * Excluded scripts, with reasons:
   *  - lang.sql — a lexer stress file for exotic identifier quoting
   *    (`:new.abc`, `[abc].[abc]`) we deliberately do not model.
-  *  - include.sql — hardcodes a path relative to the reference's CWD.
+  *  - include_file.sql / var_scope_include.sql — helper files with no
+  *    committed result of their own; exercised via include.sql and
+  *    var_scope.sql (include paths resolve through the
+  *    `graft.hplsql.include.dir` conf against the reference checkout).
+  *  - create_package.sql — our output matches the committed one except
+  *    `pack1.f1: 12` where the reference prints `pack1.f1: ` (its
+  *    tracer LOSES f1's return value after the nested CALL statements
+  *    — 3+5+3+1 = 12 is the correct sum the script computes;
+  *    create_package2 replays green, HplsqlSpec pins package
+  *    semantics).
   *  - interval.sql / timestamp.sql — the reference renders timestamps
   *    at millisecond precision (`+1 MICROSECOND` prints `.001`); this
   *    engine keeps true microseconds (HplsqlSpec pins `.000001`).
@@ -43,15 +52,21 @@ class HplsqlReplaySpec extends AnyFunSuite {
     "exit", "expr", "float", "for_range", "if", "if2", "instr", "leave",
     "len", "length", "lower", "mult_div", "nvl", "nvl2", "print",
     "replace", "return", "sub", "substr", "substring", "timestamp_iso",
-    "values_into", "while")
+    "values_into", "while",
+    "create_package2", "datatypes", "declare_condition2",
+    "include", "to_char", "to_timestamp", "trim", "twopipes", "upper",
+    "var_scope", "var_scope2")
 
   private def read(p: String): String =
     new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
 
-  /** Result file minus tracer lines = the printed-value sequence. */
+  /** Result file minus tracer lines = the printed-value sequence.
+    * `INLCUDE CONTENT` (sic — the reference's typo) is the include
+    * tracer's banner, stripped like the Ln:/EXEC lines. */
   private def expectedLines(name: String): Seq[String] =
     read(s"$rDir/$name.out.txt").split("\n", -1).toSeq
-      .filterNot(l => l.startsWith("Ln:") || l.startsWith("EXEC "))
+      .filterNot(l => l.startsWith("Ln:") || l.startsWith("EXEC ") ||
+        l.startsWith("INLCUDE CONTENT"))
       .map(_.stripLineEnd)
       .reverse.dropWhile(_.isEmpty).reverse // trailing blank padding
 
@@ -59,6 +74,9 @@ class HplsqlReplaySpec extends AnyFunSuite {
     test(s"reference script $name.sql replays to its committed output") {
       assume(Files.exists(Paths.get(s"$qDir/$name.sql")),
         "reference corpus not present on this machine")
+      // include.sql/var_scope.sql hardcode paths relative to the
+      // reference's hplsql module dir
+      spark.conf.set("graft.hplsql.include.dir", "/root/reference/hplsql")
       val got = Hplsql.run(spark, read(s"$qDir/$name.sql")).output
         .split("\n", -1).toSeq.reverse.dropWhile(_.isEmpty).reverse
       assert(got == expectedLines(name), s"script $name.sql diverged")

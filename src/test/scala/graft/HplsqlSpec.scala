@@ -559,8 +559,13 @@ class HplsqlSpec extends AnyFunSuite {
   }
 
   test("error paths: unknown variable, unknown procedure, unknown cursor, parse error — all typed") {
-    val e1 = intercept[Hplsql.HplError] { run("PRINT never_declared;") }
-    assert(e1.getMessage.contains("Variable not found"))
+    // an undefined identifier is a NULL-valued IDENT var, not an error
+    // (Exec.visitIdent:2124): operations see null (concat skips it,
+    // var_scope.sql replay), while a bare PRINT renders the ident's own
+    // name (Var.toString:568)
+    assert(run("PRINT never_declared; PRINT 'x: ' || never_declared;")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty) ==
+      Seq("never_declared", "x:"))
     val e2 = intercept[Hplsql.HplError] { run("CALL no_such_proc(1);") }
     assert(e2.getMessage.contains("not found"))
     val e3 = intercept[Hplsql.HplError] { run("OPEN nope;") }

@@ -81,6 +81,12 @@ class ReplicationSpec extends AnyFunSuite {
     // re-bootstrap of a live replica is refused (would fork history)
     Replication.dump(spark, src, dump, keys, fromId = None)
     intercept[Replication.ReplGapException](Replication.load(spark, dump, dst))
+
+    // a table with its own history but NO replication state is not an
+    // uninitialized replica — bootstrap refuses to fork over it
+    val foreign = dst + "_foreign"
+    Versioned.commit(spark, foreign, v1.limit(10))
+    intercept[Replication.ReplGapException](Replication.load(spark, dump, foreign))
   }
 
   test("continuous replication from a stream: foreachBatch commit + sync keeps the replica converged") {

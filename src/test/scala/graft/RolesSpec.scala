@@ -137,6 +137,11 @@ class RolesSpec extends AnyFunSuite {
         intercept[AccessControlException](spark.read.parquet(dir).count())
         assert(Roles.rolesOf("gina") == Set("public"))
       }
+      // a NEW role reusing the name starts with no privileges — the
+      // drop purged the old role's grants, they must not resurrect
+      Roles.create(spark, "temp")
+      Roles.grantToUser(spark, "temp", "hank")
+      as("hank") { intercept[AccessControlException](spark.read.parquet(dir).count()) }
     } finally cleanup()
   }
 
