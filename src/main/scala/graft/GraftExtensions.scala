@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => plans.MvRewrite)
     ext.injectOptimizerRule(_ => plans.IndexRoute)
     ext.injectPlannerStrategy(_ => new plans.AsofJoinStrategy)
+    // QUALIFY (Teradata window-predicate clause) as a delegating-parser
+    // text rewrite — grammar Spark lacks; zero cost on statements
+    // without the keyword
+    ext.injectParser((_, delegate) => new plans.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

@@ -103,7 +103,28 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** QUALIFY — the Teradata window-predicate clause (reference corpus:
+    * hplsql offline select_teradata.sql), supported through the
+    * injected delegating parser (plans/QualifyRewrite): the statement
+    * below is NOT valid Spark SQL without the extension. Keep-best
+    * order per customer plus a windowed share, filtered by two window
+    * predicates at once; the oracle recomputes via the explicit
+    * subquery QUALIFY desugars to. */
+  val q299_qualify: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("q299_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(o_totalprice AS DOUBLE) AS price,
+        |       RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS status_rank
+        |FROM q299_orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |        AND o_totalprice > 1000
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q299_qualify" -> q299_qualify,
     "q120_window_nth" -> q120_window_nth,
     "q20_window_rank" -> q20_window_rank,
     "q21_window_running" -> q21_window_running,
@@ -112,6 +133,18 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q299_qualify" ->
+      """SELECT o_custkey, o_orderkey, price, status_rank
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(o_totalprice AS DOUBLE) AS price,
+        |         RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS status_rank,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |         o_totalprice
+        |  FROM orders) t
+        |WHERE rn = 1 AND o_totalprice > 1000
+        |ORDER BY o_custkey""".stripMargin,
     "q120_window_nth" ->
       """SELECT o_orderkey, o_orderpriority,
         |  nth_value(o_totalprice, 3) OVER w AS third_price,
