@@ -47,13 +47,22 @@ class ReplicationSpec extends AnyFunSuite {
     assert(s2 == 2)
     assert(sorted(Versioned.read(spark, dst)) == sorted(v2))
 
-    // the incremental dump holds CDC rows, not a snapshot: every row is
-    // one of the four lanes and the count is bounded by the churn
+    // the incremental dump holds CDC rows, not a snapshot: EXACTLY the
+    // churn ships — one row per delete, two per changed row (pre+post
+    // images), zero for the untouched majority. This is the 100 TB
+    // argument in miniature: sync cost scales with change volume, not
+    // table size.
     val events = spark.read.parquet(s"$dump/events")
-    val lanes = events.select("_change_type").distinct()
-      .collect().map(_.getString(0)).toSet
-    assert(lanes.subsetOf(Set("insert", "delete", "update_preimage", "update_postimage")))
-    assert(events.count() < 2 * v1.count())
+    val lanes = events.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = v1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val deleted = base.count(_._1 % 5 == 0)
+    val updated = base.count { case (k, st) => k % 5 != 0 && k % 2 == 0 && st != "Z" }
+    assert(lanes.getOrElse("delete", 0L) == deleted)
+    assert(lanes.getOrElse("update_preimage", 0L) == updated)
+    assert(lanes.getOrElse("update_postimage", 0L) == updated)
+    assert(lanes.getOrElse("insert", 0L) == 0)
+    assert(events.count() == deleted + 2L * updated)
   }
 
   test("replaying an applied dump is a no-op; gaps and re-bootstraps are refused") {
