@@ -57,6 +57,8 @@ private[hplsql] object Ast {
     * returned result set of the last CALL of p (DB2 result-set flow,
     * create_procedure_return_cursor.sql). */
   case class AllocateCursor(name: String, proc: String) extends Stmt
+  case class AllocateCursorLoc(name: String, locator: String) extends Stmt
+  case class AssociateLocator(locators: Seq[String], proc: String) extends Stmt
   case class DeclareHandler(exit: Boolean, cond: String, body: Seq[Stmt]) extends Stmt
   case class DeclareCondition(name: String) extends Stmt
   case class Assign(targets: Seq[String], values: Seq[Expr]) extends Stmt

@@ -175,6 +175,21 @@ object Hplsql {
           throw HplError("UNDEFINED", s"No result sets returned by: $proc"))
         if (q.isEmpty) throw HplError("UNDEFINED", s"No unconsumed result set of: $proc")
         setVar(name, q.dequeue())
+      case AssociateLocator(locs, proc) =>
+        // each locator var takes the procedure's next returned result
+        // set, in order (DB2 ASSOCIATE ... WITH PROCEDURE)
+        val q = resultSets.getOrElse(proc.toLowerCase,
+          throw HplError("UNDEFINED", s"No result sets returned by: $proc"))
+        locs.foreach { l =>
+          if (q.isEmpty) throw HplError("UNDEFINED", s"No unconsumed result set of: $proc")
+          setVar(l, q.dequeue())
+        }
+      case AllocateCursorLoc(name, loc) =>
+        findVar(loc).map(_.value) match {
+          case Some(c: CursorState) => setVar(name, c)
+          case _ => throw HplError("UNDEFINED",
+            s"locator $loc is not associated with a result set")
+        }
       case DeclGroup(items) => items.foreach(exec)
       case DeclareCondition(name) =>
         conditions += name.toUpperCase
@@ -385,7 +400,18 @@ object Hplsql {
         } finally { handlers = savedHandlers; popScope() }
       case SqlPassthrough(tokens) =>
         val sql = renderSql(tokens)
-        try { runSql(sql); () }
+        try {
+          val df = runSql(sql)
+          // DESCRIBE prints its rows tab-separated (reference
+          // Stmt.describe — db corpus describe.out.txt: col \t type \t
+          // comment, nulls empty); other passthrough statements are
+          // executed for effect only
+          if ("""(?is)^\s*DESC(RIBE)?\b.*""".r.matches(sql))
+            df.collect().foreach(r => emit((0 until r.length)
+              .map(i => Option(r.get(i)).map(String.valueOf).getOrElse(""))
+              .mkString("\t")))
+          ()
+        }
         catch {
           case e: HplError => throw e
           case e: Exception => sqlError(e)
@@ -562,6 +588,11 @@ object Hplsql {
       } else if (graft.plans.ExplainDdl.matches(sql)) {
         // EXPLAIN DEPENDENCY / AUTHORIZATION (ExplainTask.java:88)
         graft.plans.ExplainDdl.run(spark, sql)
+      } else if ("""(?is)^\s*TRUNCATE\s+(?!TABLE\b)\w.*""".r.matches(sql)) {
+        // `TRUNCATE t` without the TABLE keyword — reference grammar
+        // truncate_stmt makes TABLE optional (db corpus truncate_table
+        // .sql); Spark requires it
+        spark.sql(sql.replaceFirst("(?is)^\\s*TRUNCATE\\s+", "TRUNCATE TABLE "))
       } else if (graft.acid.ConcatenateDdl.matches(sql)) {
         // ALTER TABLE ... CONCATENATE (alterStatementSuffixMergeFiles)
         graft.acid.ConcatenateDdl.run(spark, sql)

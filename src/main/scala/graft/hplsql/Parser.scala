@@ -271,8 +271,28 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     if (at("ALLOCATE")) {
       advance()
       val name = advance().text
-      expectKw("CURSOR"); expectKw("FOR"); expectKw("PROCEDURE")
+      expectKw("CURSOR"); expectKw("FOR")
+      // DB2 two forms: `FOR PROCEDURE p` (direct) and
+      // `FOR RESULT SET loc` (via an associated locator)
+      if (eatKw("RESULT")) {
+        expectKw("SET")
+        return mark(AllocateCursorLoc(name, advance().text), ln)
+      }
+      expectKw("PROCEDURE")
       return mark(AllocateCursor(name, advance().text), ln)
+    }
+    if (at("ASSOCIATE")) {
+      // ASSOCIATE RESULT SET LOCATOR (l1, l2) WITH PROCEDURE p — DB2's
+      // binding of locator variables to a called procedure's returned
+      // result sets, in order
+      advance(); expectKw("RESULT"); expectKw("SET")
+      eatKw("LOCATORS"); eatKw("LOCATOR")
+      expectOp("(")
+      val locs = ArrayBuffer(advance().text)
+      while (eatOp(",")) locs += advance().text
+      expectOp(")")
+      expectKw("WITH"); expectKw("PROCEDURE")
+      return mark(AssociateLocator(locs.toSeq, advance().text), ln)
     }
     if (at("COPY")) {
       advance()
@@ -416,6 +436,10 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
       expectOp(")")
       tsb.append(')')
     }
+    // multi-word type names: DOUBLE PRECISION (select_into2.sql),
+    // RESULT_SET_LOCATOR VARYING (DB2 locator declarations)
+    if (tsb.toString == "DOUBLE" && cur.is("PRECISION")) advance()
+    if (tsb.toString == "RESULT_SET_LOCATOR" && cur.is("VARYING")) advance()
     if (eatKw("NOT")) expectKw("NULL") // `char(10) not null := 'a'` (declare2.sql)
     val init =
       if (eatKw("DEFAULT") || eatOp(":=") || eatOp("=")) Some(parseExpr()) else None
