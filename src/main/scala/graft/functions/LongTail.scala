@@ -188,8 +188,44 @@ object LongTail {
       .orderBy(col("p_partkey"))
   }
 
+  /** Compiled-UDAF deployment (functions/UdafDeploy — the exec/UDAF.java
+    * evaluator convention auto-detected by the same CREATE FUNCTION DDL):
+    * a deployed average and a deployed string-max aggregate over a plain
+    * groupBy, planned as a normal partial/final hash aggregate. The
+    * oracle recomputes both relationally; avg is deterministic because
+    * quantity is integral-valued (exact double sums at any partitioning)
+    * and the single division happens once in terminate. */
+  val q300_udaf_deploy: Q = (s, d) => {
+    graft.hplsql.Hplsql.run(s,
+      """CREATE TEMPORARY FUNCTION example_avg AS 'graft.examples.ExampleAvgUdaf';
+        |CREATE TEMPORARY FUNCTION example_max AS 'graft.examples.ExampleMaxUdaf';""".stripMargin)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("example_avg(l_quantity)").as("avg_qty"),
+        expr("example_max(l_linestatus)").as("max_status"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Compiled-UDTF deployment (functions/UdtfDeploy — the GenericUDTF
+    * initialize/process/close convention): the deployed splitter runs in
+    * the same Generate plan node as builtin explode, in a select list
+    * over part names. The oracle replays the split with DuckDB list
+    * subscripts. */
+  val q301_udtf_deploy: Q = (s, d) => {
+    graft.hplsql.Hplsql.run(s,
+      "CREATE TEMPORARY FUNCTION example_split AS 'graft.examples.ExampleSplitUdtf';")
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 250)
+      .select(col("p_partkey"), expr("example_split(p_name, ' ')"))
+      .orderBy(col("p_partkey"), col("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q298_udf_deploy" -> q298_udf_deploy,
+    "q300_udaf_deploy" -> q300_udaf_deploy,
+    "q301_udtf_deploy" -> q301_udtf_deploy,
     "q167_longtail_scalars" -> q167_longtail_scalars,
     "q168_complex_access" -> q168_complex_access,
     "q169_bitmap_index" -> q169_bitmap_index,
@@ -199,6 +235,21 @@ object LongTail {
   )
 
   val oracles: Map[String, String] = Map(
+    "q300_udaf_deploy" ->
+      """SELECT l_returnflag,
+        |  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+        |  MAX(l_linestatus) AS max_status,
+        |  COUNT(1) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q301_udtf_deploy" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws
+        |           FROM part WHERE p_partkey <= 250),
+        |     e AS (SELECT p_partkey, ws,
+        |                  unnest(generate_series(1, len(ws))) AS i FROM w)
+        |SELECT p_partkey, CAST(i - 1 AS INT) AS pos, ws[i] AS token
+        |FROM e ORDER BY p_partkey, pos""".stripMargin,
     "q298_udf_deploy" ->
       """SELECT p_partkey,
         |       CAST(p_size AS INTEGER) + 7 AS v_int_add,

@@ -139,20 +139,31 @@ object UdfDeploy {
     val cls = Class.forName(className, true,
       Option(Thread.currentThread().getContextClassLoader)
         .getOrElse(getClass.getClassLoader))
-    require(cls.getMethods.exists(m =>
-      m.getName == "evaluate" && Modifier.isPublic(m.getModifiers)),
-      s"$className has no public evaluate method (exec/UDF.java convention)")
+    require(
+      UdafDeploy.looksLikeUdaf(cls) || UdtfDeploy.looksLikeUdtf(cls) ||
+        cls.getMethods.exists(m =>
+          m.getName == "evaluate" && Modifier.isPublic(m.getModifiers)),
+      s"$className follows none of the deployable conventions: scalar " +
+        "evaluate(...) (exec/UDF.java), aggregate iterate/terminatePartial/" +
+        "merge/terminate (exec/UDAF.java), or table-function initialize()/" +
+        "process(...) (GenericUDTF.java)")
     cls
   }
 
-  /** Register `name` as a call to `className`'s evaluate — the
-    * FunctionTask.createTemporaryFunction analog. Validates the class
-    * eagerly (FunctionTask does the same and fails the DDL, not the
-    * first query). */
+  /** Register `name` as a call to `className` — the
+    * FunctionTask.createTemporaryFunction analog. The class's SHAPE picks
+    * the registration (FunctionTask inspects the deployed class the same
+    * way: UDAF subclasses register as aggregates, GenericUDTF subclasses
+    * as table functions, everything else as scalar evaluate). Validates
+    * eagerly (FunctionTask fails the DDL, not the first query). */
   def create(spark: SparkSession, name: String, className: String): Unit = {
-    loadClass(className)
+    val cls = loadClass(className)
+    val builder: Seq[Expression] => Expression =
+      if (UdafDeploy.looksLikeUdaf(cls)) es => DeployedUdaf(name, className, es)
+      else if (UdtfDeploy.looksLikeUdtf(cls)) es => DeployedUdtf(name, className, es)
+      else es => DeployedUdf(name, className, es)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, es => DeployedUdf(name, className, es), "hive")
+      name, builder, "hive")
   }
 
   def drop(spark: SparkSession, name: String): Unit =

@@ -56,6 +56,64 @@ class UdfDeploySpec extends AnyFunSuite {
       FunctionDdl.run(spark, "CREATE TEMPORARY FUNCTION nope AS 'java.lang.String'"))
   }
 
+  test("UDAF convention auto-detected: partial/merge lifecycle matches a builtin plan") {
+    Hplsql.run(spark,
+      "CREATE TEMPORARY FUNCTION t_avg AS 'graft.examples.ExampleAvgUdaf';")
+    try {
+      // many partitions force the terminatePartial -> serialize ->
+      // deserialize -> merge lane, not just a single-buffer fast path
+      spark.range(0, 1000).selectExpr("cast(id as double) AS v",
+          "cast(id % 7 as int) AS k")
+        .repartition(8).createOrReplaceTempView("t_udaf_in")
+      val got = spark.sql(
+        "SELECT k, t_avg(v) AS a FROM t_udaf_in GROUP BY k ORDER BY k").collect()
+      val want = spark.sql(
+        "SELECT k, avg(v) AS a FROM t_udaf_in GROUP BY k ORDER BY k").collect()
+      assert(got.map(_.getDouble(1)).toSeq == want.map(_.getDouble(1)).toSeq)
+      // the plan is a normal two-phase aggregate (map-side partials)
+      val plan = spark.sql("SELECT k, t_avg(v) FROM t_udaf_in GROUP BY k")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_t_avg") || plan.contains("t_avg"))
+      // empty group never iterated: terminate() on init state -> null
+      val empty = spark.sql(
+        "SELECT t_avg(v) AS a FROM t_udaf_in WHERE v < 0").collect()(0)
+      assert(empty.isNullAt(0))
+    } finally Hplsql.run(spark, "DROP TEMPORARY FUNCTION t_avg;")
+  }
+
+  test("UDAF with String partial (ExampleMaxUdaf) survives the shuffle lane") {
+    UdfDeploy.create(spark, "t_smax", "graft.examples.ExampleMaxUdaf")
+    try {
+      spark.range(0, 500).selectExpr("concat('v', lpad(cast(id as string), 4, '0')) AS s")
+        .repartition(8).createOrReplaceTempView("t_smax_in")
+      val r = spark.sql("SELECT t_smax(s) AS m FROM t_smax_in").collect()(0)
+      assert(r.getString(0) == "v0499")
+    } finally UdfDeploy.drop(spark, "t_smax")
+  }
+
+  test("UDTF convention auto-detected: generator in select list and LATERAL VIEW") {
+    Hplsql.run(spark,
+      "CREATE TEMPORARY FUNCTION t_split AS 'graft.examples.ExampleSplitUdtf';")
+    try {
+      val rows = spark.sql(
+        "SELECT t_split('a b c', ' ')").collect()
+      assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((0, "a"), (1, "b"), (2, "c")))
+      // LATERAL VIEW spelling lands in the same Generate node
+      spark.sql("SELECT 'x y' AS s").createOrReplaceTempView("t_udtf_in")
+      val lv = spark.sql(
+        "SELECT s, pos, token FROM t_udtf_in LATERAL VIEW t_split(s, ' ') g AS pos, token")
+        .collect()
+      assert(lv.length == 2 && lv(1).getString(2) == "y")
+      // null into a boxed String param: the class chose zero rows
+      assert(spark.sql("SELECT t_split(cast(null as string), ' ')").collect().isEmpty)
+      // declared schema drives downstream typing
+      val sch = spark.sql("SELECT t_split('a', ' ')").schema
+      assert(sch("pos").dataType.typeName == "integer")
+      assert(sch("token").dataType.typeName == "string")
+    } finally Hplsql.run(spark, "DROP TEMPORARY FUNCTION t_split;")
+  }
+
   test("procedural CREATE FUNCTION still parses: AS-string is the only passthrough shape") {
     val out = Hplsql.run(spark,
       """CREATE FUNCTION twice(x INT) RETURNS INT
