@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(s => new plans.ConstraintRewrites(() => s))
     ext.injectOptimizerRule(_ => plans.MvRewrite)
     ext.injectOptimizerRule(_ => plans.IndexRoute)
+    ext.injectOptimizerRule(_ => plans.SkewRoute)
     ext.injectPlannerStrategy(_ => new plans.AsofJoinStrategy)
     // QUALIFY (Teradata window-predicate clause) as a delegating-parser
     // text rewrite — grammar Spark lacks; zero cost on statements

@@ -192,8 +192,32 @@ object Formats {
       .orderBy(col("lang"))
   }
 
+  /** List bucketing / SKEWED BY (HiveParser.g tableSkewed +
+    * ListBucketingPruner.java:57): orders written list-bucketed on
+    * o_orderstatus with hot values ('O','F'), read back through
+    * [[SkewedTables.read]] with a plain IN ('O','P') filter. 'O' is hot
+    * (own directory), 'P' is cold (default directory) — [[graft.plans
+    * .SkewRoute]] conjoins `__skew_dir IN ('O','__SKEW_DEFAULT__')`, so
+    * the 'F' directory is partition-pruned away; the DuckDB oracle
+    * computes the same answer from the unskewed base table, proving the
+    * routing is a sound superset. SkewedTablesSpec pins the pruning
+    * itself (hot scan reads strictly fewer files; cold scan skips every
+    * hot directory). */
+  val q302_skewed_route: Q = (s, d) => {
+    val dir = tmpDir(d, "orders_skewed")
+    SkewedTables.write(Tables.orders(s, d), dir, "o_orderstatus", Seq("O", "F"))
+    SkewedTables.read(s, dir)
+      .filter(col("o_orderstatus").isin("O", "P"))
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"),
+           min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderstatus"), col("o_year"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_csv_roundtrip" -> q100_csv_roundtrip,
+    "q302_skewed_route" -> q302_skewed_route,
     "q295_kv_handler" -> q295_kv_handler,
     "q101_orc_scan" -> q101_orc_scan,
     "q102_json_source" -> q102_json_source,
@@ -206,6 +230,13 @@ object Formats {
   /** Oracles read the SAME data straight from parquet — the round-trip
     * must be lossless for the hash to match. */
   val oracles: Map[String, String] = Map(
+    "q302_skewed_route" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus IN ('O','P')
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, o_year""".stripMargin,
     "q295_kv_handler" ->
       """SELECT lang, COUNT(1) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

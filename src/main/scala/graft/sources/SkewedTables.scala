@@ -63,6 +63,20 @@ object SkewedTables {
     require(skewedValues.nonEmpty, "skewed write: ON () value list is empty")
     require(!skewedValues.contains(Default),
       s"skewed write: '$Default' is the reserved default-directory name")
+    if (mode == SaveMode.Append) {
+      // an Append under DIFFERENT skew metadata would leave already-written
+      // directories routed by the OLD layout while the sidecar describes the
+      // new one — silent wrong pruning; the reference forbids altering
+      // skewed-info on populated list-bucketed partitions for the same reason
+      readSidecar(df.sparkSession, dir).foreach { existing =>
+        require(existing.column.equalsIgnoreCase(field.name) &&
+                existing.values == skewedValues.toSet,
+          s"skewed append: layout mismatch — existing sidecar is SKEWED BY " +
+            s"(${existing.column}) ON (${existing.values.toSeq.sorted.mkString(",")}), " +
+            s"append declares (${field.name}) ON (${skewedValues.sorted.mkString(",")}); " +
+            "rewrite the table (Overwrite) to change the skew layout")
+      }
+    }
     df.withColumn(DirCol,
         when(col(column).isin(skewedValues: _*), col(column)).otherwise(lit(Default)))
       .write.mode(mode).partitionBy(DirCol).parquet(dir)

@@ -32,6 +32,7 @@ class RelationalSpec extends AnyFunSuite {
       plans.MaterializedViews.clear()
       plans.IndexCatalog.clear()
       plans.MaskPolicies.clear()
+      sources.SkewCatalog.clear()
     }
   }
 

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{SkewCatalog, SkewedTables}
+
+/** SKEWED BY / list bucketing (sources/SkewedTables + plans/SkewRoute —
+  * the HiveParser.g tableSkewed + ListBucketingPruner.java:57 analog).
+  * The oracle row (q302) pins answers; this spec pins what the oracle
+  * cannot see: a hot-value point query must actually read STRICTLY
+  * FEWER files than the table holds (and zero files from other hot
+  * directories), a cold-value query must skip every hot directory, a
+  * predicate shape the pruner cannot prove must decline to the full
+  * scan with the answer unchanged, and an Append that changes the
+  * declared layout must be refused (it would silently mis-route). */
+class SkewedTablesSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val base = "target/storage/skewspec"
+
+  /** Files actually scanned, post partition pruning (the numFiles metric
+    * of every file scan in the executed plan; AQE nests the final plan
+    * under AdaptiveSparkPlanExec). */
+  private def filesScanned(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  private def writeSkewed(path: String): Long = {
+    SkewedTables.write(Tables.orders(spark, sf), path, "o_orderstatus", Seq("O", "F"))
+    spark.read.parquet(path).inputFiles.length.toLong
+  }
+
+  test("hot-value point query prunes to the hot directory only") {
+    val path = s"$base/orders_hot"
+    val total = writeSkewed(path)
+    val q = SkewedTables.read(spark, path).filter(col("o_orderstatus") === "O")
+    val n = filesScanned(q)
+    assert(n < total, s"hot-value scan read $n of $total files — no pruning")
+    // structural pin: the route landed as a PARTITION filter (directory-
+    // level pruning), not a data filter
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains(SkewedTables.DirCol),
+      s"routing predicate did not reach PartitionFilters:\n$planStr")
+    // answer identical to the unskewed base table
+    val expect = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O").count()
+    assert(q.count() == expect)
+  }
+
+  test("cold-value query reads only the default directory, skipping every hot one") {
+    val path = s"$base/orders_cold"
+    writeSkewed(path)
+    // 'P' is not in the declared hot list -> rows live only in the
+    // default directory; the scan must touch no hot directory's files
+    val q = SkewedTables.read(spark, path).filter(col("o_orderstatus") === "P")
+    q.collect()
+    val perDir = spark.read.parquet(path).inputFiles
+      .groupBy(f => f.split("/").find(_.startsWith(SkewedTables.DirCol + "=")).getOrElse("?"))
+    val defaultFiles = perDir(s"${SkewedTables.DirCol}=${SkewedTables.Default}").length
+    assert(filesScanned(q) <= defaultFiles,
+      "cold-value scan read beyond the default directory")
+    val expect = Tables.orders(spark, sf).filter(col("o_orderstatus") === "P").count()
+    assert(q.count() == expect)
+  }
+
+  test("mixed IN (hot, cold) routes to the union; unprovable predicates decline") {
+    val path = s"$base/orders_mixed"
+    val total = writeSkewed(path)
+    val mixed = SkewedTables.read(spark, path)
+      .filter(col("o_orderstatus").isin("O", "P"))
+    assert(filesScanned(mixed) < total, "IN (hot, cold) did not prune the other hot dir")
+    assert(mixed.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderstatus").isin("O", "P")).count())
+
+    // a predicate the pruner cannot prove (non-literal comparison) must
+    // fall back to the full scan — and still be correct
+    val unprovable = SkewedTables.read(spark, path)
+      .filter(col("o_orderstatus") >= "P")
+    assert(filesScanned(unprovable) == total, "range predicate must decline the route")
+    assert(unprovable.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderstatus") >= "P").count())
+  }
+
+  test("sidecar re-registers the layout in a fresh catalog; reader schema hides the routing column") {
+    val path = s"$base/orders_sidecar"
+    val total = writeSkewed(path)
+    SkewCatalog.clear()
+    val q = SkewedTables.read(spark, path) // re-registers from _skew.json
+    assert(!q.columns.contains(SkewedTables.DirCol))
+    val routed = q.filter(col("o_orderstatus") === "F")
+    assert(filesScanned(routed) < total, "sidecar re-registration did not re-arm pruning")
+  }
+
+  test("append with a different layout is refused; matching append keeps routing sound") {
+    val path = s"$base/orders_append"
+    writeSkewed(path)
+    val extra = Tables.orders(spark, sf).limit(50)
+    val e1 = intercept[IllegalArgumentException] {
+      SkewedTables.write(extra, path, "o_orderstatus", Seq("O"), SaveMode.Append)
+    }
+    assert(e1.getMessage.contains("layout mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      SkewedTables.write(extra.withColumnRenamed("o_orderstatus", "st")
+        .withColumn("o_orderstatus", col("st")).drop("st"),
+        path, "o_orderstatus", Seq("O", "F", "P"), SaveMode.Append)
+    }
+    assert(e2.getMessage.contains("layout mismatch"))
+    // matching layout appends fine and the routed answer includes both writes
+    SkewedTables.write(extra, path, "o_orderstatus", Seq("O", "F"), SaveMode.Append)
+    val got = SkewedTables.read(spark, path).filter(col("o_orderstatus") === "O").count()
+    val expect = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O").count() +
+      extra.filter(col("o_orderstatus") === "O").count()
+    assert(got == expect)
+  }
+}
