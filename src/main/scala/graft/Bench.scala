@@ -93,9 +93,20 @@ object Bench {
     * inject a failure and pin that (a) a failed query never appears in the
     * headline timing map, and (b) it IS listed under "failed" — round 5
     * shipped exception latencies as query times, which this forbids. */
+  /** 1-minute load average from /proc/loadavg (NaN if unreadable — e.g.
+    * non-Linux). Sampled before and after the timed passes so a gate
+    * reader can apply BASELINE.md's host-variance calibration without a
+    * re-run: same-tree totals have swung 1.4x with background load, and
+    * a loaded-host artifact is otherwise indistinguishable from a plan
+    * regression (the round-8 adjudication problem). */
+  def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => Double.NaN }
+
   def render(cold: Seq[(String, Double)], steady1: Seq[(String, Double)],
              steady2: Seq[(String, Double)], failed: Seq[String],
-             sfDir: String): String = {
+             sfDir: String, loadStart: Double = Double.NaN,
+             loadEnd: Double = Double.NaN): String = {
     // a failed query appears in NO timing map (not just the headline):
     // a partial success in one pass is still not a trustworthy number
     def ok(rs: Seq[(String, Double)]) = rs.filterNot(r => failed.contains(r._1))
@@ -109,10 +120,13 @@ object Bench {
     val total = results.map(_._2).sum
     val coldTotal = coldOk.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def num(d: Double) = if (d.isNaN) "null" else d.toString
+    val host = s"""{"load1_start":${num(loadStart)},"load1_end":${num(loadEnd)},""" +
+      s""""cores":${Runtime.getRuntime.availableProcessors()}}"""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
       s""""value_cold":$coldTotal,"queries_cold":${json(coldOk)},""" +
       s""""queries_s1":${json(s1Ok)},"queries_s2":${json(s2Ok)},""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s""""failed":$failedJson,"host_load":$host,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -162,15 +176,17 @@ object Bench {
         }
       }
 
+    val loadStart = loadAvg()
     val cold = timedPass()
     val steady1 = timedPass()
     val steady2 = timedPass()
+    val loadEnd = loadAvg()
     // Per-query MIN across all three passes — see the object scaladoc for
     // why cold participates (host stalls have hit the same query in both
     // steady passes; cold upper-bounds steady, so the min stays valid).
     // A query that failed in ANY pass is dropped from the headline map
     // (partial timings would understate it) and reported under "failed".
-    println(render(cold, steady1, steady2, failed.toSeq, sfDir))
+    println(render(cold, steady1, steady2, failed.toSeq, sfDir, loadStart, loadEnd))
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

@@ -420,20 +420,36 @@ object Versioned {
                retainVersions: Int = Int.MaxValue): Maintenance = {
     require(maxDeltas >= 1, s"maxDeltas >= 1, got $maxDeltas")
     require(retainVersions >= 1, s"retainVersions >= 1, got $retainVersions")
-    val f = fs(spark, base)
-    val vs = resolveUnlocked(spark, base)
-    val headDeltas = vs.reverse
-      .takeWhile(v => f.exists(new Path(versionPath(base, v), DeltaMarker))).size
-    val compacted = headDeltas >= maxDeltas
-    if (compacted) {
-      val keys = deltaKeysOf(spark, base).getOrElse(
-        throw new IllegalStateException(s"head deltas without a key sidecar under $base"))
-      compactDeltas(spark, base, keys)
+    // cheap unlocked probe first: the compaction daemon calls this on
+    // EVERY warehouse table each pass, and an under-threshold table must
+    // cost a listing, not a lock-service round trip
+    if (headDeltaCount(spark, base) < maxDeltas && retainVersions == Int.MaxValue)
+      return Maintenance(headDeltaCount(spark, base), compacted = false, Nil)
+    // mutating pass: serialize through the SAME lock service every other
+    // writer uses (TxnManager exclusive lock when `graft.txn.dir` is set,
+    // the sidecar lock otherwise) — a daemon compaction and a replica
+    // load on one table under two managers must queue, never interleave
+    // (the reference's Worker takes a TxnHandler lock for the same
+    // reason). State is re-derived UNDER the lock: the probe is advisory.
+    CopyOnWrite.withTableLock(spark, base) {
+      val headDeltas = headDeltaCount(spark, base)
+      val compacted = headDeltas >= maxDeltas
+      if (compacted) {
+        val keys = deltaKeysOf(spark, base).getOrElse(
+          throw new IllegalStateException(s"head deltas without a key sidecar under $base"))
+        compactDeltas(spark, base, keys)
+      }
+      val vacuumed =
+        if (retainVersions == Int.MaxValue) Nil
+        else vacuum(spark, base, retainVersions)
+      Maintenance(headDeltas, compacted, vacuumed)
     }
-    val vacuumed =
-      if (retainVersions == Int.MaxValue) Nil
-      else vacuum(spark, base, retainVersions)
-    Maintenance(headDeltas, compacted, vacuumed)
+  }
+
+  private def headDeltaCount(spark: SparkSession, base: String): Int = {
+    val f = fs(spark, base)
+    resolveUnlocked(spark, base).reverse
+      .takeWhile(v => f.exists(new Path(versionPath(base, v), DeltaMarker))).size
   }
 
   private def resolveUnlocked(spark: SparkSession, base: String): Seq[Int] = {

@@ -85,7 +85,11 @@ object MiscFunctions {
     * reference's NumericHistogram algorithm reimplemented as a
     * TypedImperativeAggregate, see NumericHistogram.scala; Spark's
     * Greenwald-Khanna percentile_approx kept alongside for contrast).
-    * Rows-only; exactness/stability pinned in HistogramSpec. */
+    * Rows-only; exactness/stability pinned in HistogramSpec. Every lane
+    * now has a hash-exact twin: histogram via q294, percentile via q211,
+    * and the approx-NDV lane via q303 (the engine's KMV path,
+    * under-fill-exact against DuckDB COUNT DISTINCT) — HLL++ itself stays
+    * rows-only because its estimate is not exactly replayable. */
   val q80_approx_aggs: Q = (s, d) => {
     HivePercentileApprox.register(s)
     HiveHistogramNumeric.register(s)

@@ -90,18 +90,22 @@ case class DeployedUdaf(funcName: String, className: String,
   override def createAggregationBuffer(): AnyRef = bound.fresh()
 
   override def update(buffer: AnyRef, input: InternalRow): AnyRef = {
-    val params = bound.iterate.getParameterTypes
+    // parameter primitiveness + numeric-widening converters are cached in
+    // Bound at bind time — getParameterTypes clones its array per call,
+    // which is per-row allocation on the aggregate hot path
+    val prim = bound.iteratePrimitive
+    val conv = bound.iterateConverters
     val args = new Array[AnyRef](children.length)
     var i = 0
     while (i < children.length) {
       val v = children(i).eval(input)
       if (v == null) {
-        if (params(i).isPrimitive) return buffer // bridge null skip
+        if (prim(i)) return buffer // bridge null skip
         args(i) = null
-      } else args(i) = (v match {
+      } else args(i) = conv(i)((v match {
         case s: UTF8String => s.toString
         case other => other
-      }).asInstanceOf[AnyRef]
+      }).asInstanceOf[AnyRef])
       i += 1
     }
     bound.iterate.invoke(buffer, args: _*)
@@ -160,7 +164,71 @@ object UdafDeploy {
       init.foreach(_.invoke(ev))
       ev
     }
+    // hot-path caches: getParameterTypes clones per call, and the
+    // widening converter is fixed once the method is chosen
+    val iteratePrimitive: Array[Boolean] = iterate.getParameterTypes.map(_.isPrimitive)
+    val iterateConverters: Array[AnyRef => AnyRef] =
+      iterate.getParameterTypes.map(numericConverter)
   }
+
+  /** Java's primitive widening chain, boxed spellings. A call-site type
+    * converts to a wider parameter type exactly as the reference's
+    * GenericUDAFBridge ConversionHelper coerces (int -> long -> double),
+    * never narrows. */
+  private val widenRank: Map[Class[_], Int] = Map(
+    classOf[java.lang.Byte] -> 0, classOf[java.lang.Short] -> 1,
+    classOf[java.lang.Integer] -> 2, classOf[java.lang.Long] -> 3,
+    classOf[java.lang.Float] -> 4, classOf[java.lang.Double] -> 5)
+
+  private def boxedOf(c: Class[_]): Class[_] = c match {
+    case java.lang.Byte.TYPE    => classOf[java.lang.Byte]
+    case java.lang.Short.TYPE   => classOf[java.lang.Short]
+    case java.lang.Integer.TYPE => classOf[java.lang.Integer]
+    case java.lang.Long.TYPE    => classOf[java.lang.Long]
+    case java.lang.Float.TYPE   => classOf[java.lang.Float]
+    case java.lang.Double.TYPE  => classOf[java.lang.Double]
+    case java.lang.Boolean.TYPE => classOf[java.lang.Boolean]
+    case other => other
+  }
+
+  private def widensTo(from: Class[_], to: Class[_]): Boolean = {
+    val t = boxedOf(to)
+    from == t || (widenRank.contains(from) && widenRank.contains(t) &&
+      widenRank(from) <= widenRank(t))
+  }
+
+  /** Boxed-value converter into the chosen parameter type (identity for
+    * non-numeric or already-exact arguments). */
+  private def numericConverter(target: Class[_]): AnyRef => AnyRef =
+    boxedOf(target) match {
+      case x if x == classOf[java.lang.Short] =>
+        v => v match { case n: java.lang.Number => java.lang.Short.valueOf(n.shortValue()); case o => o }
+      case x if x == classOf[java.lang.Integer] =>
+        v => v match { case n: java.lang.Number => java.lang.Integer.valueOf(n.intValue()); case o => o }
+      case x if x == classOf[java.lang.Long] =>
+        v => v match { case n: java.lang.Number => java.lang.Long.valueOf(n.longValue()); case o => o }
+      case x if x == classOf[java.lang.Float] =>
+        v => v match { case n: java.lang.Number => java.lang.Float.valueOf(n.floatValue()); case o => o }
+      case x if x == classOf[java.lang.Double] =>
+        v => v match { case n: java.lang.Number => java.lang.Double.valueOf(n.doubleValue()); case o => o }
+      case _ => identity[AnyRef]
+    }
+
+  /** Exact-signature miss fallback: the unique `name` overload every
+    * argument WIDENS to, smallest total widening first (deterministic
+    * when e.g. iterate(long) and iterate(double) both fit an int call
+    * site — the reference's resolver picks the closest match too,
+    * UDAFEvaluatorResolver getEvaluatorClass). */
+  private def findWidening(cls: Class[_], name: String,
+                           callSite: Seq[Class[_]]): Option[Method] =
+    cls.getMethods.filter(m => m.getName == name &&
+        m.getParameterCount == callSite.length &&
+        callSite.zip(m.getParameterTypes).forall { case (f, t) => widensTo(f, t) })
+      .sortBy { m =>
+        callSite.zip(m.getParameterTypes).map { case (f, t) =>
+          widenRank.getOrElse(boxedOf(t), 0) - widenRank.getOrElse(f, 0)
+        }.sum
+      }.headOption
 
   /** Does the class follow the UDAFEvaluator convention? (FunctionTask
     * inspects the deployed class the same way to pick scalar vs
@@ -179,10 +247,13 @@ object UdafDeploy {
       try Some(cls.getMethod(name, sig: _*))
       catch { case _: NoSuchMethodException => None }
     val iterate = find("iterate", boxed).orElse(find("iterate", prims))
+      .orElse(findWidening(cls, "iterate", boxed))
       .getOrElse(throw new IllegalArgumentException(
         s"$funcName: $className has no iterate(" +
-          s"${boxed.map(_.getSimpleName).mkString(",")}) — the UDAF evaluator " +
-          "convention is iterate/terminatePartial/merge/terminate (exec/UDAF.java)"))
+          s"${boxed.map(_.getSimpleName).mkString(",")}) and no overload the " +
+          "arguments widen to (int->long->double) — the UDAF evaluator " +
+          "convention is iterate/terminatePartial/merge/terminate (exec/UDAF.java); " +
+          "cast the arguments explicitly if the evaluator narrows"))
     val tp = find("terminatePartial", Nil).getOrElse(
       throw new IllegalArgumentException(s"$funcName: $className has no terminatePartial()"))
     val merge = find("merge", Seq(tp.getReturnType)).getOrElse(

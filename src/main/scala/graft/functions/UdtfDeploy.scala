@@ -117,13 +117,13 @@ case class DeployedUdtf(funcName: String, className: String,
   }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val params = bound.process.getParameterTypes
+    val prim = bound.processPrimitive
     val args = new Array[AnyRef](children.length)
     var i = 0
     while (i < children.length) {
       val v = children(i).eval(input)
       if (v == null) {
-        if (params(i).isPrimitive) return Nil // bridge null skip
+        if (prim(i)) return Nil // bridge null skip
         args(i) = null
       } else args(i) = (v match {
         case s: UTF8String => s.toString
@@ -146,7 +146,11 @@ case class DeployedUdtf(funcName: String, className: String,
 object UdtfDeploy {
 
   private[functions] final case class Bound(instance: AnyRef, process: Method,
-                                            close: Option[Method])
+                                            close: Option[Method]) {
+    // cached: getParameterTypes clones its array per call — per-row
+    // allocation on the generator hot path
+    val processPrimitive: Array[Boolean] = process.getParameterTypes.map(_.isPrimitive)
+  }
 
   /** GenericUDTF shape: initialize() declaring a schema + process(). */
   private[functions] def looksLikeUdtf(cls: Class[_]): Boolean =

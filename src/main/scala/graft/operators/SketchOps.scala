@@ -222,7 +222,33 @@ object SketchOps {
         Sketches.kmvIntersectEstimate(col("ska"), col("skb"), K).as("ndv_intersect"))
   }
 
+  /** The approx-NDV lane of q80, oracle-ized (q80 itself stays rows-only
+    * because Spark's HLL++ estimate is never exactly replayable): the
+    * ENGINE's mergeable NDV path (KMV, the reference's compute_stats FM
+    * sketch analog) over q80's exact shape — per-returnflag NDV of
+    * l_partkey and l_orderkey — with capacity 65536, above every
+    * per-group NDV at sf0.01, so the estimate is under-fill EXACT and
+    * DuckDB's COUNT(DISTINCT) replays it bit-for-bit. At sf0.1 the
+    * ndv_order lane over-fills and degrades to the ±1/sqrt(k-2) estimate
+    * — the documented under-fill-by-design sweep category (same as
+    * q246); at 100 TB the identical plan ships one 512 KB sketch per
+    * group instead of a row-level distinct. */
+  val q303_approx_ndv_exact: Q = (s, d) => {
+    val k = 65536
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(Sketches.kmvSketch(col("l_partkey"), k).as("sk_part"),
+           Sketches.kmvSketch(col("l_orderkey"), k).as("sk_order"),
+           count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        Sketches.kmvEstimate(col("sk_part"), k).as("ndv_part"),
+        Sketches.kmvEstimate(col("sk_order"), k).as("ndv_order"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q303_approx_ndv_exact" -> q303_approx_ndv_exact,
     "q253_stream_heavy_hitters" -> q253_stream_heavy_hitters,
     "q281_dd_quantiles" -> q281_dd_quantiles,
     "q285_stream_quantile_sketch" -> q285_stream_quantile_sketch,
@@ -234,6 +260,12 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q303_approx_ndv_exact" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS ndv_part,
+        |  count(DISTINCT l_orderkey) AS ndv_order,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // Full replay of the DDSketch computation: same gamma spelling
     // (IEEE-identical (1+0.01)/(1-0.01)), same ceil(ln(x)/ln(gamma))
     // binning, same nearest-rank walk, same bucket representative —

@@ -5,10 +5,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -36,8 +37,10 @@ import KvStore.{compareKeys, Meta, Segment}
   *  - '''Key-predicate pushdown''' (SupportsPushDownFilters): =, <, <=,
   *    >, >=, IN conjuncts on the key column become a [lo, hi] window;
   *    segments whose [min, max] range misses it are never opened (HBase
-  *    region pruning) and each surviving segment STOPS at the first key
-  *    past `hi` (the region scan's stop-row). Every filter — key
+  *    region pruning); each surviving segment FAST-FORWARDS to the first
+  *    key at/after `lo` (block-index seek: skipped rows decode key-only)
+  *    and STOPS at the first key past `hi` (the region scan's
+  *    start/stop-rows). Every filter — key
   *    predicates included — is also returned to Spark as residual, so the
   *    route is a sound superset exactly like the parquet reader's pushed
   *    filters: pruning can only skip rows the predicate rejects anyway.
@@ -75,13 +78,44 @@ class KvSource extends TableProvider with DataSourceRegister {
   }
 }
 
-final class KvTable(val dir: String, meta: Meta) extends Table with SupportsRead {
+final class KvTable(val dir: String, meta: Meta) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graftkv $dir"
   override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(dir, meta)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(dir, meta, info)
+}
+
+/** Write half of the handler contract (the reference's
+  * HiveHBaseTableOutputFormat direction: INSERT INTO an external-handler
+  * table writes THROUGH the handler into the store). Exposed as a V1
+  * write so both lanes route through [[KvStore]]'s existing committed
+  * paths — INSERT OVERWRITE through the staged-swap full write (a
+  * concurrent reader sees old or new, never half), INSERT INTO through
+  * the append lane (new sorted segments + a single meta rewrite).
+  * Either way the store-side governance chokepoints (INSERT, and DELETE
+  * for the destructive overwrite) fire exactly as they do for the
+  * programmatic API. Segment count for the incoming batch is the
+  * store's current segment count (an OVERWRITE keeps the layout's
+  * granularity; an empty store got created with some count already). */
+final class KvWriteBuilder(dir: String, meta: Meta, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+        val segments = math.max(meta.segments.length, 1)
+        if (overwrite || overwriteFlag)
+          KvStore.write(data.sparkSession, data, dir, meta.keyCol, segments)
+        else KvStore.append(data.sparkSession, data, dir, segments)
+      }
+  }
 }
 
 final class KvScanBuilder(dir: String, meta: Meta)
@@ -167,7 +201,7 @@ final class KvScan(dir: String, meta: Meta, required: StructType,
     // Hadoop conf ships too — executors must open segments with the
     // driver's filesystem settings, not an empty default.
     new KvReaderFactory(dir, meta.schema.toDDL, required.fieldNames.toSeq,
-      meta.keyCol, hi.map(KvPartition.enc),
+      meta.keyCol, hi.map(KvPartition.enc), lo.map(KvPartition.enc),
       new KvStore.SerConf(SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
@@ -185,6 +219,7 @@ object KvPartition {
 
 final class KvReaderFactory(dir: String, fullDdl: String, requiredNames: Seq[String],
                             keyCol: String, stopAtEnc: Option[String],
+                            startAtEnc: Option[String],
                             conf: KvStore.SerConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -194,7 +229,7 @@ final class KvReaderFactory(dir: String, fullDdl: String, requiredNames: Seq[Str
     val want = requiredNames.toSet
     val it = new KvStore.SegmentReader(fs, dir, file,
       full, StructType(full.fields.filter(f => want(f.name))),
-      keyCol, stopAtEnc.map(KvPartition.dec))
+      keyCol, stopAtEnc.map(KvPartition.dec), startAtEnc.map(KvPartition.dec))
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }

@@ -133,13 +133,59 @@ object KvStore {
     }
   }
 
+  /** INSERT INTO an existing store (the HiveHBaseTableOutputFormat
+    * direction — the handler's write half): new rows land as ADDITIONAL
+    * sorted segments (their own range shuffle), and the meta gains their
+    * lines. Appended segments may overlap existing ones in key range —
+    * pruning stays sound (it is an [min,max]-intersection superset) and
+    * each segment is still internally sorted, so stop-row/seek still
+    * hold per segment; a key now simply may live in more than one
+    * segment, exactly like a row key spread over multiple HBase HFiles
+    * before compaction. The meta rewrite is the single commit point. */
+  def append(spark: SparkSession, df: DataFrame, dir: String, numSegments: Int): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = readMeta(fs, dir)
+    require(df.schema.map(f => (f.name, f.dataType)) ==
+            existing.schema.map(f => (f.name, f.dataType)),
+      s"graftkv append: schema mismatch — store has ${existing.schema.toDDL}, " +
+        s"insert brings ${df.schema.toDDL}")
+    require(numSegments > 0, "numSegments must be positive")
+    graft.security.AccessPolicies.check(spark, dir, "INSERT")
+    // batch tag keeps appended segment names collision-free vs every
+    // earlier write (deterministic IN the batch for task-retry idempotence)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    // segments carry the STORE's canonical DDL (the incoming frame may
+    // differ in nullability only — same wire encoding — and a drifted
+    // header would trip the reader's schema-drift guard)
+    val newLines = writeSegments(spark, df, dir, existing.keyCol, numSegments, tag,
+      existing.schema.toDDL)
+    writeMeta(fs, dir, existing.keyCol, existing.schema.toDDL,
+      existing.segments.map(segLine) ++ newLines)
+  }
+
+  private def segLine(s: Segment): String =
+    s"${s.file}\t${s.rows}\t${encKey(s.minKey)}\t${encKey(s.maxKey)}"
+
   private def writeInto(spark: SparkSession, df: DataFrame, dirStr: String,
                         keyCol: String, numSegments: Int): Unit = {
+    val ddl = df.schema.toDDL
+    val lines = writeSegments(spark, df, dirStr, keyCol, numSegments, tag = "", ddl)
+    val fs = new Path(dirStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeMeta(fs, dirStr, keyCol, ddl, lines)
+  }
+
+  /** Range-shuffle `df` on the key and stream each partition to one
+    * sorted segment file; returns the meta lines (committed by the
+    * caller's [[writeMeta]]). `tag` disambiguates append batches; `ddl`
+    * is the header schema (the store's canonical one on append). */
+  private def writeSegments(spark: SparkSession, df: DataFrame, dirStr: String,
+                            keyCol: String, numSegments: Int, tag: String,
+                            ddl: String): Seq[String] = {
     val schema = df.schema
     val fs = new Path(dirStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dirStr, SegMetaDir))
     val keyIdx = schema.fieldIndex(keyCol)
-    val ddl = schema.toDDL
     val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
     // null keys are unaddressable in a key-ordered store (same contract
     // as an HBase rowkey); sorted ascending inside each range partition
@@ -154,7 +200,7 @@ object KvStore {
         val tc = TaskContext.get()
         val pid = tc.partitionId()
         val f = new Path(dirStr).getFileSystem(serConf.conf)
-        val name = f"seg-$pid%05d"
+        val name = if (tag.isEmpty) f"seg-$pid%05d" else f"seg-$tag-$pid%05d"
         // attempt-unique staging + rename: the task's commit point. A
         // rename over a competing attempt's identical deterministic
         // output is harmless (same bytes); a failed attempt leaves only
@@ -186,7 +232,8 @@ object KvStore {
         sm.close()
       }
     }
-    // merge the per-segment sidecars into the single meta (commit point)
+    // merge the per-segment sidecars (this batch's lines; the caller
+    // commits them — together with any pre-existing lines — via writeMeta)
     val segLines = fs.listStatus(new Path(dirStr, SegMetaDir)).toSeq
       .filter(_.getPath.getName.endsWith(".meta"))
       .map { st =>
@@ -194,11 +241,17 @@ object KvStore {
         val line = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         in.close(); line
       }.sorted
+    fs.delete(new Path(dirStr, SegMetaDir), true)
+    segLines
+  }
+
+  /** Single-file meta rewrite — the store's commit point. */
+  private def writeMeta(fs: FileSystem, dirStr: String, keyCol: String,
+                        ddl: String, segLines: Seq[String]): Unit = {
     val meta = fs.create(new Path(dirStr, MetaFile), true)
     meta.write((s"$Magic\nkey\t$keyCol\nschema\t$ddl\n" +
       segLines.map("seg\t" + _).mkString("\n") + "\n").getBytes(UTF_8))
     meta.close()
-    fs.delete(new Path(dirStr, SegMetaDir), true)
   }
 
   private def keyOf(r: InternalRow, idx: Int, dt: DataType): Any = dt match {
@@ -263,16 +316,64 @@ object KvStore {
     Meta(key, schema, segs.result())
   }
 
+  /** Test seams: SegmentReader is private[sources]; these let specs in
+    * the graft test package construct one and pin the seek/stop decode
+    * counters (rowsMaterialized, rowsSkippedBySeek). */
+  private[graft] def newSegmentReader(fs: FileSystem, dir: String, file: String,
+      full: StructType, required: StructType, keyCol: String,
+      stopAt: Option[Any], startAt: Option[Any]): Iterator[InternalRow] =
+    new SegmentReader(fs, dir, file, full, required, keyCol, stopAt, startAt)
+
+  private[graft] def readerCounters(r: Iterator[InternalRow]): (Long, Long) = r match {
+    case s: SegmentReader => (s.rowsMaterialized, s.rowsSkippedBySeek)
+    case other => throw new IllegalArgumentException(s"not a SegmentReader: $other")
+  }
+
+  /** FilterInputStream that can RECORD the bytes it hands out into a
+    * reusable buffer, so one already-consumed row can be replayed. Used
+    * by the seek-to-lo fast-forward: rows below the lower bound are
+    * decoded key-only (strings copied, never allocated as objects), and
+    * the first row AT/PAST the bound — whose bytes were necessarily
+    * consumed before its key was known — is re-decoded from the
+    * recording instead of being lost. skip() reads (not seeks) while
+    * recording, so skipped string bytes stay replayable. */
+  private final class RecordingInput(under: java.io.InputStream)
+      extends java.io.FilterInputStream(under) {
+    private val buf = new java.io.ByteArrayOutputStream(1 << 10)
+    private var rec = false
+    def startRecording(): Unit = { buf.reset(); rec = true }
+    def stopRecording(): Unit = rec = false
+    def replay(): DataInputStream =
+      new DataInputStream(new java.io.ByteArrayInputStream(buf.toByteArray))
+    override def read(): Int = {
+      val b = super.read(); if (rec && b >= 0) buf.write(b); b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (rec && n > 0) buf.write(b, off, n); n
+    }
+    override def skip(n: Long): Long =
+      if (!rec) super.skip(n)
+      else { // must pass through read() so the bytes are recorded
+        val chunk = new Array[Byte](math.min(n, 1 << 16).toInt)
+        val got = read(chunk, 0, chunk.length)
+        if (got < 0) 0L else got.toLong
+      }
+  }
+
   /** Streaming decoder over one segment file, projecting `required`
-    * columns (others are skipped without decoding) and STOPPING at the
-    * first key past `stopAt` (rows are key-sorted — the region scan's
-    * stop-row). Returns Catalyst InternalRows. */
+    * columns (others are skipped without decoding), FAST-FORWARDING past
+    * keys below `startAt` (the block-index seek analog: skipped rows
+    * decode only their key, no object materialization) and STOPPING at
+    * the first key past `stopAt` (rows are key-sorted — the region
+    * scan's start/stop-rows). Returns Catalyst InternalRows. */
   private[sources] final class SegmentReader(fs: FileSystem, dir: String, file: String,
                                              full: StructType, required: StructType,
-                                             keyCol: String, stopAt: Option[Any])
+                                             keyCol: String, stopAt: Option[Any],
+                                             startAt: Option[Any] = None)
       extends Iterator[InternalRow] with AutoCloseable {
-    private val in = new DataInputStream(new java.io.BufferedInputStream(
+    private val rec = new RecordingInput(new java.io.BufferedInputStream(
       fs.open(new Path(dir, file)), 1 << 16))
+    private val in = new DataInputStream(rec)
     require(in.readUTF() == Magic, s"bad segment magic: $file")
     require(in.readInt() == full.fields.length, s"field-count drift: $file")
     private val fileSchema = StructType.fromDDL(in.readUTF())
@@ -283,54 +384,93 @@ object KvStore {
       if (required.fieldNames.contains(f.name)) required.fieldIndex(f.name) else -1)
     private var nextRow: InternalRow = _
     private var done = false
+    private var seeking = startAt.isDefined
+
+    /** Observability for the seek/stop contract (KvHandlerSpec pins
+      * that a point lookup at a segment's tail materializes ~1 row). */
+    private[sources] var rowsMaterialized: Long = 0L
+    private[sources] var rowsSkippedBySeek: Long = 0L
+
+    /** Decode one row from `src` into an InternalRow (materialize=true)
+      * or key-only (materialize=false). Returns null at clean EOF.
+      * The row's key lands in `lastKey` either way. */
+    private def decodeRow(src: DataInputStream, materialize: Boolean): InternalRow = {
+      // EOFException is a clean end ONLY on the very first byte of a
+      // row; mid-row EOF is a truncated segment and propagates loudly
+      val firstNull = try src.readBoolean() catch {
+        case _: EOFException => return null
+      }
+      lastKey = null
+      val vals = if (materialize) new Array[Any](required.length) else null
+      readField(src, 0, firstNull, vals)
+      var i = 1
+      while (i < full.length) {
+        readField(src, i, src.readBoolean(), vals)
+        i += 1
+      }
+      if (materialize) {
+        rowsMaterialized += 1
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      } else InternalRow.empty
+    }
 
     private def advance(): Unit = {
       if (done) return
-      // EOFException is a clean end ONLY on the very first byte of a
-      // row; mid-row EOF is a truncated segment and propagates loudly
-      val firstNull = try in.readBoolean() catch {
-        case _: EOFException => done = true; nextRow = null; close(); return
+      while (seeking) {
+        // fast-forward: rows are key-sorted, so everything below the
+        // lower bound is consumed key-only (recorded, not materialized);
+        // the boundary row's bytes are replayed from the recording
+        rec.startRecording()
+        if (decodeRow(in, materialize = false) == null) {
+          rec.stopRecording(); done = true; nextRow = null; close(); return
+        }
+        if (lastKey != null && compareKeys(lastKey, startAt.get) >= 0) {
+          rec.stopRecording()
+          seeking = false
+          val replayed = decodeRow(rec.replay(), materialize = true)
+          if (stopAt.exists(hi => compareKeys(lastKey, hi) > 0)) {
+            rowsMaterialized -= 1 // boundary probe, not an output row
+            done = true; nextRow = null; close()
+          } else nextRow = replayed
+          return
+        }
+        rowsSkippedBySeek += 1
+        rec.stopRecording()
       }
-      val vals = new Array[Any](required.length)
-      var key: Any = null
-      readField(0, firstNull, vals)
-      if (!firstNull && keyIdx == 0) key = lastKey
-      var i = 1
-      while (i < full.length) {
-        val isNull = in.readBoolean()
-        readField(i, isNull, vals)
-        if (!isNull && i == keyIdx) key = lastKey
-        i += 1
-      }
-      if (stopAt.exists(hi => key != null && compareKeys(key, hi) > 0)) {
+      val row = decodeRow(in, materialize = true)
+      if (row == null) { done = true; nextRow = null; close(); return }
+      if (stopAt.exists(hi => lastKey != null && compareKeys(lastKey, hi) > 0)) {
         // sorted segment: every later row is past the bound too
+        rowsMaterialized -= 1 // the boundary probe is not an output row
         done = true; nextRow = null; close()
-      } else nextRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      } else nextRow = row
     }
 
     private var lastKey: Any = _
 
-    /** Decode field `i` into the projection (or skip its bytes). Key
-      * fields remember their external value for the stop-row check. */
-    private def readField(i: Int, isNull: Boolean, vals: Array[Any]): Unit = {
+    /** Decode field `i` into the projection (or skip its bytes;
+      * `vals == null` = key-only mode, nothing materializes). Key
+      * fields remember their external value for the seek/stop checks. */
+    private def readField(src: DataInputStream, i: Int, isNull: Boolean,
+                          vals: Array[Any]): Unit = {
       val dt = full.fields(i).dataType
-      val p = proj(i)
+      val p = if (vals == null) -1 else proj(i)
       if (isNull) { if (p >= 0) vals(p) = null; return }
       dt match {
         case LongType | TimestampNTZType | TimestampType =>
-          val v = in.readLong()
+          val v = src.readLong()
           if (i == keyIdx) lastKey = v
           if (p >= 0) vals(p) = v
         case IntegerType | DateType =>
-          val v = in.readInt(); if (p >= 0) vals(p) = v
+          val v = src.readInt(); if (p >= 0) vals(p) = v
         case DoubleType =>
-          val v = in.readDouble(); if (p >= 0) vals(p) = v
+          val v = src.readDouble(); if (p >= 0) vals(p) = v
         case BooleanType =>
-          val v = in.readBoolean(); if (p >= 0) vals(p) = v
+          val v = src.readBoolean(); if (p >= 0) vals(p) = v
         case StringType =>
-          val len = in.readInt()
+          val len = src.readInt()
           if (p >= 0 || i == keyIdx) {
-            val b = new Array[Byte](len); in.readFully(b)
+            val b = new Array[Byte](len); src.readFully(b)
             if (i == keyIdx) lastKey = new String(b, UTF_8)
             if (p >= 0) vals(p) = UTF8String.fromBytes(b)
           } else {
@@ -339,9 +479,9 @@ object KvStore {
             // fall back to readFully, which throws loudly on truncation
             var left = len
             while (left > 0) {
-              val skipped = in.skipBytes(left)
+              val skipped = src.skipBytes(left)
               if (skipped > 0) left -= skipped
-              else { in.readFully(new Array[Byte](left)); left = 0 }
+              else { src.readFully(new Array[Byte](left)); left = 0 }
             }
           }
         case other => throw new IllegalStateException(s"unsupported $other")

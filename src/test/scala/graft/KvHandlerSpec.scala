@@ -136,6 +136,72 @@ class KvHandlerSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL write half: CREATE TABLE USING graftkv + INSERT INTO / INSERT OVERWRITE") {
+    import spark.implicits._
+    val dir = "target/storage/kv_spec/sqlwrite"
+    KvStore.write(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      dir, "k", numSegments = 2)
+    spark.sql("DROP TABLE IF EXISTS kv_sql_t")
+    spark.sql(s"CREATE TABLE kv_sql_t USING graftkv LOCATION '${new java.io.File(dir).getAbsolutePath}'")
+    try {
+      assert(spark.sql("SELECT count(*) FROM kv_sql_t").first().getLong(0) == 3)
+      // INSERT INTO appends new sorted segments; old rows survive
+      spark.sql("INSERT INTO kv_sql_t VALUES (10, 'x'), (11, 'y')")
+      assert(spark.sql("SELECT count(*) FROM kv_sql_t").first().getLong(0) == 5)
+      assert(spark.sql("SELECT v FROM kv_sql_t WHERE k = 10").first().getString(0) == "x")
+      // key pushdown still prunes across old + appended segments
+      val point = spark.table("kv_sql_t").filter(col("k") === 2L)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val segments = KvStore.readMeta(fs, dir).segments.length
+      assert(segments > 2, s"append did not add segments: $segments")
+      assert(scanOf(point).inputRDD.getNumPartitions < segments,
+        "point lookup did not prune appended store")
+      assert(point.count() == 1)
+      // INSERT OVERWRITE replaces the whole store through the staged swap
+      spark.sql("INSERT OVERWRITE TABLE kv_sql_t VALUES (100, 'zz'), (101, 'ww')")
+      assert(spark.sql("SELECT k, v FROM kv_sql_t ORDER BY k").collect().map(_.getLong(0)).toSeq
+        == Seq(100L, 101L))
+      // append refuses a schema that does not match the store
+      intercept[Exception](
+        KvStore.append(spark, Seq((1L, 2L)).toDF("k", "v"), dir, 1))
+    } finally spark.sql("DROP TABLE IF EXISTS kv_sql_t")
+  }
+
+  test("seek-to-lo: a point lookup at a segment's tail materializes ~1 row") {
+    import spark.implicits._
+    val dir = "target/storage/kv_spec/seek"
+    // one segment, string-heavy payload: without the seek every row's
+    // strings would be decoded on the way to the last key
+    val n = 1000
+    val src = (1L to n).map(i => (i, "payload-" * 10 + i)).toDF("k", "v")
+    KvStore.write(spark, src, dir, "k", numSegments = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = KvStore.readMeta(fs, dir)
+    val seg = meta.segments.head
+    def reader(lo: Option[Any], hi: Option[Any]) =
+      KvStore.newSegmentReader(fs, dir, seg.file, meta.schema, meta.schema, "k", hi, lo)
+    // last-key point lookup: exactly one row materialized, the rest
+    // fast-forwarded key-only
+    val tail = reader(Some(n.toLong), Some(n.toLong))
+    assert(tail.toSeq.map(_.getLong(0)) == Seq(n.toLong))
+    assert(KvStore.readerCounters(tail) == (1L, (n - 1).toLong),
+      s"expected (1 materialized, ${n - 1} skipped), got ${KvStore.readerCounters(tail)}")
+    // mid-range lookup: boundary row emitted, stop-row probe not counted
+    val mid = reader(Some(500L), Some(500L))
+    assert(mid.toSeq.map(_.getLong(0)) == Seq(500L))
+    assert(KvStore.readerCounters(mid) == (1L, 499L))
+    // no bounds: everything materializes (the seek lane is bounds-only)
+    val full = reader(None, None)
+    assert(full.size == n)
+    assert(KvStore.readerCounters(full) == (n.toLong, 0L))
+    // end-to-end: the connector wires lo through to the reader
+    val kv = spark.read.format("graftkv").load(dir)
+    assert(kv.filter(col("k") === n.toLong).select("v").first().getString(0)
+      == "payload-" * 10 + n)
+  }
+
   test("write contract: key type, unsupported columns, null keys, uncommitted store") {
     import spark.implicits._
     val base = "target/storage/kv_spec/contract"

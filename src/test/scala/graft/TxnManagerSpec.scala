@@ -215,6 +215,47 @@ class TxnManagerSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.txn.dir")
   }
 
+  test("daemon compaction and replica load serialize through the shared lock service") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.acid.Versioned
+    import graft.etl.Replication
+    val d = freshDir()
+    val base = Files.createTempDirectory("graft_txn_serial").toString
+    spark.conf.set("graft.txn.dir", d)
+    try {
+      // --- maintain (the daemon's per-table pass) queues behind a held X lock
+      val t1 = s"$base/serial_tbl"
+      Versioned.commit(spark, t1, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      Versioned.commitDelta(spark, t1, Seq("k"), Seq((3L, "c")).toDF("k", "v"))
+      Versioned.commitDelta(spark, t1, Seq("k"), Seq((4L, "e")).toDF("k", "v"))
+      val holder = mgr(d, "in-flight-load")
+      val h1 = holder.acquireLocks(Seq(tbl(Exclusive, "serial_tbl")))
+      val fm = Future(Versioned.maintain(spark, t1, maxDeltas = 1))
+      Thread.sleep(1500)
+      assert(!fm.isCompleted, "maintain ran while another manager held the table X lock")
+      holder.unlock(h1.extLockId)
+      val m = Await.result(fm, 60.seconds)
+      assert(m.compacted, s"maintain should have compacted after the lock freed: $m")
+      assert(Versioned.read(spark, t1).count() == 4)
+
+      // --- Replication.load queues behind a held X lock on the replica
+      val src = s"$base/serial_src"; val dst = s"$base/serial_replica"
+      val dump = s"$base/serial_dump"
+      Versioned.commit(spark, src, Seq((1L, "x")).toDF("k", "v"))
+      Replication.dump(spark, src, dump, Seq("k"), fromId = None)
+      val h2 = holder.acquireLocks(Seq(tbl(Exclusive, "serial_replica")))
+      val fl = Future(Replication.load(spark, dump, dst))
+      Thread.sleep(1500)
+      assert(!fl.isCompleted, "load ran while another manager held the replica X lock")
+      holder.unlock(h2.extLockId)
+      assert(Await.result(fl, 60.seconds) == 1)
+      assert(Versioned.read(spark, dst).count() == 1)
+    } finally spark.conf.unset("graft.txn.dir")
+  }
+
   test("SHOW LOCKS / SHOW TRANSACTIONS / ABORT TRANSACTIONS DDL") {
     val d = freshDir()
     spark.conf.set("graft.txn.dir", d)

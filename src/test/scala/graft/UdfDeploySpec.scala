@@ -70,14 +70,24 @@ class UdfDeploySpec extends AnyFunSuite {
       val want = spark.sql(
         "SELECT k, avg(v) AS a FROM t_udaf_in GROUP BY k ORDER BY k").collect()
       assert(got.map(_.getDouble(1)).toSeq == want.map(_.getDouble(1)).toSeq)
-      // the plan is a normal two-phase aggregate (map-side partials)
+      // the plan is a normal two-phase aggregate: the PARTIAL marker must
+      // be present (the bare function name appears in any plan string, so
+      // checking it alone would be vacuous)
       val plan = spark.sql("SELECT k, t_avg(v) FROM t_udaf_in GROUP BY k")
         .queryExecution.executedPlan.toString
-      assert(plan.contains("partial_t_avg") || plan.contains("t_avg"))
+      assert(plan.contains("partial_t_avg"), s"no map-side partial in plan:\n$plan")
       // empty group never iterated: terminate() on init state -> null
       val empty = spark.sql(
         "SELECT t_avg(v) AS a FROM t_udaf_in WHERE v < 0").collect()(0)
       assert(empty.isNullAt(0))
+      // widening: the evaluator declares iterate(Double); an INT column
+      // coerces int -> double like the reference's ConversionHelper,
+      // instead of failing the exact-signature lookup
+      val wide = spark.sql(
+        "SELECT t_avg(cast(k AS INT)) AS a FROM t_udaf_in").collect()(0).getDouble(0)
+      val wideWant = spark.sql(
+        "SELECT avg(cast(k AS INT)) AS a FROM t_udaf_in").collect()(0).getDouble(0)
+      assert(wide == wideWant, s"widened int->double iterate: $wide vs $wideWant")
     } finally Hplsql.run(spark, "DROP TEMPORARY FUNCTION t_avg;")
   }
 
