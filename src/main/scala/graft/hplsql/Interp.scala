@@ -711,6 +711,7 @@ object Hplsql {
       case s: String         => "'" + s.replace("'", "''") + "'"
       case d: LocalDate      => s"DATE '${d}'"
       case t: LocalDateTime  => s"TIMESTAMP '${renderTs(t)}'"
+      case ts: TsC           => s"TIMESTAMP '${renderTsC(ts)}'"
       case b: Boolean        => if (b) "true" else "false"
       case n: BigDecimal     => n.bigDecimal.toPlainString
       case other             => other.toString
@@ -728,7 +729,17 @@ object Hplsql {
       case BoolLit(v) => v
       case NullLit    => null
       case DateLit(s) => LocalDate.parse(s.trim.take(10))
-      case TimestampLit(s) => parseTs(s)
+      case TimestampLit(s) =>
+        val t = parseTs(s)
+        if (!tsCompat) t
+        else {
+          // scale from the literal text (visitTimestamp_literal: chars
+          // past position 19, capped at 3); value truncated to millis,
+          // the resolution every reference timestamp op runs at
+          val raw = s.trim
+          val scale = if (raw.length > 19) math.min(raw.length - 20, 3) else 0
+          TsC(t.withNano(t.getNano / 1000000 * 1000000), scale)
+        }
       case VarRef(name) =>
         findVar(name) match {
           case Some(v) => v.value
@@ -844,6 +855,18 @@ object Hplsql {
               case u if u.startsWith("YEAR")  => t.plusYears(n)
               case u => t.plusNanos(intervalNanos(n, u))
             }
+          case ts: TsC =>
+            val t = ts.t
+            val t2 = unit match {
+              case u if u.startsWith("DAY")   => t.plusDays(n)
+              case u if u.startsWith("MONTH") => t.plusMonths(n)
+              case u if u.startsWith("YEAR")  => t.plusYears(n)
+              // the reference quirk, reproduced: MICROSECOND intervals
+              // land as milliseconds (Interval.set -> setMilliseconds)
+              case u if u.startsWith("MICROSECOND") => t.plusNanos(n * 1000000L)
+              case u => t.plusNanos(intervalNanos(n, u))
+            }
+            TsC(t2, ts.scale)
           case other => throw HplError("UNDEFINED", s"Interval arithmetic on $other")
         }
     }
@@ -910,6 +933,9 @@ object Hplsql {
           case (t: LocalDateTime, n) if op == "+" => t.plusDays(toLong(n))
           case (n, t: LocalDateTime) if op == "+" => t.plusDays(toLong(n))
           case (t: LocalDateTime, n) if op == "-" => t.minusDays(toLong(n))
+          case (ts: TsC, n) if op == "+" => TsC(ts.t.plusDays(toLong(n)), ts.scale)
+          case (n, ts: TsC) if op == "+" => TsC(ts.t.plusDays(toLong(n)), ts.scale)
+          case (ts: TsC, n) if op == "-" => TsC(ts.t.minusDays(toLong(n)), ts.scale)
           case _ =>
             // `'a' + 'b'` / `cast(x as varchar2) + ' aa'` concatenate when a
             // side is non-numeric text (reference Expression.operatorAdd)
@@ -1087,7 +1113,15 @@ object Hplsql {
 
     private def toLong(v: Any): Long = toNum(v).toLong
 
-    private def cmp(l: Any, r: Any): Int = (l, r) match {
+    private def cmp(l0: Any, r0: Any): Int = {
+      // compat timestamps compare by instant (the reference compares the
+      // underlying Timestamp; scale is display-only)
+      def unwrapTs(v: Any): Any = v match { case ts: TsC => ts.t; case x => x }
+      val (l, r) = (unwrapTs(l0), unwrapTs(r0))
+      cmpUnwrapped(l, r)
+    }
+
+    private def cmpUnwrapped(l: Any, r: Any): Int = (l, r) match {
       // number vs string: numeric when the string parses, else string
       // comparison (the reference's Var.compareTo coercion order)
       case (a: BigDecimal, b) =>
@@ -1121,10 +1155,12 @@ object Hplsql {
         case "DATE" => v match {
           case d: LocalDate => d
           case t2: LocalDateTime => t2.toLocalDate
+          case ts: TsC => ts.t.toLocalDate
           case s => LocalDate.parse(render(s).take(10))
         }
         case "TIMESTAMP" | "DATETIME" => v match {
           case t2: LocalDateTime => t2
+          case ts: TsC => ts
           case d: LocalDate => d.atStartOfDay
           case s => parseTs(render(s))
         }
@@ -1145,12 +1181,15 @@ object Hplsql {
         // WHEN OTHERS handler could catch — raise the catchable form
         if (d.isNaN || d.isInfinite)
           throw HplError("CONVERSION", s"non-finite double from SQL: $d")
-        BigDecimal(d)
+        // SQL-sourced values carry no author-chosen scale — normalize
+        // (1e2 prints 102, DECIMAL(18,2) 1.10 prints 1.1); interpreter
+        // LITERALS keep their written scale (lang.out.txt prints 1.0)
+        BigDecimal(java.math.BigDecimal.valueOf(d).stripTrailingZeros())
       case f: Float =>
         if (f.isNaN || f.isInfinite)
           throw HplError("CONVERSION", s"non-finite float from SQL: $f")
-        BigDecimal(f.toDouble)
-      case d: java.math.BigDecimal => BigDecimal(d)
+        BigDecimal(java.math.BigDecimal.valueOf(f.toDouble).stripTrailingZeros())
+      case d: java.math.BigDecimal => BigDecimal(d.stripTrailingZeros)
       case d: java.sql.Date => d.toLocalDate
       case t: java.sql.Timestamp => t.toLocalDateTime
       case t: java.time.Instant => LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
@@ -1161,9 +1200,37 @@ object Hplsql {
     }
 
     private def parseTs(s: String): LocalDateTime = {
-      val t = s.trim
+      val t0 = s.trim
+      // DB2 spelling YYYY-MM-DD-HH.MI.SS[.FFF] (Utils.toTimestamp:118
+      // rewrites it to the standard form the same way)
+      val t = if (t0.length > 19 && t0.charAt(10) == '-')
+        t0.substring(0, 10) + ' ' + t0.substring(11, 13) + ':' +
+          t0.substring(14, 16) + ':' + t0.substring(17)
+      else t0
       if (t.length <= 10) LocalDate.parse(t).atStartOfDay
       else LocalDateTime.parse(t.replace(' ', 'T'))
+    }
+
+    /** Reference-compat timestamp value, active only under
+      * `graft.hplsql.compat.tsMillis`: the reference stores timestamps
+      * at MILLISECOND resolution (Interval.java:45 timestampChange runs
+      * through Calendar millis), maps MICROSECOND intervals onto
+      * milliseconds (Interval.java:76-80 — set() calls
+      * setMilliseconds, a quirk this mode reproduces faithfully), and
+      * renders by cutting Timestamp.toString at 19 + scale + 1 chars,
+      * scale being the LITERAL's fraction width capped at 3
+      * (Var.toString + Exec.visitTimestamp_literal). Default mode keeps
+      * true microseconds (HplsqlSpec pins `.000001`), so the wrapper
+      * never appears unless the conf opts a script into compat. */
+    private final case class TsC(t: LocalDateTime, scale: Int)
+
+    private def tsCompat: Boolean =
+      spark.conf.getOption("graft.hplsql.compat.tsMillis").contains("true")
+
+    private def renderTsC(ts: TsC): String = {
+      val s = java.sql.Timestamp.valueOf(ts.t).toString // carries >= ".0"
+      val len = 19 + (if (ts.scale > 0) ts.scale + 1 else 0)
+      if (s.length > len) s.substring(0, len) else s
     }
 
     private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -1180,10 +1247,14 @@ object Hplsql {
       case null => "null"
       case s: String => s
       case n: BigDecimal =>
-        val stripped = n.bigDecimal.stripTrailingZeros
-        (if (stripped.scale < 0) stripped.setScale(0) else stripped).toPlainString
+        // scale is part of the value (the reference's DECIMAL Var prints
+        // `1.0` for the literal 1.0 — lang.out.txt); only scientific
+        // notation normalizes away. Division strips its own result, so
+        // 8/4/2 still prints 1, not 1.00.
+        (if (n.bigDecimal.scale < 0) n.bigDecimal.setScale(0) else n.bigDecimal).toPlainString
       case d: LocalDate => d.toString
       case t: LocalDateTime => renderTs(t)
+      case ts: TsC => renderTsC(ts)
       case b: Boolean => if (b) "true" else "false"
       case r: Rec => r.fields.map(f => render(f._2)).mkString(", ")
       case other => other.toString

@@ -416,6 +416,15 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
       return mark(DeclareHandler(exit, cond, body), ln)
     }
     val names = ArrayBuffer(advance().text)
+    // dotted variable names (lang.sql: `abc.abc`, `:new.abc`,
+    // `"abc"."abc1"`, `[abc].[abc1]`): fold `.part` into the name while a
+    // type token still follows — a dot that ENDS the item belongs to a
+    // dotted TYPE instead (UTL_FILE.FILE_TYPE), which never dots the name
+    while (atOp(".") && (la(1).kind == Tok.Ident || la(1).kind == Tok.QIdent) &&
+           !(la(2).kind == Tok.Op && (la(2).text == ";" || la(2).text == ","))) {
+      advance()
+      names(names.length - 1) = names.last + "." + advance().text
+    }
     if (cur.is("CONDITION")) { advance(); return mark(DeclareCondition(names.head), ln) }
     if (cur.is("CURSOR")) { // DB2 form: DECLARE name CURSOR [WITH RETURN] FOR sql
       advance()
@@ -940,12 +949,21 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     while (!done) {
       if (atOp("+") || atOp("-")) {
         val op = advance().text
-        val r = parseMultiplicative()
-        // interval form: expr + n DAYS
-        if (cur.kind == Tok.Ident && intervalUnits.contains(cur.up)) {
+        // ANSI interval literal: expr +/- INTERVAL 'n' DAY
+        if (cur.is("INTERVAL") && la(1).kind == Tok.Str &&
+            la(2).kind == Tok.Ident && intervalUnits.contains(la(2).up)) {
+          advance()
+          val n = advance().text
           val unit = advance().up
-          l = IntervalAdd(l, if (op == "+") 1 else -1, r, unit)
-        } else l = Bin(op, l, r)
+          l = IntervalAdd(l, if (op == "+") 1 else -1, NumLit(BigDecimal(n.trim)), unit)
+        } else {
+          val r = parseMultiplicative()
+          // interval form: expr + n DAYS
+          if (cur.kind == Tok.Ident && intervalUnits.contains(cur.up)) {
+            val unit = advance().up
+            l = IntervalAdd(l, if (op == "+") 1 else -1, r, unit)
+          } else l = Bin(op, l, r)
+        }
       } else if (atOp("||")) {
         advance()
         l = Bin("||", l, parseMultiplicative())

@@ -15,8 +15,6 @@ import graft.hplsql.Hplsql
   * what remains is exactly the sequence of values the script prints.
   *
   * Excluded scripts, with reasons:
-  *  - lang.sql — a lexer stress file for exotic identifier quoting
-  *    (`:new.abc`, `[abc].[abc]`) we deliberately do not model.
   *  - include_file.sql / var_scope_include.sql — helper files with no
   *    committed result of their own; exercised via include.sql and
   *    var_scope.sql (include paths resolve through the
@@ -27,9 +25,6 @@ import graft.hplsql.Hplsql
   *    — 3+5+3+1 = 12 is the correct sum the script computes;
   *    create_package2 replays green, HplsqlSpec pins package
   *    semantics).
-  *  - interval.sql / timestamp.sql — the reference renders timestamps
-  *    at millisecond precision (`+1 MICROSECOND` prints `.001`); this
-  *    engine keeps true microseconds (HplsqlSpec pins `.000001`).
   *  - if3_bteq.sql — Teradata BTEQ dot-commands (`.if`, `.quit`).
   *  - seterror.sql — depends on a host shell; covered by HplsqlSpec's
   *    deterministic variant.
@@ -54,7 +49,7 @@ class HplsqlReplaySpec extends AnyFunSuite {
     "replace", "return", "sub", "substr", "substring", "timestamp_iso",
     "values_into", "while",
     "create_package2", "datatypes", "declare_condition2",
-    "include", "to_char", "to_timestamp", "trim", "twopipes", "upper",
+    "include", "lang", "to_char", "to_timestamp", "trim", "twopipes", "upper",
     "var_scope", "var_scope2")
 
   private def read(p: String): String =
@@ -80,6 +75,27 @@ class HplsqlReplaySpec extends AnyFunSuite {
       val got = Hplsql.run(spark, read(s"$qDir/$name.sql")).output
         .split("\n", -1).toSeq.reverse.dropWhile(_.isEmpty).reverse
       assert(got == expectedLines(name), s"script $name.sql diverged")
+    }
+  }
+
+  /** Replayed under `graft.hplsql.compat.tsMillis`: the reference runs
+    * timestamps at millisecond resolution and maps MICROSECOND intervals
+    * onto milliseconds (Interval.java:76-80), and renders by the
+    * literal's scale (Var.toString) — compat mode reproduces that
+    * faithfully; default mode keeps true microseconds (HplsqlSpec pins
+    * `.000001`, unchanged). */
+  private val compatScripts = Seq("interval", "timestamp")
+
+  compatScripts.foreach { name =>
+    test(s"reference script $name.sql replays under timestamp-millis compat") {
+      assume(Files.exists(Paths.get(s"$qDir/$name.sql")),
+        "reference corpus not present on this machine")
+      spark.conf.set("graft.hplsql.compat.tsMillis", "true")
+      try {
+        val got = Hplsql.run(spark, read(s"$qDir/$name.sql")).output
+          .split("\n", -1).toSeq.reverse.dropWhile(_.isEmpty).reverse
+        assert(got == expectedLines(name), s"script $name.sql diverged")
+      } finally spark.conf.unset("graft.hplsql.compat.tsMillis")
     }
   }
 }
