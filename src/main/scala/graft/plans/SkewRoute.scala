@@ -11,27 +11,31 @@ import graft.sources.{SkewCatalog, SkewedTables}
 /** List-bucketing pruning — the compile-time half of the reference's
   * skewed tables (ql/src/java/org/apache/hadoop/hive/ql/optimizer/
   * listbucketingpruner/ListBucketingPruner.java:57, grammar
-  * HiveParser.g tableSkewed): a filter on the SKEWED BY column of a
-  * registered list-bucketed layout is conjoined with the equivalent
-  * predicate on the routing directory column, so native partition
-  * pruning reads only the directories that can hold matching rows.
+  * HiveParser.g tableSkewed): a filter binding EVERY skew column of a
+  * registered list-bucketed layout to literals is conjoined with the
+  * equivalent predicate on the routing directory column, so native
+  * partition pruning reads only the directories that can hold matching
+  * rows.
   *
-  *  - hot value `v` (in the declared ON list): rows with `c = v` live
-  *    ONLY in directory `v` → route `__skew_dir = 'v'`.
-  *  - cold value: rows live ONLY in the shared default directory →
+  *  - hot tuple (in the declared ON list): rows live ONLY in that
+  *    tuple's directory → route to its encoded name.
+  *  - cold tuple: rows live ONLY in the shared default directory →
   *    route `__skew_dir = '__SKEW_DEFAULT__'`.
-  *  - `c IN (hot, cold)`: the union of the two.
+  *  - IN predicates cross-product into candidate tuples (capped — a
+  *    blown-up product declines to the full scan rather than build a
+  *    giant IN).
   *
   * Soundness mirrors IndexRoute's: the ORIGINAL filter stays (the
   * route is a superset restriction implied by [[SkewedTables.write]]'s
   * layout invariant), and the rule declines anything but literal
-  * equality/IN on the registered column — range or non-literal
-  * predicates fall back to the full scan, exactly as the reference's
-  * pruner does for non-constant skew predicates. The added conjunct is
-  * on a partition column, so PruneFileSourcePartitions (which runs
-  * after the operator-optimization batch this rule is injected into)
-  * turns it into directory-level pruning — zero data files from the
-  * skipped directories are even listed into the scan.
+  * equality/IN covering ALL skew columns — range, non-literal, or
+  * partially-bound predicates fall back to the full scan, exactly as
+  * the reference's pruner does for non-constant skew predicates. The
+  * added conjunct is on a partition column, so
+  * PruneFileSourcePartitions (which runs after the operator-
+  * optimization batch this rule is injected into) turns it into
+  * directory-level pruning — zero data files from the skipped
+  * directories are even listed into the scan.
   *
   * Fixed-point guard: the rule never fires on a condition that already
   * references the routing column (its own output, or a user who reads
@@ -39,13 +43,17 @@ import graft.sources.{SkewCatalog, SkewedTables}
   */
 object SkewRoute extends Rule[LogicalPlan] {
 
+  /** Candidate-tuple cap: above this the route's IN list stops paying
+    * for itself and the rule declines (sound — just no pruning). */
+  private val MaxTuples = 64
+
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case o => Seq(o)
   }
 
   /** String literal values of an equality/IN conjunct on `column`. The
-    * skew column is STRING by [[SkewedTables.write]]'s contract, so
+    * skew columns are STRING by [[SkewedTables.write]]'s contract, so
     * only UTF8String literals route; a cast or non-string comparison
     * declines. */
   private def valuesFor(cond: Expression, column: String): Option[Seq[String]] =
@@ -59,6 +67,15 @@ object SkewRoute extends Rule[LogicalPlan] {
         vs.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].toString)
     }
 
+  /** Cross product of per-column candidate values, or None when it
+    * exceeds [[MaxTuples]]. */
+  private def tuplesOf(perColumn: Seq[Seq[String]]): Option[Seq[Seq[String]]] = {
+    if (perColumn.map(_.size.toLong).product > MaxTuples) return None
+    Some(perColumn.foldLeft(Seq(Seq.empty[String])) { (acc, vs) =>
+      for { t <- acc; v <- vs } yield t :+ v
+    })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (SkewCatalog.isEmpty) return plan
     plan.transform {
@@ -68,10 +85,16 @@ object SkewRoute extends Rule[LogicalPlan] {
           root <- fs.location.rootPaths.headOption
           meta <- SkewCatalog.lookup(root)
           dirAttr <- out.find(_.name == SkewedTables.DirCol)
-          values <- valuesFor(cond, meta.column)
+          // every skew column must be literal-bound, else decline
+          perColumn <- meta.columns.foldLeft(Option(Seq.empty[Seq[String]])) {
+            (acc, c) => acc.flatMap(s => valuesFor(cond, c).map(s :+ _))
+          }
+          tuples <- tuplesOf(perColumn)
         } yield {
-          val dirs = values.map(v =>
-            if (meta.values(v)) v else SkewedTables.Default).distinct
+          val dirs = tuples.map { t =>
+            val enc = SkewedTables.encodeDir(t)
+            if (meta.hotDirs(enc)) enc else SkewedTables.Default
+          }.distinct
           val route: Expression =
             if (dirs.size == 1) EqualTo(dirAttr, Literal(dirs.head))
             else In(dirAttr, dirs.map(Literal(_)))

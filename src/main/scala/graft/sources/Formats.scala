@@ -215,9 +215,63 @@ object Formats {
       .orderBy(col("o_orderstatus"), col("o_year"))
   }
 
+  /** Multi-column list bucketing (tableSkewed's general form: SKEWED BY
+    * (c1,c2) ON (('v1','v2'),...)): orders bucketed on the
+    * (status, priority) TUPLE. The filter binds both columns — one hot
+    * tuple ('O','1-URGENT') and one cold pair ('F','1-URGENT'), whose
+    * parts are each hot in SOME tuple but whose combination is cold — so
+    * the route reads exactly the hot directory + the default directory;
+    * the oracle recomputes from the unskewed base table. */
+  val q304_skewed_multi: Q = (s, d) => {
+    val dir = tmpDir(d, "orders_skewed_multi")
+    SkewedTables.write(Tables.orders(s, d), dir,
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(Seq("O", "1-URGENT"), Seq("F", "5-LOW")), SaveMode.Overwrite)
+    SkewedTables.read(s, dir)
+      .filter(col("o_orderstatus").isin("O", "F") &&
+              col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double").as("sum_price"),
+           min(col("o_orderkey")).as("min_key"),
+           max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The handler's WRITE half through SQL (HiveHBaseTableOutputFormat
+    * direction): documents INSERT OVERWRITE'd into a graftkv-backed
+    * catalog table, then a second slice INSERT INTO'd (append lane, new
+    * segments), read back through the same table with key pushdown. The
+    * oracle reassembles the identical union straight from parquet, so
+    * the hash proves both write lanes land losslessly. */
+  val q305_kv_insert: Q = (s, d) => {
+    val dir = tmpDir(d, "kv_docs_insert")
+    // seed the store so the catalog table can infer its schema
+    KvStore.write(s,
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id") < 0),
+      dir, "doc_id", numSegments = 4)
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("q305_docs")
+    s.sql("DROP TABLE IF EXISTS q305_kv")
+    s.sql(s"CREATE TABLE q305_kv USING graftkv LOCATION '${new java.io.File(dir).getAbsolutePath}'")
+    s.sql("INSERT OVERWRITE TABLE q305_kv SELECT * FROM q305_docs WHERE doc_id % 2 = 0")
+    s.sql("INSERT INTO q305_kv SELECT * FROM q305_docs WHERE doc_id % 2 = 1")
+    s.table("q305_kv")
+      .filter(col("doc_id") >= 100 && col("doc_id") <= 499)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_id"),
+           max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_csv_roundtrip" -> q100_csv_roundtrip,
     "q302_skewed_route" -> q302_skewed_route,
+    "q304_skewed_multi" -> q304_skewed_multi,
+    "q305_kv_insert" -> q305_kv_insert,
     "q295_kv_handler" -> q295_kv_handler,
     "q101_orc_scan" -> q101_orc_scan,
     "q102_json_source" -> q102_json_source,
@@ -230,6 +284,19 @@ object Formats {
   /** Oracles read the SAME data straight from parquet — the round-trip
     * must be lossless for the hash to match. */
   val oracles: Map[String, String] = Map(
+    "q304_skewed_multi" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F') AND o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q305_kv_insert" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id >= 100 AND doc_id <= 499
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q302_skewed_route" ->
       """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
         |  COUNT(1) AS n_orders,

@@ -126,6 +126,17 @@ final class KvScanBuilder(dir: String, meta: Meta)
   // inclusive bounds; None = unbounded on that side
   private var lo: Option[Any] = None
   private var hi: Option[Any] = None
+  // point set from IN/= conjuncts: lets segment pruning keep only
+  // segments containing SOME point, not the whole [min,max] span —
+  // IN (first_key, last_key) over a 10^5-segment store plans 2 splits,
+  // not 10^5 (HBase multi-get vs span scan)
+  private var points: Option[Seq[Any]] = None
+
+  private def intersectPoints(vs: Seq[Any]): Unit =
+    points = Some(points match {
+      case None => vs
+      case Some(cur) => cur.filter(c => vs.exists(v => compareKeys(c, v) == 0))
+    })
 
   private def keyVal(v: Any): Option[Any] =
     if (meta.keyIsString) v match { case s: String => Some(s); case _ => None }
@@ -144,7 +155,7 @@ final class KvScanBuilder(dir: String, meta: Meta)
     val key = meta.keyCol
     filters.foreach {
       case EqualTo(c, v) if c == key => keyVal(v).foreach { k =>
-        tightenLo(k); tightenHi(k); accepted :+= EqualTo(c, v) }
+        tightenLo(k); tightenHi(k); intersectPoints(Seq(k)); accepted :+= EqualTo(c, v) }
       case GreaterThan(c, v) if c == key => keyVal(v).foreach { k =>
         tightenLo(k); accepted :+= GreaterThan(c, v) }
       case GreaterThanOrEqual(c, v) if c == key => keyVal(v).foreach { k =>
@@ -158,6 +169,7 @@ final class KvScanBuilder(dir: String, meta: Meta)
         if (ks.length == vs.length) {
           tightenLo(ks.min(Ordering.fromLessThan[Any](compareKeys(_, _) < 0)))
           tightenHi(ks.max(Ordering.fromLessThan[Any](compareKeys(_, _) < 0)))
+          intersectPoints(ks.toSeq)
           accepted :+= In(c, vs)
         }
       case _ => // residual-only: the store cannot narrow on it
@@ -173,18 +185,24 @@ final class KvScanBuilder(dir: String, meta: Meta)
     required = StructType(meta.schema.fields.filter(f => want(f.name)))
   }
 
-  override def build(): Scan = new KvScan(dir, meta, required, lo, hi)
+  override def build(): Scan = new KvScan(dir, meta, required, lo, hi, points)
 }
 
 final class KvScan(dir: String, meta: Meta, required: StructType,
-                   lo: Option[Any], hi: Option[Any]) extends Scan with Batch {
+                   lo: Option[Any], hi: Option[Any],
+                   points: Option[Seq[Any]] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   private def survives(s: Segment): Boolean =
     lo.forall(l => compareKeys(s.maxKey, l) >= 0) &&
-      hi.forall(h => compareKeys(s.minKey, h) <= 0)
+      hi.forall(h => compareKeys(s.minKey, h) <= 0) &&
+      // point-set predicates: the segment must contain SOME point —
+      // [min,max]-window survival alone keeps every segment BETWEEN two
+      // IN values (and the residual filter then reads them for nothing)
+      points.forall(_.exists(p =>
+        compareKeys(s.minKey, p) <= 0 && compareKeys(s.maxKey, p) >= 0))
 
   private lazy val pruned: Seq[Segment] = meta.segments.filter(survives)
 

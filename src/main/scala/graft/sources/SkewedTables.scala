@@ -2,37 +2,38 @@ package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-/** Skewed tables / list bucketing — `CREATE TABLE ... SKEWED BY (c) ON
-  * ('v1','v2') STORED AS DIRECTORIES` (reference: ql/src/java/org/apache/
-  * hadoop/hive/ql/parse/HiveParser.g tableSkewed,
+/** Skewed tables / list bucketing — `CREATE TABLE ... SKEWED BY (c1, c2)
+  * ON (('v1','v2'), ...) STORED AS DIRECTORIES` (reference: ql/src/java/
+  * org/apache/hadoop/hive/ql/parse/HiveParser.g tableSkewed,
   * ql/optimizer/listbucketingpruner/ListBucketingPruner.java:57): rows
-  * whose skew-column value is one of the declared hot values are stored
-  * in that value's OWN directory; everything else lands in the shared
+  * whose skew-column tuple is one of the declared hot tuples are stored
+  * in that tuple's OWN directory; everything else lands in the shared
   * default directory (Hive's HIVE_DEFAULT_LIST_BUCKETING_DIR_NAME). A
-  * point query on a hot value then reads one directory; a point query on
-  * a cold value reads only the default directory — the compiler prunes,
+  * point query on a hot tuple then reads one directory; a point query on
+  * a cold tuple reads only the default directory — the compiler prunes,
   * the query text never changes.
   *
   * Spark-first: the layout IS a partitioned write on a derived routing
-  * column (`__skew_dir`), so the default directory and per-value
-  * directories fall out of the native partitioned sink, and pruning is
-  * native partition pruning once [[graft.plans.SkewRoute]] (the
-  * ListBucketingPruner analog) conjoins the routing predicate. Unlike a
-  * plain `partitionBy(c)`, the cold values do NOT fan out into millions
-  * of tiny directories — that is the entire point of list bucketing at
-  * 100 TB: per-directory layout for the handful of hot values that repay
-  * it, one healthy-sized default directory for the long tail.
+  * column (`__skew_dir`, the hot tuple encoded into one string), so the
+  * default directory and per-tuple directories fall out of the native
+  * partitioned sink, and pruning is native partition pruning once
+  * [[graft.plans.SkewRoute]] (the ListBucketingPruner analog) conjoins
+  * the routing predicate. Unlike a plain `partitionBy(c1, c2)`, the cold
+  * tuples do NOT fan out into millions of tiny directories — that is the
+  * entire point of list bucketing at 100 TB: per-directory layout for
+  * the handful of hot tuples that repay it, one healthy-sized default
+  * directory for the long tail.
   *
-  * The data files keep the original column (the routing column is the
+  * The data files keep the original columns (the routing column is the
   * one consumed by the directory layout), so readers see the table
   * schema unchanged via [[read]].
   *
   * Layout invariant (same as the reference's): rows reach directories
-  * only through [[write]]. Hand-appending a hot-value row into the
+  * only through [[write]]. Hand-appending a hot-tuple row into the
   * default directory breaks pruning the same way it breaks Hive's.
   */
 object SkewedTables {
@@ -44,81 +45,118 @@ object SkewedTables {
     * HIVE_DEFAULT_LIST_BUCKETING_DIR_NAME analog). */
   val Default = "__SKEW_DEFAULT__"
 
-  final case class SkewMeta(column: String, values: Set[String])
+  /** Layout metadata: the skew columns (in declaration order) and the
+    * ENCODED hot-tuple directory names ([[encodeDir]]) — membership is
+    * all the pruner needs, so tuples are never decoded. */
+  final case class SkewMeta(columns: Seq[String], hotDirs: Set[String])
+
+  /** One directory name per hot tuple: parts percent-escaped so a value
+    * containing the separator cannot collide with another tuple. */
+  def encodeDir(tuple: Seq[String]): String =
+    tuple.map(p => p.replace("%", "%25").replace(",", "%2C")).mkString(",")
 
   private val sidecarName = "_skew.json"
 
-  /** Write `df` list-bucketed on string column `column` with hot values
-    * `skewedValues`. Persists a sidecar so any later session can
-    * re-register the layout, and registers for transparent pruning in
-    * this one. */
+  /** Single-column form (the overwhelmingly common one). */
   def write(df: DataFrame, dir: String, column: String,
             skewedValues: Seq[String],
-            mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val field = df.schema.find(_.name.equalsIgnoreCase(column)).getOrElse(
-      throw new IllegalArgumentException(s"skewed write: no column '$column'"))
-    require(field.dataType == StringType,
-      s"skewed write: SKEWED BY column must be STRING (got ${field.dataType} " +
-        "for '" + column + "') — hot-value routing compares directory names")
-    require(skewedValues.nonEmpty, "skewed write: ON () value list is empty")
-    require(!skewedValues.contains(Default),
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    write(df, dir, Seq(column), skewedValues.map(Seq(_)), mode)
+
+  /** Write `df` list-bucketed on string columns `columns` with hot
+    * tuples `skewedTuples` (each the full column arity, declaration
+    * order). Persists a sidecar so any later session can re-register the
+    * layout, and registers for transparent pruning in this one. */
+  def write(df: DataFrame, dir: String, columns: Seq[String],
+            skewedTuples: Seq[Seq[String]], mode: SaveMode): Unit = {
+    require(columns.nonEmpty, "skewed write: SKEWED BY column list is empty")
+    require(columns.map(_.toLowerCase).distinct.length == columns.length,
+      s"skewed write: duplicate SKEWED BY column in ${columns.mkString(",")}")
+    val fields = columns.map(c => df.schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(s"skewed write: no column '$c'")))
+    fields.foreach(f => require(f.dataType == StringType,
+      s"skewed write: SKEWED BY column must be STRING (got ${f.dataType} " +
+        "for '" + f.name + "') — hot-value routing compares directory names"))
+    require(skewedTuples.nonEmpty, "skewed write: ON () value list is empty")
+    skewedTuples.foreach(t => require(t.length == columns.length,
+      s"skewed write: ON tuple (${t.mkString(",")}) does not match " +
+        s"SKEWED BY arity ${columns.length}"))
+    val hotDirs = skewedTuples.map(encodeDir).toSet
+    require(!hotDirs.contains(Default),
       s"skewed write: '$Default' is the reserved default-directory name")
+    val meta = SkewMeta(fields.map(_.name), hotDirs)
     if (mode == SaveMode.Append) {
       // an Append under DIFFERENT skew metadata would leave already-written
       // directories routed by the OLD layout while the sidecar describes the
       // new one — silent wrong pruning; the reference forbids altering
       // skewed-info on populated list-bucketed partitions for the same reason
       readSidecar(df.sparkSession, dir).foreach { existing =>
-        require(existing.column.equalsIgnoreCase(field.name) &&
-                existing.values == skewedValues.toSet,
+        require(existing.columns.map(_.toLowerCase) == meta.columns.map(_.toLowerCase) &&
+                existing.hotDirs == meta.hotDirs,
           s"skewed append: layout mismatch — existing sidecar is SKEWED BY " +
-            s"(${existing.column}) ON (${existing.values.toSeq.sorted.mkString(",")}), " +
-            s"append declares (${field.name}) ON (${skewedValues.sorted.mkString(",")}); " +
+            s"(${existing.columns.mkString(",")}) ON (${existing.hotDirs.toSeq.sorted.mkString("; ")}), " +
+            s"append declares (${meta.columns.mkString(",")}) ON (${meta.hotDirs.toSeq.sorted.mkString("; ")}); " +
             "rewrite the table (Overwrite) to change the skew layout")
       }
     }
-    df.withColumn(DirCol,
-        when(col(column).isin(skewedValues: _*), col(column)).otherwise(lit(Default)))
+    // when-chain over the hot tuples: list bucketing is for a HANDFUL of
+    // hot tuples (the long tail shares the default dir), so the chain
+    // stays short by design — the reference's skewed-info is a small
+    // metastore list for the same reason
+    val route = skewedTuples.foldLeft(Option.empty[Column]) { (acc, t) =>
+      val cond = columns.zip(t).map { case (c, v) => col(c) === v }.reduce(_ && _)
+      Some(acc.fold(when(cond, lit(encodeDir(t))))(_.when(cond, lit(encodeDir(t)))))
+    }.get.otherwise(lit(Default))
+    df.withColumn(DirCol, route)
       .write.mode(mode).partitionBy(DirCol).parquet(dir)
     val spark = df.sparkSession
-    writeSidecar(spark, dir, SkewMeta(field.name, skewedValues.toSet))
-    SkewCatalog.register(dir, SkewMeta(field.name, skewedValues.toSet))
+    writeSidecar(spark, dir, meta)
+    SkewCatalog.register(dir, meta)
   }
 
   /** Read a skewed table: schema is the original one (the routing column
     * is layout, not data), and the layout is (re-)registered so plain
-    * filters on the skew column prune directories transparently. */
+    * filters on the skew columns prune directories transparently. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     readSidecar(spark, dir).foreach(m => SkewCatalog.register(dir, m))
     spark.read.parquet(dir).drop(DirCol)
   }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   private def writeSidecar(spark: SparkSession, dir: String, meta: SkewMeta): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir, sidecarName)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write(
-      s"""{"column":"${meta.column}","values":[${meta.values.toSeq.sorted
-        .map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString(",")}]}""".getBytes("UTF-8"))
+      (s"""{"columns":[${meta.columns.map(jstr).mkString(",")}],""" +
+       s""""dirs":[${meta.hotDirs.toSeq.sorted.map(jstr).mkString(",")}]}""").getBytes("UTF-8"))
     finally out.close()
   }
 
-  private def readSidecar(spark: SparkSession, dir: String): Option[SkewMeta] = {
+  private[sources] def readSidecar(spark: SparkSession, dir: String): Option[SkewMeta] = {
     val path = new org.apache.hadoop.fs.Path(dir, sidecarName)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return None
     val in = fs.open(path)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     // sidecar is engine-written; parse with the same minimal shape
-    val colRe = """"column"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val valsRe = """"values"\s*:\s*\[(.*)\]""".r
     val itemRe = """"((?:[^"\\]|\\.)*)"""".r
-    for {
-      c <- colRe.findFirstMatchIn(text).map(_.group(1))
-      vs <- valsRe.findFirstMatchIn(text).map(_.group(1))
-    } yield SkewMeta(unescape(c),
-      itemRe.findAllMatchIn(vs).map(m => unescape(m.group(1))).toSet)
+    def arr(key: String): Option[Seq[String]] =
+      (key + """\s*:\s*\[([^\]]*)\]""").r.findFirstMatchIn(text)
+        .map(m => itemRe.findAllMatchIn(m.group(1)).map(x => unescape(x.group(1))).toSeq)
+    val current = for {
+      cols <- arr("\"columns\"")
+      dirs <- arr("\"dirs\"")
+    } yield SkewMeta(cols, dirs.toSet)
+    // legacy single-column shape ({"column":c,"values":[...]}) from
+    // earlier sidecars: values were written UNencoded
+    lazy val legacy = for {
+      c <- """"column"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text).map(m => unescape(m.group(1)))
+      vs <- arr("\"values\"")
+    } yield SkewMeta(Seq(c), vs.map(v => encodeDir(Seq(v))).toSet)
+    current.orElse(legacy)
   }
 
   private def unescape(s: String): String =

@@ -63,6 +63,11 @@ class KvHandlerSpec extends AnyFunSuite {
     assert(scanOf(point).inputRDD.getNumPartitions == 1)
     assert(point.count() == src.filter(col("o_orderkey") === key).count())
     val inq = kv.filter(col("o_orderkey").isin(lo, key))
+    // lo and key are the store's FIRST and LAST keys: point-set pruning
+    // must keep only the two segments containing them, not the whole
+    // [min,max] span (which is all 8)
+    assert(scanOf(inq).inputRDD.getNumPartitions <= 2,
+      s"IN-list span-pruned only to ${scanOf(inq).inputRDD.getNumPartitions} of 8 splits")
     assert(inq.count() == src.filter(col("o_orderkey").isin(lo, key)).count())
   }
 

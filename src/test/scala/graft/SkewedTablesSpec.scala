@@ -100,6 +100,37 @@ class SkewedTablesSpec extends AnyFunSuite {
     assert(filesScanned(routed) < total, "sidecar re-registration did not re-arm pruning")
   }
 
+  test("multi-column SKEWED BY: hot tuples route, cold tuples hit the default dir, partial binding declines") {
+    val path = s"$base/orders_multi"
+    SkewedTables.write(Tables.orders(spark, sf), path,
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(Seq("O", "1-URGENT"), Seq("F", "5-LOW")), SaveMode.Overwrite)
+    val total = spark.read.parquet(path).inputFiles.length.toLong
+    val src = Tables.orders(spark, sf)
+
+    val hot = SkewedTables.read(spark, path)
+      .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+    assert(filesScanned(hot) < total, "hot-tuple scan did not prune")
+    assert(hot.count() == src.filter(col("o_orderstatus") === "O" &&
+      col("o_orderpriority") === "1-URGENT").count())
+
+    // cold tuple (hot values of DIFFERENT tuples — ('F','1-URGENT') is
+    // cold even though each part appears in some hot tuple)
+    val cold = SkewedTables.read(spark, path)
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+    cold.collect()
+    val defaultFiles = spark.read.parquet(path).inputFiles
+      .count(_.contains(s"${SkewedTables.DirCol}=${SkewedTables.Default}")).toLong
+    assert(filesScanned(cold) <= defaultFiles, "cold-tuple scan read beyond the default dir")
+    assert(cold.count() == src.filter(col("o_orderstatus") === "F" &&
+      col("o_orderpriority") === "1-URGENT").count())
+
+    // binding only ONE of two skew columns cannot prove a directory set
+    val partial = SkewedTables.read(spark, path).filter(col("o_orderstatus") === "O")
+    assert(filesScanned(partial) == total, "partially-bound predicate must decline")
+    assert(partial.count() == src.filter(col("o_orderstatus") === "O").count())
+  }
+
   test("append with a different layout is refused; matching append keeps routing sound") {
     val path = s"$base/orders_append"
     writeSkewed(path)
