@@ -417,16 +417,23 @@ object Hplsql {
           case e: Exception => sqlError(e)
         }
       case HostCmd(cmdE) =>
-        // HOST 'cmd' — reference Stmt.java `host`: run via the local shell,
-        // exit code lands in HOSTCODE (seterror.sql pins nonzero-on-failure).
+        // HOST 'cmd' — reference Exec.execHost: Runtime.exec (whitespace
+        // tokenized, NO shell); a process that RUNS puts its exit code in
+        // HOSTCODE without raising, a command that cannot START sets
+        // HOSTCODE=1 and signals SQLEXCEPTION (seterror.out.txt: HOST
+        // 'abcd' lands in the WHEN OTHERS handler), which
+        // hplsql.onerror=SETERROR downgrades like any SQL error.
         val cmd = Option(eval(cmdE)).map(_.toString).getOrElse("")
-        val code =
-          try new ProcessBuilder("sh", "-c", cmd)
+        try {
+          val code = new ProcessBuilder(cmd.trim.split("\\s+").toSeq: _*)
             .redirectOutput(ProcessBuilder.Redirect.DISCARD)
             .redirectError(ProcessBuilder.Redirect.DISCARD)
             .start().waitFor()
-          catch { case _: Exception => 127 }
-        setVar("HOSTCODE", BigDecimal(code))
+          setVar("HOSTCODE", BigDecimal(code))
+        } catch { case e: Exception =>
+          setVar("HOSTCODE", BigDecimal(1))
+          sqlError(e)
+        }
       case CmpS(mode, left, right) => execCmp(mode, left, right)
       case CopyS(src, target, toFile, delim, sqlIns) =>
         execCopy(src, target, toFile, delim, sqlIns)
@@ -559,7 +566,10 @@ object Hplsql {
         .orElse(findVar(name).map(_.value).collect { case c: CursorState => c })
 
     private def sqlError(e: Exception): Unit = {
-      val onerror = conf.collectFirst { case (k, v) if k.endsWith(".onerror") => v }
+      // exactly Conf.ONERROR = "hplsql.onerror" — seterror.sql assigns the
+      // TYPO'd `plhql.onerror` and the reference still raises (its handler
+      // fires), so a suffix match here would replay the script wrong
+      val onerror = conf.get("hplsql.onerror")
       if (onerror.contains("SETERROR")) {
         setVar("SQLCODE", BigDecimal(-1))
         setVar("ERRORCODE", BigDecimal(-1))

@@ -264,6 +264,22 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     // reference's Stmt.java does the same for Hive connections)
     if (at("COMMIT") || at("ROLLBACK")) { advance(); eatKw("WORK"); return mark(NullS, ln) }
     if (at("HOST")) { advance(); return mark(HostCmd(parseExpr()), ln) }
+    // Teradata BTEQ dot-commands (reference grammar's if_bteq_stmt /
+    // quit_stmt; if3_bteq.sql): `.if cond then <stmt>` runs one statement,
+    // `.quit [code]` leaves the whole script (LEAVE_PROGRAM — ReturnS at
+    // top level is exactly that exit)
+    if (atOp(".") && (la(1).is("IF") || la(1).is("QUIT"))) {
+      advance() // '.'
+      if (cur.is("QUIT")) {
+        advance()
+        val code = if (atOp(";") || cur.kind == Tok.EOF) None else Some(parseExpr())
+        return mark(ReturnS(code), ln)
+      }
+      advance() // IF
+      val cond = parseExpr()
+      expectKw("THEN")
+      return mark(IfS(Seq((cond, Seq(parseStmt()))), Nil), ln)
+    }
     if (at("SIGNAL")) { advance(); return mark(SignalS(advance().text.toUpperCase), ln) }
     if (at("RAISE") && (atSemiNext || la(1).kind == Tok.EOF)) { advance(); return mark(RaiseS, ln) }
     if (at("FUNCTION") || at("PROCEDURE") || (at("PROC") && la(1).kind == Tok.Ident))

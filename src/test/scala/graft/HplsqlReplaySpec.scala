@@ -25,11 +25,6 @@ import graft.hplsql.Hplsql
   *    — 3+5+3+1 = 12 is the correct sum the script computes;
   *    create_package2 replays green, HplsqlSpec pins package
   *    semantics).
-  *  - if3_bteq.sql — Teradata BTEQ dot-commands (`.if`, `.quit`).
-  *  - seterror.sql — depends on a host shell; covered by HplsqlSpec's
-  *    deterministic variant.
-  *  - exception.sql — expected output interleaves handler prints with
-  *    trace we strip ambiguously; HplsqlSpec pins the same semantics.
   */
 class HplsqlReplaySpec extends AnyFunSuite {
   import TestSession._
@@ -43,11 +38,12 @@ class HplsqlReplaySpec extends AnyFunSuite {
     "create_function3", "create_function4", "create_procedure",
     "create_procedure2", "create_procedure3", "create_procedure_no_params",
     "date", "dbms_output", "declare", "declare2", "declare3",
-    "declare_condition", "decode", "equal", "exception_divide_by_zero",
-    "exit", "expr", "float", "for_range", "if", "if2", "instr", "leave",
+    "declare_condition", "decode", "equal", "exception",
+    "exception_divide_by_zero",
+    "exit", "expr", "float", "for_range", "if", "if2", "if3_bteq", "instr", "leave",
     "len", "length", "lower", "mult_div", "nvl", "nvl2", "print",
-    "replace", "return", "sub", "substr", "substring", "timestamp_iso",
-    "values_into", "while",
+    "replace", "return", "seterror", "sub", "substr", "substring",
+    "timestamp_iso", "values_into", "while",
     "create_package2", "datatypes", "declare_condition2",
     "include", "lang", "to_char", "to_timestamp", "trim", "twopipes", "upper",
     "var_scope", "var_scope2")
