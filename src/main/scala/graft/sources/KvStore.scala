@@ -133,6 +133,20 @@ object KvStore {
     }
   }
 
+  /** Compact a store that has accumulated appended (possibly
+    * key-overlapping) segments back into `numSegments` non-overlapping
+    * sorted ones — HBase's major compaction: point lookups after many
+    * appends touch one segment again instead of one per append batch.
+    * Goes through the same staged swap as a full rewrite, so concurrent
+    * readers see the old or the new layout, never a mix, and the same
+    * governance chokepoints fire (a compaction rewrites everything:
+    * INSERT + DELETE, the INSERT OVERWRITE mapping). */
+  def compact(spark: SparkSession, dir: String, numSegments: Int): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, dir)
+    write(spark, spark.read.format("graftkv").load(dir), dir, meta.keyCol, numSegments)
+  }
+
   /** INSERT INTO an existing store (the HiveHBaseTableOutputFormat
     * direction — the handler's write half): new rows land as ADDITIONAL
     * sorted segments (their own range shuffle), and the meta gains their

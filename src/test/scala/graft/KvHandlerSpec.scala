@@ -173,6 +173,38 @@ class KvHandlerSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS kv_sql_t")
   }
 
+  test("compaction folds appended overlapping segments back into non-overlapping ones") {
+    import spark.implicits._
+    val dir = "target/storage/kv_spec/compacted"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    KvStore.write(spark, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"),
+      dir, "k", numSegments = 2)
+    // three append batches, each spanning the whole key range -> every
+    // batch's segments overlap the originals
+    (0 until 3).foreach { b =>
+      KvStore.append(spark,
+        (1L to 100L).map(i => (1000L * (b + 1) + i, s"a$b-$i")).toDF("k", "v"),
+        dir, numSegments = 2)
+    }
+    assert(KvStore.readMeta(fs, dir).segments.length == 8)
+    val before = spark.read.format("graftkv").load(dir).orderBy("k").collect().toSeq
+    KvStore.compact(spark, dir, numSegments = 4)
+    val meta = KvStore.readMeta(fs, dir)
+    assert(meta.segments.length == 4, s"compaction left ${meta.segments.length} segments")
+    // non-overlapping again: sorted by minKey, each segment's max < next's min
+    val segs = meta.segments.sortBy(_.minKey.asInstanceOf[Long])
+    segs.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey.asInstanceOf[Long] < b.minKey.asInstanceOf[Long],
+        s"overlap after compaction: $a / $b")
+      case _ =>
+    }
+    // lossless, and a point lookup plans one split again
+    val after = spark.read.format("graftkv").load(dir)
+    assert(after.orderBy("k").collect().toSeq == before)
+    assert(scanOf(after.filter(col("k") === 3050L)).inputRDD.getNumPartitions == 1)
+  }
+
   test("seek-to-lo: a point lookup at a segment's tail materializes ~1 row") {
     import spark.implicits._
     val dir = "target/storage/kv_spec/seek"
