@@ -422,9 +422,10 @@ object Versioned {
     require(retainVersions >= 1, s"retainVersions >= 1, got $retainVersions")
     // cheap unlocked probe first: the compaction daemon calls this on
     // EVERY warehouse table each pass, and an under-threshold table must
-    // cost a listing, not a lock-service round trip
-    if (headDeltaCount(spark, base) < maxDeltas && retainVersions == Int.MaxValue)
-      return Maintenance(headDeltaCount(spark, base), compacted = false, Nil)
+    // cost ONE listing, not a lock-service round trip
+    val probe = headDeltaCount(spark, base)
+    if (probe < maxDeltas && retainVersions == Int.MaxValue)
+      return Maintenance(probe, compacted = false, Nil)
     // mutating pass: serialize through the SAME lock service every other
     // writer uses (TxnManager exclusive lock when `graft.txn.dir` is set,
     // the sidecar lock otherwise) — a daemon compaction and a replica

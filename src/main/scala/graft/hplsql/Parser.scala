@@ -433,14 +433,17 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     }
     val names = ArrayBuffer(advance().text)
     // dotted variable names (lang.sql: `abc.abc`, `:new.abc`,
-    // `"abc"."abc1"`, `[abc].[abc1]`): fold `.part` into the name while a
-    // type token still follows — a dot that ENDS the item belongs to a
-    // dotted TYPE instead (UTL_FILE.FILE_TYPE), which never dots the name
-    while (atOp(".") && (la(1).kind == Tok.Ident || la(1).kind == Tok.QIdent) &&
-           !(la(2).kind == Tok.Op && (la(2).text == ";" || la(2).text == ","))) {
-      advance()
-      names(names.length - 1) = names.last + "." + advance().text
-    }
+    // `"abc"."abc1"`, `[abc].[abc1]`): a dot DIRECTLY after a name is
+    // always a name continuation — a dotted TYPE (UTL_FILE.FILE_TYPE)
+    // dots its own first token, which sits one token after the name, so
+    // folding unconditionally here can never eat a type (and a guarded
+    // fold would derail `DECLARE a.b, c INT`, where ',' follows the part)
+    def foldDots(): Unit =
+      while (atOp(".") && (la(1).kind == Tok.Ident || la(1).kind == Tok.QIdent)) {
+        advance()
+        names(names.length - 1) = names.last + "." + advance().text
+      }
+    foldDots()
     if (cur.is("CONDITION")) { advance(); return mark(DeclareCondition(names.head), ln) }
     if (cur.is("CURSOR")) { // DB2 form: DECLARE name CURSOR [WITH RETURN] FOR sql
       advance()
@@ -448,8 +451,8 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
       if (!eatKw("IS")) eatKw("FOR")
       return mark(DeclareCursor(names.head, captureSqlTokens(), withReturn), ln)
     }
-    // collect names until a type token appears
-    while (atOp(",")) { advance(); names += advance().text }
+    // collect names until a type token appears (each may be dotted too)
+    while (atOp(",")) { advance(); names += advance().text; foldDots() }
     eatKw("CONSTANT") // `status constant int := 1` (declare2.sql)
     // type: possibly dotted (UTL_FILE.FILE_TYPE) or table%ROWTYPE
     val tsb = new StringBuilder(advance().up)
@@ -965,8 +968,11 @@ private[hplsql] final class Parser(tokens: Vector[Token]) {
     while (!done) {
       if (atOp("+") || atOp("-")) {
         val op = advance().text
-        // ANSI interval literal: expr +/- INTERVAL 'n' DAY
+        // ANSI interval literal: expr +/- INTERVAL 'n' DAY. Only plain
+        // numeric values — a multi-field literal (INTERVAL '1-2' YEAR TO
+        // MONTH) must not reach BigDecimal (raw NumberFormatException)
         if (cur.is("INTERVAL") && la(1).kind == Tok.Str &&
+            la(1).text.trim.matches("[+-]?\\d+(\\.\\d+)?") &&
             la(2).kind == Tok.Ident && intervalUnits.contains(la(2).up)) {
           advance()
           val n = advance().text

@@ -84,7 +84,13 @@ object SkewRoute extends Rule[LogicalPlan] {
         val routed = for {
           root <- fs.location.rootPaths.headOption
           meta <- SkewCatalog.lookup(root)
-          dirAttr <- out.find(_.name == SkewedTables.DirCol)
+          // partition-type inference can type the routing column as
+          // int/date when every present directory name is numeric (a
+          // hot-values-only layout with no cold rows) — a string literal
+          // against that attribute would be an ill-typed post-analysis
+          // predicate, so decline instead
+          dirAttr <- out.find(a => a.name == SkewedTables.DirCol &&
+            a.dataType == org.apache.spark.sql.types.StringType)
           // every skew column must be literal-bound, else decline
           perColumn <- meta.columns.foldLeft(Option(Seq.empty[Seq[String]])) {
             (acc, c) => acc.flatMap(s => valuesFor(cond, c).map(s :+ _))

@@ -100,9 +100,12 @@ final class KvTable(val dir: String, meta: Meta) extends Table
   * the append lane (new sorted segments + a single meta rewrite).
   * Either way the store-side governance chokepoints (INSERT, and DELETE
   * for the destructive overwrite) fire exactly as they do for the
-  * programmatic API. Segment count for the incoming batch is the
-  * store's current segment count (an OVERWRITE keeps the layout's
-  * granularity; an empty store got created with some count already). */
+  * programmatic API. Segment count for the incoming batch follows the
+  * BATCH's own parallelism (capped) — sizing an append by the store's
+  * current segment count would double the store every INSERT INTO
+  * (2 -> 4 -> 8 ...), launching geometrically more range-shuffle tasks
+  * for constant-size batches. An overwrite keeps at least the store's
+  * granularity so a same-size rewrite does not collapse parallelism. */
 final class KvWriteBuilder(dir: String, meta: Meta, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
@@ -110,10 +113,12 @@ final class KvWriteBuilder(dir: String, meta: Meta, info: LogicalWriteInfo)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
-        val segments = math.max(meta.segments.length, 1)
+        val batchParallelism =
+          math.min(64, math.max(1, data.rdd.getNumPartitions))
         if (overwrite || overwriteFlag)
-          KvStore.write(data.sparkSession, data, dir, meta.keyCol, segments)
-        else KvStore.append(data.sparkSession, data, dir, segments)
+          KvStore.write(data.sparkSession, data, dir, meta.keyCol,
+            math.max(batchParallelism, meta.segments.length))
+        else KvStore.append(data.sparkSession, data, dir, batchParallelism)
       }
   }
 }

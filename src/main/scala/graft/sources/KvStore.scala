@@ -122,14 +122,18 @@ object KvStore {
     graft.security.AccessPolicies.check(spark, dir, "INSERT")
     graft.security.AccessPolicies.check(spark, dir, "DELETE")
 
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) writeInto(spark, df, root.toString, keyCol, numSegments)
-    else {
-      graft.acid.CopyOnWrite.stagedSwap(spark, dir) { staging =>
-        writeInto(spark, df, staging.toString, keyCol, numSegments); true
+    // writer lock, same service as every other writer: two unserialized
+    // overwrites would collide on the shared .cow_staging path
+    graft.acid.CopyOnWrite.withTableLock(spark, dir) {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) writeInto(spark, df, root.toString, keyCol, numSegments)
+      else {
+        graft.acid.CopyOnWrite.stagedSwap(spark, dir) { staging =>
+          writeInto(spark, df, staging.toString, keyCol, numSegments); true
+        }
+        ()
       }
-      ()
     }
   }
 
@@ -157,25 +161,32 @@ object KvStore {
     * segment, exactly like a row key spread over multiple HBase HFiles
     * before compaction. The meta rewrite is the single commit point. */
   def append(spark: SparkSession, df: DataFrame, dir: String, numSegments: Int): Unit = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing = readMeta(fs, dir)
-    require(df.schema.map(f => (f.name, f.dataType)) ==
-            existing.schema.map(f => (f.name, f.dataType)),
-      s"graftkv append: schema mismatch — store has ${existing.schema.toDDL}, " +
-        s"insert brings ${df.schema.toDDL}")
     require(numSegments > 0, "numSegments must be positive")
     graft.security.AccessPolicies.check(spark, dir, "INSERT")
-    // batch tag keeps appended segment names collision-free vs every
-    // earlier write (deterministic IN the batch for task-retry idempotence)
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    // segments carry the STORE's canonical DDL (the incoming frame may
-    // differ in nullability only — same wire encoding — and a drifted
-    // header would trip the reader's schema-drift guard)
-    val newLines = writeSegments(spark, df, dir, existing.keyCol, numSegments, tag,
-      existing.schema.toDDL)
-    writeMeta(fs, dir, existing.keyCol, existing.schema.toDDL,
-      existing.segments.map(segLine) ++ newLines)
+    // writer lock (TxnManager when graft.txn.dir is set, sidecar lock
+    // otherwise): two unserialized appends would each commit a meta that
+    // omits the other's seg lines (rows silently orphaned), and both
+    // share dir/_segs whose merge-then-delete would absorb or destroy
+    // the competing batch's sidecars mid-flight
+    graft.acid.CopyOnWrite.withTableLock(spark, dir) {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing = readMeta(fs, dir)
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+              existing.schema.map(f => (f.name, f.dataType)),
+        s"graftkv append: schema mismatch — store has ${existing.schema.toDDL}, " +
+          s"insert brings ${df.schema.toDDL}")
+      // batch tag keeps appended segment names collision-free vs every
+      // earlier write (deterministic IN the batch for task-retry idempotence)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      // segments carry the STORE's canonical DDL (the incoming frame may
+      // differ in nullability only — same wire encoding — and a drifted
+      // header would trip the reader's schema-drift guard)
+      val newLines = writeSegments(spark, df, dir, existing.keyCol, numSegments, tag,
+        existing.schema.toDDL)
+      writeMeta(fs, dir, existing.keyCol, existing.schema.toDDL,
+        existing.segments.map(segLine) ++ newLines)
+    }
   }
 
   private def segLine(s: Segment): String =
@@ -259,13 +270,21 @@ object KvStore {
     segLines
   }
 
-  /** Single-file meta rewrite — the store's commit point. */
+  /** Single-file meta rewrite — the store's commit point. Staged to a
+    * temp name and renamed with OVERWRITE so a crash mid-write can never
+    * leave a truncated meta over a previously committed one (an
+    * in-place create(overwrite) truncates FIRST — a died append would
+    * otherwise destroy every committed row's visibility). */
   private def writeMeta(fs: FileSystem, dirStr: String, keyCol: String,
                         ddl: String, segLines: Seq[String]): Unit = {
-    val meta = fs.create(new Path(dirStr, MetaFile), true)
-    meta.write((s"$Magic\nkey\t$keyCol\nschema\t$ddl\n" +
+    val tmp = new Path(dirStr, MetaFile + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write((s"$Magic\nkey\t$keyCol\nschema\t$ddl\n" +
       segLines.map("seg\t" + _).mkString("\n") + "\n").getBytes(UTF_8))
-    meta.close()
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
+      .rename(tmp, new Path(dirStr, MetaFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def keyOf(r: InternalRow, idx: Int, dt: DataType): Any = dt match {

@@ -50,10 +50,16 @@ object SkewedTables {
     * all the pruner needs, so tuples are never decoded. */
   final case class SkewMeta(columns: Seq[String], hotDirs: Set[String])
 
-  /** One directory name per hot tuple: parts percent-escaped so a value
-    * containing the separator cannot collide with another tuple. */
+  /** One directory name per hot tuple. Single-column layouts use the RAW
+    * value — nothing is ever split back apart, so no escaping is needed,
+    * and raw names keep layouts written by earlier single-column versions
+    * (whose directories and sidecars are unencoded) routing correctly.
+    * Multi-column tuples percent-escape each part so a value containing
+    * the separator cannot collide with another tuple (("a,b","c") vs
+    * ("a","b,c")). */
   def encodeDir(tuple: Seq[String]): String =
-    tuple.map(p => p.replace("%", "%25").replace(",", "%2C")).mkString(",")
+    if (tuple.lengthCompare(1) == 0) tuple.head
+    else tuple.map(p => p.replace("%", "%25").replace(",", "%2C")).mkString(",")
 
   private val sidecarName = "_skew.json"
 

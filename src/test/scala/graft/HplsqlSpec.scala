@@ -646,6 +646,16 @@ class HplsqlSpec extends AnyFunSuite {
     assert(out == Seq("caught-nan"), out.toString)
   }
 
+  test("comma-separated dotted declare names parse alongside dotted types") {
+    // the lang.sql dotted-name fold must not derail a name LIST (`a.b, c.d`),
+    // and a dotted TYPE (pkg.type one token after the name) must stay a type
+    val out = lines(
+      """DECLARE a.b, c.d INT;
+        |DECLARE plain INT DEFAULT 7;
+        |PRINT plain;""".stripMargin)
+    assert(out == Seq("7"))
+  }
+
   test("SETERROR downgrades a failing HOST command to HOSTCODE (seterror.sql)") {
     val out = lines(
       """BEGIN
