@@ -90,6 +90,12 @@ object SkewedTables {
     val hotDirs = skewedTuples.map(encodeDir).toSet
     require(!hotDirs.contains(Default),
       s"skewed write: '$Default' is the reserved default-directory name")
+    // same DML chokepoints as every other writer (SQLStd statement-shape
+    // mapping): an Overwrite destroys previous contents -> INSERT+DELETE,
+    // an Append only adds -> INSERT
+    graft.security.AccessPolicies.check(df.sparkSession, dir, "INSERT")
+    if (mode != SaveMode.Append)
+      graft.security.AccessPolicies.check(df.sparkSession, dir, "DELETE")
     val meta = SkewMeta(fields.map(_.name), hotDirs)
     if (mode == SaveMode.Append) {
       // an Append under DIFFERENT skew metadata would leave already-written

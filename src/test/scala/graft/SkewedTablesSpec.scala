@@ -131,6 +131,30 @@ class SkewedTablesSpec extends AnyFunSuite {
     assert(partial.count() == src.filter(col("o_orderstatus") === "O").count())
   }
 
+  test("governance: skewed writes face the same INSERT/DELETE chokepoints as other writers") {
+    import graft.security.AccessPolicies
+    import org.apache.hadoop.security.AccessControlException
+    val path = s"$base/orders_governed"
+    writeSkewed(path)
+    AccessPolicies.clear()
+    try {
+      AccessPolicies.protect(path)
+      spark.conf.set("graft.auth.user", "nobody")
+      // overwrite destroys previous contents: INSERT alone is not enough
+      intercept[AccessControlException](writeSkewed(path))
+      AccessPolicies.grant(path, "nobody", "INSERT")
+      intercept[AccessControlException](writeSkewed(path))
+      // append needs INSERT only
+      SkewedTables.write(Tables.orders(spark, sf).limit(10), path,
+        "o_orderstatus", Seq("O", "F"), SaveMode.Append)
+      AccessPolicies.grant(path, "nobody", "DELETE", "SELECT")
+      writeSkewed(path) // full overwrite privileges -> succeeds
+    } finally {
+      AccessPolicies.clear()
+      spark.conf.unset("graft.auth.user")
+    }
+  }
+
   test("append with a different layout is refused; matching append keeps routing sound") {
     val path = s"$base/orders_append"
     writeSkewed(path)

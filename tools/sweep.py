@@ -32,6 +32,10 @@ BY_DESIGN = {
     "q246_kmv_distinct", "q248_incremental_rollup",
     "q249_stream_distinct_sketch", "q253_stream_heavy_hitters",
     "q286_kmv_set_ops",
+    # ndv_order over-fills its 65536-capacity KMV at sf0.1 (per-flag
+    # orderkey NDV > k) and degrades to the +-1/sqrt(k-2) estimate;
+    # ndv_part stays exact (see q303's Scaladoc)
+    "q303_approx_ndv_exact",
 }
 
 
