@@ -37,33 +37,53 @@ object Compactor {
                                 compacted: Boolean, vacuumed: Seq[Int],
                                 error: Option[String] = None)
 
-  /** One Initiator pass: maintain every versioned table directly under
-    * `warehouseDir`. Tables below both thresholds no-op (cheap listing
-    * only). Exceptions per table are contained — one broken table must
-    * not stop maintenance of the rest (the reference's Initiator wraps
-    * each table in its own try). */
+  /** One Initiator pass: maintain every versioned table AND graftkv
+    * store directly under `warehouseDir`. Tables below their thresholds
+    * no-op (cheap listing only). Exceptions per table are contained —
+    * one broken table must not stop maintenance of the rest (the
+    * reference's Initiator wraps each table in its own try).
+    *
+    * graftkv stores join the same pass because appends accumulate
+    * key-overlapping segments exactly like ACID deltas accumulate under
+    * DML (HBase runs its own compactor for the same reason): a store
+    * whose segment count crossed `maxKvSegments` is folded back to
+    * non-overlapping segments via [[graft.sources.KvStore.compact]],
+    * history-recorded like any other compaction. */
   def scanWarehouse(spark: SparkSession, warehouseDir: String,
                     maxDeltas: Int = 10,
-                    retainVersions: Int = Int.MaxValue): Seq[TableOutcome] = {
+                    retainVersions: Int = Int.MaxValue,
+                    maxKvSegments: Int = 64): Seq[TableOutcome] = {
     val root = new Path(warehouseDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { st =>
       val dir = st.getPath
-      if (!Versioned.isVersionedTable(spark, dir.toString)) None
-      else scala.util.Try {
+      def contained(body: => TableOutcome): Option[TableOutcome] =
+        scala.util.Try(body).recover { case e =>
+          // one broken table must not stop the rest (the reference wraps
+          // each table in its own try) — but the failure is REPORTED in
+          // the outcome and the history, never swallowed silently
+          CompactionHistory.record(spark, dir.getName, None, "MAJOR",
+            s"failed: ${String.valueOf(e.getMessage).take(200)}",
+            System.currentTimeMillis())
+          TableOutcome(dir.getName, -1, compacted = false, Nil,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }.toOption
+      if (Versioned.isVersionedTable(spark, dir.toString)) contained {
         val m = Versioned.maintain(spark, dir.toString, maxDeltas, retainVersions)
         TableOutcome(dir.getName, m.headDeltas, m.compacted, m.vacuumed)
-      }.recover { case e =>
-        // one broken table must not stop the rest (the reference wraps
-        // each table in its own try) — but the failure is REPORTED in
-        // the outcome and the history, never swallowed silently
-        CompactionHistory.record(spark, dir.getName, None, "MAJOR",
-          s"failed: ${String.valueOf(e.getMessage).take(200)}",
-          System.currentTimeMillis())
-        TableOutcome(dir.getName, -1, compacted = false, Nil,
-          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
-      }.toOption
+      }
+      else if (fs.exists(new Path(dir, graft.sources.KvStore.MetaFile))) contained {
+        val segs = graft.sources.KvStore.readMeta(fs, dir.toString).segments.length
+        val compact = segs > maxKvSegments
+        if (compact) {
+          graft.sources.KvStore.compact(spark, dir.toString, maxKvSegments)
+          CompactionHistory.record(spark, dir.getName, None, "MAJOR",
+            s"kv: $segs -> $maxKvSegments segments", System.currentTimeMillis())
+        }
+        TableOutcome(dir.getName, segs, compact, Nil)
+      }
+      else None
     }
   }
 

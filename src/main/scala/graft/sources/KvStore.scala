@@ -47,7 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object KvStore {
 
   private[sources] val Magic = "GKV1"
-  private[sources] val MetaFile = "_kv_meta"
+  private[graft] val MetaFile = "_kv_meta" // Compactor detects stores by it
   private val SegMetaDir = "_segs"
 
   final case class Segment(file: String, rows: Long, minKey: Any, maxKey: Any)

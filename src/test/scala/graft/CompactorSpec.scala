@@ -57,6 +57,31 @@ class CompactorSpec extends AnyFunSuite {
     assert(Compactor.scanWarehouse(spark, w, maxDeltas = 3).forall(!_.compacted))
   }
 
+  test("scanWarehouse maintains graftkv stores: over-threshold segment counts fold back") {
+    import spark.implicits._
+    import graft.sources.KvStore
+    val w = warehouse("kv")
+    val hot = s"$w/kv_hot"; val cold = s"$w/kv_cold"
+    KvStore.write(spark, (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), hot, "k", 2)
+    (0 until 3).foreach { b =>
+      KvStore.append(spark,
+        (1L to 50L).map(i => (1000L * (b + 1) + i, s"a$i")).toDF("k", "v"), hot, 2)
+    }
+    KvStore.write(spark, (1L to 20L).map(i => (i, s"c$i")).toDF("k", "v"), cold, "k", 2)
+    val fs = new org.apache.hadoop.fs.Path(w)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(KvStore.readMeta(fs, hot).segments.length == 8)
+    val before = spark.read.format("graftkv").load(hot).count()
+
+    val outcomes = Compactor.scanWarehouse(spark, w, maxKvSegments = 4)
+    val byName = outcomes.map(o => o.table -> o).toMap
+    assert(byName("kv_hot").compacted, outcomes.toString)
+    assert(!byName("kv_cold").compacted)
+    assert(KvStore.readMeta(fs, hot).segments.length == 4)
+    assert(KvStore.readMeta(fs, cold).segments.length == 2, "under-threshold store rewritten")
+    assert(spark.read.format("graftkv").load(hot).count() == before)
+  }
+
   test("the daemon compacts unprompted and enforces one-per-warehouse") {
     val w = warehouse("daemon")
     seed(s"$w/t", nDeltas = 0)
