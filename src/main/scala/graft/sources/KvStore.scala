@@ -161,6 +161,29 @@ object KvStore {
     * segment, exactly like a row key spread over multiple HBase HFiles
     * before compaction. The meta rewrite is the single commit point. */
   def append(spark: SparkSession, df: DataFrame, dir: String, numSegments: Int): Unit = {
+    appendTagged(spark, df, dir, numSegments,
+      java.util.UUID.randomUUID().toString.take(8))
+    ()
+  }
+
+  /** Exactly-once append for streaming sinks (the reference's hcatalog
+    * streaming TransactionBatch idea on the handler seam): the CALLER
+    * names the batch — `foreachBatch { (df, id) => appendBatch(..., s"b$id") }`
+    * — and a replayed batch whose tag already committed is a NO-OP
+    * (returns false), so micro-batch re-delivery after a sink failure
+    * cannot duplicate rows. The check and the meta commit sit under the
+    * same writer lock, so a concurrent duplicate cannot slip between
+    * them. */
+  def appendBatch(spark: SparkSession, df: DataFrame, dir: String,
+                  numSegments: Int, batchTag: String): Boolean = {
+    require(batchTag.nonEmpty && batchTag.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"batch tag must be filename-safe ([A-Za-z0-9_-]): '$batchTag'")
+    appendTagged(spark, df, dir, numSegments, batchTag)
+  }
+
+  private def appendTagged(spark: SparkSession, df: DataFrame, dir: String,
+                           numSegments: Int, tag: String): Boolean = {
     require(numSegments > 0, "numSegments must be positive")
     graft.security.AccessPolicies.check(spark, dir, "INSERT")
     // writer lock (TxnManager when graft.txn.dir is set, sidecar lock
@@ -172,20 +195,27 @@ object KvStore {
       val root = new Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val existing = readMeta(fs, dir)
-      require(df.schema.map(f => (f.name, f.dataType)) ==
-              existing.schema.map(f => (f.name, f.dataType)),
-        s"graftkv append: schema mismatch — store has ${existing.schema.toDDL}, " +
-          s"insert brings ${df.schema.toDDL}")
-      // batch tag keeps appended segment names collision-free vs every
-      // earlier write (deterministic IN the batch for task-retry idempotence)
-      val tag = java.util.UUID.randomUUID().toString.take(8)
-      // segments carry the STORE's canonical DDL (the incoming frame may
-      // differ in nullability only — same wire encoding — and a drifted
-      // header would trip the reader's schema-drift guard)
-      val newLines = writeSegments(spark, df, dir, existing.keyCol, numSegments, tag,
-        existing.schema.toDDL)
-      writeMeta(fs, dir, existing.keyCol, existing.schema.toDDL,
-        existing.segments.map(segLine) ++ newLines)
+      // replay fence: a tag whose segments are already committed means
+      // this exact batch landed before (exactly-once for appendBatch;
+      // UUID tags from append() never collide)
+      if (existing.segments.exists(_.file.startsWith(s"seg-$tag-"))) false
+      else {
+        require(df.schema.map(f => (f.name, f.dataType)) ==
+                existing.schema.map(f => (f.name, f.dataType)),
+          s"graftkv append: schema mismatch — store has ${existing.schema.toDDL}, " +
+            s"insert brings ${df.schema.toDDL}")
+        // the batch tag keeps appended segment names collision-free vs
+        // every earlier write (deterministic IN the batch for task-retry
+        // idempotence); segments carry the STORE's canonical DDL (the
+        // incoming frame may differ in nullability only — same wire
+        // encoding — and a drifted header would trip the reader's
+        // schema-drift guard)
+        val newLines = writeSegments(spark, df, dir, existing.keyCol, numSegments, tag,
+          existing.schema.toDDL)
+        writeMeta(fs, dir, existing.keyCol, existing.schema.toDDL,
+          existing.segments.map(segLine) ++ newLines)
+        true
+      }
     }
   }
 

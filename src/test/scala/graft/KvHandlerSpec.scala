@@ -173,6 +173,26 @@ class KvHandlerSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS kv_sql_t")
   }
 
+  test("appendBatch is exactly-once: a replayed batch tag is a no-op") {
+    import spark.implicits._
+    val dir = "target/storage/kv_spec/batches"
+    KvStore.write(spark, (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"),
+      dir, "k", numSegments = 1)
+    val batch = (11L to 20L).map(i => (i, s"b$i")).toDF("k", "v")
+    assert(KvStore.appendBatch(spark, batch, dir, 1, "b7"))
+    assert(spark.read.format("graftkv").load(dir).count() == 20)
+    // micro-batch re-delivery (sink failure after commit): same tag -> no-op
+    assert(!KvStore.appendBatch(spark, batch, dir, 1, "b7"))
+    assert(spark.read.format("graftkv").load(dir).count() == 20)
+    // the next batch id lands normally
+    assert(KvStore.appendBatch(spark,
+      (21L to 25L).map(i => (i, s"c$i")).toDF("k", "v"), dir, 1, "b8"))
+    assert(spark.read.format("graftkv").load(dir).count() == 25)
+    // tags become segment file names — unsafe characters are refused
+    intercept[IllegalArgumentException](
+      KvStore.appendBatch(spark, batch, dir, 1, "b 7/x"))
+  }
+
   test("compaction folds appended overlapping segments back into non-overlapping ones") {
     import spark.implicits._
     val dir = "target/storage/kv_spec/compacted"
