@@ -383,7 +383,48 @@ object EventsOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Streaming ingest into the external store with exactly-once batches
+    * — the reference's hcatalog streaming arc (HiveEndPoint +
+    * TransactionBatch: a writer commits named txn batches into a table;
+    * a replayed batch must not double-write) on the handler seam: each
+    * micro-batch lands via KvStore.appendBatch keyed by the batch id, so
+    * sink-failure re-delivery is a locked no-op. The oracle recomputes
+    * the aggregate straight from the events parquet, so the hash proves
+    * the store received exactly one copy of every event. */
+  val q306_stream_kv_ingest: Q = (s, d) => {
+    val dir = s"target/stream_kv/${new java.io.File(d).getName}/events_store"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fresh store + checkpoint: a prior run's committed batch tags would
+    // make this run's (restarted) batch ids replay as no-ops
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "_ckpt"), true)
+    graft.sources.KvStore.write(s,
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")).limit(0),
+      dir, "event_id", numSegments = 2)
+    val q = graft.streaming.EventsStream.readEvents(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.sources.KvStore.appendBatch(b.sparkSession, b, dir,
+          numSegments = 2, batchTag = s"b$id")
+        ()
+      }
+      .option("checkpointLocation", dir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.format("graftkv").load(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"),
+           min(col("event_id")).as("min_id"),
+           max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q306_stream_kv_ingest" -> q306_stream_kv_ingest,
     "q289_resample" -> q289_resample,
     "q251_session_transitions" -> q251_session_transitions,
     "q243_rolling_active" -> q243_rolling_active,
@@ -443,6 +484,11 @@ object EventsOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q306_stream_kv_ingest" ->
+      """SELECT event_type, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q289_resample" ->
       """WITH b AS (SELECT event_type AS k,
         |             CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, value
