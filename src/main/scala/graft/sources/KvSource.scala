@@ -213,6 +213,7 @@ final class KvScan(dir: String, meta: Meta, required: StructType,
 
   override def description(): String =
     s"graftkv $dir keyBounds=[${lo.getOrElse("-inf")},${hi.getOrElse("+inf")}] " +
+      points.map(p => s"keyPoints=${p.length} ").getOrElse("") +
       s"segments=${pruned.length}/${meta.segments.length}"
 
   override def planInputPartitions(): Array[InputPartition] =
