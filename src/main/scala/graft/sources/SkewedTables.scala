@@ -90,6 +90,16 @@ object SkewedTables {
     val hotDirs = skewedTuples.map(encodeDir).toSet
     require(!hotDirs.contains(Default),
       s"skewed write: '$Default' is the reserved default-directory name")
+    // Spark's partitioned sink writes an empty or null partition VALUE —
+    // and the literal '__HIVE_DEFAULT_PARTITION__' — into the
+    // __HIVE_DEFAULT_PARTITION__ directory and reads the value back as
+    // NULL, so a hot tuple encoding to either can never round-trip: its
+    // rows would land in a directory the routing predicate can't name
+    // and SkewRoute would silently drop them. Refuse loudly instead.
+    require(!hotDirs.contains("") && !hotDirs.contains("__HIVE_DEFAULT_PARTITION__"),
+      "skewed write: a hot value may not be empty or the reserved " +
+        "'__HIVE_DEFAULT_PARTITION__' name — the partitioned sink folds both " +
+        "into the null-partition directory, which cannot round-trip for routing")
     // same DML chokepoints as every other writer (SQLStd statement-shape
     // mapping): an Overwrite destroys previous contents -> INSERT+DELETE,
     // an Append only adds -> INSERT

@@ -176,4 +176,28 @@ class SkewedTablesSpec extends AnyFunSuite {
       extra.filter(col("o_orderstatus") === "O").count()
     assert(got == expect)
   }
+
+  test("hot values that cannot round-trip through the partitioned sink are refused") {
+    // Spark folds an empty partition value AND the literal
+    // '__HIVE_DEFAULT_PARTITION__' into the null-partition directory and
+    // reads both back as NULL — a hot tuple encoding to either would land
+    // rows in a directory the routing predicate can't name, and SkewRoute
+    // would silently drop them. The writer must refuse loudly.
+    val df = Tables.orders(spark, sf).limit(10)
+    val e1 = intercept[IllegalArgumentException] {
+      SkewedTables.write(df, s"$base/degenerate1", "o_orderstatus", Seq("O", ""))
+    }
+    assert(e1.getMessage.contains("may not be empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      SkewedTables.write(df, s"$base/degenerate2", "o_orderstatus",
+        Seq("__HIVE_DEFAULT_PARTITION__"))
+    }
+    assert(e2.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
+    // multi-column tuples with empty PARTS are fine: the encoded name
+    // (',' separated, %-escaped) is never empty and never the sentinel
+    val two = df.withColumn("o2", col("o_orderstatus"))
+    SkewedTables.write(two, s"$base/degenerate3",
+      Seq("o_orderstatus", "o2"), Seq(Seq("", "")), SaveMode.Overwrite)
+    assert(SkewedTables.read(spark, s"$base/degenerate3").count() == 10)
+  }
 }
