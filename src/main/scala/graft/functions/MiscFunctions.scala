@@ -39,6 +39,16 @@ object MiscFunctions {
   /** GenericUDFMaskHash: deterministic digest of the value. */
   def mask_hash(c: Column): Column = md5(c.cast("binary"))
 
+  /** Register the reference-exact mask family as SQL functions on
+    * `spark` (mask_first_n/last_n/show_first_n/show_last_n/mask_hash,
+    * full Hive argument surface incl. numeric and date masking —
+    * [[HiveMask]]). `includePlainMask = true` also overrides `mask`
+    * itself with Hive's 9-argument form; default leaves Spark's
+    * codegen'd builtin in place. */
+  def registerMaskUdfs(spark: org.apache.spark.sql.SparkSession,
+                       includePlainMask: Boolean = false): Unit =
+    HiveMask.register(spark, includePlainMask)
+
   /** Encodings & radix math with DuckDB twins. */
   val q78_encodings: Q = (s, d) => {
     Tables.part(s, d)

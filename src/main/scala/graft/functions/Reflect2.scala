@@ -50,6 +50,11 @@ case class Reflect2(children: Seq[Expression]) extends Expression with CodegenFa
     case ShortType   => classOf[java.lang.Short]
     case ByteType    => classOf[java.lang.Byte]
     case BooleanType => classOf[java.lang.Boolean]
+    // the reference's reflect2 exposes timestamp/date values as their
+    // java.sql classes (GenericUDFReflect2 works over any primitive OI),
+    // so `reflect2(ts, 'getYear')` dispatches on java.sql.Timestamp
+    case TimestampType => classOf[java.sql.Timestamp]
+    case DateType      => classOf[java.sql.Date]
     case other => throw new IllegalArgumentException(
       s"reflect2 target must be a primitive/string column, got $other")
   }
@@ -79,11 +84,21 @@ case class Reflect2(children: Seq[Expression]) extends Expression with CodegenFa
     val cls = targetClass
     def find(sig: Seq[Class[_]]): Option[Method] =
       try Some(cls.getMethod(methodName, sig: _*)) catch { case _: NoSuchMethodException => None }
+    // last resort: assignability scan (the reference resolves through
+    // commons-lang MethodUtils.getMatchingAccessibleMethod, which is why
+    // `reflect2(s, 'equals', t)` finds equals(Object) for a String arg)
+    def findAssignable(): Option[Method] =
+      cls.getMethods.find { m =>
+        m.getName == methodName && m.getParameterCount == argClasses.length &&
+          m.getParameterTypes.zip(argClasses).forall { case (p, a) =>
+            p.isAssignableFrom(a) || p == primitiveOf(a)
+          }
+      }
     find(argClasses)
       .orElse(find(argClasses.map(primitiveOf)))
       .orElse(find(argClasses.map(c =>
         if (c == classOf[String]) classOf[CharSequence] else c))) // String.replace
-
+      .orElse(findAssignable())
       .getOrElse(throw new IllegalArgumentException(
         s"reflect2: no method $methodName(${argClasses.map(_.getSimpleName).mkString(",")}) " +
           s"on ${cls.getName}"))
@@ -103,6 +118,7 @@ case class Reflect2(children: Seq[Expression]) extends Expression with CodegenFa
     case java.lang.Short.TYPE                 => ShortType
     case java.lang.Byte.TYPE                  => ByteType
     case java.lang.Character.TYPE             => StringType
+    case c if c == classOf[Array[Byte]]       => BinaryType // e.g. String.getBytes
     case other => throw new IllegalArgumentException(
       s"reflect2: unsupported return type ${other.getName} of $methodName")
   }
@@ -112,7 +128,17 @@ case class Reflect2(children: Seq[Expression]) extends Expression with CodegenFa
     if (target == null) return null
     val args = children.drop(2).map(c => toJava(c.eval(input)))
     if (args.contains(null)) return null
-    val result = method.invoke(toJava(target), args: _*)
+    // internal micros/days -> the java.sql values the method dispatches on
+    val javaTarget: AnyRef = children.head.dataType match {
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(target.asInstanceOf[Long])
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaDate(target.asInstanceOf[Int])
+      case _ => toJava(target)
+    }
+    val result = method.invoke(javaTarget, args: _*)
     result match {
       case null       => null
       case s: String  => UTF8String.fromString(s)

@@ -127,6 +127,8 @@ object QualifyRewrite {
 
   private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
+  private[plans] def closeQuotePublic(s: String, start: Int): Int = closeQuote(s, start)
+
   private def closeQuote(s: String, start: Int): Int = {
     val q = s(start)
     var i = start + 1
@@ -161,13 +163,50 @@ object QualifyRewrite {
   }
 }
 
-/** The delegating parser carrying the QUALIFY rewrite; everything else
-  * passes straight through to Spark's parser. */
+/** `LIMIT <offset>, <count>` — the reference's two-operand limit clause
+  * (HiveParser.g limitClause, HIVE-11531; MySQL's spelling), which Spark
+  * spells `LIMIT <count> OFFSET <offset>`. A token-level rewrite outside
+  * quotes and comments; both operands must be integer literals (exactly
+  * the reference's grammar — expressions are not accepted there either).
+  * Statements without a comma-LIMIT pass through unchanged. */
+object LimitCommaRewrite {
+
+  private val P = java.util.regex.Pattern.compile(
+    "(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)")
+
+  def rewrite(sql: String): String = {
+    if (!sql.toLowerCase.contains("limit")) return sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql(i) match {
+        case '\'' | '"' | '`' =>
+          val e = QualifyRewrite.closeQuotePublic(sql, i)
+          out.append(sql.substring(i, e)); i = e
+        case '-' if i + 1 < sql.length && sql(i + 1) == '-' =>
+          val e = sql.indexOf('\n', i) match { case -1 => sql.length; case n => n }
+          out.append(sql.substring(i, e)); i = e
+        case c if (c == 'l' || c == 'L') => // candidate LIMIT token
+          val m = P.matcher(sql)
+          if (m.find(i) && m.start == i &&
+              (i == 0 || !Character.isLetterOrDigit(sql(i - 1)))) {
+            out.append(s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+            i = m.end
+          } else { out.append(c); i += 1 }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+}
+
+/** The delegating parser carrying the QUALIFY and comma-LIMIT rewrites;
+  * everything else passes straight through to Spark's parser. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(QualifyRewrite.rewrite(sqlText))
+    delegate.parsePlan(QualifyRewrite.rewrite(LimitCommaRewrite.rewrite(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(QualifyRewrite.rewrite(sqlText))
+    delegate.parseQuery(QualifyRewrite.rewrite(LimitCommaRewrite.rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -92,4 +92,18 @@ class LongTailSpec extends AnyFunSuite {
     val idx = enc.grouped(2).map(_.head).toSeq
     assert(idx == idx.sorted && idx.distinct == idx)
   }
+
+  test("reflect2: assignable-parameter dispatch, binary returns, timestamp targets") {
+    // equals(Object) must accept a String arg — the reference resolves
+    // through MethodUtils.getMatchingAccessibleMethod (udf_reflect2.q)
+    val r = spark.sql(
+      """SELECT reflect2('val_86', 'equals', 'val_86') AS eq,
+        |       reflect2('ab', 'getBytes') AS bs,
+        |       reflect2(cast('2013-02-15 19:41:20' as timestamp), 'getTime') AS tm
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0))
+    assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == "ab")
+    // session TZ is UTC, so the epoch millis are exact
+    assert(r.getLong(2) == java.time.Instant.parse("2013-02-15T19:41:20Z").toEpochMilli)
+  }
 }

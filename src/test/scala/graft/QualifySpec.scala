@@ -97,4 +97,19 @@ class QualifySpec extends AnyFunSuite {
     assert(rows.size == 3)
     assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("LIMIT offset, count (HiveParser.g limitClause) = LIMIT count OFFSET offset") {
+    Tables.orders(spark, sf).createOrReplaceTempView("qspec_orders")
+    val hive = spark.sql(
+      "SELECT o_orderkey FROM qspec_orders ORDER BY o_orderkey LIMIT 5, 7")
+      .collect().map(_.getLong(0)).toSeq
+    val std = spark.sql(
+      "SELECT o_orderkey FROM qspec_orders ORDER BY o_orderkey LIMIT 7 OFFSET 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hive == std && hive.size == 7)
+    // the rewrite never touches literals or non-integer limit shapes
+    assert(spark.sql("SELECT 'limit 1, 2' AS s").collect()(0).getString(0) == "limit 1, 2")
+    assert(graft.plans.LimitCommaRewrite.rewrite("select xlimit 3, 4 from t")
+      == "select xlimit 3, 4 from t")
+  }
 }
