@@ -1,0 +1,207 @@
+package graft.compat
+
+/** HiveQL CREATE TABLE → Spark datasource DDL (the reference's
+  * SemanticAnalyzer DDL surface, ql/src/java/org/apache/hadoop/hive/ql/
+  * parse/HiveParser.g createTableStatement): what a user migrating off
+  * the reference runs first — their own DDL scripts. Spark without a
+  * Hive metastore rejects `STORED AS` / `ROW FORMAT`, so this translates
+  * the storage clauses onto `USING` datasources:
+  *
+  *  - `STORED AS ORC|PARQUET` → `USING orc|parquet`.
+  *  - `STORED AS TEXTFILE` (and the bare default) with `ROW FORMAT
+  *    DELIMITED` → `USING csv` with the LazySimpleSerDe conventions:
+  *    field delimiter (default \\u0001), no quoting (LazySimpleSerDe has
+  *    none), `\N` for NULL. Only needed when raw text FILES will be
+  *    LOADed into the table — the caller says which tables those are —
+  *    because otherwise the on-disk format is invisible to queries and
+  *    parquet is the lossless choice (Java double/timestamp text
+  *    round-trips are exact, so results match either way).
+  *  - `PARTITIONED BY (p TYPE)` → partition columns appended to the
+  *    schema + Spark's `PARTITIONED BY (p)`.
+  *  - `CLUSTERED BY ... INTO n BUCKETS` passes through (same grammar).
+  *
+  * Throws IllegalArgumentException on shapes it cannot translate
+  * faithfully (SERDE classes, SEQUENCEFILE/RCFILE text containers,
+  * complex-typed text tables a csv reader cannot parse) — a loud decline,
+  * never a silently different table. */
+object HiveDdl {
+
+  private val CreateRe =
+    ("(?is)^\\s*create\\s+(temporary\\s+)?(external\\s+)?table\\s+" +
+     "(if\\s+not\\s+exists\\s+)?([\\w.`]+)\\s*(.*)$").r
+
+  /** Translate one HiveQL CREATE TABLE statement. `textTables` are the
+    * tables raw text files will be LOADed into (lower-cased names) —
+    * they get the csv serde mapping; everything else becomes parquet. */
+  private val LikeRe =
+    "(?is)^\\s*create\\s+(?:temporary\\s+)?(?:external\\s+)?table\\s+(if\\s+not\\s+exists\\s+)?([\\w.`]+)\\s+like\\s+([\\w.`]+)\\s*;?\\s*$".r
+
+  def translate(stmt: String, textTables: Set[String] = Set.empty): String = stmt match {
+    // CREATE TABLE ... LIKE: same statement in Spark
+    case LikeRe(ine, name, src) =>
+      s"CREATE TABLE ${if (ine != null) "IF NOT EXISTS " else ""}$name LIKE $src"
+    case CreateRe(_, _, ifNotExists, name, rest0) =>
+      val rest = rest0.trim.stripSuffix(";")
+      val tableName = name.replace("`", "")
+      val isLoadTarget = textTables.contains(tableName.toLowerCase)
+
+      // CTAS: everything after AS is the query
+      val asIdx = indexOfKeyword(rest, "as select")
+      val (head, ctas) =
+        if (asIdx >= 0) (rest.substring(0, asIdx), Some(rest.substring(asIdx + 2).trim))
+        else (rest, None)
+
+      val cols = if (head.startsWith("(")) {
+        val close = matchParen(head, 0)
+        require(close > 0, s"unbalanced column list in: $stmt")
+        Some(head.substring(1, close))
+      } else None
+      val tail = cols.fold(head)(c => head.substring(head.indexOf('(') + c.length + 2))
+
+      val fmt = storedAs(tail)
+      val rowFmt = rowFormat(tail)
+      val partCols = partitionedBy(tail)
+      val clustered = clusteredBy(tail)
+      val location = locationOf(tail)
+
+      // a LOAD-target keeps the raw file's real format: text files need
+      // the LazySimpleSerDe mapping; ORC/parquet LOADs move pre-made
+      // files of that format in
+      val wantsText = isLoadTarget && fmt.forall(_ == "textfile")
+      val using =
+        if (!wantsText) fmt match {
+          case Some("orc") => "USING orc"
+          case Some("parquet") => "USING parquet"
+          case Some("textfile") | None => "USING parquet" // format invisible without LOAD
+          case Some(other) => throw new IllegalArgumentException(
+            s"untranslatable STORED AS $other in: $stmt")
+        } else {
+          val sep = rowFmt.getOrElse("\u0001")
+          // LazySimpleSerDe: no quoting, \N nulls. csv needs SOME quote
+          // char — NUL never occurs in the corpus data
+          s"""USING csv OPTIONS (sep '${escape(sep)}', quote '\\u0000', nullValue '\\\\N', emptyValue '')"""
+        }
+
+      val colList = (cols.toSeq ++ partCols.map { case (n, t) => s"$n $t" }).mkString(", ")
+      require(colList.nonEmpty || ctas.isDefined, s"no columns in: $stmt")
+      // csv cannot parse complex types back out of delimited text
+      if (wantsText && cols.exists(c =>
+            "(?i)\\b(array|map|struct|uniontype)\\s*<".r.findFirstIn(c).isDefined))
+        throw new IllegalArgumentException(s"complex-typed text table in: $stmt")
+
+      val pb = if (partCols.nonEmpty)
+        s" PARTITIONED BY (${partCols.map(_._1).mkString(", ")})" else ""
+      // loaded raw files are never Spark-bucketed, and Spark validates
+      // bucket files on read — a LOAD target must not declare buckets
+      val cb = if (isLoadTarget) "" else clustered.fold("")(" " + _)
+      val loc = location.fold("")(l => s" LOCATION '$l'")
+      val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
+
+      ctas match {
+        case Some(q) =>
+          require(cols.isEmpty && partCols.isEmpty, s"CTAS with explicit schema in: $stmt")
+          s"CREATE TABLE $ine$tableName $using$cb$loc $q"
+        case None =>
+          s"CREATE TABLE $ine$tableName ($colList) $using$pb$cb$loc"
+      }
+    case _ => throw new IllegalArgumentException(s"not a CREATE TABLE: $stmt")
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '\u0001' => "\\u0001"
+      case '\t' => "\\t"
+      case '\'' => "\\'"
+      case c => c.toString
+    }
+
+  /** Literal char of `FIELDS TERMINATED BY 'x'` (unescaping \t, \\ooo). */
+  private def rowFormat(tail: String): Option[String] =
+    "(?is)fields\\s+terminated\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail).map { m =>
+      val raw = m.group(1)
+      raw match {
+        case "\\t" => "\t"
+        case s if s.startsWith("\\") && s.drop(1).forall(_.isDigit) =>
+          s.drop(1).toInt.toChar.toString // '\001' octal-ish spelling
+        case s => s
+      }
+    }
+
+  private def storedAs(tail: String): Option[String] = {
+    if ("(?is)row\\s+format\\s+serde".r.findFirstIn(tail).isDefined)
+      throw new IllegalArgumentException(s"custom SERDE class not translatable: $tail")
+    "(?is)stored\\s+as\\s+(\\w+)".r.findFirstMatchIn(tail).map(_.group(1).toLowerCase) match {
+      case Some("directories") => None // SKEWED ... STORED AS DIRECTORIES
+      case other => other
+    }
+  }
+
+  /** (name, type) pairs of PARTITIONED BY — Hive declares types there. */
+  private def partitionedBy(tail: String): Seq[(String, String)] =
+    "(?is)partitioned\\s+by\\s*\\(".r.findFirstMatchIn(tail).map { m =>
+      val open = m.end - 1
+      val close = matchParen(tail, open)
+      require(close > 0, "unbalanced PARTITIONED BY")
+      splitTop(tail.substring(open + 1, close)).map { c =>
+        // the TYPE may carry parens/commas (decimal(8,4)) — take the
+        // name, then everything up to an optional COMMENT as the type
+        val t = c.trim
+        val name = t.split("\\s+", 2).head
+        val rest = t.drop(name.length).trim
+        val typ = "(?is)\\s+comment\\s+'.*$".r.replaceFirstIn(rest, "")
+        (name, if (typ.nonEmpty) typ else "string")
+      }
+    }.getOrElse(Nil)
+
+  /** CLUSTERED BY (...) [SORTED BY (...)] INTO n BUCKETS — Spark speaks
+    * the same grammar EXCEPT descending sort buckets; a DESC drops the
+    * SORTED BY clause (bucket sort order is physical layout, invisible
+    * to query results). */
+  private def clusteredBy(tail: String): Option[String] =
+    "(?is)clustered\\s+by\\s*\\(.*?into\\s+\\d+\\s+buckets".r.findFirstIn(tail).map { c =>
+      if ("(?is)\\bdesc\\b".r.findFirstIn(c).isDefined)
+        "(?is)sorted\\s+by\\s*\\([^)]*\\)".r.replaceFirstIn(c, "")
+      else c
+    }
+
+  /** Split on commas at paren depth 0 (types like decimal(8,4)). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ch => cur.append(ch)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  private def locationOf(tail: String): Option[String] =
+    "(?is)location\\s+'([^']*)'".r.findFirstMatchIn(tail).map(_.group(1))
+
+  private def indexOfKeyword(s: String, kw: String): Int = {
+    val re = ("(?is)\\b" + kw.replace(" ", "\\s+") + "\\b").r
+    re.findFirstMatchIn(s).map(m => m.start).getOrElse(-1)
+  }
+
+  private[compat] def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inQuote = ' '
+    while (i < s.length) {
+      val c = s(i)
+      if (inQuote != ' ') { if (c == inQuote) inQuote = ' ' }
+      else c match {
+        case '\'' | '"' | '`' => inQuote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+}

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -89,10 +90,12 @@ object QTestReplay {
           if (l.startsWith("PREHOOK: query: ") || l.startsWith("Warning: ")) stop = true
           else { res += l; i += 1 }
         }
-        // "RUN: Stage-N:..." progress lines and masked-pattern markers
-        // are QTestUtil's own noise, interleaved into the committed
-        // outputs (local-task logs land mid-results), never result rows
-        val r = res.result().filterNot(l => l.startsWith("RUN: Stage-") || l == Mask)
+        // QTestUtil's own noise, interleaved into the committed outputs
+        // and never result rows: stage progress, masked-pattern markers,
+        // local-task backup attempts, and `dfs -ls` header lines (the
+        // listing rows themselves are masked)
+        val r = res.result().filterNot(l => l.startsWith("RUN: Stage-") || l == Mask ||
+          l.startsWith("ATTEMPT: Execute BackupTask") || l.matches("Found \\d+ items"))
         val trimmed = r.reverse.dropWhile(_.isEmpty).reverse
         out += Block(qtype, q.result(), ins.result(), outs.result(), trimmed)
       } else i += 1
@@ -139,6 +142,17 @@ object QTestReplay {
     // the reference formats/parses dates through SimpleDateFormat;
     // Spark's LEGACY parser policy is exactly that behavior
     s.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    // the reference coerces on INSERT (string key into an INT column
+    // casts, never errors) and overwrites only the partitions that
+    // receive rows — Spark's LEGACY assignment + dynamic overwrite
+    s.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the whole corpus (fixtures + the tables DDL files create) lives in
+    // its own database: `src`/`t1`-style names would otherwise collide
+    // with anything else sharing the catalog (current database is
+    // per-session state, so nothing outside this session moves)
+    s.sql("CREATE DATABASE IF NOT EXISTS qtest_compat")
+    s.catalog.setCurrentDatabase("qtest_compat")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash", es => org.apache.spark.sql.catalyst.expressions.HiveHash(es), "scala_udf")
     // reference-exact mask family, INCLUDING the plain `mask` spelling
@@ -159,18 +173,40 @@ object QTestReplay {
     s
   }
 
-  /** Register `src`, `src1`, `srcpart`, `alltypesorc` as session views
-    * (idempotent). `refData` is the reference's data/files directory. */
+  /** Register `src`, `src1`, `srcpart`, `alltypesorc` — as CATALOG
+    * tables (q_test_init.sql creates real tables; persistent corpus
+    * VIEWS reference them, which temp views could not support), created
+    * once per warehouse (idempotent Ignore mode). `refData` is the
+    * reference's data/files directory. */
   def registerFixtures(spark: SparkSession, refData: String): Unit = {
-    kvTable(spark, s"$refData/kv1.txt").createOrReplaceTempView("src")
-    kvTable(spark, s"$refData/kv3.txt").createOrReplaceTempView("src1")
-    val one = kvTable(spark, s"$refData/kv1.txt")
-    Seq(("2008-04-08", "11"), ("2008-04-08", "12"),
-        ("2008-04-09", "11"), ("2008-04-09", "12"))
-      .map { case (ds, hr) => one.withColumn("ds", lit(ds)).withColumn("hr", lit(hr)) }
-      .reduce(_.unionByName(_))
-      .createOrReplaceTempView("srcpart")
-    spark.read.orc(s"$refData/alltypesorc").createOrReplaceTempView("alltypesorc")
+    import org.apache.spark.sql.SaveMode
+    // the in-memory catalog is per-JVM but warehouse directories persist:
+    // a fixture absent from the catalog may still have a stale location
+    // from a previous run — ours to clear (it is only the fixture copy)
+    def clearStale(name: String): Unit = {
+      val db = spark.catalog.getDatabase(spark.catalog.currentDatabase)
+      val loc = new Path(new Path(db.locationUri), name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      ()
+    }
+    def ensure(name: String)(df: => DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        clearStale(name)
+        df.write.mode(SaveMode.Ignore).saveAsTable(name)
+      }
+    ensure("src")(kvTable(spark, s"$refData/kv1.txt"))
+    ensure("src1")(kvTable(spark, s"$refData/kv3.txt"))
+    if (!spark.catalog.tableExists("srcpart")) {
+      clearStale("srcpart")
+      val one = kvTable(spark, s"$refData/kv1.txt")
+      Seq(("2008-04-08", "11"), ("2008-04-08", "12"),
+          ("2008-04-09", "11"), ("2008-04-09", "12"))
+        .map { case (ds, hr) => one.withColumn("ds", lit(ds)).withColumn("hr", lit(hr)) }
+        .reduce(_.unionByName(_))
+        .write.mode(SaveMode.Ignore).partitionBy("ds", "hr").saveAsTable("srcpart")
+    }
+    ensure("alltypesorc")(spark.read.orc(s"$refData/alltypesorc"))
   }
 
   // ---------------------------------------------------------------- //
@@ -340,16 +376,201 @@ object QTestReplay {
     if (t.length > 160) t.take(160) + "…" else t
   }
 
-  /** The corpus filter: read-only blocks over the core fixtures only. */
-  def selectOnlyOverCoreFixtures(blocks: Seq[Block]): Boolean = {
-    val coreInputs = Set("default@src", "default@src1", "default@srcpart",
-      "default@alltypesorc", "_dummy_database@_dummy_table",
-      "default@srcpart@ds=2008-04-08/hr=11", "default@srcpart@ds=2008-04-08/hr=12",
-      "default@srcpart@ds=2008-04-09/hr=11", "default@srcpart@ds=2008-04-09/hr=12")
+  private val CoreFixtures = Set("src", "src1", "srcpart", "alltypesorc", "_dummy_table")
+
+  private def fixtureName(input: String): String = {
+    // "default@srcpart@ds=.../hr=..." -> srcpart; "database:default" -> ""
+    val parts = input.split("@")
+    if (parts.length >= 2) parts(1) else parts(0)
+  }
+
+  /** The read-only corpus filter: QUERY/presentation blocks over the
+    * core fixtures, nothing written. */
+  def selectOnlyOverCoreFixtures(blocks: Seq[Block]): Boolean =
     blocks.nonEmpty &&
       blocks.forall(b => (b.qtype == "QUERY" || b.qtype == "DESCFUNCTION") &&
-        b.outputs.isEmpty && b.inputs.forall(coreInputs)) &&
+        b.outputs.isEmpty && b.inputs.forall(i => CoreFixtures(fixtureName(i)))) &&
       blocks.exists(b => b.qtype == "QUERY")
+
+  /** The DDL-bearing corpus filter: files that additionally CREATE their
+    * own tables/views, LOAD the reference's data files into them and
+    * INSERT into them — executed through the engine's own surfaces
+    * ([[HiveDdl]] translation, [[graft.etl.LoadData]]). Reads must stay
+    * within the fixtures + tables the file itself creates. */
+  private val DdlTypes = Set("QUERY", "DESCFUNCTION", "DESCTABLE", "SHOWPARTITIONS",
+    "SHOW_TBLPROPERTIES", "CREATETABLE", "CREATETABLE_AS_SELECT", "DROPTABLE",
+    "LOAD", "CREATEVIEW", "DROPVIEW")
+
+  def ddlOverCoreFixtures(blocks: Seq[Block]): Boolean = {
+    if (blocks.isEmpty || !blocks.exists(b => b.qtype == "QUERY" && b.outputs.isEmpty))
+      return false
+    if (!blocks.forall(b => DdlTypes(b.qtype))) return false
+    val owned = blocks.iterator
+      .filter(b => b.qtype == "CREATETABLE" || b.qtype == "CREATETABLE_AS_SELECT" ||
+        b.qtype == "CREATEVIEW")
+      .flatMap(_.outputs).map(fixtureName).map(_.toLowerCase).toSet
+    if (owned.isEmpty) return false // read-only files take the other lane
+    blocks.forall(b =>
+      b.inputs.forall(i => { val n = fixtureName(i).toLowerCase
+        CoreFixtures(n) || owned(n) || i.startsWith("database:") }) &&
+      b.outputs.forall(o => { val n = fixtureName(o).toLowerCase
+        owned(n) || o.startsWith("database:") }))
+  }
+
+  // ---------------------------------------------------------------- //
+  // .q-side statement recovery: the echo in .q.out masks LOAD paths   //
+  // and locations, so DDL replay reads the original statements and    //
+  // aligns them 1:1 with the .q.out blocks (set/dfs/add commands make //
+  // no blocks and are dropped).                                       //
+  // ---------------------------------------------------------------- //
+
+  /** Split a .q file into executable statements (quote- and
+    * comment-aware ';' split; set/reset/dfs/add/delete commands — which
+    * produce no .q.out block — removed). */
+  def parseQ(text: String): Seq[String] = {
+    val stmts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      text(i) match {
+        case '\'' | '"' =>
+          val q = text(i); cur.append(q); i += 1
+          while (i < n && text(i) != q) {
+            if (text(i) == '\\' && i + 1 < n) { cur.append(text(i)).append(text(i + 1)); i += 2 }
+            else { cur.append(text(i)); i += 1 }
+          }
+          if (i < n) { cur.append(q); i += 1 }
+        case '-' if i + 1 < n && text(i + 1) == '-' =>
+          val e = text.indexOf('\n', i) match { case -1 => n; case x => x }
+          cur.append(text.substring(i, e)); i = e
+        case ';' =>
+          stmts += cur.toString; cur.clear(); i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    if (cur.toString.trim.nonEmpty) stmts += cur.toString
+    stmts.result()
+      .map(s => s.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
+      .filter(_.nonEmpty)
+      .filterNot { s =>
+        val w = s.split("[\\s=]", 2).head.toLowerCase
+        Set("set", "reset", "dfs", "add", "delete", "list")(w)
+      }
+  }
+
+  /** Letters-and-digits-only normalization for echo-vs-source alignment
+    * checks (the echo strips ';', keeps comments, reflows whitespace). */
+  private def norm(s: String): String =
+    s.linesIterator.filterNot(_.trim.startsWith("--")).mkString(" ")
+      .toLowerCase.filter(_.isLetterOrDigit).take(80)
+
+  /** LOAD statements point at the harness's data directory through
+    * masked relative paths; re-root on the reference's committed files
+    * and force LOCAL (copy) so the read-only source is never moved. */
+  private def rewriteLoad(stmt: String, refData: String): String = {
+    val rerooted = "(?i)inpath\\s+['\"]([^'\"]+)['\"]".r.replaceAllIn(stmt, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"INPATH '$refData/${new java.io.File(m.group(1)).getName}'"))
+    "(?i)load\\s+data\\s+(local\\s+)?inpath".r
+      .replaceFirstIn(rerooted, "LOAD DATA LOCAL INPATH")
+  }
+
+  /** Hive's bare `COMPUTE STATISTICS FOR COLUMNS` means every column;
+    * Spark spells that `FOR ALL COLUMNS`. */
+  private def rewriteAnalyze(stmt: String): String =
+    if ("(?is)^\\s*analyze\\s".r.findFirstIn(stmt).isEmpty) stmt
+    else "(?is)for\\s+columns\\s*$".r.replaceFirstIn(stmt.trim, "FOR ALL COLUMNS")
+
+  /** Replay a DDL-bearing file: statements come from the .q SOURCE
+    * (the .q.out echo masks LOAD paths), aligned 1:1 against the .q.out
+    * blocks and verified pairwise; CREATE TABLE translates through
+    * [[HiveDdl]] (LOAD-target tables get the text serde mapping), LOAD
+    * runs through [[graft.etl.LoadData]], queries compare as in
+    * [[replayFile]]. Tables/views the file creates are dropped before
+    * and after. */
+  def replayDdlFile(spark: SparkSession, qoutPath: String, qPath: String,
+                    refData: String): FileResult = {
+    val name = Paths.get(qoutPath).getFileName.toString
+    val blocks = parseQOut(new String(Files.readAllBytes(Paths.get(qoutPath)), UTF_8))
+    val stmts = parseQ(new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
+    val owned = blocks.iterator
+      .filter(b => b.qtype.startsWith("CREATE") || b.qtype.startsWith("DROP"))
+      .flatMap(_.outputs).map(fixtureName).map(_.toLowerCase)
+      .filterNot(CoreFixtures).toSeq.distinct
+    def dropOwned(): Unit = owned.foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS `$t`") catch { case _: Exception =>
+        try spark.sql(s"DROP VIEW IF EXISTS `$t`") catch { case _: Exception => } }
+      try spark.sql(s"DROP VIEW IF EXISTS `$t`") catch { case _: Exception => }
+    }
+    if (stmts.length != blocks.length)
+      return FileResult(name, 1, 0, 0,
+        Seq(s"$name: statement/block alignment ${stmts.length} vs ${blocks.length}"))
+    val misaligned = stmts.zip(blocks).find { case (s, b) =>
+      !b.query.contains(Mask) && norm(s) != norm(b.query) }
+    misaligned.foreach { case (s, b) =>
+      return FileResult(name, 1, 0, 0,
+        Seq(s"$name: echo/source mismatch at '${oneLine(s).take(60)}' vs '${oneLine(b.query).take(60)}'")) }
+    val textTables = stmts.iterator
+      .filter(s => "(?is)^\\s*load\\s+data".r.findFirstIn(s).isDefined)
+      .flatMap(s => "(?is)table\\s+`?([\\w.]+)`?".r.findFirstMatchIn(s).map(_.group(1).toLowerCase))
+      .toSet
+    dropOwned()
+    var checked = 0
+    var skipped = 0
+    var nondet = 0
+    val failures = Seq.newBuilder[String]
+    try {
+      stmts.zip(blocks).foreach { case (stmt, b) =>
+        def fail(e: Exception): Unit = {
+          checked += 1
+          failures += s"$name: '${oneLine(stmt)}': ${e.getClass.getSimpleName} ${oneLine(Option(e.getMessage).getOrElse(""))}"
+        }
+        b.qtype match {
+          // an EXPLAIN'd DDL statement carries the DDL's own block type
+          case _ if firstWord(stmt) == "explain" => skipped += 1
+          case "CREATETABLE" | "CREATETABLE_AS_SELECT" =>
+            try { spark.sql(HiveDdl.translate(stmt, textTables)); skipped += 1 }
+            catch { case e: Exception => fail(e) }
+          case "CREATEVIEW" =>
+            try { spark.sql(stmt); skipped += 1 }
+            catch { case e: Exception => fail(e) }
+          case "DROPVIEW" | "DROPTABLE" =>
+            // the reference drops nonexistent objects silently
+            // (hive.exec.drop.ignorenonexistent defaults true)
+            try { spark.sql(stmt); skipped += 1 }
+            catch {
+              case e: Exception
+                  if Option(e.getMessage).exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")) =>
+                skipped += 1
+              case e: Exception => fail(e)
+            }
+          case "LOAD" =>
+            try { graft.etl.LoadData.sql(spark, rewriteLoad(stmt, refData)); skipped += 1 }
+            catch { case e: Exception => fail(e) }
+          case "QUERY" if !skippable(b) =>
+            try {
+              val df = spark.sql(rewriteAnalyze(stmt))
+              val got = df.collect().map(renderRow(_, df.schema)).toSeq.sorted
+              val want = b.expected.sorted
+              if (got == want) checked += 1
+              else if (limitWithoutOrder(stmt)) nondet += 1
+              else {
+                checked += 1
+                val diff = got.zipAll(want, "<missing>", "<missing>")
+                  .collectFirst { case (g, w) if g != w => s"got '$g' want '$w'" }
+                  .getOrElse(s"row count ${got.size} vs ${want.size}")
+                failures += s"$name: '${oneLine(stmt)}': $diff"
+              }
+            } catch { case e: Exception => fail(e) }
+          case _ => skipped += 1
+        }
+        // fail fast: once DDL breaks, every later answer is meaningless
+        if (failures.result().nonEmpty) return FileResult(name, checked, skipped, nondet,
+          failures.result().take(3))
+      }
+    } finally dropOwned()
+    FileResult(name, checked, skipped, nondet, failures.result().take(3))
   }
 }
 
@@ -379,31 +600,37 @@ object QTestDiscover {
       .map(_.toString).filter(_.endsWith(".q.out")).toSeq.sorted
     val out = new java.io.PrintWriter(report, "UTF-8")
     var inScope = 0; var pass = 0
+    var ddlScope = 0; var ddlPass = 0
     files.foreach { f =>
       val blocks = try QTestReplay.parseQOut(
         new String(Files.readAllBytes(Paths.get(f)), UTF_8)) catch { case _: Exception => Nil }
-      if (QTestReplay.selectOnlyOverCoreFixtures(blocks)) {
-        val r = QTestReplay.replayFile(spark, f)
+      val qPath = f.replace("/results/clientpositive/", "/queries/clientpositive/")
+        .stripSuffix(".out")
+      def emit(kind: String, r: QTestReplay.FileResult): Unit = {
         if (r.checked == 0) {
           // nothing binding (presentation-only statements, or un-ORDERed
           // LIMIT row picks) — out of scope, not a pass
-          out.println(s"SKIP ${r.file} skipped=${r.skipped} nondet=${r.nondet}")
+          out.println(s"SKIP$kind ${r.file} skipped=${r.skipped} nondet=${r.nondet}")
         } else {
-          inScope += 1
+          if (kind.isEmpty) inScope += 1 else ddlScope += 1
           if (r.passed) {
-            pass += 1
-            out.println(s"PASS ${r.file} checked=${r.checked} skipped=${r.skipped} nondet=${r.nondet}")
+            if (kind.isEmpty) pass += 1 else ddlPass += 1
+            out.println(s"PASS$kind ${r.file} checked=${r.checked} skipped=${r.skipped} nondet=${r.nondet}")
           } else {
-            out.println(s"FAIL ${r.file} checked=${r.checked} skipped=${r.skipped} nondet=${r.nondet}")
+            out.println(s"FAIL$kind ${r.file} checked=${r.checked} skipped=${r.skipped} nondet=${r.nondet}")
             r.failures.foreach(m => out.println(s"  $m"))
           }
         }
         out.flush()
       }
+      if (QTestReplay.selectOnlyOverCoreFixtures(blocks))
+        emit("", QTestReplay.replayFile(spark, f))
+      else if (QTestReplay.ddlOverCoreFixtures(blocks) && Files.exists(Paths.get(qPath)))
+        emit("_DDL", QTestReplay.replayDdlFile(spark, f, qPath, "/root/reference/data/files"))
     }
-    out.println(s"== $pass/$inScope in-scope files replay clean ==")
+    out.println(s"== $pass/$inScope read-only + $ddlPass/$ddlScope ddl files replay clean ==")
     out.close()
-    println(s"[qtest] $pass/$inScope in-scope files replay clean; report at $report")
+    println(s"[qtest] $pass/$inScope read-only + $ddlPass/$ddlScope ddl files replay clean; report at $report")
     spark.stop()
   }
 }
