@@ -331,10 +331,9 @@ object QTestReplay {
     * meaningful — constant projections and limit >= rowcount pin the
     * values regardless of row choice — so these are attempted, not
     * skipped.) */
-  private def limitWithoutOrder(q: String): Boolean = {
-    val body = q.toLowerCase
-    body.contains("limit") && !body.contains("order by")
-  }
+  private def limitWithoutOrder(q: String): Boolean =
+    "(?is)\\blimit\\s+\\d".r.findFirstIn(q).isDefined &&
+      "(?is)\\border\\s+by\\b".r.findFirstIn(q).isEmpty
 
   /** Replay every checkable block of one .q.out against the session.
     * Failures carry a compact diff head for triage. */
@@ -482,6 +481,24 @@ object QTestReplay {
     if ("(?is)^\\s*analyze\\s".r.findFirstIn(stmt).isEmpty) stmt
     else "(?is)for\\s+columns\\s*$".r.replaceFirstIn(stmt.trim, "FOR ALL COLUMNS")
 
+  /** The reference's INSERT OVERWRITE stages its output and swaps, so
+    * `INSERT OVERWRITE TABLE t SELECT ... FROM t` is well-defined (the
+    * SELECT sees the OLD rows). Spark's v1 overwrite refuses to read the
+    * target; reproduce the reference's staging explicitly: materialize
+    * the SELECT, then overwrite from the stage. */
+  private def stagedSelfOverwrite(spark: SparkSession, stmt: String): Boolean = {
+    val m = "(?is)^\\s*insert\\s+overwrite\\s+table\\s+([\\w.`]+)\\s*(partition\\s*\\([^)]*\\))?\\s*(select\\b.*)$"
+      .r.findFirstMatchIn(stmt).getOrElse(return false)
+    val (table, part, select) = (m.group(1), Option(m.group(2)).getOrElse(""), m.group(3))
+    val stage = "qtest_overwrite_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    try {
+      spark.sql(s"CREATE TABLE $stage USING parquet AS $select")
+      spark.sql(s"INSERT OVERWRITE TABLE $table $part SELECT * FROM $stage")
+      true
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $stage"); () }
+  }
+
   /** Replay a DDL-bearing file: statements come from the .q SOURCE
     * (the .q.out echo masks LOAD paths), aligned 1:1 against the .q.out
     * blocks and verified pairwise; CREATE TABLE translates through
@@ -562,7 +579,13 @@ object QTestReplay {
                   .getOrElse(s"row count ${got.size} vs ${want.size}")
                 failures += s"$name: '${oneLine(stmt)}': $diff"
               }
-            } catch { case e: Exception => fail(e) }
+            } catch {
+              case e: Exception
+                  if Option(e.getMessage).exists(_.contains("UNSUPPORTED_OVERWRITE")) =>
+                try { if (stagedSelfOverwrite(spark, stmt)) skipped += 1 else fail(e) }
+                catch { case e2: Exception => fail(e2) }
+              case e: Exception => fail(e)
+            }
           case _ => skipped += 1
         }
         // fail fast: once DDL breaks, every later answer is meaningless
