@@ -59,7 +59,6 @@ object HiveDdl {
       val tail = cols.fold(head)(c => head.substring(head.indexOf('(') + c.length + 2))
 
       val fmt = storedAs(tail)
-      val rowFmt = rowFormat(tail)
       val partCols = partitionedBy(tail)
       val clustered = clusteredBy(tail)
       val location = locationOf(tail)
@@ -76,10 +75,10 @@ object HiveDdl {
           case Some(other) => throw new IllegalArgumentException(
             s"untranslatable STORED AS $other in: $stmt")
         } else {
-          val sep = rowFmt.getOrElse("\u0001")
+          val (sep, nullRep) = textFormat(tail, stmt)
           // LazySimpleSerDe: no quoting, \N nulls. csv needs SOME quote
           // char — NUL never occurs in the corpus data
-          s"""USING csv OPTIONS (sep '${escape(sep)}', quote '\\u0000', nullValue '\\\\N', emptyValue '')"""
+          s"""USING csv OPTIONS (sep '${escape(sep)}', quote '\\u0000', nullValue '${escape(nullRep)}', emptyValue '')"""
         }
 
       val colList = (cols.toSeq ++ partCols.map { case (n, t) => s"$n $t" }).mkString(", ")
@@ -111,21 +110,57 @@ object HiveDdl {
     s.flatMap {
       case '\u0001' => "\\u0001"
       case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\\' => "\\\\"
       case '\'' => "\\'"
       case c => c.toString
     }
 
-  /** Literal char of `FIELDS TERMINATED BY 'x'` (unescaping \t, \\ooo). */
-  private def rowFormat(tail: String): Option[String] =
-    "(?is)fields\\s+terminated\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail).map { m =>
-      val raw = m.group(1)
-      raw match {
-        case "\\t" => "\t"
-        case s if s.startsWith("\\") && s.drop(1).forall(_.isDigit) =>
-          s.drop(1).toInt.toChar.toString // '\001' octal-ish spelling
-        case s => s
-      }
+  /** (field separator, null representation) of a text LOAD target's ROW
+    * FORMAT DELIMITED clause — the LazySimpleSerDe layout the csv reader
+    * must reproduce. Subclauses the csv mapping cannot honor throw
+    * (loud decline, never a silently different table):
+    *  - ESCAPED BY: LazySimpleSerDe unescapes INSIDE unquoted fields;
+    *    csv's escape option only applies within quoted values, so the
+    *    read-back data would differ.
+    *  - LINES TERMINATED BY other than '\n': the reference itself
+    *    rejects it (SemanticAnalyzer "LINES TERMINATED BY only supports
+    *    newline"), so accept the one legal spelling and refuse the rest.
+    *  - COLLECTION ITEMS / MAP KEYS terminators only affect complex
+    *    types, and complex-typed text tables are declined above — for
+    *    primitive schemas they are invisible, so they pass through.
+    * NULL DEFINED AS maps directly onto the csv nullValue option. */
+  private def textFormat(tail: String, stmt: String): (String, String) = {
+    if ("(?is)escaped\\s+by\\s+'".r.findFirstIn(tail).isDefined)
+      throw new IllegalArgumentException(
+        s"ESCAPED BY not reproducible by the csv mapping in: $stmt")
+    "(?is)lines\\s+terminated\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail).foreach { m =>
+      if (unescapeDelim(m.group(1), stmt) != "\n")
+        throw new IllegalArgumentException(
+          s"LINES TERMINATED BY only supports newline in: $stmt")
     }
+    val sep = "(?is)fields\\s+terminated\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail)
+      .map(m => unescapeDelim(m.group(1), stmt)).getOrElse("\u0001")
+    val nullRep = "(?is)null\\s+defined\\s+as\\s+'([^']*)'".r.findFirstMatchIn(tail)
+      .map(m => unescapeDelim(m.group(1), stmt)).getOrElse("\\N")
+    (sep, nullRep)
+  }
+
+  /** One delimiter char, unescaping the reference's spellings: '\t',
+    * '\n', and `\ooo` OCTAL escapes (BaseSemanticAnalyzer
+    * .unescapeSQLString — '\012' is newline, not char 12). */
+  private def unescapeDelim(raw: String, stmt: String): String = raw match {
+    case "\\t" => "\t"
+    case "\\n" => "\n"
+    case "\\r" => "\r"
+    case s if s.startsWith("\\") && s.length >= 2 && s.length <= 4 &&
+        s.drop(1).forall(c => c >= '0' && c <= '7') =>
+      Integer.parseInt(s.drop(1), 8).toChar.toString
+    case s if s.startsWith("\\") && s.drop(1).forall(_.isDigit) =>
+      throw new IllegalArgumentException(s"non-octal delimiter escape '$raw' in: $stmt")
+    case s => s
+  }
 
   private def storedAs(tail: String): Option[String] = {
     if ("(?is)row\\s+format\\s+serde".r.findFirstIn(tail).isDefined)

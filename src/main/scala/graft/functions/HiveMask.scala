@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -70,6 +71,22 @@ final case class HiveMaskExpr(children: Seq[Expression], mode: HiveMask.Mode)
   override def dataType: DataType = children.head.dataType
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)
+
+  /** The reference's BaseMaskUDF rejects unsupported value types at
+    * initialize time — fail analysis the same way rather than silently
+    * returning NULL for a typo'd column (double, boolean, decimal...).
+    * NullType passes: a bare NULL literal evals to NULL regardless. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.isEmpty)
+      return TypeCheckResult.TypeCheckFailure("mask family requires a value argument")
+    children.head.dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType | DateType | NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"mask family does not support ${dt.simpleString} values " +
+          "(the reference's BaseMaskUDF rejects them at initialize)")
+    }
+  }
 
   /** getCharArg: -1 keeps, a string's first code point replaces. */
   private def charArg(v: Any, dflt: Int): Int = v match {

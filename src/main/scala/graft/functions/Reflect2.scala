@@ -86,14 +86,24 @@ case class Reflect2(children: Seq[Expression]) extends Expression with CodegenFa
       try Some(cls.getMethod(methodName, sig: _*)) catch { case _: NoSuchMethodException => None }
     // last resort: assignability scan (the reference resolves through
     // commons-lang MethodUtils.getMatchingAccessibleMethod, which is why
-    // `reflect2(s, 'equals', t)` finds equals(Object) for a String arg)
-    def findAssignable(): Option[Method] =
-      cls.getMethods.find { m =>
+    // `reflect2(s, 'equals', t)` finds equals(Object) for a String arg).
+    // Class.getMethods order is unspecified, so with several assignable
+    // overloads (Object vs a narrower type) pick the MOST SPECIFIC one,
+    // commons-lang style, from a deterministically sorted candidate list.
+    def findAssignable(): Option[Method] = {
+      val cands = cls.getMethods.filter { m =>
         m.getName == methodName && m.getParameterCount == argClasses.length &&
           m.getParameterTypes.zip(argClasses).forall { case (p, a) =>
             p.isAssignableFrom(a) || p == primitiveOf(a)
           }
-      }
+      }.sortBy(_.getParameterTypes.map(_.getName).mkString(","))
+      // a is at least as specific as b if every a-param is assignable to
+      // the matching b-param (b's params are the supertypes)
+      def atLeastAsSpecific(a: Method, b: Method): Boolean =
+        a.getParameterTypes.zip(b.getParameterTypes).forall { case (pa, pb) =>
+          pb.isAssignableFrom(pa) || pb == pa }
+      cands.reduceLeftOption((best, m) => if (atLeastAsSpecific(m, best)) m else best)
+    }
     find(argClasses)
       .orElse(find(argClasses.map(primitiveOf)))
       .orElse(find(argClasses.map(c =>
@@ -123,21 +133,27 @@ case class Reflect2(children: Seq[Expression]) extends Expression with CodegenFa
       s"reflect2: unsupported return type ${other.getName} of $methodName")
   }
 
+  /** Internal micros/days -> the java.sql values the method sees; both
+    * the target AND each argument need this (a DateType arg is an Int
+    * internally, never what the reflected method expects). */
+  private def toInvokable(v: Any, dt: DataType): AnyRef =
+    if (v == null) null
+    else dt match {
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(v.asInstanceOf[Long])
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaDate(v.asInstanceOf[Int])
+      case _ => toJava(v)
+    }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val target = children.head.eval(input)
     if (target == null) return null
-    val args = children.drop(2).map(c => toJava(c.eval(input)))
+    val args = children.drop(2).map(c => toInvokable(c.eval(input), c.dataType))
     if (args.contains(null)) return null
-    // internal micros/days -> the java.sql values the method dispatches on
-    val javaTarget: AnyRef = children.head.dataType match {
-      case TimestampType =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .toJavaTimestamp(target.asInstanceOf[Long])
-      case DateType =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .toJavaDate(target.asInstanceOf[Int])
-      case _ => toJava(target)
-    }
+    val javaTarget: AnyRef = toInvokable(target, children.head.dataType)
     val result = method.invoke(javaTarget, args: _*)
     result match {
       case null       => null

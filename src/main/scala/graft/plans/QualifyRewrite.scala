@@ -64,6 +64,9 @@ object QualifyRewrite {
         case '-' if i + 1 < s.length && s(i + 1) == '-' =>
           val e = s.indexOf('\n', i) match { case -1 => s.length; case n => n }
           out.append(s.substring(i, e)); i = e
+        case '/' if i + 1 < s.length && s(i + 1) == '*' =>
+          val e = closeBlockComment(s, i)
+          out.append(s.substring(i, e)); i = e
         case _ => out.append(s(i)); i += 1
       }
     }
@@ -114,6 +117,8 @@ object QualifyRewrite {
         case '\'' | '"' | '`' => i = closeQuote(s, i)
         case '-' if i + 1 < s.length && s(i + 1) == '-' =>
           i = s.indexOf('\n', i) match { case -1 => s.length; case n => n }
+        case '/' if i + 1 < s.length && s(i + 1) == '*' =>
+          i = closeBlockComment(s, i)
         case c if depth == 0 && (c.toUpper == word(0)) &&
             s.regionMatches(true, i, word, 0, w) &&
             (i == 0 || !isIdentChar(s(i - 1))) &&
@@ -127,7 +132,16 @@ object QualifyRewrite {
 
   private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
+  /** End offset (exclusive) of a `/* ... */` comment opening at `start`;
+    * an unterminated comment runs to EOS. No nesting (SQL comments don't
+    * nest in Spark's grammar default). */
+  private def closeBlockComment(s: String, start: Int): Int = {
+    val e = s.indexOf("*/", start + 2)
+    if (e < 0) s.length else e + 2
+  }
+
   private[plans] def closeQuotePublic(s: String, start: Int): Int = closeQuote(s, start)
+  private[plans] def closeBlockCommentPublic(s: String, start: Int): Int = closeBlockComment(s, start)
 
   private def closeQuote(s: String, start: Int): Int = {
     val q = s(start)
@@ -156,6 +170,8 @@ object QualifyRewrite {
         case '\'' | '"' | '`' => i = closeQuote(s, i)
         case '-' if i + 1 < s.length && s(i + 1) == '-' =>
           i = s.indexOf('\n', i) match { case -1 => s.length; case n => n }
+        case '/' if i + 1 < s.length && s(i + 1) == '*' =>
+          i = closeBlockComment(s, i)
         case _ => i += 1
       }
     }
@@ -185,6 +201,9 @@ object LimitCommaRewrite {
           out.append(sql.substring(i, e)); i = e
         case '-' if i + 1 < sql.length && sql(i + 1) == '-' =>
           val e = sql.indexOf('\n', i) match { case -1 => sql.length; case n => n }
+          out.append(sql.substring(i, e)); i = e
+        case '/' if i + 1 < sql.length && sql(i + 1) == '*' =>
+          val e = QualifyRewrite.closeBlockCommentPublic(sql, i)
           out.append(sql.substring(i, e)); i = e
         case c if (c == 'l' || c == 'L') => // candidate LIMIT token
           val m = P.matcher(sql)

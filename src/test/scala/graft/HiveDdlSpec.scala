@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compat.HiveDdl
+
+/** HiveQL CREATE TABLE translation (compat/HiveDdl) — the delimiter and
+  * ROW FORMAT DELIMITED subclause semantics, pinned against the
+  * reference's unescapeSQLString (BaseSemanticAnalyzer.java): `\ooo`
+  * escapes are OCTAL, and subclauses the csv mapping cannot honor must
+  * decline loudly rather than read back a silently different table. */
+class HiveDdlSpec extends AnyFunSuite {
+
+  private val load = Set("t")
+
+  private def ddl(clauses: String): String =
+    s"CREATE TABLE t (a string, b string) ROW FORMAT DELIMITED $clauses STORED AS TEXTFILE"
+
+  test("FIELDS TERMINATED BY octal escapes decode as octal, not decimal") {
+    // '\012' is newline (10) in the reference's unescapeSQLString
+    val nl = HiveDdl.translate(ddl("FIELDS TERMINATED BY '\\012'"), load)
+    assert(nl.contains("sep '\\n'"), nl)
+    // '\001' — same value under both radixes, the common corpus spelling
+    val soh = HiveDdl.translate(ddl("FIELDS TERMINATED BY '\\001'"), load)
+    assert(soh.contains("sep '\\u0001'"), soh)
+    // '\011' is TAB (9), where the old decimal parse read 11
+    val tab = HiveDdl.translate(ddl("FIELDS TERMINATED BY '\\011'"), load)
+    assert(tab.contains("sep '\\t'"), tab)
+    // a non-octal digit run is not a legal reference escape — loud decline
+    intercept[IllegalArgumentException] {
+      HiveDdl.translate(ddl("FIELDS TERMINATED BY '\\089'"), load)
+    }
+  }
+
+  test("ESCAPED BY declines loudly (csv escape only applies inside quotes)") {
+    val e = intercept[IllegalArgumentException] {
+      HiveDdl.translate(ddl("FIELDS TERMINATED BY ',' ESCAPED BY '\\\\'"), load)
+    }
+    assert(e.getMessage.contains("ESCAPED BY"))
+  }
+
+  test("LINES TERMINATED BY accepts only newline, as the reference does") {
+    val ok = HiveDdl.translate(ddl("FIELDS TERMINATED BY ',' LINES TERMINATED BY '\\n'"), load)
+    assert(ok.contains("sep ','"))
+    val e = intercept[IllegalArgumentException] {
+      HiveDdl.translate(ddl("LINES TERMINATED BY '|'"), load)
+    }
+    assert(e.getMessage.contains("LINES TERMINATED BY"))
+  }
+
+  test("NULL DEFINED AS maps onto the csv nullValue option") {
+    val t = HiveDdl.translate(ddl("FIELDS TERMINATED BY ',' NULL DEFINED AS 'NIL'"), load)
+    assert(t.contains("nullValue 'NIL'"), t)
+    // default stays LazySimpleSerDe's \N
+    val d = HiveDdl.translate(ddl("FIELDS TERMINATED BY ','"), load)
+    assert(d.contains("nullValue '\\\\N'"), d)
+  }
+
+  test("ROW FORMAT on a non-LOAD target stays invisible (parquet)") {
+    // format is invisible without a LOAD: even clauses the text mapping
+    // declines translate fine when no raw file will be read back
+    val t = HiveDdl.translate(ddl("FIELDS TERMINATED BY ',' ESCAPED BY '\\\\'"), Set.empty)
+    assert(t.contains("USING parquet"))
+  }
+}

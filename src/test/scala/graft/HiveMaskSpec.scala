@@ -61,6 +61,16 @@ class HiveMaskSpec extends AnyFunSuite {
     assert(one("select mask_hash(cast(123 as int))") == Seq(null))
   }
 
+  test("mask: unsupported value types fail analysis, not silently NULL") {
+    // the reference's BaseMaskUDF rejects these at initialize time
+    for (bad <- Seq("cast(1.5 as double)", "true", "cast(1 as decimal(5,2))")) {
+      val e = intercept[Exception](s.sql(s"select mask($bad)").collect())
+      assert(e.getMessage.contains("mask family does not support"), s"for $bad: ${e.getMessage}")
+    }
+    // supported lanes still analyze
+    assert(s.sql("select mask(cast(null as string))").collect()(0).isNullAt(0))
+  }
+
   test("default registration leaves Spark's builtin mask in place") {
     val plain = spark.newSession()
     graft.functions.MiscFunctions.registerMaskUdfs(plain) // no includePlainMask

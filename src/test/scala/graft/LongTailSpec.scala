@@ -106,4 +106,18 @@ class LongTailSpec extends AnyFunSuite {
     // session TZ is UTC, so the epoch millis are exact
     assert(r.getLong(2) == java.time.Instant.parse("2013-02-15T19:41:20Z").toEpochMilli)
   }
+
+  test("reflect2: several assignable overloads resolve to the most specific one") {
+    // Timestamp.compareTo with a java.sql.Date arg matches BOTH the
+    // inherited compareTo(java.util.Date) and the Comparable bridge
+    // compareTo(Object); commons-lang-style resolution must pick the
+    // Date overload deterministically regardless of getMethods order
+    val r = spark.sql(
+      """SELECT reflect2(cast('2013-02-15 19:41:20' as timestamp), 'compareTo',
+        |                cast('2013-02-15' as date)) AS cmp,
+        |       reflect2(cast('2013-02-15 19:41:20' as timestamp), 'compareTo',
+        |                cast('2013-02-16' as date)) AS cmp2
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) > 0 && r.getInt(1) < 0)
+  }
 }

@@ -112,4 +112,23 @@ class QualifySpec extends AnyFunSuite {
     assert(graft.plans.LimitCommaRewrite.rewrite("select xlimit 3, 4 from t")
       == "select xlimit 3, 4 from t")
   }
+
+  test("an apostrophe inside a /* */ comment does not desync the scanners") {
+    // before the fix the odd quote count made the scanner treat the
+    // string literal as code and rewrite the text inside it
+    val tricky = "/* don't */ SELECT 'limit 1, 2' AS s"
+    assert(graft.plans.LimitCommaRewrite.rewrite(tricky) == tricky)
+    assert(spark.sql(tricky).collect()(0).getString(0) == "limit 1, 2")
+    val q = "/* isn't a qualify */ SELECT 'qualify x' AS s"
+    assert(graft.plans.QualifyRewrite.rewrite(q) == q)
+    // and a comma-LIMIT after a comment with an apostrophe still rewrites
+    Tables.orders(spark, sf).createOrReplaceTempView("qspec_orders")
+    val rows = spark.sql(
+      "/* don't */ SELECT o_orderkey FROM qspec_orders ORDER BY o_orderkey LIMIT 5, 7")
+      .collect().map(_.getLong(0)).toSeq
+    val std = spark.sql(
+      "SELECT o_orderkey FROM qspec_orders ORDER BY o_orderkey LIMIT 7 OFFSET 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == std && rows.size == 7)
+  }
 }
