@@ -81,6 +81,12 @@ object Bench {
                            // trip (source build, two syncs and a replay all
                            // inline — upper-bounds a production sync, which
                            // pays only the incremental diff)
+    "q302_skewed_route",   // SKEWED BY list-bucketed write + hot-key point
+                           // read through the SkewRoute pruning rule (writes
+                           // the skewed table inline each pass — upper bound)
+    "q305_kv_insert",      // graftkv external-handler write (OVERWRITE +
+                           // sorted append under the writer lock) + key-window
+                           // scan back through the DSv2 pushdown path
   )
 
   /** Every headline name must resolve in SparkEntry.queries — a silent

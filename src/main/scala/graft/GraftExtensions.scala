@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OWNS the plan, not SparkSession.active (which on a shared thread
     // may be a different session — a cross-session privilege confusion
     // for the first two, a wrong-catalog rewrite for the third)
+    // reference-dialect implicit coercions (timestamp/boolean-vs-numeric
+    // comparisons, non-boolean WHERE) — inert unless the session sets
+    // graft.compat.hive.coercion (the compat session does)
+    ext.injectResolutionRule(_ => new plans.HiveImplicitCoercion)
     ext.injectOptimizerRule(s => new security.AuthorizationRule(() => s))
     ext.injectOptimizerRule(s => new plans.TableMaskRule(() => s))
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)

@@ -139,6 +139,10 @@ object QTestReplay {
     val s = spark.newSession()
     s.conf.set("spark.sql.session.timeZone", HarnessZone.getId)
     s.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
+    // reference-dialect implicit coercions (timestamp/boolean-vs-numeric
+    // comparisons as double, UDFToBoolean WHERE truthiness) — the
+    // injected plans.HiveImplicitCoercion rule keys on this conf
+    s.conf.set("graft.compat.hive.coercion", "true")
     // the reference formats/parses dates through SimpleDateFormat;
     // Spark's LEGACY parser policy is exactly that behavior
     s.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
@@ -155,6 +159,34 @@ object QTestReplay {
     s.catalog.setCurrentDatabase("qtest_compat")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash", es => org.apache.spark.sql.catalyst.expressions.HiveHash(es), "scala_udf")
+    // the reference's reflect/java_method resolve at EVAL time, use a
+    // default-constructed instance for member methods, and stringify —
+    // Spark's static-only builtin rejects half the corpus's calls
+    graft.functions.HiveReflect.register(s)
+    // the reference's stddev/std/variance/var_pop family: the bare
+    // spellings are the POPULATION variants there (FunctionRegistry
+    // registers stddev -> GenericUDAFStd); Spark's bare spellings are
+    // the SAMPLE variants — a single-row group is 0.0 there, NULL here
+    import org.apache.spark.sql.catalyst.expressions.NaNvl
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{StddevPop, StddevSamp, VariancePop, VarianceSamp}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    for (n <- Seq("stddev", "std"))
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        n, es => new StddevPop(es.head), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "variance", es => new VariancePop(es.head), "scala_udf")
+    // ... and the reference's SAMPLE variants return 0.0 (not NULL) for
+    // a single row (GenericUDAFStdSample.terminate "for one element the
+    // variance is always 0") — NaN-on-divide-by-zero + nanvl reproduces
+    // that while keeping empty groups NULL
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "stddev_samp", es => NaNvl(
+        StddevSamp(es.head, nullOnDivideByZero = false).toAggregateExpression(),
+        Literal(0.0d)), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "var_samp", es => NaNvl(
+        VarianceSamp(es.head, nullOnDivideByZero = false).toAggregateExpression(),
+        Literal(0.0d)), "scala_udf")
     // reference-exact mask family, INCLUDING the plain `mask` spelling
     // (Hive's takes up to 9 args and masks numbers/dates; the builtin
     // takes 5 and only strings) — shadowing is right here because this
@@ -335,11 +367,41 @@ object QTestReplay {
     "(?is)\\blimit\\s+\\d".r.findFirstIn(q).isDefined &&
       "(?is)\\border\\s+by\\b".r.findFirstIn(q).isEmpty
 
+  /** Depth-0 ORDER BY (outside parens/quotes/comments) — the statement
+    * pins its OUTPUT order, so the comparison must too. */
+  private def topLevelOrderBy(q: String): Boolean = {
+    val i = HiveRewrites.tokenAtDepth0(q, "ORDER")
+    i >= 0 && "(?is)^order\\s+by\\b".r.findFirstIn(q.substring(i)).isDefined
+  }
+
+  /** The reference harness's own sort directive: when a file carries
+    * `-- SORT_QUERY_RESULTS`, the committed rows are sorted text, so the
+    * sorted-multiset comparison is the faithful one even under ORDER BY. */
+  private def hasSortMarker(blocks: Seq[Block]): Boolean =
+    blocks.exists(_.query.contains("SORT_QUERY_RESULTS"))
+
+  /** Compare one statement's rendered rows against the expected block:
+    * ORDER-pinned statements compare IN ORDER (unless the file's rows
+    * were sorted by the harness); everything else as sorted multisets.
+    * Returns None on match, Some(diff) on mismatch. */
+  private def diffRows(stmt: String, fileSorted: Boolean,
+                       gotRaw: Seq[String], want: Seq[String]): Option[String] = {
+    val ordered = !fileSorted && topLevelOrderBy(stmt)
+    val (got, exp) = if (ordered) (gotRaw, want) else (gotRaw.sorted, want.sorted)
+    if (got == exp) None
+    else if (ordered && gotRaw.sorted == want.sorted)
+      Some("row ORDER differs (multiset equal)")
+    else Some(got.zipAll(exp, "<missing>", "<missing>")
+      .collectFirst { case (g, w) if g != w => s"got '$g' want '$w'" }
+      .getOrElse(s"row count ${got.size} vs ${exp.size}"))
+  }
+
   /** Replay every checkable block of one .q.out against the session.
     * Failures carry a compact diff head for triage. */
   def replayFile(spark: SparkSession, qoutPath: String): FileResult = {
     val name = Paths.get(qoutPath).getFileName.toString
     val blocks = parseQOut(new String(Files.readAllBytes(Paths.get(qoutPath)), UTF_8))
+    val fileSorted = hasSortMarker(blocks)
     var checked = 0
     var skipped = 0
     var nondet = 0
@@ -348,17 +410,14 @@ object QTestReplay {
       if (skippable(b)) skipped += 1
       else {
         try {
-          val df = spark.sql(b.query)
-          val got = df.collect().map(renderRow(_, df.schema)).toSeq.sorted
-          val want = b.expected.sorted
-          if (got == want) checked += 1
-          else if (limitWithoutOrder(b.query)) nondet += 1
-          else {
-            checked += 1
-            val diff = got.zipAll(want, "<missing>", "<missing>")
-              .collectFirst { case (g, w) if g != w => s"got '$g' want '$w'" }
-              .getOrElse(s"row count ${got.size} vs ${want.size}")
-            failures += s"$name: '${oneLine(b.query)}': $diff"
+          val df = spark.sql(HiveRewrites(rewriteAnalyze(b.query)))
+          val got = df.collect().map(renderRow(_, df.schema)).toSeq
+          diffRows(b.query, fileSorted, got, b.expected) match {
+            case None => checked += 1
+            case Some(_) if limitWithoutOrder(b.query) => nondet += 1
+            case Some(diff) =>
+              checked += 1
+              failures += s"$name: '${oneLine(b.query)}': $diff"
           }
         } catch {
           case e: Exception =>
@@ -510,6 +569,8 @@ object QTestReplay {
                     refData: String): FileResult = {
     val name = Paths.get(qoutPath).getFileName.toString
     val blocks = parseQOut(new String(Files.readAllBytes(Paths.get(qoutPath)), UTF_8))
+    val fileSorted = hasSortMarker(blocks) ||
+      new String(Files.readAllBytes(Paths.get(qPath)), UTF_8).contains("SORT_QUERY_RESULTS")
     val stmts = parseQ(new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
     val owned = blocks.iterator
       .filter(b => b.qtype.startsWith("CREATE") || b.qtype.startsWith("DROP"))
@@ -550,7 +611,7 @@ object QTestReplay {
             try { spark.sql(HiveDdl.translate(stmt, textTables)); skipped += 1 }
             catch { case e: Exception => fail(e) }
           case "CREATEVIEW" =>
-            try { spark.sql(stmt); skipped += 1 }
+            try { spark.sql(HiveRewrites(stmt)); skipped += 1 }
             catch { case e: Exception => fail(e) }
           case "DROPVIEW" | "DROPTABLE" =>
             // the reference drops nonexistent objects silently
@@ -567,17 +628,14 @@ object QTestReplay {
             catch { case e: Exception => fail(e) }
           case "QUERY" if !skippable(b) =>
             try {
-              val df = spark.sql(rewriteAnalyze(stmt))
-              val got = df.collect().map(renderRow(_, df.schema)).toSeq.sorted
-              val want = b.expected.sorted
-              if (got == want) checked += 1
-              else if (limitWithoutOrder(stmt)) nondet += 1
-              else {
-                checked += 1
-                val diff = got.zipAll(want, "<missing>", "<missing>")
-                  .collectFirst { case (g, w) if g != w => s"got '$g' want '$w'" }
-                  .getOrElse(s"row count ${got.size} vs ${want.size}")
-                failures += s"$name: '${oneLine(stmt)}': $diff"
+              val df = spark.sql(HiveRewrites(rewriteAnalyze(stmt)))
+              val got = df.collect().map(renderRow(_, df.schema)).toSeq
+              diffRows(stmt, fileSorted, got, b.expected) match {
+                case None => checked += 1
+                case Some(_) if limitWithoutOrder(stmt) => nondet += 1
+                case Some(diff) =>
+                  checked += 1
+                  failures += s"$name: '${oneLine(stmt)}': $diff"
               }
             } catch {
               case e: Exception
@@ -619,8 +677,12 @@ object QTestDiscover {
     val spark = QTestReplay.compatSession(
       graft.Session.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")),
       "/root/reference/data/files")
+    // optional third arg: comma-separated basenames to replay (triage)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val files = Files.list(Paths.get(resultsDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".q.out")).toSeq.sorted
+      .map(_.toString).filter(_.endsWith(".q.out"))
+      .filter(f => only.forall(_.contains(Paths.get(f).getFileName.toString)))
+      .toSeq.sorted
     val out = new java.io.PrintWriter(report, "UTF-8")
     var inScope = 0; var pass = 0
     var ddlScope = 0; var ddlPass = 0
