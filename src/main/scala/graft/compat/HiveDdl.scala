@@ -58,7 +58,7 @@ object HiveDdl {
       } else None
       val tail = cols.fold(head)(c => head.substring(head.indexOf('(') + c.length + 2))
 
-      val fmt = storedAs(tail)
+      val fmt = storedAs(tail, isLoadTarget)
       val partCols = partitionedBy(tail)
       val clustered = clusteredBy(tail)
       val location = locationOf(tail)
@@ -72,6 +72,13 @@ object HiveDdl {
           case Some("orc") => "USING orc"
           case Some("parquet") => "USING parquet"
           case Some("textfile") | None => "USING parquet" // format invisible without LOAD
+          // a table no raw file is ever LOADed into only meets queries
+          // through INSERT + SELECT, so its container (rcfile,
+          // sequencefile, avro, ...) is result-invisible — parquet is
+          // the lossless stand-in. A LOAD target must keep the real
+          // format (a pre-made .rc/.avro file cannot be read as
+          // parquet) and still declines below.
+          case Some(_) if !isLoadTarget => "USING parquet"
           case Some(other) => throw new IllegalArgumentException(
             s"untranslatable STORED AS $other in: $stmt")
         } else {
@@ -162,8 +169,11 @@ object HiveDdl {
     case s => s
   }
 
-  private def storedAs(tail: String): Option[String] = {
-    if ("(?is)row\\s+format\\s+serde".r.findFirstIn(tail).isDefined)
+  private def storedAs(tail: String, isLoadTarget: Boolean): Option[String] = {
+    // a SERDE class only matters when raw FILES of that wire format are
+    // LOADed; tables met solely through INSERT + SELECT keep their
+    // declared serde invisible (see the non-LOAD container rule above)
+    if (isLoadTarget && "(?is)row\\s+format\\s+serde".r.findFirstIn(tail).isDefined)
       throw new IllegalArgumentException(s"custom SERDE class not translatable: $tail")
     "(?is)stored\\s+as\\s+(\\w+)".r.findFirstMatchIn(tail).map(_.group(1).toLowerCase) match {
       case Some("directories") => None // SKEWED ... STORED AS DIRECTORIES

@@ -163,6 +163,9 @@ object QTestReplay {
     // default-constructed instance for member methods, and stringify —
     // Spark's static-only builtin rejects half the corpus's calls
     graft.functions.HiveReflect.register(s)
+    // bit-faithful column-stats UDAF incl. the FM ndvbitvector text the
+    // corpus commits (GenericUDAFComputeStats + NumDistinctValueEstimator)
+    graft.functions.HiveComputeStats.register(s)
     // the reference's stddev/std/variance/var_pop family: the bare
     // spellings are the POPULATION variants there (FunctionRegistry
     // registers stddev -> GenericUDAFStd); Spark's bare spellings are
@@ -512,8 +515,14 @@ object QTestReplay {
       .map(s => s.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
       .filter(_.nonEmpty)
       .filterNot { s =>
-        val w = s.split("[\\s=]", 2).head.toLowerCase
-        Set("set", "reset", "dfs", "add", "delete", "list")(w)
+        val ws = s.split("[\\s=]+", 3).map(_.toLowerCase)
+        val w = ws.head
+        // `delete`/`add`/`list` are CLI resource commands ONLY when the
+        // operand is jar/file/archive — `delete from t` is SQL DML
+        val resource = ws.lift(1).exists(o =>
+          Set("jar", "jars", "file", "files", "archive", "archives")(o))
+        Set("set", "reset", "dfs")(w) ||
+          (Set("add", "delete", "list")(w) && resource)
       }
   }
 
@@ -556,6 +565,55 @@ object QTestReplay {
       spark.sql(s"INSERT OVERWRITE TABLE $table $part SELECT * FROM $stage")
       true
     } finally { spark.sql(s"DROP TABLE IF EXISTS $stage"); () }
+  }
+
+  /** ACID DML over catalog tables, reproduced on the engine's staged
+    * copy-on-write idea at the SQL level (the reference's
+    * UpdateDeleteSemanticAnalyzer rewrites DML onto INSERT OVERWRITE the
+    * same way): materialize the post-image, then overwrite the whole
+    * table from the stage. STATIC overwrite mode for the swap — dynamic
+    * mode would leave a fully-deleted partition untouched. */
+  private def runDml(spark: SparkSession, stmt: String): Boolean = {
+    val del = "(?is)^\\s*delete\\s+from\\s+([\\w.`]+)\\s*(?:where\\s+(.*?))?\\s*$".r
+    val upd = "(?is)^\\s*update\\s+([\\w.`]+)\\s+set\\s+(.*?)(?:\\s+where\\s+(.*?))?\\s*$".r
+    def staged(table: String, postImage: String): Boolean = {
+      val stage = "qtest_dml_stage"
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.sql(s"CREATE TABLE $stage USING parquet AS $postImage")
+        spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $stage")
+        true
+      } finally {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.sql(s"DROP TABLE IF EXISTS $stage"); ()
+      }
+    }
+    stmt match {
+      case del(t, w) =>
+        val cond = Option(w).getOrElse("true") // bare DELETE removes every row
+        staged(t, s"SELECT * FROM $t WHERE NOT coalesce(($cond), false)")
+      case upd(t, setList, w) =>
+        val cond = Option(w).getOrElse("true")
+        val assigns = HiveRewrites.splitTop(setList).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"unparseable SET assignment: $a")
+          a.substring(0, eq).trim.replace("`", "").toLowerCase -> a.substring(eq + 1).trim
+        }.toMap
+        // SQL simultaneous assignment: every expression sees the
+        // ORIGINAL row (one projection, conditions included)
+        val cols = spark.table(t).columns.toSeq
+        require(assigns.keySet.subsetOf(cols.map(_.toLowerCase).toSet),
+          s"UPDATE of non-existent columns: ${assigns.keySet -- cols.map(_.toLowerCase)}")
+        val sel = cols.map { c =>
+          assigns.get(c.toLowerCase)
+            .map(v => s"CASE WHEN coalesce(($cond), false) THEN ($v) ELSE `$c` END AS `$c`")
+            .getOrElse(s"`$c`")
+        }.mkString(", ")
+        staged(t, s"SELECT $sel FROM $t")
+      case _ => false
+    }
   }
 
   /** Replay a DDL-bearing file: statements come from the .q SOURCE
@@ -626,6 +684,11 @@ object QTestReplay {
           case "LOAD" =>
             try { graft.etl.LoadData.sql(spark, rewriteLoad(stmt, refData)); skipped += 1 }
             catch { case e: Exception => fail(e) }
+          case "QUERY" if "(?is)^\\s*(delete\\s+from|update)\\b".r.findFirstIn(stmt).isDefined =>
+            try {
+              if (runDml(spark, stmt)) skipped += 1
+              else fail(new IllegalArgumentException(s"untranslated DML: ${oneLine(stmt)}"))
+            } catch { case e: Exception => fail(e) }
           case "QUERY" if !skippable(b) =>
             try {
               val df = spark.sql(HiveRewrites(rewriteAnalyze(stmt)))

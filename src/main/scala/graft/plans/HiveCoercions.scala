@@ -60,6 +60,13 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                   doubleCompare(cmp.left.dataType, cmp.right.dataType) =>
               cmp.withNewChildren(
                 Seq(Cast(cmp.left, DoubleType), Cast(cmp.right, DoubleType)))
+            // boolean→timestamp is 1 SECOND there (UDFToBoolean family
+            // treats integers as seconds; Spark's direct cast lands on
+            // 1 microsecond) — route through int
+            case c: Cast
+                if c.dataType == TimestampType && c.child.resolved &&
+                  c.child.dataType == BooleanType =>
+              Cast(Cast(c.child, IntegerType), TimestampType)
           }
       }
       compared.resolveOperatorsUp {
