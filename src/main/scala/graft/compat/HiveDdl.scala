@@ -36,27 +36,40 @@ object HiveDdl {
   private val LikeRe =
     "(?is)^\\s*create\\s+(?:temporary\\s+)?(?:external\\s+)?table\\s+(if\\s+not\\s+exists\\s+)?([\\w.`]+)\\s+like\\s+([\\w.`]+)\\s*;?\\s*$".r
 
-  def translate(stmt: String, textTables: Set[String] = Set.empty): String = stmt match {
-    // CREATE TABLE ... LIKE: same statement in Spark
-    case LikeRe(ine, name, src) =>
-      s"CREATE TABLE ${if (ine != null) "IF NOT EXISTS " else ""}$name LIKE $src"
-    case CreateRe(_, _, ifNotExists, name, rest0) =>
-      val rest = rest0.trim.stripSuffix(";")
-      val tableName = name.replace("`", "")
-      val isLoadTarget = textTables.contains(tableName.toLowerCase)
+  /** Parsed CREATE TABLE pieces shared by the translation paths. */
+  private final case class Parsed(ifNotExists: Boolean, name: String,
+                                  cols: Option[String], tail: String,
+                                  ctas: Option[String])
 
+  private def parseCreate(stmt: String): Option[Parsed] = stmt match {
+    case CreateRe(_, _, ine, name, rest0) =>
+      val rest = rest0.trim.stripSuffix(";")
       // CTAS: everything after AS is the query
       val asIdx = indexOfKeyword(rest, "as select")
       val (head, ctas) =
         if (asIdx >= 0) (rest.substring(0, asIdx), Some(rest.substring(asIdx + 2).trim))
         else (rest, None)
-
       val cols = if (head.startsWith("(")) {
         val close = matchParen(head, 0)
         require(close > 0, s"unbalanced column list in: $stmt")
         Some(head.substring(1, close))
       } else None
       val tail = cols.fold(head)(c => head.substring(head.indexOf('(') + c.length + 2))
+      Some(Parsed(ine != null, name.replace("`", ""), cols, tail, ctas))
+    case _ => None
+  }
+
+  def translate(stmt: String, textTables: Set[String] = Set.empty): String = stmt match {
+    // CREATE TABLE ... LIKE: same statement in Spark
+    case LikeRe(ine, name, src) =>
+      s"CREATE TABLE ${if (ine != null) "IF NOT EXISTS " else ""}$name LIKE $src"
+    case CreateRe(_, _, ifNotExists, name, rest0) =>
+      val parsed = parseCreate(stmt).get
+      val tableName = parsed.name
+      val isLoadTarget = textTables.contains(tableName.toLowerCase)
+      val cols = parsed.cols
+      val ctas = parsed.ctas
+      val tail = parsed.tail
 
       val fmt = storedAs(tail, isLoadTarget)
       val partCols = partitionedBy(tail)
@@ -209,14 +222,15 @@ object HiveDdl {
       else c
     }
 
-  /** Split on commas at paren depth 0 (types like decimal(8,4)). */
+  /** Split on commas at paren AND angle-bracket depth 0 (types like
+    * decimal(8,4), map<string,string>, struct<a:int,b:string>). */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     s.foreach {
-      case '(' => depth += 1; cur.append('(')
-      case ')' => depth -= 1; cur.append(')')
+      case c @ ('(' | '<') => depth += 1; cur.append(c)
+      case c @ (')' | '>') => depth -= 1; cur.append(c)
       case ',' if depth == 0 => out += cur.toString; cur.clear()
       case ch => cur.append(ch)
     }
@@ -231,6 +245,156 @@ object HiveDdl {
     val re = ("(?is)\\b" + kw.replace(" ", "\\s+") + "\\b").r
     re.findFirstMatchIn(s).map(m => m.start).getOrElse(-1)
   }
+
+  // ------------------------------------------------------------------ //
+  // Text LOAD targets as a lines table + LazySimpleSerDe parsing view   //
+  // ------------------------------------------------------------------ //
+
+  /** Should `stmt`'s table be backed by a `USING text` lines table plus
+    * a parsing VIEW instead of the csv mapping? Yes for text LOAD
+    * targets that never receive INSERTs (a view takes no inserts):
+    * the text source preserves what csv cannot — empty lines (a NULL
+    * row in LazySimpleSerDe), NUL bytes in data (csv needs a quote
+    * char), and complex-typed columns (nested-delimiter parsing). */
+  def viewBacked(stmt: String, textTables: Set[String],
+                 insertTargets: Set[String]): Boolean =
+    parseCreate(stmt).exists { p =>
+      textTables.contains(p.name.toLowerCase) &&
+        !insertTargets.contains(p.name.toLowerCase) &&
+        p.ctas.isEmpty && p.cols.isDefined &&
+        "(?is)row\\s+format\\s+serde".r.findFirstIn(p.tail).isEmpty &&
+        storedAsName(p.tail).forall(_ == "textfile")
+    }
+
+  /** Translate one CREATE TABLE into the statements to run: the
+    * text+view pair for [[viewBacked]] targets, else the single
+    * [[translate]] result. */
+  def translateStatements(stmt: String, textTables: Set[String],
+                          insertTargets: Set[String]): Seq[String] =
+    if (viewBacked(stmt, textTables, insertTargets))
+      textViewStatements(parseCreate(stmt).get, stmt)
+    else Seq(translate(stmt, textTables))
+
+  /** `name` for a view-backed table's underlying lines table. */
+  def linesTable(name: String): String = name + "__lines"
+
+  /** Table a CREATE TABLE statement creates, if it parses as one. */
+  def createdTable(stmt: String): Option[String] = parseCreate(stmt).map(_.name)
+
+  private def textViewStatements(p: Parsed, stmt: String): Seq[String] = {
+    val (sep, nullRep) = textFormat(p.tail, stmt)
+    val collectionDelim = delimOf(p.tail, "collection\\s+items", '\u0002', stmt)
+    val mapkeyDelim = delimOf(p.tail, "map\\s+keys", '\u0003', stmt)
+    def sepChar(level: Int): Char = level match {
+      case 1 => collectionDelim
+      case 2 => mapkeyDelim
+      case n => (n + 1).toChar
+    }
+    val partCols = partitionedBy(p.tail)
+    val location = locationOf(p.tail)
+    val cols = splitTop(p.cols.get).map { c =>
+      val t = c.trim
+      val name = t.split("\\s+", 2).head.replace("`", "")
+      val rest = t.drop(t.split("\\s+", 2).head.length).trim
+      val typ = "(?is)\\s+comment\\s+'.*$".r.replaceFirstIn(rest, "").trim
+      (name, typ)
+    }
+    val ine = if (p.ifNotExists) "IF NOT EXISTS " else ""
+    val lines = linesTable(p.name)
+    val partDecl = partCols.map { case (n, t) => s", $n $t" }.mkString
+    val partBy = if (partCols.nonEmpty)
+      s" PARTITIONED BY (${partCols.map(_._1).mkString(", ")})" else ""
+    val loc = location.fold("")(l => s" LOCATION '$l'")
+    val create = s"CREATE TABLE $ine`$lines` (value STRING$partDecl) USING text$partBy$loc"
+    val fieldSplit = s"split(value, ${regexLit(sep)})"
+    val selects = cols.zipWithIndex.map { case ((n, t), i) =>
+      parseField(s"element_at(__f, ${i + 1})", t, 1, sepChar, nullRep) + s" AS `$n`"
+    } ++ partCols.map { case (pn, _) => s"`$pn`" }
+    val partPass = partCols.map { case (pn, _) => s", `$pn`" }.mkString
+    val view = s"CREATE VIEW $ine`${p.name}` AS SELECT ${selects.mkString(", ")} " +
+      s"FROM (SELECT $fieldSplit AS __f$partPass FROM `$lines`) __t"
+    Seq(create, view)
+  }
+
+  /** LazySimpleSerDe field parsing as codegen'd SQL over the split
+    * fields — the reference's nested-delimiter rules (LazySerDe
+    * parameters: collection items at one level deeper, map key-values
+    * one deeper still, then \u0004, \u0005, ...). */
+  private def parseField(e: String, typ: String, level: Int,
+                         sepChar: Int => Char, nullRep: String): String = {
+    val t = typ.trim
+    val lower = t.toLowerCase
+    def nn(x: String) = s"nullif($x, '${escape(nullRep)}')"
+    if (lower.startsWith("array")) {
+      val inner = t.substring(t.indexOf('<') + 1, t.lastIndexOf('>'))
+      val d = regexLit(sepChar(level).toString)
+      // LazyArray: the empty string is an EMPTY array, not [""]
+      s"CASE WHEN ${nn(e)} IS NULL THEN NULL WHEN $e = '' THEN array() ELSE " +
+        s"transform(split($e, $d), __x$level -> " +
+        s"${parseField(s"__x$level", inner, level + 1, sepChar, nullRep)}) END"
+    } else if (lower.startsWith("map")) {
+      val inner = t.substring(t.indexOf('<') + 1, t.lastIndexOf('>'))
+      val parts = splitTop(inner)
+      require(parts.size == 2, s"unparseable map type: $t")
+      val d1 = regexLit(sepChar(level).toString)
+      val d2 = regexLit(sepChar(level + 1).toString)
+      val kv = s"split(__p$level, $d2)"
+      s"CASE WHEN ${nn(e)} IS NULL THEN NULL ELSE " +
+        s"map_from_entries(transform(split($e, $d1), __p$level -> struct(" +
+        s"${parseField(s"element_at($kv, 1)", parts.head, level + 2, sepChar, nullRep)}, " +
+        s"${parseField(s"element_at($kv, 2)", parts(1), level + 2, sepChar, nullRep)}))) END"
+    } else if (lower.startsWith("struct")) {
+      val inner = t.substring(t.indexOf('<') + 1, t.lastIndexOf('>'))
+      val d = regexLit(sepChar(level).toString)
+      val fields = splitTop(inner).map { f =>
+        val colon = f.indexOf(':')
+        require(colon > 0, s"unparseable struct field: $f")
+        (f.substring(0, colon).trim.replace("`", ""), f.substring(colon + 1).trim)
+      }
+      val members = fields.zipWithIndex.map { case ((fn, ft), i) =>
+        s"'$fn', ${parseField(s"element_at(split($e, $d), ${i + 1})", ft, level + 1, sepChar, nullRep)}"
+      }
+      s"CASE WHEN ${nn(e)} IS NULL THEN NULL ELSE named_struct(${members.mkString(", ")}) END"
+    } else if (lower.startsWith("uniontype")) {
+      throw new IllegalArgumentException(s"uniontype text column not translatable: $t")
+    } else if (lower == "string") {
+      nn(e)
+    } else if (lower == "binary") {
+      // LazyBinary: text that is entirely base64 alphabet (whitespace
+      // included) DECODES; anything else is the raw bytes
+      // commons-codec decodeBase64: a trailing group of 2-3 chars still
+      // decodes (pad it); a single leftover char is dropped
+      val clean = s"regexp_replace($e, '\\\\s', '')"
+      val adj = s"CASE WHEN length($clean) % 4 = 1 " +
+        s"THEN substring($clean, 1, length($clean) - 1) ELSE $clean END"
+      val padded = s"concat($adj, repeat('=', (4 - length($adj) % 4) % 4))"
+      s"CASE WHEN ${nn(e)} IS NULL THEN NULL " +
+        s"WHEN $e RLIKE '^[A-Za-z0-9+/=\\\\s]*$$' " +
+        s"THEN unbase64($padded) " +
+        s"ELSE CAST($e AS BINARY) END"
+    } else {
+      s"CAST(${nn(e)} AS $t)"
+    }
+  }
+
+  /** A Spark SQL string literal holding a regex that matches `s`
+    * LITERALLY (\\Q...\\E quoting, control chars spelled \\uXXXX). */
+  private def regexLit(s: String): String =
+    "'\\\\Q" + escape(s) + "\\\\E'"
+
+  /** `<what> TERMINATED BY 'x'` delimiter with default. */
+  private def delimOf(tail: String, what: String, dflt: Char, stmt: String): Char = {
+    val re = ("(?is)" + what + "\\s+terminated\\s+by\\s+'([^']*)'").r
+    re.findFirstMatchIn(tail).map(m => unescapeDelim(m.group(1), stmt)) match {
+      case Some(d) if d.length == 1 => d.charAt(0)
+      case None => dflt
+      case Some(other) => throw new IllegalArgumentException(
+        s"multi-char nested delimiter '$other' not supported in: $stmt")
+    }
+  }
+
+  private def storedAsName(tail: String): Option[String] =
+    "(?is)stored\\s+as\\s+(\\w+)".r.findFirstMatchIn(tail).map(_.group(1).toLowerCase)
 
   private[compat] def matchParen(s: String, open: Int): Int = {
     var depth = 0

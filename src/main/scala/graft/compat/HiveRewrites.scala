@@ -55,9 +55,25 @@ object HiveRewrites {
     if (upper(s).contains("RANGE")) s = rangeFrameNoOrder(s)
     if (upper(s).contains("UNIQUEJOIN")) s = uniqueJoin(s)
     if (upper(s).contains("NOOP")) s = noopPtf(s)
+    if (upper(s).contains("DEFAULT.")) s = stripDefaultDb(s)
+    if (upper(s).contains("STRUCT")) s = hiveStructCalls(s)
     s = hiveNumericLiterals(s)
     s
   }
+
+  /** The reference's `struct(...)` names its fields col1..colN
+    * (GenericUDFStruct); Spark's grammar builds the constructor before
+    * any registry lookup can shadow it, so the CALL spelling is
+    * re-pointed at the compat session's `hive_struct`. `STRUCT<...>`
+    * type syntax and named_struct are untouched. */
+  private def hiveStructCalls(stmt: String): String =
+    "(?i)\\bstruct\\s*\\(".r.replaceAllIn(stmt, "hive_struct(")
+
+  /** The corpus lives in `default`; the replay session keeps it in its
+    * own database — strip the qualifier so `default.t` resolves to the
+    * session's `t` (same object, different namespace). */
+  private def stripDefaultDb(stmt: String): String =
+    "(?i)\\bdefault\\.(?=[\\w`])".r.replaceAllIn(stmt, "")
 
   private def upper(s: String) = s.toUpperCase(java.util.Locale.ROOT)
 

@@ -150,6 +150,10 @@ object QTestReplay {
     // casts, never errors) and overwrites only the partitions that
     // receive rows — Spark's LEGACY assignment + dynamic overwrite
     s.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    // the reference names unaliased view outputs `_c<pos>` instead of
+    // refusing the view; allow them (hiveViewColumns then renames to
+    // the reference's spelling)
+    s.conf.set("spark.sql.legacy.allowAutoGeneratedAliasForView", "true")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // the whole corpus (fixtures + the tables DDL files create) lives in
     // its own database: `src`/`t1`-style names would otherwise collide
@@ -159,6 +163,14 @@ object QTestReplay {
     s.catalog.setCurrentDatabase("qtest_compat")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash", es => org.apache.spark.sql.catalyst.expressions.HiveHash(es), "scala_udf")
+    // the reference's struct() ALWAYS names fields col1..colN
+    // (GenericUDFStruct); Spark's grammar owns the `struct` spelling, so
+    // HiveRewrites re-points calls at this registration
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hive_struct", es => org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+        es.zipWithIndex.flatMap { case (e, i) =>
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(s"col${i + 1}"), e)
+        }), "scala_udf")
     // the reference's reflect/java_method resolve at EVAL time, use a
     // default-constructed instance for member methods, and stringify —
     // Spark's static-only builtin rejects half the corpus's calls
@@ -321,13 +333,19 @@ object QTestReplay {
   }
 
   /** Inside complex types the reference JSON-izes: strings/timestamps/
-    * dates quoted, null lowercase, numerics bare. */
+    * dates quoted, null lowercase, numerics bare — and decimals print
+    * NORMALIZED (HiveDecimal.toString strips trailing zeros; only
+    * top-level table columns pad to the declared scale). */
   private def renderNested(v: Any, dt: DataType): String = v match {
     case null => "null"
     case _ => dt match {
       case StringType => "\"" + v.toString + "\""
       case TimestampType => "\"" + renderTimestamp(v.asInstanceOf[java.sql.Timestamp]) + "\""
       case DateType => "\"" + v.toString + "\""
+      case _: DecimalType =>
+        val d = v.asInstanceOf[java.math.BigDecimal]
+        (if (d.compareTo(java.math.BigDecimal.ZERO) == 0) java.math.BigDecimal.ZERO
+         else d.stripTrailingZeros).toPlainString
       case _ => renderValue(v, dt)
     }
   }
@@ -567,6 +585,30 @@ object QTestReplay {
     } finally { spark.sql(s"DROP TABLE IF EXISTS $stage"); () }
   }
 
+  /** The reference names unaliased view output expressions `_c<pos>`
+    * (SemanticAnalyzer getColumnInternalName); Spark instead REFUSES a
+    * permanent view whose auto-generated names aren't identifiers. Give
+    * the view an explicit column list built from the defining query's
+    * RESOLVED schema: identifier-shaped names (column refs, aliases)
+    * pass through, everything else becomes the positional `_c<i>`.
+    * Views already carrying a column list pass through untouched. */
+  private def hiveViewColumns(spark: SparkSession, stmt: String): String = {
+    val Re = "(?is)^\\s*(create\\s+(?:or\\s+replace\\s+)?view\\s+(?:if\\s+not\\s+exists\\s+)?[\\w.`]+)\\s+as\\s+(.*)$".r
+    Re.findFirstMatchIn(stmt) match {
+      case Some(m) =>
+        val q = m.group(2)
+        val fields = spark.sql(q).schema.fieldNames
+        if (fields.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))) stmt
+        else {
+          val names = fields.zipWithIndex.map { case (n, i) =>
+            if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) s"`$n`" else s"`_c$i`"
+          }
+          s"${m.group(1)} (${names.mkString(", ")}) AS $q"
+        }
+      case None => stmt
+    }
+  }
+
   /** ACID DML over catalog tables, reproduced on the engine's staged
     * copy-on-write idea at the SQL level (the reference's
     * UpdateDeleteSemanticAnalyzer rewrites DML onto INSERT OVERWRITE the
@@ -638,6 +680,9 @@ object QTestReplay {
       try spark.sql(s"DROP TABLE IF EXISTS `$t`") catch { case _: Exception =>
         try spark.sql(s"DROP VIEW IF EXISTS `$t`") catch { case _: Exception => } }
       try spark.sql(s"DROP VIEW IF EXISTS `$t`") catch { case _: Exception => }
+      // a view-backed text table leaves its lines table behind too
+      try spark.sql(s"DROP TABLE IF EXISTS `${HiveDdl.linesTable(t)}`")
+      catch { case _: Exception => }
     }
     if (stmts.length != blocks.length)
       return FileResult(name, 1, 0, 0,
@@ -650,6 +695,15 @@ object QTestReplay {
     val textTables = stmts.iterator
       .filter(s => "(?is)^\\s*load\\s+data".r.findFirstIn(s).isDefined)
       .flatMap(s => "(?is)table\\s+`?([\\w.]+)`?".r.findFirstMatchIn(s).map(_.group(1).toLowerCase))
+      .toSet
+    // a text table that takes INSERTs must stay a real (csv) table; the
+    // rest are backed by a lines table + parsing view (HiveDdl.viewBacked)
+    val insertTargets = stmts.iterator.flatMap(s =>
+      "(?is)^\\s*insert\\s+(?:into|overwrite)\\s+(?:table\\s+)?`?([\\w.]+)`?".r
+        .findFirstMatchIn(s).map(_.group(1).toLowerCase)).toSet
+    val viewBacked = stmts.iterator
+      .filter(s => HiveDdl.viewBacked(s, textTables, insertTargets))
+      .flatMap(s => HiveDdl.createdTable(s).map(_.toLowerCase))
       .toSet
     dropOwned()
     var checked = 0
@@ -666,12 +720,23 @@ object QTestReplay {
           // an EXPLAIN'd DDL statement carries the DDL's own block type
           case _ if firstWord(stmt) == "explain" => skipped += 1
           case "CREATETABLE" | "CREATETABLE_AS_SELECT" =>
-            try { spark.sql(HiveDdl.translate(stmt, textTables)); skipped += 1 }
-            catch { case e: Exception => fail(e) }
+            try {
+              HiveDdl.translateStatements(stmt, textTables, insertTargets)
+                .foreach(spark.sql(_))
+              skipped += 1
+            } catch { case e: Exception => fail(e) }
           case "CREATEVIEW" =>
-            try { spark.sql(HiveRewrites(stmt)); skipped += 1 }
+            try { spark.sql(hiveViewColumns(spark, HiveRewrites(stmt))); skipped += 1 }
             catch { case e: Exception => fail(e) }
           case "DROPVIEW" | "DROPTABLE" =>
+            // a dropped view-backed table takes its lines table with it
+            "(?is)drop\\s+(?:table|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?".r
+              .findFirstMatchIn(stmt).map(_.group(1).toLowerCase)
+              .filter(viewBacked).foreach { t =>
+                try spark.sql(s"DROP VIEW IF EXISTS `$t`") catch { case _: Exception => }
+                try spark.sql(s"DROP TABLE IF EXISTS `${HiveDdl.linesTable(t)}`")
+                catch { case _: Exception => }
+              }
             // the reference drops nonexistent objects silently
             // (hive.exec.drop.ignorenonexistent defaults true)
             try { spark.sql(stmt); skipped += 1 }
@@ -682,8 +747,16 @@ object QTestReplay {
               case e: Exception => fail(e)
             }
           case "LOAD" =>
-            try { graft.etl.LoadData.sql(spark, rewriteLoad(stmt, refData)); skipped += 1 }
-            catch { case e: Exception => fail(e) }
+            try {
+              // a view-backed target's raw lines land in its lines table
+              val retargeted = "(?is)(table\\s+)`?([\\w.]+)`?".r.replaceAllIn(
+                rewriteLoad(stmt, refData), m =>
+                  if (viewBacked(m.group(2).toLowerCase))
+                    java.util.regex.Matcher.quoteReplacement(
+                      s"${m.group(1)}${HiveDdl.linesTable(m.group(2))}")
+                  else java.util.regex.Matcher.quoteReplacement(m.matched))
+              graft.etl.LoadData.sql(spark, retargeted); skipped += 1
+            } catch { case e: Exception => fail(e) }
           case "QUERY" if "(?is)^\\s*(delete\\s+from|update)\\b".r.findFirstIn(stmt).isDefined =>
             try {
               if (runDml(spark, stmt)) skipped += 1
