@@ -44,8 +44,11 @@ object HiveDdl {
   private def parseCreate(stmt: String): Option[Parsed] = stmt match {
     case CreateRe(_, _, ine, name, rest0) =>
       val rest = rest0.trim.stripSuffix(";")
-      // CTAS: everything after AS is the query
-      val asIdx = indexOfKeyword(rest, "as select")
+      // CTAS: everything after AS is the query (SELECT or WITH ... SELECT)
+      val asIdx = indexOfKeyword(rest, "as select") match {
+        case -1 => indexOfKeyword(rest, "as with")
+        case i => i
+      }
       val (head, ctas) =
         if (asIdx >= 0) (rest.substring(0, asIdx), Some(rest.substring(asIdx + 2).trim))
         else (rest, None)
@@ -79,9 +82,26 @@ object HiveDdl {
       // a LOAD-target keeps the raw file's real format: text files need
       // the LazySimpleSerDe mapping; ORC/parquet LOADs move pre-made
       // files of that format in
-      val wantsText = isLoadTarget && fmt.forall(_ == "textfile")
+      val serde = serdeOf(tail).map(_.split("\\.").last)
+      val lazySerde = serde.contains("LazySimpleSerDe")
+      if (isLoadTarget && lazySerde) checkLazyProps(tail, stmt)
+      val wantsText = isLoadTarget && fmt.forall(_ == "textfile") &&
+        serde.forall(_ == "LazySimpleSerDe")
       val using =
-        if (!wantsText) fmt match {
+        if (isLoadTarget && serde.exists(c => c == "JsonSerDe")) {
+          // hcatalog/serde2 JsonSerDe: one JSON object per line — the
+          // json datasource with the declared schema
+          "USING json"
+        } else if (isLoadTarget && serde.contains("OpenCSVSerde")) {
+          val props = serdeProps(tail)
+          val sep = props.getOrElse("separatorChar", ",")
+          val quote = props.getOrElse("quoteChar", "\"")
+          val esc = props.getOrElse("escapeChar", "\\")
+          s"""USING csv OPTIONS (sep '${escape(sep)}', quote '${escape(quote)}', escape '${escape(esc)}', nullValue '\\u0000', emptyValue '')"""
+        } else if (isLoadTarget && serde.isDefined && !lazySerde) {
+          throw new IllegalArgumentException(
+            s"custom SERDE class not translatable: ${serdeOf(tail).get} in: $stmt")
+        } else if (!wantsText) fmt match {
           case Some("orc") => "USING orc"
           case Some("parquet") => "USING parquet"
           case Some("textfile") | None => "USING parquet" // format invisible without LOAD
@@ -160,10 +180,16 @@ object HiveDdl {
         throw new IllegalArgumentException(
           s"LINES TERMINATED BY only supports newline in: $stmt")
     }
+    val props = serdeProps(tail)
     val sep = "(?is)fields\\s+terminated\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail)
-      .map(m => unescapeDelim(m.group(1), stmt)).getOrElse("\u0001")
+      .map(m => unescapeDelim(m.group(1), stmt))
+      .orElse(props.get("field.delim"))
+      .orElse(props.get("serialization.format").filter(_.nonEmpty)
+        .map(f => if (f.forall(_.isDigit)) f.toInt.toChar.toString else f))
+      .getOrElse("\u0001")
     val nullRep = "(?is)null\\s+defined\\s+as\\s+'([^']*)'".r.findFirstMatchIn(tail)
-      .map(m => unescapeDelim(m.group(1), stmt)).getOrElse("\\N")
+      .map(m => unescapeDelim(m.group(1), stmt))
+      .getOrElse(props.getOrElse("serialization.null.format", "\\N"))
     (sep, nullRep)
   }
 
@@ -185,12 +211,45 @@ object HiveDdl {
   private def storedAs(tail: String, isLoadTarget: Boolean): Option[String] = {
     // a SERDE class only matters when raw FILES of that wire format are
     // LOADed; tables met solely through INSERT + SELECT keep their
-    // declared serde invisible (see the non-LOAD container rule above)
-    if (isLoadTarget && "(?is)row\\s+format\\s+serde".r.findFirstIn(tail).isDefined)
-      throw new IllegalArgumentException(s"custom SERDE class not translatable: $tail")
+    // declared serde invisible. Load targets dispatch on the class in
+    // translate (LazySimpleSerDe/JsonSerDe/OpenCSVSerde translate;
+    // anything else declines there).
     "(?is)stored\\s+as\\s+(\\w+)".r.findFirstMatchIn(tail).map(_.group(1).toLowerCase) match {
       case Some("directories") => None // SKEWED ... STORED AS DIRECTORIES
       case other => other
+    }
+  }
+
+  /** ROW FORMAT SERDE class name, if declared. */
+  private[compat] def serdeOf(tail: String): Option[String] =
+    "(?is)row\\s+format\\s+serde\\s+'([^']+)'".r.findFirstMatchIn(tail).map(_.group(1))
+
+  /** WITH SERDEPROPERTIES ('k'='v', ...) as a map. */
+  private[compat] def serdeProps(tail: String): Map[String, String] =
+    "(?is)with\\s+serdeproperties\\s*\\(".r.findFirstMatchIn(tail).map { m =>
+      val close = matchParen(tail, m.end - 1)
+      require(close > 0, "unbalanced SERDEPROPERTIES")
+      "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(tail.substring(m.end, close))
+        .map(p => p.group(1) -> p.group(2)).toMap
+    }.getOrElse(Map.empty)
+
+  /** LazySimpleSerDe serdeproperties the text mapping can honor; any
+    * other key is a loud decline. */
+  private val LazyProps = Set("field.delim", "serialization.format",
+    "serialization.null.format", "serialization.last.column.takes.rest",
+    "collection.delim", "colelction.delim", "mapkey.delim",
+    "serialization.encoding", "hive.serialization.extend.nesting.levels",
+    "hive.serialization.extend.additional.nesting.levels")
+
+  private def checkLazyProps(tail: String, stmt: String): Unit = {
+    val props = serdeProps(tail)
+    val bad = props.keySet.filterNot(LazyProps)
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"LazySimpleSerDe properties $bad not translatable in: $stmt")
+    props.get("serialization.encoding").foreach { enc =>
+      if (!enc.equalsIgnoreCase("utf-8") && !enc.equalsIgnoreCase("utf8"))
+        throw new IllegalArgumentException(
+          s"non-UTF-8 serialization.encoding '$enc' not translatable in: $stmt")
     }
   }
 
@@ -262,7 +321,7 @@ object HiveDdl {
       textTables.contains(p.name.toLowerCase) &&
         !insertTargets.contains(p.name.toLowerCase) &&
         p.ctas.isEmpty && p.cols.isDefined &&
-        "(?is)row\\s+format\\s+serde".r.findFirstIn(p.tail).isEmpty &&
+        serdeOf(p.tail).forall(_.endsWith("LazySimpleSerDe")) &&
         storedAsName(p.tail).forall(_ == "textfile")
     }
 
@@ -283,13 +342,21 @@ object HiveDdl {
 
   private def textViewStatements(p: Parsed, stmt: String): Seq[String] = {
     val (sep, nullRep) = textFormat(p.tail, stmt)
-    val collectionDelim = delimOf(p.tail, "collection\\s+items", '\u0002', stmt)
-    val mapkeyDelim = delimOf(p.tail, "map\\s+keys", '\u0003', stmt)
-    def sepChar(level: Int): Char = level match {
-      case 1 => collectionDelim
-      case 2 => mapkeyDelim
-      case n => (n + 1).toChar
-    }
+    val collectionDelim = delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt)
+    val mapkeyDelim = delimOf(p.tail, "map\\s+keys", "mapkey.delim", '\u0003', stmt)
+    // the reference's separator candidate list (LazySerDeParameters
+    // .collectSeparators): field, collection, mapkey, then 4..8, 11,
+    // 14..26, 28..31 — NOT a plain byte sequence (tab/newline/FF/CR/ESC
+    // are skipped because they occur in real text)
+    val sepCandidates: Vector[Char] =
+      Vector(sep.headOption.getOrElse('\u0001'), collectionDelim, mapkeyDelim) ++
+        (4 to 8).map(_.toChar) ++ Vector(11.toChar) ++
+        (14 to 26).map(_.toChar) ++ (28 to 31).map(_.toChar)
+    def sepChar(level: Int): Char =
+      if (level < sepCandidates.size) sepCandidates(level)
+      else throw new IllegalArgumentException(
+        s"nesting deeper than ${sepCandidates.size} levels needs the reference's " +
+          "byte-range separators (0x80..0xFF), which are not valid text: " + stmt)
     val partCols = partitionedBy(p.tail)
     val location = locationOf(p.tail)
     val cols = splitTop(p.cols.get).map { c =>
@@ -307,8 +374,18 @@ object HiveDdl {
     val loc = location.fold("")(l => s" LOCATION '$l'")
     val create = s"CREATE TABLE $ine`$lines` (value STRING$partDecl) USING text$partBy$loc"
     val fieldSplit = s"split(value, ${regexLit(sep)})"
+    // serialization.last.column.takes.rest: the final column absorbs the
+    // remainder of the line, separators included (PlanUtils default-
+    // schema behavior, opted into per table by the property)
+    val takesRest = serdeProps(p.tail)
+      .get("serialization.last.column.takes.rest").exists(_.equalsIgnoreCase("true"))
     val selects = cols.zipWithIndex.map { case ((n, t), i) =>
-      parseField(s"element_at(__f, ${i + 1})", t, 1, sepChar, nullRep) + s" AS `$n`"
+      val src =
+        if (takesRest && i == cols.size - 1)
+          s"CASE WHEN size(__f) >= ${i + 1} THEN " +
+            s"array_join(slice(__f, ${i + 1}, size(__f)), '${escape(sep)}') END"
+        else s"element_at(__f, ${i + 1})"
+      parseField(src, t, 1, sepChar, nullRep) + s" AS `$n`"
     } ++ partCols.map { case (pn, _) => s"`$pn`" }
     val partPass = partCols.map { case (pn, _) => s", `$pn`" }.mkString
     val view = s"CREATE VIEW $ine`${p.name}` AS SELECT ${selects.mkString(", ")} " +
@@ -382,10 +459,13 @@ object HiveDdl {
   private def regexLit(s: String): String =
     "'\\\\Q" + escape(s) + "\\\\E'"
 
-  /** `<what> TERMINATED BY 'x'` delimiter with default. */
-  private def delimOf(tail: String, what: String, dflt: Char, stmt: String): Char = {
+  /** `<what> TERMINATED BY 'x'` delimiter (or its serdeproperty) with
+    * default. */
+  private def delimOf(tail: String, what: String, prop: String, dflt: Char,
+                      stmt: String): Char = {
     val re = ("(?is)" + what + "\\s+terminated\\s+by\\s+'([^']*)'").r
-    re.findFirstMatchIn(tail).map(m => unescapeDelim(m.group(1), stmt)) match {
+    re.findFirstMatchIn(tail).map(m => unescapeDelim(m.group(1), stmt))
+      .orElse(serdeProps(tail).get(prop)) match {
       case Some(d) if d.length == 1 => d.charAt(0)
       case None => dflt
       case Some(other) => throw new IllegalArgumentException(

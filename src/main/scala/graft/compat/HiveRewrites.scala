@@ -57,8 +57,27 @@ object HiveRewrites {
     if (upper(s).contains("NOOP")) s = noopPtf(s)
     if (upper(s).contains("DEFAULT.")) s = stripDefaultDb(s)
     if (upper(s).contains("STRUCT")) s = hiveStructCalls(s)
+    if (upper(s).contains("DIRECTORY")) s = overwriteDirectory(s)
     s = hiveNumericLiterals(s)
     s
+  }
+
+  /** `INSERT OVERWRITE [LOCAL] DIRECTORY 'p' [row format|stored as ...]
+    * SELECT ...`: Spark's native form needs `USING <source>`; the
+    * corpus's directory paths point INTO the read-only reference tree,
+    * so they re-root onto a temp scratch area (nothing reads the bytes
+    * back — `dfs -cat` output is masked — so parquet stands in for the
+    * declared text layouts). */
+  private[compat] def overwriteDirectory(stmt: String): String = {
+    val Re = ("(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'" +
+      "\\s*(?:row\\s+format\\b.*?)??\\s*(?:stored\\s+as\\s+\\w+)?\\s*((?:select|with)\\b.*)$").r
+    Re.findFirstMatchIn(stmt) match {
+      case Some(m) =>
+        val base = new java.io.File(m.group(1)).getName
+        val tmp = System.getProperty("java.io.tmpdir") + "/qtest_tmp/dirs/" + base
+        s"INSERT OVERWRITE DIRECTORY '$tmp' USING parquet ${m.group(2)}"
+      case None => stmt
+    }
   }
 
   /** The reference's `struct(...)` names its fields col1..colN
@@ -201,7 +220,11 @@ object HiveRewrites {
     if (!usings.forall(m => stmt.substring(0, m.start).trim.endsWith(")"))) return stmt
     val Fmt = " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'"
     val AsParen = "(?is)^\\s+as\\s*\\(".r
-    val AsList = "(?is)^\\s+as\\s+`?\\w+`?(\\s*,\\s*`?\\w+`?)*".r
+    val Types = "(?:string|int|integer|bigint|smallint|tinyint|float|double|" +
+      "boolean|binary|decimal|date|timestamp|varchar|char)"
+    val AsList = ("(?is)^\\s+as\\s+`?\\w+`?(\\s+" + Types +
+      "(\\([\\d,\\s]*\\))?)?(\\s*,\\s*`?\\w+`?(\\s+" + Types +
+      "(\\([\\d,\\s]*\\))?)?)*").r
     val RowFmt = "(?is)^\\s*row\\s+format\\b".r
     val sb = new StringBuilder
     var last = 0
@@ -215,7 +238,11 @@ object HiveRewrites {
           else None
         case None =>
           AsList.findFirstMatchIn(tail).map { al =>
-            val c = stmt.substring(p, p + al.end); p = p + al.end; c
+            val c = stmt.substring(p, p + al.end); p = p + al.end
+            // Spark's grammar wants typed output lists parenthesized
+            val AsHead = "(?is)^(\\s+as\\s+)(.*)$".r
+            AsHead.findFirstMatchIn(c)
+              .map(m2 => s"${m2.group(1)}(${m2.group(2)})").getOrElse(c)
           }
       }
       // the reference execs splitArgs(cmd) directly (no shell) — quote

@@ -178,6 +178,31 @@ object QTestReplay {
     // bit-faithful column-stats UDAF incl. the FM ndvbitvector text the
     // corpus commits (GenericUDAFComputeStats + NumDistinctValueEstimator)
     graft.functions.HiveComputeStats.register(s)
+    // field(needle, v1..vn) = 1-based index of the first match, 0 when
+    // absent/null (UDFField.java)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "field", es => {
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Expression, Literal}
+        // ObjectInspectorUtils.compare never coerces: a string needle
+        // cannot match an int candidate (udf_field.q golden)
+        val branches = es.tail.zipWithIndex.collect {
+          case (v, i) if v.dataType == es.head.dataType =>
+            (EqualTo(es.head, v): Expression, Literal(i + 1): Expression)
+        }
+        if (branches.isEmpty) Literal(0) else CaseWhen(branches, Some(Literal(0)))
+      }, "scala_udf")
+    // in_file(str, filename): the file becomes a codegen'd IN-literal
+    // set (UDFInFile caches the line set the same way); the corpus's
+    // relative paths re-root onto the reference's committed data files
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "in_file", es => {
+        val raw = String.valueOf(es(1).eval())
+        val file = new java.io.File(refData, new java.io.File(raw).getName)
+        val src = scala.io.Source.fromFile(file)
+        val lines = try src.getLines().toList finally src.close()
+        org.apache.spark.sql.catalyst.expressions.In(
+          es.head, lines.map(org.apache.spark.sql.catalyst.expressions.Literal(_)))
+      }, "scala_udf")
     // the reference's stddev/std/variance/var_pop family: the bare
     // spellings are the POPULATION variants there (FunctionRegistry
     // registers stddev -> GenericUDAFStd); Spark's bare spellings are
@@ -532,16 +557,86 @@ object QTestReplay {
     stmts.result()
       .map(s => s.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
       .filter(_.nonEmpty)
-      .filterNot { s =>
-        val ws = s.split("[\\s=]+", 3).map(_.toLowerCase)
-        val w = ws.head
-        // `delete`/`add`/`list` are CLI resource commands ONLY when the
-        // operand is jar/file/archive — `delete from t` is SQL DML
-        val resource = ws.lift(1).exists(o =>
-          Set("jar", "jars", "file", "files", "archive", "archives")(o))
-        Set("set", "reset", "dfs")(w) ||
-          (Set("add", "delete", "list")(w) && resource)
+      .filterNot(isCliCommand)
+  }
+
+  private def isCliCommand(s: String): Boolean = {
+    val ws = s.split("[\\s=]+", 3).map(_.toLowerCase)
+    val w = ws.head
+    // `delete`/`add`/`list` are CLI resource commands ONLY when the
+    // operand is jar/file/archive — `delete from t` is SQL DML
+    val resource = ws.lift(1).exists(o =>
+      Set("jar", "jars", "file", "files", "archive", "archives")(o))
+    Set("set", "reset", "dfs")(w) ||
+      (Set("add", "delete", "list")(w) && resource)
+  }
+
+  /** Like [[parseQ]] but keeps each statement's preceding `dfs` commands
+    * (mkdir/copyFromLocal/rmr create the files later statements read;
+    * they produce no .q.out block). */
+  def parseQWithCommands(text: String): Seq[(Seq[String], String)] = {
+    val out = Seq.newBuilder[(Seq[String], String)]
+    var pending = Seq.newBuilder[String]
+    // re-split exactly as parseQ does, but partition instead of dropping
+    val all = {
+      val stmts = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        text(i) match {
+          case '\'' | '"' =>
+            val q = text(i); cur.append(q); i += 1
+            while (i < n && text(i) != q) {
+              if (text(i) == '\\' && i + 1 < n) { cur.append(text(i)).append(text(i + 1)); i += 2 }
+              else { cur.append(text(i)); i += 1 }
+            }
+            if (i < n) { cur.append(q); i += 1 }
+          case '-' if i + 1 < n && text(i + 1) == '-' =>
+            val e = text.indexOf('\n', i) match { case -1 => n; case x => x }
+            cur.append(text.substring(i, e)); i = e
+          case ';' =>
+            stmts += cur.toString; cur.clear(); i += 1
+          case c => cur.append(c); i += 1
+        }
       }
+      if (cur.toString.trim.nonEmpty) stmts += cur.toString
+      stmts.result()
+        .map(s => s.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
+        .filter(_.nonEmpty)
+    }
+    all.foreach { s =>
+      if (s.toLowerCase.startsWith("dfs")) pending += s
+      else if (isCliCommand(s)) ()
+      else { out += ((pending.result(), s)); pending = Seq.newBuilder[String] }
+    }
+    out.result()
+  }
+
+  /** Execute one harness `dfs` command's file-system side effect; only
+    * the temp scratch area is writable (never the read-only reference).
+    * Unknown forms are ignored (listings/cats are presentation). */
+  private def execDfs(cmd: String, refData: String): Unit = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val tmpBase = JPaths.get(System.getProperty("java.io.tmpdir"), "qtest_tmp")
+    def inTmp(p: String): Boolean = JPaths.get(p).normalize.startsWith(tmpBase)
+    val toks = cmd.split("\\s+").toSeq
+    toks match {
+      case Seq(_, mk, dir) if mk.contains("mkdir") || mk.contains("test.dfs.mkdir") =>
+        if (inTmp(dir)) { JFiles.createDirectories(JPaths.get(dir)); () }
+      case Seq(_, "-copyFromLocal", src, dst) if inTmp(dst) =>
+        val from = JPaths.get(refData, JPaths.get(src).getFileName.toString)
+        JFiles.createDirectories(JPaths.get(dst).getParent)
+        if (JFiles.exists(from)) {
+          JFiles.copy(from, JPaths.get(dst), StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      case Seq(_, rm, dir) if (rm == "-rmr" || rm == "-rm") && inTmp(dir) =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(new java.io.File(dir))
+      case _ => ()
+    }
   }
 
   /** Letters-and-digits-only normalization for echo-vs-source alignment
@@ -565,7 +660,13 @@ object QTestReplay {
     * Spark spells that `FOR ALL COLUMNS`. */
   private def rewriteAnalyze(stmt: String): String =
     if ("(?is)^\\s*analyze\\s".r.findFirstIn(stmt).isEmpty) stmt
-    else "(?is)for\\s+columns\\s*$".r.replaceFirstIn(stmt.trim, "FOR ALL COLUMNS")
+    else {
+      // partialscan gathers a stats subset; the nearest statement shape
+      // here is NOSCAN (the stats VALUES are presentation, never rows)
+      val noscan = "(?is)compute\\s+statistics\\s+partialscan\\s*$".r
+        .replaceFirstIn(stmt.trim, "COMPUTE STATISTICS NOSCAN")
+      "(?is)for\\s+columns\\s*$".r.replaceFirstIn(noscan.trim, "FOR ALL COLUMNS")
+    }
 
   /** The reference's INSERT OVERWRITE stages its output and swaps, so
     * `INSERT OVERWRITE TABLE t SELECT ... FROM t` is well-defined (the
@@ -671,7 +772,16 @@ object QTestReplay {
     val blocks = parseQOut(new String(Files.readAllBytes(Paths.get(qoutPath)), UTF_8))
     val fileSorted = hasSortMarker(blocks) ||
       new String(Files.readAllBytes(Paths.get(qPath)), UTF_8).contains("SORT_QUERY_RESULTS")
-    val stmts = parseQ(new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
+    // the harness's scratch-variable paths re-root onto a temp dir
+    // (the echo masks them, so alignment is unaffected); each statement
+    // keeps its preceding dfs side-effect commands
+    val tmpReroot = (x: String) => x.replace("${system:test.tmp.dir}",
+      System.getProperty("java.io.tmpdir") + "/qtest_tmp")
+    val withCmds = parseQWithCommands(
+      new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
+      .map { case (cmds, st) => (cmds.map(tmpReroot), tmpReroot(st)) }
+    val stmts = withCmds.map(_._2)
+    val preCmds = withCmds.map(_._1)
     val owned = blocks.iterator
       .filter(b => b.qtype.startsWith("CREATE") || b.qtype.startsWith("DROP"))
       .flatMap(_.outputs).map(fixtureName).map(_.toLowerCase)
@@ -696,10 +806,13 @@ object QTestReplay {
       .filter(s => "(?is)^\\s*load\\s+data".r.findFirstIn(s).isDefined)
       .flatMap(s => "(?is)table\\s+`?([\\w.]+)`?".r.findFirstMatchIn(s).map(_.group(1).toLowerCase))
       .toSet
-    // a text table that takes INSERTs must stay a real (csv) table; the
-    // rest are backed by a lines table + parsing view (HiveDdl.viewBacked)
+    // a text table that takes INSERTs (any position — multi-insert and
+    // FROM-first forms included) or ANALYZE must stay a real (csv)
+    // table; the rest are backed by a lines table + parsing view
     val insertTargets = stmts.iterator.flatMap(s =>
-      "(?is)^\\s*insert\\s+(?:into|overwrite)\\s+(?:table\\s+)?`?([\\w.]+)`?".r
+      "(?is)\\binsert\\s+(?:into|overwrite)\\s+(?:table\\s+)?`?([\\w.]+)`?".r
+        .findAllMatchIn(s).map(_.group(1).toLowerCase) ++
+      "(?is)^\\s*analyze\\s+table\\s+`?([\\w.]+)`?".r
         .findFirstMatchIn(s).map(_.group(1).toLowerCase)).toSet
     val viewBacked = stmts.iterator
       .filter(s => HiveDdl.viewBacked(s, textTables, insertTargets))
@@ -711,7 +824,8 @@ object QTestReplay {
     var nondet = 0
     val failures = Seq.newBuilder[String]
     try {
-      stmts.zip(blocks).foreach { case (stmt, b) =>
+      stmts.zip(blocks).zip(preCmds).foreach { case ((stmt, b), cmds) =>
+        cmds.foreach(c => try execDfs(c, refData) catch { case _: Exception => () })
         def fail(e: Exception): Unit = {
           checked += 1
           failures += s"$name: '${oneLine(stmt)}': ${e.getClass.getSimpleName} ${oneLine(Option(e.getMessage).getOrElse(""))}"
