@@ -237,7 +237,7 @@ object HiveDdl {
     * other key is a loud decline. */
   private val LazyProps = Set("field.delim", "serialization.format",
     "serialization.null.format", "serialization.last.column.takes.rest",
-    "collection.delim", "colelction.delim", "mapkey.delim",
+    "collection.delim", "colelction.delim", "mapkey.delim", "line.delim",
     "serialization.encoding", "hive.serialization.extend.nesting.levels",
     "hive.serialization.extend.additional.nesting.levels")
 
@@ -246,6 +246,10 @@ object HiveDdl {
     val bad = props.keySet.filterNot(LazyProps)
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"LazySimpleSerDe properties $bad not translatable in: $stmt")
+    props.get("line.delim").foreach { d =>
+      if (d != "\n" && d != "\\n") throw new IllegalArgumentException(
+        s"line.delim other than newline not translatable in: $stmt")
+    }
     props.get("serialization.encoding").foreach { enc =>
       if (!enc.equalsIgnoreCase("utf-8") && !enc.equalsIgnoreCase("utf8"))
         throw new IllegalArgumentException(
@@ -341,6 +345,7 @@ object HiveDdl {
   def createdTable(stmt: String): Option[String] = parseCreate(stmt).map(_.name)
 
   private def textViewStatements(p: Parsed, stmt: String): Seq[String] = {
+    checkLazyProps(p.tail, stmt)
     val (sep, nullRep) = textFormat(p.tail, stmt)
     val collectionDelim = delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt)
     val mapkeyDelim = delimOf(p.tail, "map\\s+keys", "mapkey.delim", '\u0003', stmt)

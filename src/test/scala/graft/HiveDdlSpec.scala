@@ -56,6 +56,56 @@ class HiveDdlSpec extends AnyFunSuite {
     assert(d.contains("nullValue '\\\\N'"), d)
   }
 
+  test("text LOAD targets without INSERTs become a lines table + parsing view") {
+    val stmt = "CREATE TABLE t (a string, b array<int>, m map<string,string>, " +
+      "s struct<x:int,y:string>) STORED AS TEXTFILE"
+    assert(HiveDdl.viewBacked(stmt, load, Set.empty))
+    assert(!HiveDdl.viewBacked(stmt, load, Set("t"))) // insert target -> csv/decline
+    val Seq(create, view) = HiveDdl.translateStatements(stmt, load, Set.empty)
+    assert(create.startsWith("CREATE TABLE `t__lines` (value STRING) USING text"), create)
+    assert(view.startsWith("CREATE VIEW `t` AS SELECT"), view)
+    // LazySimpleSerDe parsing shapes: nested-delimiter split, \N nulls,
+    // empty string = empty array, map entries at level+1/level+2
+    assert(view.contains("transform(split("), view)
+    assert(view.contains("map_from_entries("), view)
+    assert(view.contains("named_struct("), view)
+    assert(view.contains("THEN array()"), view)
+    assert(view.contains("nullif("), view)
+  }
+
+  test("known SERDE classes on LOAD targets map to real datasources") {
+    val json = HiveDdl.translate(
+      "CREATE TABLE t (a int, b string) ROW FORMAT SERDE " +
+        "'org.apache.hive.hcatalog.data.JsonSerDe' STORED AS TEXTFILE", load)
+    assert(json.contains("USING json"), json)
+    val csv = HiveDdl.translate(
+      "CREATE TABLE t (a string) ROW FORMAT SERDE " +
+        "'org.apache.hadoop.hive.serde2.OpenCSVSerde' " +
+        "WITH SERDEPROPERTIES ('separatorChar'='|') STORED AS TEXTFILE", load)
+    assert(csv.contains("USING csv") && csv.contains("sep '|'"), csv)
+    // unknown serde on a LOAD target still declines loudly
+    intercept[IllegalArgumentException] {
+      HiveDdl.translate(
+        "CREATE TABLE t (a string) ROW FORMAT SERDE 'com.example.MysterySerDe'", load)
+    }
+  }
+
+  test("LazySimpleSerDe serdeproperties: delimiters honored, unknown keys decline") {
+    val Seq(_, view) = HiveDdl.translateStatements(
+      "CREATE TABLE t (a string, b array<string>) ROW FORMAT SERDE " +
+        "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' " +
+        "WITH SERDEPROPERTIES ('field.delim'=',') STORED AS TEXTFILE",
+      load, Set.empty)
+    assert(view.contains("split(value, '\\\\Q,\\\\E')"), view)
+    intercept[IllegalArgumentException] {
+      HiveDdl.translateStatements(
+        "CREATE TABLE t (a string) ROW FORMAT SERDE " +
+          "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' " +
+          "WITH SERDEPROPERTIES ('serialization.encoding'='ISO8859_1') STORED AS TEXTFILE",
+        load, Set.empty)
+    }
+  }
+
   test("ROW FORMAT on a non-LOAD target stays invisible (parquet)") {
     // format is invisible without a LOAD: even clauses the text mapping
     // declines translate fine when no raw file will be read back
