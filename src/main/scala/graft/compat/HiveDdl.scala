@@ -78,6 +78,7 @@ object HiveDdl {
       val partCols = partitionedBy(tail)
       val clustered = clusteredBy(tail)
       val location = locationOf(tail)
+      val container = containerFmt(tail)
 
       // a LOAD-target keeps the raw file's real format: text files need
       // the LazySimpleSerDe mapping; ORC/parquet LOADs move pre-made
@@ -88,7 +89,14 @@ object HiveDdl {
       val wantsText = isLoadTarget && fmt.forall(_ == "textfile") &&
         serde.forall(_ == "LazySimpleSerDe")
       val using =
-        if (isLoadTarget && serde.exists(c => c == "JsonSerDe")) {
+        if (container.isDefined) {
+          // avro/rcfile/sequencefile containers: the table itself is
+          // parquet (lossless stand-in); raw LOADs of files in these
+          // formats are INGESTED by the caller through the vendored
+          // readers (AvroIO/RcFileIO/sequence-text) — see
+          // QTestReplay's LOAD lane
+          "USING parquet"
+        } else if (isLoadTarget && serde.exists(c => c == "JsonSerDe")) {
           // hcatalog/serde2 JsonSerDe: one JSON object per line — the
           // json datasource with the declared schema
           "USING json"
@@ -121,7 +129,15 @@ object HiveDdl {
           s"""USING csv OPTIONS (sep '${escape(sep)}', quote '\\u0000', nullValue '${escape(nullRep)}', emptyValue '')"""
         }
 
-      val colList = (cols.toSeq ++ partCols.map { case (n, t) => s"$n $t" }).mkString(", ")
+      // a columnless avro table takes its schema from avro.schema.literal
+      // (AvroSerdeUtils.determineSchemaOrThrowException)
+      val effCols = cols.orElse(
+        if (container.contains("avro"))
+          avroLiteralOf(tail).map(lit =>
+            graft.sources.AvroIO.columnsOf(lit)
+              .map { case (n, t) => s"`$n` $t" }.mkString(", "))
+        else None)
+      val colList = (effCols.toSeq ++ partCols.map { case (n, t) => s"$n $t" }).mkString(", ")
       require(colList.nonEmpty || ctas.isDefined, s"no columns in: $stmt")
       // csv cannot parse complex types back out of delimited text
       if (wantsText && cols.exists(c =>
@@ -232,6 +248,51 @@ object HiveDdl {
       "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(tail.substring(m.end, close))
         .map(p => p.group(1) -> p.group(2)).toMap
     }.getOrElse(Map.empty)
+
+  /** TBLPROPERTIES ('k'='v', ...) as a map. */
+  private[compat] def tblProps(tail: String): Map[String, String] =
+    "(?is)tblproperties\\s*\\(".r.findFirstMatchIn(tail).map { m =>
+      val close = matchParen(tail, m.end - 1)
+      require(close > 0, "unbalanced TBLPROPERTIES")
+      "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(tail.substring(m.end, close))
+        .map(p => p.group(1) -> p.group(2)).toMap
+    }.getOrElse(Map.empty)
+
+  private def avroLiteralOf(tail: String): Option[String] =
+    (serdeProps(tail) ++ tblProps(tail)).get("avro.schema.literal")
+      // the literal sits inside a single-quoted SQL string, so its JSON
+      // quotes arrive escaped (\") — undo the SQL-literal escaping
+      .map(HiveRewrites.unescapeSqlBody)
+
+  /** Binary container format of a CREATE TABLE tail, when it declares
+    * one — by STORED AS keyword, by INPUTFORMAT class, or by SERDE class
+    * (the reference accepts all three spellings for the same container). */
+  private def containerFmt(tail: String): Option[String] = {
+    val serdeCls = serdeOf(tail).map(_.split("\\.").last)
+    val sa = storedAsName(tail)
+    val inputFmt = "(?is)stored\\s+as\\s+inputformat\\s+'([^']+)'".r
+      .findFirstMatchIn(tail).map(_.group(1))
+    if (serdeCls.contains("AvroSerDe") || sa.contains("avro") ||
+        inputFmt.exists(_.contains("AvroContainer"))) Some("avro")
+    else if (sa.contains("rcfile") || inputFmt.exists(_.contains("RCFile"))) Some("rcfile")
+    else if (sa.contains("sequencefile") ||
+        inputFmt.exists(_.contains("SequenceFile"))) Some("sequencefile")
+    else None
+  }
+
+  /** (format, avro.schema.literal) of a container-backed CREATE TABLE —
+    * the replay's LOAD lane dispatches raw-file ingestion on this. */
+  def containerOf(stmt: String): Option[(String, Option[String])] =
+    parseCreate(stmt).flatMap(p =>
+      containerFmt(p.tail).map(f => (f, avroLiteralOf(p.tail))))
+
+  /** (table, CLUSTERED BY column names) of a bucketed CREATE TABLE —
+    * physical TABLESAMPLE(BUCKET x OUT OF y) rewrites key on these. */
+  def clusteredColsOf(stmt: String): Option[(String, Seq[String])] =
+    parseCreate(stmt).flatMap { p =>
+      "(?is)clustered\\s+by\\s*\\(([^)]*)\\)".r.findFirstMatchIn(p.tail)
+        .map(m => p.name -> m.group(1).split(",").map(_.trim.replace("`", "")).toSeq)
+    }
 
   /** LazySimpleSerDe serdeproperties the text mapping can honor; any
     * other key is a loud decline. */
@@ -419,12 +480,20 @@ object HiveDdl {
       val parts = splitTop(inner)
       require(parts.size == 2, s"unparseable map type: $t")
       val d1 = regexLit(sepChar(level).toString)
-      val d2 = regexLit(sepChar(level + 1).toString)
-      val kv = s"split(__p$level, $d2)"
+      // LazyMapObjectInspector: only the FIRST key-value delimiter in a
+      // pair splits key from value — the value keeps any further
+      // occurrences (a timestamp's colons under MAP KEYS TERMINATED BY
+      // ':'); a pair with no delimiter is (whole, NULL)
+      val d2chr = s"'${escape(sepChar(level + 1).toString)}'"
+      val p = s"__p$level"
+      val kRaw = s"CASE WHEN instr($p, $d2chr) > 0 " +
+        s"THEN substring($p, 1, instr($p, $d2chr) - 1) ELSE $p END"
+      val vRaw = s"CASE WHEN instr($p, $d2chr) > 0 " +
+        s"THEN substring($p, instr($p, $d2chr) + 1) END"
       s"CASE WHEN ${nn(e)} IS NULL THEN NULL ELSE " +
-        s"map_from_entries(transform(split($e, $d1), __p$level -> struct(" +
-        s"${parseField(s"element_at($kv, 1)", parts.head, level + 2, sepChar, nullRep)}, " +
-        s"${parseField(s"element_at($kv, 2)", parts(1), level + 2, sepChar, nullRep)}))) END"
+        s"map_from_entries(transform(split($e, $d1), $p -> struct(" +
+        s"${parseField(kRaw, parts.head, level + 2, sepChar, nullRep)}, " +
+        s"${parseField(vRaw, parts(1), level + 2, sepChar, nullRep)}))) END"
     } else if (lower.startsWith("struct")) {
       val inner = t.substring(t.indexOf('<') + 1, t.lastIndexOf('>'))
       val d = regexLit(sepChar(level).toString)

@@ -302,6 +302,34 @@ object HiveRewrites {
     })
   }
 
+  /** `t TABLESAMPLE (BUCKET x OUT OF y)` — the NO-`ON` physical form —
+    * over a `CLUSTERED BY (cols) INTO n BUCKETS` table: the reference
+    * reads the bucket FILES whose index ≡ x-1 (mod y); under enforced
+    * bucketing each file b holds exactly the rows with
+    * (getBucketHashCode(cols) & MAX_VALUE) % n = b
+    * (ObjectInspectorUtils.getBucketNumber), so for every divisor/
+    * multiple relation of y and n the selected ROW SET is precisely
+    * `(hash(cols) & MAX_VALUE) % y = x-1` — rewritten to that filter
+    * (the compat session's `hash` IS the reference chain). Tables
+    * without a known CLUSTERED BY spec pass through untouched. */
+  private[compat] def bucketSampleClustered(
+      stmt: String, clustered: Map[String, Seq[String]]): String = {
+    if (clustered.isEmpty) return stmt
+    val Re = ("(?is)([\\w.`]+)\\s+tablesample\\s*\\(\\s*bucket\\s+(\\d+)\\s+out\\s+of\\s+" +
+      "(\\d+)\\s*\\)(\\s+(?:as\\s+)?(?!(?i:where|group|order|limit|having|union|intersect|except|join|on|sort|cluster|distribute|left|right|full|inner|cross|lateral|tablesample|select|from)\\b)(\\w+))?").r
+    Re.replaceAllIn(stmt, m => {
+      val tbl = m.group(1)
+      clustered.get(tbl.replace("`", "").split("\\.").last.toLowerCase) match {
+        case Some(cols) =>
+          val (x, y) = (m.group(2).toInt, m.group(3).toInt)
+          val alias = Option(m.group(5)).getOrElse(tbl.replace("`", "").split("\\.").last)
+          java.util.regex.Matcher.quoteReplacement(
+            s"(SELECT * FROM $tbl WHERE (hash(${cols.mkString(", ")}) & 2147483647) % $y = ${x - 1}) $alias")
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
+    })
+  }
+
   /** Inside OVER(...) groups with no ORDER/SORT BY: a RANGE frame whose
     * bounds are only CURRENT ROW / UNBOUNDED spans the whole partition
     * (all rows are peers). */

@@ -294,9 +294,16 @@ object QTestReplay {
   /** TimestampWritable.toString: rendered in the harness zone, whole-
     * second fraction dropped entirely, trailing zeros trimmed otherwise.
     * Formatted at an EXPLICIT zone — java.sql.Timestamp.toString renders
-    * in the JVM default zone, which is not the harness's. */
+    * in the JVM default zone, which is not the harness's. The collect
+    * path built this Timestamp through Spark's proleptic→hybrid rebase
+    * (toJavaTimestamp); fromJavaTimestamp is its exact inverse, so
+    * formatting the recovered micros round-trips pre-Gregorian values
+    * (year 1039) the way the reference's own parse→print does. */
   private def renderTimestamp(ts: java.sql.Timestamp): String = {
-    val zdt = ts.toInstant.atZone(HarnessZone)
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val micros = DateTimeUtils.fromJavaTimestamp(ts)
+    val zdt = java.time.LocalDateTime.ofInstant(
+      DateTimeUtils.microsToInstant(micros), HarnessZone)
     val base = zdt.format(TsFmt)
     if (zdt.getNano == 0) base
     else base + "." + f"${zdt.getNano}%09d".reverse.dropWhile(_ == '0').reverse
@@ -656,6 +663,128 @@ object QTestReplay {
       .replaceFirstIn(rerooted, "LOAD DATA LOCAL INPATH")
   }
 
+  /** `CREATE TABLE t LIKE <core text fixture>` where t is then LOADed
+    * with raw text: the replay's fixtures are parquet, so the plain LIKE
+    * would make a parquet table that cannot read the loaded .txt —
+    * expand the source's resolved schema into the standard
+    * LazySimpleSerDe csv mapping instead (the reference's fixtures ARE
+    * -delimited text). */
+  private def likeTextCreate(spark: SparkSession, stmt: String,
+                             textTables: Set[String]): Option[String] = {
+    val Re = ("(?is)^\\s*create\\s+(?:external\\s+)?table\\s+" +
+      "(if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s+like\\s+`?([\\w.]+)`?\\s*;?\\s*$").r
+    Re.findFirstMatchIn(stmt).flatMap { m =>
+      val (ine, t, src) = (m.group(1), m.group(2), m.group(3))
+      if (!textTables.contains(t.toLowerCase)) None
+      else {
+        val catalog = spark.sessionState.catalog
+        val meta = catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(src))
+        val partCols = meta.partitionColumnNames.map(_.toLowerCase).toSet
+        val schema = spark.table(src).schema
+        val (parts, data) = schema.fields.partition(f => partCols(f.name.toLowerCase))
+        val colList = (data ++ parts).map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        val pb = if (parts.nonEmpty)
+          s" PARTITIONED BY (${parts.map(f => s"`${f.name}`").mkString(", ")})" else ""
+        Some(s"CREATE TABLE ${if (ine != null) "IF NOT EXISTS " else ""}`$t` ($colList) " +
+          "USING csv OPTIONS (sep '\\u0001', quote '\\u0000', nullValue '\\\\N', " +
+          s"emptyValue '')$pb")
+      }
+    }
+  }
+
+  /** LOAD DATA of a raw avro/rcfile/sequencefile file into a
+    * container-declared table: the table itself is parquet (HiveDdl's
+    * container mapping), so the file is READ through the matching
+    * vendored reader and INSERTed — same rows, engine-native storage. */
+  private def ingestContainerLoad(spark: SparkSession, stmt: String,
+                                  fmt: String, avroLiteral: Option[String]): Unit = {
+    val Re = ("(?is)\\s*LOAD\\s+DATA\\s+(?:LOCAL\\s+)?INPATH\\s+'([^']+)'\\s+" +
+      "(OVERWRITE\\s+)?INTO\\s+TABLE\\s+`?([\\w.]+)`?(?:\\s+PARTITION\\s*\\(([^)]*)\\))?\\s*").r
+    val m = Re.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse LOAD DATA statement: $stmt"))
+    val (inpath, overwrite, table) = (m.group(1), m.group(2) != null, m.group(3))
+    val partition: Seq[(String, String)] = Option(m.group(4)).map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        k -> v.stripPrefix("'").stripSuffix("'")
+      }).getOrElse(Nil)
+    val full = spark.table(table).schema
+    val partNames = partition.map(_._1.toLowerCase).toSet
+    val dataSchema = StructType(full.fields.filterNot(f => partNames(f.name.toLowerCase)))
+    val df = fmt match {
+      case "avro" => graft.sources.AvroIO.readRaw(spark, inpath, dataSchema, avroLiteral)
+      case "rcfile" => graft.sources.RcFileIO.read(spark, inpath, dataSchema)
+      case "sequencefile" => readSequenceText(spark, inpath, dataSchema)
+      case other => throw new IllegalArgumentException(s"unknown container format $other")
+    }
+    val withParts = partition.foldLeft(df) { case (d, (k, v)) =>
+      val dt = full.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType)
+        .getOrElse(StringType)
+      d.withColumn(k, lit(v).cast(dt))
+    }
+    withParts.write
+      .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.Append)
+      .insertInto(table)
+  }
+
+  /** A Hive SEQUENCEFILE table's values are LazySimpleSerDe text lines
+    * (keys are ignored, exactly as the reference's HiveSequenceFileInput
+    * contract) — read them and apply the \u0001-delimited field mapping. */
+  private def readSequenceText(spark: SparkSession, path: String,
+                               schema: StructType): DataFrame = {
+    import org.apache.hadoop.io.{Text, Writable}
+    import org.apache.hadoop.mapred.SequenceFileInputFormat
+    val lines = spark.sparkContext.hadoopFile(
+        path, classOf[SequenceFileInputFormat[Writable, Text]],
+        classOf[Writable], classOf[Text])
+      .map { case (_, v) => Row(v.toString) }
+    val raw = spark.createDataFrame(lines,
+      StructType(Seq(StructField("value", StringType))))
+    val fields = split(col("value"), java.util.regex.Pattern.quote("\u0001"))
+    raw.select(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      when(element_at(fields, i + 1) === "\\N", lit(null))
+        .otherwise(element_at(fields, i + 1))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** INSERT into an avro-container table reorders map entries: the
+    * reference's AvroDeserializer reads maps back through a String-keyed
+    * java.util.HashMap, so the committed SELECT outputs show ITS
+    * iteration order, not insertion order. Reproduce it at insert time:
+    * entries grouped by the HashMap slot `(h ^ (h >>> 16)) & 15`
+    * (default capacity 16; corpus maps are far below the resize
+    * threshold), insertion order within a slot — `hash` in the compat
+    * session is the reference's Text hash, which equals String.hashCode
+    * on ASCII keys. */
+  private def avroMapInsertOrder(spark: SparkSession, stmt: String,
+      containers: Map[String, (String, Option[String])]): String = {
+    val Re = ("(?is)^(\\s*insert\\s+(?:overwrite|into)\\s+table\\s+`?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\([^)]*\\))?\\s*)((?:select|with)\\b.*)$").r
+    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
+    if (!containers.get(m.group(2).toLowerCase).exists(_._1 == "avro")) return stmt
+    val inner = m.group(3).trim.stripSuffix(";")
+    val fields = (try spark.sql(HiveRewrites(inner)) catch {
+      case _: Exception => return stmt
+    }).schema.fields
+    if (!fields.exists(f => f.dataType match {
+      case MapType(StringType, _, _) => true; case _ => false })) return stmt
+    def slot = "((hash(__e.key) ^ shiftrightunsigned(hash(__e.key), 16)) & 15)"
+    val cols = fields.map { f =>
+      val c = s"`${f.name}`"
+      f.dataType match {
+        case MapType(StringType, _, _) =>
+          s"CASE WHEN $c IS NULL THEN NULL ELSE map_from_entries(flatten(transform(" +
+            s"array_sort(array_distinct(transform(map_entries($c), __e -> $slot))), " +
+            s"__s -> filter(map_entries($c), __e -> $slot = __s)))) END AS $c"
+        case _ => c
+      }
+    }
+    s"${m.group(1)} SELECT ${cols.mkString(", ")} FROM ($inner) __avro_ins"
+  }
+
   /** Hive's bare `COMPUTE STATISTICS FOR COLUMNS` means every column;
     * Spark spells that `FOR ALL COLUMNS`. */
   private def rewriteAnalyze(stmt: String): String =
@@ -806,6 +935,15 @@ object QTestReplay {
       .filter(s => "(?is)^\\s*load\\s+data".r.findFirstIn(s).isDefined)
       .flatMap(s => "(?is)table\\s+`?([\\w.]+)`?".r.findFirstMatchIn(s).map(_.group(1).toLowerCase))
       .toSet
+    // CLUSTERED BY specs drive the physical TABLESAMPLE(BUCKET x OUT OF y)
+    // rewrite; container formats (avro/rcfile/sequencefile) drive raw-file
+    // LOAD ingestion through the vendored readers
+    val clusteredTables: Map[String, Seq[String]] = stmts.iterator
+      .flatMap(HiveDdl.clusteredColsOf(_))
+      .map { case (n, cs) => n.toLowerCase.split("\\.").last -> cs }.toMap
+    val containerTables: Map[String, (String, Option[String])] = stmts.iterator
+      .flatMap(s => HiveDdl.containerOf(s).flatMap(c =>
+        HiveDdl.createdTable(s).map(_.toLowerCase -> c))).toMap
     // a text table that takes INSERTs (any position — multi-insert and
     // FROM-first forms included) or ANALYZE must stay a real (csv)
     // table; the rest are backed by a lines table + parsing view
@@ -835,8 +973,12 @@ object QTestReplay {
           case _ if firstWord(stmt) == "explain" => skipped += 1
           case "CREATETABLE" | "CREATETABLE_AS_SELECT" =>
             try {
-              HiveDdl.translateStatements(stmt, textTables, insertTargets)
-                .foreach(spark.sql(_))
+              likeTextCreate(spark, stmt, textTables) match {
+                case Some(sql) => spark.sql(sql)
+                case None =>
+                  HiveDdl.translateStatements(stmt, textTables, insertTargets)
+                    .foreach(spark.sql(_))
+              }
               skipped += 1
             } catch { case e: Exception => fail(e) }
           case "CREATEVIEW" =>
@@ -862,14 +1004,23 @@ object QTestReplay {
             }
           case "LOAD" =>
             try {
-              // a view-backed target's raw lines land in its lines table
-              val retargeted = "(?is)(table\\s+)`?([\\w.]+)`?".r.replaceAllIn(
-                rewriteLoad(stmt, refData), m =>
-                  if (viewBacked(m.group(2).toLowerCase))
-                    java.util.regex.Matcher.quoteReplacement(
-                      s"${m.group(1)}${HiveDdl.linesTable(m.group(2))}")
-                  else java.util.regex.Matcher.quoteReplacement(m.matched))
-              graft.etl.LoadData.sql(spark, retargeted); skipped += 1
+              val loadTarget = "(?is)into\\s+table\\s+`?([\\w.]+)`?".r
+                .findFirstMatchIn(stmt).map(_.group(1).toLowerCase)
+              loadTarget.flatMap(containerTables.get) match {
+                case Some((fmt, literal)) =>
+                  ingestContainerLoad(spark, rewriteLoad(stmt, refData), fmt, literal)
+                case None =>
+                  // a view-backed target's raw lines land in its lines table
+                  val retargeted = "(?is)(table\\s+)`?([\\w.]+)`?".r.replaceAllIn(
+                    rewriteLoad(stmt, refData), m =>
+                      if (viewBacked(m.group(2).toLowerCase))
+                        java.util.regex.Matcher.quoteReplacement(
+                          s"${m.group(1)}${HiveDdl.linesTable(m.group(2))}")
+                      else java.util.regex.Matcher.quoteReplacement(m.matched))
+                  graft.etl.LoadData.sql(spark, retargeted)
+                  ()
+              }
+              skipped += 1
             } catch { case e: Exception => fail(e) }
           case "QUERY" if "(?is)^\\s*(delete\\s+from|update)\\b".r.findFirstIn(stmt).isDefined =>
             try {
@@ -878,7 +1029,10 @@ object QTestReplay {
             } catch { case e: Exception => fail(e) }
           case "QUERY" if !skippable(b) =>
             try {
-              val df = spark.sql(HiveRewrites(rewriteAnalyze(stmt)))
+              val df = spark.sql(HiveRewrites(rewriteAnalyze(
+                avroMapInsertOrder(spark,
+                  HiveRewrites.bucketSampleClustered(stmt, clusteredTables),
+                  containerTables))))
               val got = df.collect().map(renderRow(_, df.schema)).toSeq
               diffRows(stmt, fileSorted, got, b.expected) match {
                 case None => checked += 1

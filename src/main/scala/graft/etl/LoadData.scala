@@ -76,8 +76,20 @@ object LoadData {
         .foreach(st => fs.delete(st.getPath, true))
     fs.mkdirs(targetDir)
     files.foreach { f =>
-      val dest = new Path(targetDir, f.getName)
-      if (fs.exists(dest)) fs.delete(dest, false) // Hive replaces same-named files
+      // a same-named file already in the target gets a `_copy_N` suffix
+      // (Hive's MoveTask collision rule) — loading kv1.txt twice APPENDS
+      // the rows; only OVERWRITE cleared the directory above
+      var dest = new Path(targetDir, f.getName)
+      var copy = 0
+      while (fs.exists(dest)) {
+        copy += 1
+        val name = f.getName
+        val dot = name.lastIndexOf('.')
+        val withCopy =
+          if (dot > 0) s"${name.substring(0, dot)}_copy_$copy${name.substring(dot)}"
+          else s"${name}_copy_$copy"
+        dest = new Path(targetDir, withCopy)
+      }
       val ok =
         if (local) FileUtil.copy(srcFs, f, fs, dest, false, conf)
         else fs.rename(f, dest)

@@ -80,6 +80,58 @@ object AvroIO {
     if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
   }
 
+  // ---- Avro -> Spark schema (AvroSerDe's avro.schema.literal contract) ----
+
+  /** Spark DDL type string for an Avro schema node — the mapping the
+    * reference's SchemaToTypeInfo performs for `avro.schema.literal`
+    * tables (serde/src/java/org/apache/hadoop/hive/serde2/avro/
+    * SchemaToTypeInfo.java): unions with null unwrap to their non-null
+    * branch, logical decimal/date/timestamp-millis map to their SQL
+    * types, enum/fixed degrade to string/binary. */
+  def sparkDdlType(s: Schema): String = {
+    import Schema.Type._
+    val logical = Option(s.getLogicalType).map(_.getName).getOrElse("")
+    s.getType match {
+      case NULL => "void"
+      case BOOLEAN => "boolean"
+      case INT if logical == "date" => "date"
+      case INT => "int"
+      case LONG if logical.startsWith("timestamp-") => "timestamp"
+      case LONG => "bigint"
+      case FLOAT => "float"
+      case DOUBLE => "double"
+      case STRING | ENUM => "string"
+      case BYTES | FIXED if logical == "decimal" || decimalProp(s) =>
+        val (p, sc) = Option(s.getLogicalType)
+          .collect { case d: LogicalTypes.Decimal => (d.getPrecision, d.getScale) }
+          .getOrElse((
+            Option(s.getProp("precision")).map(_.replace("\"", "").trim.toInt).getOrElse(38),
+            Option(s.getProp("scale")).map(_.replace("\"", "").trim.toInt).getOrElse(0)))
+        s"decimal($p,$sc)"
+      case BYTES | FIXED => "binary"
+      case ARRAY => s"array<${sparkDdlType(s.getElementType)}>"
+      case MAP => s"map<string,${sparkDdlType(s.getValueType)}>"
+      case RECORD =>
+        val fs = s.getFields.asScala
+          .map(f => s"${f.name}:${sparkDdlType(f.schema)}").mkString(",")
+        s"struct<$fs>"
+      case UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != NULL)
+        if (nonNull.size == 1) sparkDdlType(nonNull.head)
+        else throw new IllegalArgumentException(
+          s"AvroIO: multi-branch union (uniontype) not supported: $s")
+      case other => throw new IllegalArgumentException(
+        s"AvroIO: unsupported avro type $other")
+    }
+  }
+
+  /** (name, DDL type) columns of a record-typed avro.schema.literal. */
+  def columnsOf(schemaJson: String): Seq[(String, String)] = {
+    val s = new Schema.Parser().parse(schemaJson)
+    require(s.getType == Schema.Type.RECORD, s"avro.schema.literal is not a record: $s")
+    s.getFields.asScala.map(f => (f.name, sparkDdlType(f.schema))).toSeq
+  }
+
   // ---- value conversion --------------------------------------------------
 
   private def toAvro(v: Any, dt: DataType): Any = v match {
@@ -229,6 +281,146 @@ object AvroIO {
             val rec = reader.next()
             Row.fromSeq(fieldNames.indices.map { i =>
               fromAvro(rec.get(fieldNames(i)), fieldTypes(i))
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---- raw container ingestion (LOAD DATA of .avro files) -----------------
+
+  /** Schema-aware conversion of one decoded Avro value to the declared
+    * Spark type: the FILE's schema decides how to interpret raw ints and
+    * longs (date/timestamp-millis/micros logical types, decimal bytes),
+    * then the value coerces to the declared column type — the same
+    * resolution the reference's AvroDeserializer performs. */
+  /** Old-Hive decimal marker: `"logicalType":"decimal"` with STRING
+    * precision/scale props that avro's LogicalTypes parser rejects. */
+  private def decimalProp(s: Schema): Boolean =
+    Option(s.getProp("logicalType")).contains("decimal")
+
+  private def convert(v: Any, s: Schema, dt: DataType): Any = {
+    import Schema.Type._
+    if (v == null) return null
+    val sch =
+      if (s.getType == UNION) {
+        val nonNull = s.getTypes.asScala.filter(_.getType != NULL)
+        require(nonNull.size == 1, s"AvroIO: multi-branch union not supported: $s")
+        nonNull.head
+      } else s
+    val logical = Option(sch.getLogicalType).map(_.getName).getOrElse("")
+    (sch.getType, dt) match {
+      case (INT, DateType) if logical == "date" =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case (LONG, TimestampType) =>
+        val micros = logical match {
+          case "timestamp-micros" => v.asInstanceOf[Long]
+          case _ => v.asInstanceOf[Long] * 1000L // timestamp-millis (AvroSerDe's form)
+        }
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case (BYTES | FIXED, d: DecimalType) if logical == "decimal" || decimalProp(sch) =>
+        val bytes = v match {
+          case bb: ByteBuffer =>
+            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+          case gf: org.apache.avro.generic.GenericFixed => gf.bytes()
+        }
+        // old Hive wrote scale/precision as STRING props, which avro's
+        // LogicalTypes parser rejects — AvroSerdeUtils reads the raw prop
+        val scale = Option(sch.getLogicalType)
+          .collect { case dl: LogicalTypes.Decimal => dl.getScale }
+          .orElse(Option(sch.getProp("scale")).map(_.replace("\"", "").trim.toInt))
+          .getOrElse(0)
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
+          .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+      case (BYTES, BinaryType) =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+      case (FIXED, BinaryType) => v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()
+      case (STRING | ENUM, StringType) => v.toString
+      case (ARRAY, ArrayType(elem, _)) =>
+        v.asInstanceOf[java.util.List[Any]].asScala
+          .map(convert(_, sch.getElementType, elem)).toSeq
+      case (MAP, MapType(_, vt, _)) =>
+        // the reference's AvroDeserializer materializes maps into a
+        // String-keyed java.util.HashMap, and SELECT renders them in ITS
+        // iteration order — reproduce that order (ListMap preserves it
+        // through Catalyst's map conversion)
+        val hm = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala
+          .foreach { case (k, mv) => hm.put(k.toString, convert(mv, sch.getValueType, vt)) }
+        scala.collection.immutable.ListMap(
+          hm.entrySet().asScala.toSeq.map(e => e.getKey -> e.getValue): _*)
+      case (RECORD, st: StructType) =>
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(st.fields.toIndexedSeq.map { f =>
+          Option(rec.getSchema.getField(f.name)) match {
+            case Some(rf) => convert(rec.get(rf.pos), rf.schema, f.dataType)
+            case None => null
+          }
+        })
+      case (_, LongType) => v.asInstanceOf[Number].longValue()
+      case (_, IntegerType) => v.asInstanceOf[Number].intValue()
+      case (_, DoubleType) => v.asInstanceOf[Number].doubleValue()
+      case (_, FloatType) => v.asInstanceOf[Number].floatValue()
+      case (_, StringType) => v.toString
+      case _ => v
+    }
+  }
+
+  /** Read bare Avro container files (a single file or a directory of
+    * files as LOAD DATA delivers them — no commit marker) against the
+    * table's declared Spark schema. `readerSchemaJson`, when the table
+    * declared `avro.schema.literal`, resolves schema evolution the
+    * reference's way (AvroSerdeUtils.determineSchemaOrThrowException):
+    * fields absent from the file take the reader schema's defaults. */
+  def readRaw(spark: SparkSession, path: String, schema: StructType,
+              readerSchemaJson: Option[String] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"AvroIO.readRaw: $path does not exist")
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty, s"AvroIO.readRaw: no files under $path")
+    val hconf = spark.sparkContext.broadcast(new SerializableWritable(conf))
+    val fields = schema.fields
+    val rows = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap { file =>
+        val in = new FsInput(new Path(file), hconf.value.value)
+        val datum = readerSchemaJson match {
+          case Some(json) =>
+            new GenericDatumReader[GenericRecord](null, new Schema.Parser().parse(json))
+          case None => new GenericDatumReader[GenericRecord]()
+        }
+        val reader = DataFileReader.openReader(in, datum)
+        // decimal BYTES decode at the WRITER's scale (avro schema
+        // resolution never rescales bytes; the declared-scale conversion
+        // happens after decode, as AvroDeserializer does)
+        val writerSchema = reader.getSchema
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          try reader.close() catch { case _: Exception => () }
+        })
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+          def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(fields.toIndexedSeq.map { f =>
+              Option(rec.getSchema.getField(f.name)) match {
+                case Some(rf) =>
+                  val decodeSch = Option(writerSchema.getField(f.name))
+                    .map(_.schema).getOrElse(rf.schema)
+                  convert(rec.get(rf.pos), decodeSch, f.dataType)
+                case None => null
+              }
             })
           }
         }
