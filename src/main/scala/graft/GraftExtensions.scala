@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // comparisons, non-boolean WHERE) — inert unless the session sets
     // graft.compat.hive.coercion (the compat session does)
     ext.injectResolutionRule(_ => new plans.HiveImplicitCoercion)
+    // reference-dialect char(n) stripped-comparison semantics — inert
+    // unless the session sets graft.compat.hive.char (the compat session)
+    ext.injectResolutionRule(_ => new plans.HiveCharSemantics)
     ext.injectOptimizerRule(s => new security.AuthorizationRule(() => s))
     ext.injectOptimizerRule(s => new plans.TableMaskRule(() => s))
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)

@@ -510,6 +510,11 @@ object HiveDdl {
       throw new IllegalArgumentException(s"uniontype text column not translatable: $t")
     } else if (lower == "string") {
       nn(e)
+    } else if ("^(char|varchar)\\s*\\(\\d+\\)$".r.findFirstIn(lower).isDefined) {
+      // HiveCharWritable.set(text, n): truncate to n (the typed cast
+      // then pads char readback; overflow must not error)
+      val n = "\\d+".r.findFirstIn(lower).get
+      s"CAST(substr(${nn(e)}, 1, $n) AS $t)"
     } else if (lower == "binary") {
       // LazyBinary: text that is entirely base64 alphabet (whitespace
       // included) DECODES; anything else is the raw bytes

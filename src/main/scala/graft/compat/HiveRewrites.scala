@@ -56,6 +56,9 @@ object HiveRewrites {
     if (upper(s).contains("UNIQUEJOIN")) s = uniqueJoin(s)
     if (upper(s).contains("NOOP")) s = noopPtf(s)
     if (upper(s).contains("DEFAULT.")) s = stripDefaultDb(s)
+    if (upper(s).contains("CAST") &&
+        (upper(s).contains("CHAR") || upper(s).contains("VARCHAR")))
+      s = charCastTruncate(s)
     if (upper(s).contains("STRUCT")) s = hiveStructCalls(s)
     if (upper(s).contains("DIRECTORY")) s = overwriteDirectory(s)
     s = hiveNumericLiterals(s)
@@ -300,6 +303,51 @@ object HiveRewrites {
       java.util.regex.Matcher.quoteReplacement(
         s"(SELECT * FROM $tbl WHERE (hash($cols) & 2147483647) % $y = ${x.toInt - 1}) $alias")
     })
+  }
+
+  /** `CAST(e AS CHAR(n)|VARCHAR(n))` truncates to n in the reference
+    * (HiveBaseChar.enforceMaxLength — GenericUDFToChar/ToVarchar never
+    * error); Spark under preserveCharVarcharTypeInfo ERRORS on overflow
+    * instead. Pre-truncate: `CAST(substr(CAST(e AS STRING), 1, n) AS
+    * CHAR(n))` — the typed cast then pads chars back, identical when the
+    * value already fits. Paren-matched scan (regexes cannot balance the
+    * cast body); innermost casts rewrite first. */
+  private[compat] def charCastTruncate(stmt: String): String = {
+    val CastOpen = "(?is)\\bcast\\s*\\(".r
+    val m = CastOpen.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val open = m.end - 1
+    val close = HiveDdl.matchParen(stmt, open)
+    if (close < 0) return stmt
+    val inner = charCastTruncate(stmt.substring(open + 1, close))
+    val rest = charCastTruncate(stmt.substring(close + 1))
+    // the LAST depth-0 AS splits expression from target type
+    val asIdx = lastTokenAtDepth0(inner, "AS")
+    val rebuilt =
+      if (asIdx < 0) s"${m.matched}$inner)"
+      else {
+        val expr = inner.substring(0, asIdx).trim
+        val typ = inner.substring(asIdx + 2).trim
+        "(?is)^(char|varchar)\\s*\\(\\s*(\\d+)\\s*\\)$".r.findFirstMatchIn(typ) match {
+          case Some(tm) =>
+            val (kind, n) = (tm.group(1).toUpperCase(java.util.Locale.ROOT), tm.group(2))
+            s"CAST(substr(CAST($expr AS STRING), 1, $n) AS $kind($n))"
+          case None => s"${m.matched}$inner)"
+        }
+      }
+    stmt.substring(0, m.start) + rebuilt + rest
+  }
+
+  /** Offset of the LAST depth-0 occurrence of a keyword token. */
+  private def lastTokenAtDepth0(s: String, word: String): Int = {
+    var last = -1
+    var from = 0
+    while (from < s.length) {
+      val i = tokenAtDepth0(s.substring(from), word)
+      if (i < 0) return last
+      last = from + i
+      from = last + word.length
+    }
+    last
   }
 
   /** `t TABLESAMPLE (BUCKET x OUT OF y)` — the NO-`ON` physical form —

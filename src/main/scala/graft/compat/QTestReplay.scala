@@ -143,6 +143,11 @@ object QTestReplay {
     // comparisons as double, UDFToBoolean WHERE truthiness) — the
     // injected plans.HiveImplicitCoercion rule keys on this conf
     s.conf.set("graft.compat.hive.coercion", "true")
+    // char(n)/varchar(n) keep their REAL types in plans (padded render,
+    // typed casts); the injected HiveCharSemantics rule then reproduces
+    // the reference's stripped comparison/hash semantics
+    s.conf.set("spark.sql.preserveCharVarcharTypeInfo", "true")
+    s.conf.set("graft.compat.hive.char", "true")
     // the reference formats/parses dates through SimpleDateFormat;
     // Spark's LEGACY parser policy is exactly that behavior
     s.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
@@ -371,7 +376,7 @@ object QTestReplay {
   private def renderNested(v: Any, dt: DataType): String = v match {
     case null => "null"
     case _ => dt match {
-      case StringType => "\"" + v.toString + "\""
+      case StringType | _: CharType | _: VarcharType => "\"" + v.toString + "\""
       case TimestampType => "\"" + renderTimestamp(v.asInstanceOf[java.sql.Timestamp]) + "\""
       case DateType => "\"" + v.toString + "\""
       case _: DecimalType =>
@@ -785,6 +790,66 @@ object QTestReplay {
     s"${m.group(1)} SELECT ${cols.mkString(", ")} FROM ($inner) __avro_ins"
   }
 
+  /** INSERT into char(n)/varchar(n) columns TRUNCATES overflow in the
+    * reference (HiveBaseChar.enforceMaxLength); Spark errors
+    * (EXCEED_LIMIT_LENGTH). Wrap the SELECT so each char/varchar target
+    * position arrives pre-truncated — the typed write then pads chars
+    * exactly as the reference's readback renders them. */
+  private def charInsertTruncate(spark: SparkSession, stmt: String): String = {
+    val Re = ("(?is)^(\\s*insert\\s+(?:overwrite|into)\\s+(?:table\\s+)?`?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*)((?:select|with)\\b.*)$").r
+    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val full = (try spark.table(m.group(2)) catch {
+      case _: Exception => return stmt
+    }).schema
+    val staticKeys = Option(m.group(3)).toSeq.flatMap(_.split(","))
+      .filter(_.contains("=")).map(_.split("=")(0).trim.replace("`", "").toLowerCase).toSet
+    val targets = full.fields.filterNot(f => staticKeys(f.name.toLowerCase))
+    if (!targets.exists(f => f.dataType.isInstanceOf[CharType] ||
+        f.dataType.isInstanceOf[VarcharType])) return stmt
+    val inner = m.group(4).trim.stripSuffix(";")
+    val innerLen = (try spark.sql(HiveRewrites(inner)) catch {
+      case _: Exception => return stmt
+    }).schema.length
+    if (innerLen != targets.length) return stmt
+    val aliases = targets.indices.map(i => s"__chr$i")
+    val cols = targets.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case CharType(n) => s"substr(CAST(`__chr$i` AS STRING), 1, $n)"
+        case VarcharType(n) => s"substr(CAST(`__chr$i` AS STRING), 1, $n)"
+        case _ => s"`__chr$i`"
+      }
+    }
+    s"${m.group(1)} SELECT ${cols.mkString(", ")} FROM ($inner) __chr(${aliases.mkString(", ")})"
+  }
+
+  /** `(SELECT <constants> FROM a UNION ALL SELECT <constants> FROM b
+    * LIMIT n)`: the reference's global limit drains its two mappers
+    * round-robin, materializing n/2 rows from EACH branch — Spark's
+    * limit takes the first partitions (all branch 1). Both branches
+    * project only constants here (anything else stays untouched: the
+    * row CHOICE would be semantics, not physical order), so the
+    * per-branch split is the reference's exact multiset. */
+  private def unionLimitRoundRobin(stmt: String): String = {
+    val Re = ("(?is)^(.*?\\bfrom\\s*\\(\\s*)(select\\b.*?)\\s+union\\s+all\\s+" +
+      "(select\\b.*?)\\s+limit\\s+(\\d+)\\s*(\\).*)$").r
+    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
+    def constProj(sel: String): Boolean = {
+      val pm = "(?is)^select\\s+(.*?)\\s+from\\s".r.findFirstMatchIn(sel)
+        .getOrElse(return false)
+      val noStrings = pm.group(1).replaceAll("\"[^\"]*\"|'[^']*'", "")
+      val idents = "[A-Za-z_][A-Za-z_0-9]*".r.findAllIn(noStrings)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      idents.subsetOf(Set("cast", "as", "char", "varchar", "decimal", "date",
+        "timestamp", "true", "false", "null", "string", "int", "bigint",
+        "smallint", "tinyint", "float", "double", "boolean"))
+    }
+    if (!constProj(m.group(2)) || !constProj(m.group(3))) return stmt
+    val n = m.group(4).toInt
+    s"${m.group(1)}(${m.group(2)} LIMIT ${n - n / 2}) UNION ALL " +
+      s"(${m.group(3)} LIMIT ${n / 2})${m.group(5)}"
+  }
+
   /** Hive's bare `COMPUTE STATISTICS FOR COLUMNS` means every column;
     * Spark spells that `FOR ALL COLUMNS`. */
   private def rewriteAnalyze(stmt: String): String =
@@ -1030,9 +1095,10 @@ object QTestReplay {
           case "QUERY" if !skippable(b) =>
             try {
               val df = spark.sql(HiveRewrites(rewriteAnalyze(
-                avroMapInsertOrder(spark,
-                  HiveRewrites.bucketSampleClustered(stmt, clusteredTables),
-                  containerTables))))
+                charInsertTruncate(spark, avroMapInsertOrder(spark,
+                  unionLimitRoundRobin(
+                    HiveRewrites.bucketSampleClustered(stmt, clusteredTables)),
+                  containerTables)))))
               val got = df.collect().map(renderRow(_, df.schema)).toSeq
               diffRows(stmt, fileSorted, got, b.expected) match {
                 case None => checked += 1

@@ -38,6 +38,40 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
     ((a == TimestampType && numeric(b)) || (numeric(a) && b == TimestampType)
       || (a == BooleanType && numeric(b)) || (numeric(a) && b == BooleanType))
 
+  /** Expression under coercion-inserted casts (user-written CASTs are
+    * the expression: `cast('0.22' as float)` IS a float operand). */
+  private def origin(e: Expression): Expression = e match {
+    case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+      origin(c.child)
+    case _ => e
+  }
+
+  private def rollable(e: Expression): Boolean =
+    e.dataType == StringType && e.foldable && lenientDateLit(e).isDefined
+
+  /** A foldable string whose STRICT date parse fails but whose lenient
+    * (field-rolling) parse succeeds → the rolled date literal. */
+  private def lenientDateLit(e: Expression): Option[Expression] = {
+    val s = e.eval() match {
+      case null => return None
+      case v => v.toString.trim
+    }
+    val Ymd = "^(\\d{1,4})-(\\d{1,2})-(\\d{1,2})$".r
+    Ymd.findFirstMatchIn(s) match {
+      case Some(m) =>
+        val (y, mo, d) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+        val valid = try { java.time.LocalDate.of(y, mo, d); true }
+          catch { case _: Exception => false }
+        if (valid) None // a real calendar date — Spark's own cast handles it
+        else try {
+          val rolled = java.time.LocalDate.of(y, 1, 1)
+            .plusMonths(mo.toLong - 1).plusDays(d.toLong - 1)
+          Some(Literal(rolled.toEpochDay.toInt, DateType))
+        } catch { case _: Exception => None }
+      case None => None
+    }
+  }
+
   /** UDFToBoolean truthiness of a non-boolean condition. */
   private def truthy(e: Expression): Option[Expression] = e.dataType match {
     case BooleanType => None
@@ -67,11 +101,182 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                 if c.dataType == TimestampType && c.child.resolved &&
                   c.child.dataType == BooleanType =>
               Cast(Cast(c.child, IntegerType), TimestampType)
+            // date-vs-string comparisons parse the string with a LENIENT
+            // SimpleDateFormat there (DateUtils.getDateFormat):
+            // '1970-02-29' rolls to 1970-03-01; Spark's strict parse
+            // yields NULL and drops every row. Coercion may already have
+            // cast the literal — match through casts.
+            case cmp: BinaryComparison
+                if cmp.left.resolved && cmp.right.resolved &&
+                  ((origin(cmp.left).dataType == DateType &&
+                    rollable(origin(cmp.right))) ||
+                   (origin(cmp.right).dataType == DateType &&
+                    rollable(origin(cmp.left)))) =>
+              if (origin(cmp.left).dataType == DateType)
+                cmp.withNewChildren(
+                  Seq(origin(cmp.left), lenientDateLit(origin(cmp.right)).get))
+              else cmp.withNewChildren(
+                Seq(lenientDateLit(origin(cmp.left)).get, origin(cmp.right)))
+            // `decimal IN ('0.22', ...)`: the reference unifies IN lists
+            // on the VALUE's type (decimal); Spark unifies on string and
+            // compares rendered text ('0.220' ≠ '0.22')
+            case in @ In(v, list)
+                if v.resolved && list.forall(_.resolved) &&
+                  origin(v).dataType.isInstanceOf[DecimalType] && list.nonEmpty &&
+                  list.exists(e => origin(e).dataType == StringType) &&
+                  list.forall(e => origin(e).foldable &&
+                    (origin(e).dataType == StringType ||
+                      numeric(origin(e).dataType))) =>
+              def toDec(e: Expression): Expression = e.dataType match {
+                // float reaches decimal through its shortest string form
+                // (HiveDecimal.create(Float.toString): 11.22f IS 11.22)
+                case FloatType => Cast(Cast(e, StringType), DecimalType(38, 18))
+                case _ => Cast(e, DecimalType(38, 18))
+              }
+              val (nv, nl) = (toDec(origin(v)),
+                list.map(e => toDec(origin(e))))
+              if (nv.fastEquals(v) && nl.zip(list).forall(p2 => p2._1.fastEquals(p2._2)))
+                in
+              else In(nv, nl)
+            // decimal-vs-float comparisons convert the float to DECIMAL
+            // through its shortest string form there (HiveDecimal.create
+            // via Float.toString: 0.22f is EXACTLY 0.22) — Spark's
+            // double widening makes 0.22f ≠ 0.22 forever. Idempotent by
+            // value: the rebuilt tree re-matches but rebuilds equal.
+            case cmp: BinaryComparison
+                if cmp.left.resolved && cmp.right.resolved &&
+                  ((origin(cmp.left).dataType.isInstanceOf[DecimalType] &&
+                    origin(cmp.right).dataType == FloatType) ||
+                   (origin(cmp.left).dataType == FloatType &&
+                    origin(cmp.right).dataType.isInstanceOf[DecimalType])) =>
+              def side(e: Expression): Expression = e.dataType match {
+                case FloatType => Cast(Cast(e, StringType), DecimalType(38, 18))
+                case _ => Cast(e, DecimalType(38, 18))
+              }
+              val (l, r) = (side(origin(cmp.left)), side(origin(cmp.right)))
+              if (l.fastEquals(cmp.left) && r.fastEquals(cmp.right)) cmp
+              else cmp.withNewChildren(Seq(l, r))
           }
       }
       compared.resolveOperatorsUp {
         case f @ Filter(cond, child) if cond.resolved && cond.dataType != BooleanType =>
           truthy(cond).map(t => Filter(t, child)).getOrElse(f)
       }
+    }
+}
+
+/** The reference's char(n) COMPARISON semantics under
+  * `spark.sql.preserveCharVarcharTypeInfo=true` — gated on
+  * `graft.compat.hive.char` (compat session only). HiveChar stores and
+  * renders the PADDED value but compares, hashes, and aggregates the
+  * STRIPPED one (common/src/java/org/apache/hadoop/hive/common/type/
+  * HiveChar.java: compareTo/equals/hashCode on getStrippedValue;
+  * ObjectInspectorUtils.hashCode CHAR case → HiveCharWritable.hashCode).
+  * Spark compares the padded bytes, so `char(10) = 'abc'` and
+  * char(10)-vs-char(20) joins diverge. Rewrites, during resolution:
+  *
+  *  - comparisons / IN with a char side → rtrim every char operand
+  *    (space-stripping only, exactly StringUtils.stripEnd(v, " "));
+  *  - HiveHash over char/varchar args → char args stripped, varchar
+  *    cast (the writable hashes its exact value);
+  *  - compute_stats(char) aggregates the stripped form (char_udf1.q.out
+  *    pins maxlength of a char(20) at the stripped width).
+  */
+class HiveCharSemantics extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+
+  private def isChar(t: DataType): Boolean = t.isInstanceOf[CharType]
+
+  /** Does a char value feed this operand (directly, through coercion's
+    * or the parser's casts, or through an earlier pass's strip)? The
+    * coercion rules share the resolution fixed point with this one, so
+    * any of the forms can arrive first. */
+  private def charOrigin(e: Expression): Boolean = e match {
+    case _ if isChar(e.dataType) => true
+    case c: Cast => charOrigin(c.child)
+    case t: StringTrimRight => charOrigin(t.srcStr)
+    case _ => false
+  }
+
+  private def stringy(t: DataType): Boolean =
+    t == StringType || t.isInstanceOf[CharType] || t.isInstanceOf[VarcharType]
+
+  /** Comparisons with a char participant: char sides always compare
+    * stripped; a string/varchar LITERAL folds to the char type first
+    * and so strips too (orc_ppd_char's `c="apple "`), but a
+    * string/varchar COLUMN keeps its exact value (char_join1's
+    * 'abc ' row joins nothing). Already-stripped sides pass through,
+    * keeping the fixed point stable. */
+  private def stripStr(e: Expression): Expression = e match {
+    case _: StringTrimRight => e
+    case _ if charOrigin(e) && e.dataType == StringType => StringTrimRight(e)
+    case _ if charOrigin(e) && stringy(e.dataType) =>
+      StringTrimRight(Cast(e, StringType))
+    case _ if e.foldable && e.dataType == StringType => StringTrimRight(e)
+    case _ if e.foldable && stringy(e.dataType) =>
+      StringTrimRight(Cast(e, StringType))
+    case _ => e
+  }
+
+  /** 31^n as a wrapping Java int, n = 0..255 (MAX_CHAR_LENGTH). */
+  private lazy val pow31: Expression = {
+    val lits = Array.iterate(1, 256)(_ * 31)
+      .map(v => Literal(v): Expression).toIndexedSeq
+    CreateArray(lits)
+  }
+
+  /** HiveCharWritable/HiveVarcharWritable.hashCode = Text.hashCode =
+    * WritableComparator.hashBytes with SEED 1, i.e. String-style hash
+    * (what HiveHash computes) PLUS 31^length; NULL hashes to 0. */
+  private def textHash(s: Expression): Expression =
+    If(IsNull(s), Literal(0),
+      Add(HiveHash(Seq(s)), ElementAt(pow31, Add(Length(s), Literal(1)))))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.compat.hive.char", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case p =>
+        p.transformExpressionsUp {
+          // an EXPLICIT cast of char to string yields the STRIPPED value
+          // (PrimitiveObjectInspectorConverter's char→Text conversion);
+          // the rebuilt inner Cast carries no user tag, so the rewrite
+          // is a fixed point
+          case c: Cast
+              if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+                c.dataType == StringType && c.child.resolved &&
+                isChar(c.child.dataType) =>
+            StringTrimRight(Cast(c.child, StringType))
+          case cmp: BinaryComparison
+              if cmp.left.resolved && cmp.right.resolved &&
+                (charOrigin(cmp.left) || charOrigin(cmp.right)) =>
+            val (l, r) = (stripStr(cmp.left), stripStr(cmp.right))
+            if (l.fastEquals(cmp.left) && r.fastEquals(cmp.right)) cmp
+            else cmp.withNewChildren(Seq(l, r))
+          case in @ In(v, list)
+              if v.resolved && list.forall(_.resolved) &&
+                (charOrigin(v) || list.exists(charOrigin)) =>
+            val (nv, nl) = (stripStr(v), list.map(stripStr))
+            if (nv.fastEquals(v) && nl.zip(list).forall(p2 => p2._1.fastEquals(p2._2))) in
+            else In(nv, nl)
+          // hash() over char/varchar columns: the writables hash their
+          // Text form (stripped for char, exact for varchar) at seed 1;
+          // rebuild the multi-arg chain (r = 31*r + h_i, seed 0 —
+          // GenericUDFHash/getBucketHashCode) from per-column hashes
+          case h: HiveHash if h.children.forall(_.resolved) && h.children.exists(c =>
+              isChar(c.dataType) || c.dataType.isInstanceOf[VarcharType]) =>
+            h.children.map { c =>
+              c.dataType match {
+                case _: CharType => textHash(StringTrimRight(Cast(c, StringType)))
+                case _: VarcharType => textHash(Cast(c, StringType))
+                case _ => HiveHash(Seq(c)): Expression
+              }
+            }.reduceLeft((acc, x) => Add(Multiply(acc, Literal(31)), x))
+          case agg @ AggregateExpression(
+              cs: graft.functions.HiveComputeStats, _, _, _, _)
+              if cs.child.resolved && isChar(cs.child.dataType) =>
+            agg.copy(aggregateFunction = cs.copy(
+              child = StringTrimRight(Cast(cs.child, StringType))))
+        }
     }
 }
