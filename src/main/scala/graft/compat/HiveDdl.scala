@@ -149,7 +149,12 @@ object HiveDdl {
       // loaded raw files are never Spark-bucketed, and Spark validates
       // bucket files on read — a LOAD target must not declare buckets
       val cb = if (isLoadTarget) "" else clustered.fold("")(" " + _)
-      val loc = location.fold("")(l => s" LOCATION '$l'")
+      // a container table's declared location holds RAW avro/rc/seq
+      // files the parquet stand-in cannot read — the caller ingests
+      // them instead (QTestReplay's CREATE lane), so the table itself
+      // must not sit on that directory
+      val loc = if (container.isDefined) ""
+        else location.fold("")(l => s" LOCATION '$l'")
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
 
       ctas match {

@@ -73,15 +73,44 @@ object HiveRewrites {
     * declared text layouts). */
   private[compat] def overwriteDirectory(stmt: String): String = {
     val Re = ("(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'" +
-      "\\s*(?:row\\s+format\\b.*?)??\\s*(?:stored\\s+as\\s+\\w+)?\\s*((?:select|with)\\b.*)$").r
+      "\\s*((?:row\\s+format\\b.*?)??)\\s*(?:stored\\s+as\\s+\\w+)?\\s*((?:select\\b|with\\b(?!\\s+serdeproperties)).*)$").r
     Re.findFirstMatchIn(stmt) match {
       case Some(m) =>
-        val base = new java.io.File(m.group(1)).getName
-        val tmp = System.getProperty("java.io.tmpdir") + "/qtest_tmp/dirs/" + base
-        s"INSERT OVERWRITE DIRECTORY '$tmp' USING parquet ${m.group(2)}"
+        val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
+        // a target already under the replay scratch keeps its REAL path
+        // (later statements LOAD the produced files back); anything else
+        // (paths into the read-only reference tree) re-roots
+        val path =
+          if (m.group(1).startsWith(tmpBase)) m.group(1)
+          else tmpBase + "/dirs/" + new java.io.File(m.group(1)).getName
+        // directory inserts write TEXT (LazySimpleSerDe defaults or the
+        // declared DELIMITED layout) -- later statements cat or LOAD the
+        // produced files back
+        val rf = m.group(2)
+        def prop(key: String): Option[String] =
+          ("'" + key + "'\\s*=\\s*'([^']*)'").r.findFirstMatchIn(rf)
+            .map(x => unescapeSqlBody(x.group(1)))
+        val sep = "(?is)fields\\s+terminated\\s+by\\s+'([^']*)'".r
+          .findFirstMatchIn(rf).map(x => unescapeSqlBody(x.group(1)))
+          .orElse(prop("field.delim")).getOrElse("\u0001")
+        val nullRep = "(?is)null\\s+defined\\s+as\\s+'([^']*)'".r
+          .findFirstMatchIn(rf).map(x => unescapeSqlBody(x.group(1)))
+          .orElse(prop("serialization.null.format")).getOrElse("\\N")
+        val using = s"USING csv OPTIONS (sep '${escapeSqlBody(sep)}', quote '\\u0000', " +
+          s"nullValue '${escapeSqlBody(nullRep)}', emptyValue '')"
+        s"INSERT OVERWRITE DIRECTORY '$path' $using ${m.group(3)}"
       case None => stmt
     }
   }
+
+  /** The directory a rewritten INSERT OVERWRITE DIRECTORY lands in. */
+  private[compat] def directoryTarget(stmt: String): Option[String] =
+    "(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'".r
+      .findFirstMatchIn(stmt).map { m =>
+        val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
+        if (m.group(1).startsWith(tmpBase)) m.group(1)
+        else tmpBase + "/dirs/" + new java.io.File(m.group(1)).getName
+      }
 
   /** The reference's `struct(...)` names its fields col1..colN
     * (GenericUDFStruct); Spark's grammar builds the constructor before
@@ -303,6 +332,92 @@ object HiveRewrites {
       java.util.regex.Matcher.quoteReplacement(
         s"(SELECT * FROM $tbl WHERE (hash($cols) & 2147483647) % $y = ${x.toInt - 1}) $alias")
     })
+  }
+
+  /** `hive.outerjoin.supports.filters=false` (the legacy pre-filterTag
+    * mode some corpus files SET): single-side ON predicates of OUTER
+    * joins apply to the JOIN INPUTS, not as match conditions — a row
+    * failing its own side's filter is gone entirely, never null-
+    * extended. Reproduce by moving every single-alias conjunct of each
+    * ON into a filtered derived table for that alias; cross-side
+    * conjuncts stay in the ON (an emptied ON becomes `1=1`, Hive's
+    * cross product). */
+  private[compat] def outerJoinFilterPush(stmt: String): String = {
+    if ("(?is)\\b(left|right|full)\\s+outer\\s+join\\b".r.findFirstIn(stmt).isEmpty)
+      return stmt
+    val endKeywords = Seq("JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+      "WHERE", "GROUP", "ORDER", "SORT", "CLUSTER", "DISTRIBUTE", "LIMIT",
+      "UNION", "HAVING")
+    def tokenFrom(s: String, word: String, from: Int): Int = {
+      val i = tokenAtDepth0(s.substring(from), word)
+      if (i < 0) -1 else from + i
+    }
+    // ON extents
+    final case class Span(start: Int, end: Int, repl: String)
+    val spans = Seq.newBuilder[Span]
+    val pure = scala.collection.mutable.Map.empty[String, Vector[String]]
+    var from = 0
+    var found = false
+    while ({ val p = tokenFrom(stmt, "ON", from); p >= 0 && {
+      val exprStart = p + 2
+      val ends = endKeywords.map(k => tokenFrom(stmt, k, exprStart)).filter(_ >= 0)
+      val exprEnd = if (ends.isEmpty) stmt.length else ends.min
+      var expr = stmt.substring(exprStart, exprEnd).trim.stripSuffix(";").trim
+      // unwrap a fully-parenthesizing outer paren (possibly repeated)
+      var unwrapped = true
+      while (unwrapped && expr.startsWith("(") &&
+          HiveDdl.matchParen(expr, 0) == expr.length - 1)
+        { val inner = expr.substring(1, expr.length - 1).trim
+          if (inner.isEmpty) unwrapped = false else expr = inner }
+      val conjuncts = splitTopAnd(expr)
+      val (single, cross) = conjuncts.partition { c =>
+        "(\\w+)\\.".r.findAllMatchIn(c).map(_.group(1)).toSet.size == 1
+      }
+      if (single.nonEmpty) {
+        found = true
+        single.foreach { c =>
+          val a = "(\\w+)\\.".r.findFirstMatchIn(c).get.group(1)
+          pure(a) = pure.getOrElse(a, Vector.empty) :+ c
+        }
+        val kept = if (cross.isEmpty) "1=1" else cross.mkString(" AND ")
+        spans += Span(exprStart, exprEnd, s" $kept ")
+      }
+      from = exprEnd
+      true
+    } }) ()
+    if (!found) return stmt
+    // table refs: FROM/JOIN <table> <alias>
+    val stop = Set("where", "on", "select", "left", "right", "full", "inner",
+      "cross", "join", "lateral", "tablesample", "group", "order", "sort",
+      "cluster", "distribute", "limit", "union", "having")
+    "(?is)\\b(from|join)\\s+([\\w.]+)\\s+(\\w+)".r.findAllMatchIn(stmt).foreach { m =>
+      val alias = m.group(3)
+      if (!stop(alias.toLowerCase)) pure.get(alias).foreach { conjs =>
+        spans += Span(m.start(2), m.end(3),
+          s"(SELECT * FROM ${m.group(2)} $alias WHERE ${conjs.mkString(" AND ")}) $alias")
+      }
+    }
+    val ordered = spans.result().sortBy(_.start)
+    val sb = new StringBuilder
+    var last = 0
+    ordered.foreach { s =>
+      sb.append(stmt.substring(last, s.start)).append(s.repl); last = s.end
+    }
+    sb.append(stmt.substring(last))
+    sb.toString
+  }
+
+  /** Split on depth-0 AND tokens. */
+  private def splitTopAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var from = 0
+    var cont = true
+    while (cont) {
+      val i = tokenAtDepth0(s.substring(from), "AND")
+      if (i < 0) { out += s.substring(from).trim; cont = false }
+      else { out += s.substring(from, from + i).trim; from = from + i + 3 }
+    }
+    out.result().filter(_.nonEmpty)
   }
 
   /** `CAST(e AS CHAR(n)|VARCHAR(n))` truncates to n in the reference

@@ -155,6 +155,7 @@ case class HiveComputeStats(
     case ByteType | ShortType | IntegerType | LongType | TimestampType => "Long"
     case FloatType | DoubleType => "Double"
     case StringType => "String"
+    case _: CharType | _: VarcharType => "String" // same binary repr
     case BinaryType => "Binary"
     case _: DecimalType => "Decimal"
     case DateType => "Date"

@@ -182,11 +182,25 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
   *  - compute_stats(char) aggregates the stripped form (char_udf1.q.out
   *    pins maxlength of a char(20) at the stripped width).
   */
+object HiveCharSemantics {
+  /** Marks char→string casts this rule already rewrote (fixed point). */
+  val StrippedTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.char.stripped")
+}
+
 class HiveCharSemantics extends Rule[LogicalPlan] {
 
   import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import HiveCharSemantics.StrippedTag
 
   private def isChar(t: DataType): Boolean = t.isInstanceOf[CharType]
+
+  /** A char/varchar→string Cast carrying the already-rewritten mark. */
+  private def markedCast(e: Expression): Cast = {
+    val c = Cast(e, StringType)
+    c.setTagValue(StrippedTag, ())
+    c
+  }
 
   /** Does a char value feed this operand (directly, through coercion's
     * or the parser's casts, or through an earlier pass's strip)? The
@@ -212,10 +226,10 @@ class HiveCharSemantics extends Rule[LogicalPlan] {
     case _: StringTrimRight => e
     case _ if charOrigin(e) && e.dataType == StringType => StringTrimRight(e)
     case _ if charOrigin(e) && stringy(e.dataType) =>
-      StringTrimRight(Cast(e, StringType))
+      StringTrimRight(markedCast(e))
     case _ if e.foldable && e.dataType == StringType => StringTrimRight(e)
     case _ if e.foldable && stringy(e.dataType) =>
-      StringTrimRight(Cast(e, StringType))
+      StringTrimRight(markedCast(e))
     case _ => e
   }
 
@@ -238,15 +252,28 @@ class HiveCharSemantics extends Rule[LogicalPlan] {
     else plan.resolveOperatorsUp {
       case p =>
         p.transformExpressionsUp {
-          // an EXPLICIT cast of char to string yields the STRIPPED value
-          // (PrimitiveObjectInspectorConverter's char→Text conversion);
-          // the rebuilt inner Cast carries no user tag, so the rewrite
-          // is a fixed point
+          // EVERY char→string conversion yields the STRIPPED value in
+          // the reference — explicit casts AND the implicit ones
+          // argument coercion inserts for string UDFs
+          // (PrimitiveObjectInspectorConverter / GenericUDFUtils: char
+          // arguments reach UDFs via getStrippedValue; udf_translate,
+          // udf_substring_index goldens). The rebuilt Cast carries the
+          // done-mark, keeping the fixed point.
           case c: Cast
-              if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
-                c.dataType == StringType && c.child.resolved &&
-                isChar(c.child.dataType) =>
-            StringTrimRight(Cast(c.child, StringType))
+              if c.dataType == StringType && c.child.resolved &&
+                isChar(c.child.dataType) &&
+                c.getTagValue(StrippedTag).isEmpty =>
+            StringTrimRight(markedCast(c.child))
+          // string functions whose char arguments the reference strips
+          // (the UDF sees getStrippedValue; golden-pinned by
+          // udf_translate / udf_substring_index) — Spark passes these
+          // CharType args through un-cast, padded
+          case e: Expression
+              if e.resolved &&
+                Set("translate", "substring_index")(e.prettyName) &&
+                e.children.exists(c => isChar(c.dataType)) =>
+            e.withNewChildren(e.children.map(c =>
+              if (isChar(c.dataType)) StringTrimRight(markedCast(c)) else c))
           case cmp: BinaryComparison
               if cmp.left.resolved && cmp.right.resolved &&
                 (charOrigin(cmp.left) || charOrigin(cmp.right)) =>
@@ -267,16 +294,20 @@ class HiveCharSemantics extends Rule[LogicalPlan] {
               isChar(c.dataType) || c.dataType.isInstanceOf[VarcharType]) =>
             h.children.map { c =>
               c.dataType match {
-                case _: CharType => textHash(StringTrimRight(Cast(c, StringType)))
-                case _: VarcharType => textHash(Cast(c, StringType))
+                case _: CharType => textHash(StringTrimRight(markedCast(c)))
+                case _: VarcharType => textHash(markedCast(c))
                 case _ => HiveHash(Seq(c)): Expression
               }
             }.reduceLeft((acc, x) => Add(Multiply(acc, Literal(31)), x))
           case agg @ AggregateExpression(
               cs: graft.functions.HiveComputeStats, _, _, _, _)
-              if cs.child.resolved && isChar(cs.child.dataType) =>
+              if cs.child.resolved && (isChar(cs.child.dataType) ||
+                cs.child.dataType.isInstanceOf[VarcharType]) =>
             agg.copy(aggregateFunction = cs.copy(
-              child = StringTrimRight(Cast(cs.child, StringType))))
+              child =
+                if (isChar(cs.child.dataType))
+                  StringTrimRight(markedCast(cs.child))
+                else markedCast(cs.child)))
         }
     }
 }
