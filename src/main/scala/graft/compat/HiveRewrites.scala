@@ -43,6 +43,10 @@ object HiveRewrites {
   def apply(stmt: String): String = {
     var s = stmt
     if (upper(s).contains("_UTF-8 0X")) s = utf8HexLiteral(s)
+    if (upper(s).contains("GROUPING__ID")) s = hiveGroupingId(s)
+    if (upper(s).contains("OVER")) s = orderlessRanking(s)
+    if (upper(s).startsWith("WITH") || "(?is)^\\s*with\\b".r.findFirstIn(s).isDefined)
+      s = cteReorder(s)
     if (upper(s).contains("TRANSFORM")) {
       s = stripLazySerde(s)
       val t = transformTabFormat(s)
@@ -493,6 +497,146 @@ object HiveRewrites {
     })
   }
 
+  /** The reference's 2.1 GROUPING__ID bit layout (GroupByOperator /
+    * `GROUPING__ID` pre-HIVE-16102): bit i (LSB-first, in GROUP BY
+    * declaration order) is 1 when column i IS PRESENT in the grouping
+    * set. Spark's grouping_id() is the complement in MSB-first order —
+    * rewrite the token to the bit-by-bit conversion over the statement's
+    * GROUP BY arity. */
+  private[compat] def hiveGroupingId(stmt: String): String = {
+    val GbRe = ("(?is)group\\s+by\\s+(.*?)\\s+(with\\s+(cube|rollup)\\b|" +
+      "grouping\\s+sets\\b)").r
+    // each grouped scope: the innermost parenthesized block holding its
+    // GROUP BY (a subquery), else the whole statement — tokens outside
+    // every grouped scope are COLUMN references to the aliased value
+    val scopes = GbRe.findAllMatchIn(stmt).flatMap { gb =>
+      val n = splitTop(gb.group(1)).size
+      if (n <= 0 || n > 16) None
+      else {
+        val expr = (0 until n).map { i =>
+          s"((1 - cast((shiftright(grouping_id(), ${n - 1 - i}) & 1) as int)) * ${1 << i})"
+        }.mkString("(", " + ", ")")
+        var best = (0, stmt.length)
+        var i2 = 0
+        while (i2 < stmt.length) {
+          if (stmt.charAt(i2) == '(') {
+            val c = HiveDdl.matchParen(stmt, i2)
+            if (c > gb.start && i2 < gb.start && c - i2 < best._2 - best._1)
+              best = (i2, c)
+          }
+          i2 += 1
+        }
+        Some((best._1, best._2, expr))
+      }
+    }.toSeq
+    if (scopes.isEmpty) return stmt
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- "(?i)\\bGROUPING__ID\\b".r.findAllMatchIn(stmt)) {
+      sb.append(stmt.substring(last, m.start))
+      scopes.filter(s2 => m.start >= s2._1 && m.end <= s2._2)
+        .sortBy(s2 => s2._2 - s2._1).headOption match {
+        case Some((_, _, expr)) =>
+          // select-list position keeps the reference's COLUMN NAME so
+          // outer queries can still reference it
+          val tail = stmt.substring(m.end)
+          val selectPos = "(?is)^\\s*(,|from\\b)".r.findFirstIn(tail).isDefined
+          sb.append(if (selectPos) s"$expr AS `grouping__id`" else expr)
+        case None => sb.append("`grouping__id`")
+      }
+      last = m.end
+    }
+    sb.append(stmt.substring(last))
+    sb.toString
+  }
+
+  /** Ranking/offset functions over an un-ORDERed window: the reference
+    * runs them in arrival order (every row a peer); Spark refuses. An
+    * injected constant ORDER BY makes all rows peers — identical
+    * semantics, and the analyzer accepts the window. */
+  private[compat] def orderlessRanking(stmt: String): String = {
+    val Re = ("(?is)\\b(rank|dense_rank|row_number|ntile|percent_rank|" +
+      "cume_dist|lag|lead|first_value|last_value)\\s*\\([^()]*\\)\\s*over\\s*\\(").r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- Re.findAllMatchIn(stmt)) {
+      if (m.start >= last) {
+        val open = m.end - 1
+        val close = HiveDdl.matchParen(stmt, open)
+        if (close > open) {
+          var body = stmt.substring(open + 1, close)
+          if ("(?is)\\b(order|sort)\\s+by\\b".r.findFirstIn(body).isEmpty)
+            body = body + " ORDER BY 1"
+          // ranking/offset functions OWN their frame in Spark — an
+          // explicit one (the reference ignores it) is rejected
+          if (!Set("first_value", "last_value")(
+              m.group(1).toLowerCase(java.util.Locale.ROOT)))
+            body = body.replaceAll(
+              "(?is)\\b(rows|range)\\s+(between\\b.*|unbounded\\b.*|current\\b.*|\\d+\\s+(preceding|following).*)$",
+              "")
+          sb.append(stmt.substring(last, open + 1)).append(body)
+          last = close
+        }
+      }
+    }
+    sb.append(stmt.substring(last))
+    sb.toString
+  }
+
+  /** Forward references between CTEs: the reference resolves the WITH
+    * list as a map; Spark resolves left to right — topologically sort
+    * the entries by their cross-references. */
+  private[compat] def cteReorder(stmt: String): String = {
+    val m = "(?is)^\\s*with\\s+".r.findFirstMatchIn(stmt).getOrElse(return stmt)
+    final case class E(name: String, text: String)
+    val entries = Seq.newBuilder[E]
+    var i = m.end
+    var ok = true
+    var done = false
+    while (ok && !done) {
+      val nm = "(?is)^\\s*([\\w`]+)\\s+as\\s*\\(".r.findFirstMatchIn(stmt.substring(i))
+      nm match {
+        case Some(em) =>
+          val open = i + em.end - 1
+          val close = HiveDdl.matchParen(stmt, open)
+          if (close < 0) ok = false
+          else {
+            entries += E(em.group(1).replace("`", "").toLowerCase,
+              stmt.substring(i, close + 1).trim)
+            // next: ',' → another entry; anything else ends the list
+            var j = close + 1
+            while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+            if (j < stmt.length && stmt.charAt(j) == ',') i = j + 1
+            else { i = close + 1; done = true }
+          }
+        case None => ok = false
+      }
+    }
+    if (!ok) return stmt
+    val es = entries.result()
+    if (es.size < 2) return stmt
+    val names = es.map(_.name).toSet
+    def deps(e: E): Set[String] =
+      "[A-Za-z_][A-Za-z_0-9]*".r.findAllIn(e.text.substring(e.text.indexOf('(')))
+        .map(_.toLowerCase).toSet.intersect(names) - e.name
+    // Kahn
+    val remaining = scala.collection.mutable.LinkedHashMap(es.map(e => e.name -> e): _*)
+    val sorted = Seq.newBuilder[E]
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      progress = false
+      remaining.find { case (_, e) => deps(e).forall(d => !remaining.contains(d)) }
+        .foreach { case (n2, e) =>
+          sorted += e; remaining.remove(n2); progress = true
+        }
+    }
+    if (remaining.nonEmpty) return stmt // cycle — leave to the engine
+    val result = sorted.result()
+    if (result.map(_.name) == es.map(_.name)) stmt
+    else stmt.substring(0, m.end) + result.map(_.text).mkString(", ") +
+      " " + stmt.substring(i)
+  }
+
   /** Inside OVER(...) groups with no ORDER/SORT BY: a RANGE frame whose
     * bounds are only CURRENT ROW / UNBOUNDED spans the whole partition
     * (all rows are peers). */
@@ -509,7 +653,13 @@ object HiveRewrites {
         val body = stmt.substring(open + 1, close)
         val hasOrder = "(?is)\\b(order|sort)\\s+by\\b".r.findFirstIn(body).isDefined
         val rewritten =
-          if (hasOrder) body
+          if (hasOrder)
+            // a fully-unbounded RANGE frame spans the partition whatever
+            // the ordering — Spark rejects it under multi-column ORDER,
+            // the ROWS spelling is the identical frame
+            ("(?is)\\brange\\s+between\\s+unbounded\\s+preceding\\s+and\\s+" +
+              "unbounded\\s+following").r.replaceAllIn(body,
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
           else frameRe.replaceAllIn(body,
             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
         sb.append(stmt.substring(last, open + 1)).append(rewritten)

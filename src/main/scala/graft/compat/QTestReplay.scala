@@ -134,7 +134,8 @@ object QTestReplay {
         // local-task backup attempts, and `dfs -ls` header lines (the
         // listing rows themselves are masked)
         val r0 = res.result().filterNot(l => l.startsWith("RUN: Stage-") || l == Mask ||
-          l.startsWith("ATTEMPT: Execute BackupTask") || l.matches("Found \\d+ items"))
+          l.startsWith("ATTEMPT: Execute BackupTask") || l.matches("Found \\d+ items") ||
+          l.startsWith("WARNING: ")) // compiler warnings echoed into results
         // Check*Hook post-exec output (CheckColumnAccessHook /
         // CheckTableAccessHook): Operator:/Table:/Keys:/Columns: stanzas
         // plus their separating blank line — never result rows
@@ -186,6 +187,12 @@ object QTestReplay {
     val s = spark.newSession()
     s.conf.set("spark.sql.session.timeZone", HarnessZone.getId)
     s.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
+    // the reference's 2.1 treats ORDER BY/GROUP BY integer literals as
+    // CONSTANTS (hive.orderby.position.alias did not exist yet;
+    // hive.groupby.position.alias defaults false) — Spark's ordinals
+    // would order where the reference did not
+    s.conf.set("spark.sql.orderByOrdinal", "false")
+    s.conf.set("spark.sql.groupByOrdinal", "false")
     // reference-dialect implicit coercions (timestamp/boolean-vs-numeric
     // comparisons as double, UDFToBoolean WHERE truthiness) — the
     // injected plans.HiveImplicitCoercion rule keys on this conf
@@ -278,6 +285,12 @@ object QTestReplay {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "var_samp", es => NaNvl(
         VarianceSamp(es.head, nullOnDivideByZero = false).toAggregateExpression(),
+        Literal(0.0d)), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "covar_samp", es => NaNvl(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .CovSample(es(0), es(1), nullOnDivideByZero = false)
+          .toAggregateExpression(),
         Literal(0.0d)), "scala_udf")
     // reference-exact mask family, INCLUDING the plain `mask` spelling
     // (Hive's takes up to 9 args and masks numbers/dates; the builtin
@@ -749,6 +762,35 @@ object QTestReplay {
     s.linesIterator.filterNot(_.trim.startsWith("--")).mkString(" ")
       .toLowerCase.filter(_.isLetterOrDigit).take(80)
 
+  /** Hive's VariableSubstitution (${hiveconf:}/${hivevar:}/${system:}/
+    * ${env:}/bare names), innermost-first so nested references resolve.
+    * Unresolvable references stay verbatim. */
+  private def substVars(s0: String, conf: scala.collection.Map[String, String]): String = {
+    var s = s0
+    var changed = true
+    var guard = 0
+    val Re = "\\$\\{([^${}]+)\\}".r
+    while (changed && guard < 20) {
+      changed = false; guard += 1
+      s = Re.replaceAllIn(s, m => {
+        val k = m.group(1)
+        val v =
+          if (k.startsWith("system:"))
+            Option(System.getProperty(k.stripPrefix("system:")))
+              .orElse(conf.get(k.toLowerCase))
+          else if (k.startsWith("env:")) Option(System.getenv(k.stripPrefix("env:")))
+          else if (k.startsWith("hiveconf:")) conf.get(k.stripPrefix("hiveconf:").toLowerCase)
+          else if (k.startsWith("hivevar:")) conf.get(k.stripPrefix("hivevar:").toLowerCase)
+          else conf.get(k.toLowerCase)
+        v match {
+          case Some(x) => changed = true; java.util.regex.Matcher.quoteReplacement(x)
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+    }
+    s
+  }
+
   /** LOAD statements point at the harness's data directory through
     * masked relative paths; re-root on the reference's committed files
     * and force LOCAL (copy) so the read-only source is never moved. */
@@ -1026,6 +1068,40 @@ object QTestReplay {
     s"${m.group(1)} SELECT ${cols.mkString(", ")} FROM ($inner) __dir(${aliases.mkString(", ")})"
   }
 
+  /** The harness's test authorizer
+    * (SQLStdHiveAuthorizationValidatorForTest.java:122) applies a fixed
+    * masking policy: table `masking_test` reads through the row filter
+    * `key % 2 = 0 and key < 10` with `value` reversed;
+    * `masking_test_subq` through a correlated src-membership filter.
+    * Reproduce as a derived-table rewrite when the corpus SET that
+    * authorizer. */
+  private def maskingTestRewrite(spark: SparkSession, stmt: String): String = {
+    if (!stmt.toLowerCase(java.util.Locale.ROOT).contains("masking_test")) return stmt
+    val Re = ("(?is)\\b(from|join)\\s+(?:default\\.)?(masking_test(?:_subq)?)\\b" +
+      "(?!\\s*(?:tablesample|\\.|\\())" +
+      "(\\s+(?:as\\s+)?(?!(?i:where|group|order|limit|having|union|intersect|except|join|on|sort|cluster|distribute|left|right|full|inner|cross|lateral|select|from)\\b)(\\w+))?").r
+    Re.replaceAllIn(stmt, m => {
+      val t = m.group(2).toLowerCase(java.util.Locale.ROOT)
+      val alias = Option(m.group(4)).getOrElse(t)
+      val derived = t match {
+        case "masking_test" =>
+          val cols = (try spark.table(t).columns.toSeq catch {
+            case _: Exception => Seq.empty
+          }).map {
+            case c if c.equalsIgnoreCase("value") => "reverse(value) AS value"
+            case c => s"`$c`"
+          }
+          if (cols.isEmpty) m.matched
+          else s"${m.group(1)} (SELECT ${cols.mkString(", ")} FROM masking_test " +
+            s"WHERE key % 2 = 0 and key < 10) $alias"
+        case _ =>
+          s"${m.group(1)} (SELECT * FROM masking_test_subq WHERE key in " +
+            s"(select key from src where src.key = masking_test_subq.key)) $alias"
+      }
+      java.util.regex.Matcher.quoteReplacement(derived)
+    })
+  }
+
   /** Hive's bare `COMPUTE STATISTICS FOR COLUMNS` means every column;
     * Spark spells that `FOR ALL COLUMNS`. */
   private def rewriteAnalyze(stmt: String): String =
@@ -1084,10 +1160,20 @@ object QTestReplay {
       case Some(m) =>
         val q = m.group(2)
         val fields = spark.sql(q).schema.fieldNames
-        if (fields.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))) stmt
+        // auto-generated expression names (parens/spaces/commas, or a
+        // literal's own text) become the reference's positional _c<i>;
+        // REAL quoted identifiers — however odd (`x+1`) — keep their
+        // names; duplicate names (repeated unaliased literals) rename
+        // from the second occurrence
+        def autoGen(n: String): Boolean =
+          n.exists(c => c == '(' || c == ' ' || c == ',') ||
+            !n.matches("[A-Za-z_`].*")
+        val dupIdx = fields.zipWithIndex.groupBy(_._1).values
+          .flatMap(_.drop(1).map(_._2)).toSet
+        if (fields.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")) && dupIdx.isEmpty) stmt
         else {
           val names = fields.zipWithIndex.map { case (n, i) =>
-            if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) s"`$n`" else s"`_c$i`"
+            if (autoGen(n) || dupIdx(i)) s"`_c$i`" else s"`${n.replace("`", "``")}`"
           }
           s"${m.group(1)} (${names.mkString(", ")}) AS $q"
         }
@@ -1169,9 +1255,35 @@ object QTestReplay {
       // ${system:hive.root} = the reference checkout (read-only source
       // of dfs -cp commands)
       .replace("${system:hive.root}", refData.stripSuffix("/data/files"))
-    val withCmds = parseQWithCommands(
+    val withCmds0 = parseQWithCommands(
       new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
       .map { case (cmds, st) => (cmds.map(tmpReroot), tmpReroot(st)) }
+    // variable-substitution pre-pass: `set` commands define the
+    // variables (respecting hive.variable.substitute), each statement
+    // substitutes with the state accumulated SO FAR — the committed
+    // echoes carry the substituted text, so this must run before the
+    // echo/source alignment below
+    val withCmds = locally {
+      val sv = scala.collection.mutable.Map.empty[String, String]
+      var substitute = true
+      withCmds0.map { case (cmds, st) =>
+        cmds.foreach { c =>
+          if ("(?is)^set\\s".r.findFirstIn(c).isDefined) {
+            val kv = c.replaceFirst("(?is)^set\\s+", "").split("=", 2)
+            if (kv.length == 2) {
+              val k = kv(0).trim.toLowerCase
+              val v = if (substitute) substVars(kv(1).trim, sv) else kv(1).trim
+              if (k == "hive.variable.substitute")
+                substitute = v.equalsIgnoreCase("true")
+              sv(k) = v
+            }
+          }
+        }
+        val subbedCmds = cmds.map(c => if (c.contains("${")) substVars(c, sv) else c)
+        (subbedCmds,
+          if (substitute && st.contains("${")) substVars(st, sv) else st)
+      }
+    }
     val stmts = withCmds.map(_._2)
     val preCmds = withCmds.map(_._1)
     val owned = blocks.iterator
@@ -1298,14 +1410,24 @@ object QTestReplay {
         cmds.foreach { c =>
           if ("(?is)^set\\s".r.findFirstIn(c).isDefined) {
             val kv = c.replaceFirst("(?is)^set\\s+", "").split("=", 2)
-            if (kv.length == 2)
+            if (kv.length == 2) {
               localConf(kv(0).trim.toLowerCase) = kv(1).trim.toLowerCase
+              // quoted-identifier mode maps onto Spark's regex-column conf
+              if (kv(0).trim.equalsIgnoreCase("hive.support.quoted.identifiers"))
+                spark.conf.set("spark.sql.parser.quotedRegexColumnNames",
+                  kv(1).trim.equalsIgnoreCase("none").toString)
+            }
           } else try execDfs(c, refData) catch { case _: Exception => () }
         }
-        val ojPushed =
+        val ojPushed0 =
           if (localConf.get("hive.outerjoin.supports.filters").contains("false"))
             HiveRewrites.outerJoinFilterPush(stmt)
           else stmt
+        val ojPushed =
+          if (localConf.get("hive.security.authorization.manager")
+              .exists(_.toLowerCase.contains("fortest")))
+            maskingTestRewrite(spark, ojPushed0)
+          else ojPushed0
         def fail(e: Exception): Unit = {
           checked += 1
           failures += s"$name: '${oneLine(stmt)}': ${e.getClass.getSimpleName} ${oneLine(Option(e.getMessage).getOrElse(""))}"
@@ -1443,7 +1565,11 @@ object QTestReplay {
         if (failures.result().nonEmpty) return FileResult(name, checked, skipped, nondet,
           failures.result().take(3))
       }
-    } finally dropOwned()
+    } finally {
+      dropOwned()
+      // per-file SET of the quoted-identifier mode must not leak
+      spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
+    }
     FileResult(name, checked, skipped, nondet, failures.result().take(3))
   }
 }

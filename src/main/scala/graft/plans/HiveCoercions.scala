@@ -101,6 +101,34 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                 if c.dataType == TimestampType && c.child.resolved &&
                   c.child.dataType == BooleanType =>
               Cast(Cast(c.child, IntegerType), TimestampType)
+            // the reference's year()/month()/day()/hour()/minute()/
+            // second() accept INTERVAL arguments (field extraction);
+            // Spark spells those extract_* — re-point by child type
+            case y: Year
+                if y.child.resolved &&
+                  y.child.dataType.isInstanceOf[YearMonthIntervalType] =>
+              ExtractANSIIntervalYears(y.child)
+            case mo: Month
+                if mo.child.resolved &&
+                  mo.child.dataType.isInstanceOf[YearMonthIntervalType] =>
+              ExtractANSIIntervalMonths(mo.child)
+            case d: DayOfMonth
+                if d.child.resolved &&
+                  d.child.dataType.isInstanceOf[DayTimeIntervalType] =>
+              ExtractANSIIntervalDays(d.child)
+            case h: Hour
+                if h.child.resolved &&
+                  h.child.dataType.isInstanceOf[DayTimeIntervalType] =>
+              ExtractANSIIntervalHours(h.child)
+            case mi: Minute
+                if mi.child.resolved &&
+                  mi.child.dataType.isInstanceOf[DayTimeIntervalType] =>
+              ExtractANSIIntervalMinutes(mi.child)
+            case se: Second
+                if se.child.resolved &&
+                  se.child.dataType.isInstanceOf[DayTimeIntervalType] =>
+              // the reference's second() is integral
+              Cast(ExtractANSIIntervalSeconds(se.child), IntegerType)
             // date-vs-string comparisons parse the string with a LENIENT
             // SimpleDateFormat there (DateUtils.getDateFormat):
             // '1970-02-29' rolls to 1970-03-01; Spark's strict parse
