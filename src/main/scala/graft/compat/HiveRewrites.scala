@@ -103,7 +103,38 @@ object HiveRewrites {
         val using = s"USING csv OPTIONS (sep '${escapeSqlBody(sep)}', quote '\\u0000', " +
           s"nullValue '${escapeSqlBody(nullRep)}', emptyValue '')"
         s"INSERT OVERWRITE DIRECTORY '$path' $using ${m.group(3)}"
-      case None => stmt
+      case None =>
+        // FROM-first multi-insert: rewrite each embedded directory
+        // target in place (a conservative DELIMITED-clause matcher so
+        // the following SELECT stays untouched)
+        val Inline = ("(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'" +
+          "\\s*((?:row\\s+format\\s+delimited" +
+          "(?:\\s+fields\\s+terminated\\s+by\\s+'[^']*')?" +
+          "(?:\\s+collection\\s+items\\s+terminated\\s+by\\s+'[^']*')?" +
+          "(?:\\s+map\\s+keys\\s+terminated\\s+by\\s+'[^']*')?" +
+          "(?:\\s+lines\\s+terminated\\s+by\\s+'[^']*')?" +
+          "(?:\\s+null\\s+defined\\s+as\\s+'[^']*')?)?)").r
+        if ("(?is)^\\s*from\\b".r.findFirstIn(stmt).isEmpty) stmt
+        else Inline.replaceAllIn(stmt, m2 => {
+          val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
+          val path =
+            if (m2.group(1).startsWith(tmpBase)) m2.group(1)
+            else tmpBase + "/dirs/" + new java.io.File(m2.group(1)).getName
+          val rf = Option(m2.group(2)).getOrElse("")
+          def prop(key: String): Option[String] =
+            ("'" + key + "'\\s*=\\s*'([^']*)'").r.findFirstMatchIn(rf)
+              .map(x => unescapeSqlBody(x.group(1)))
+          val sep = "(?is)fields\\s+terminated\\s+by\\s+'([^']*)'".r
+            .findFirstMatchIn(rf).map(x => unescapeSqlBody(x.group(1)))
+            .orElse(prop("field.delim")).getOrElse("")
+          val nullRep = "(?is)null\\s+defined\\s+as\\s+'([^']*)'".r
+            .findFirstMatchIn(rf).map(x => unescapeSqlBody(x.group(1)))
+            .orElse(prop("serialization.null.format")).getOrElse("\\N")
+          java.util.regex.Matcher.quoteReplacement(
+            s"INSERT OVERWRITE DIRECTORY '$path' USING csv OPTIONS (" +
+              s"sep '${escapeSqlBody(sep)}', quote '\\u0000', " +
+              s"nullValue '${escapeSqlBody(nullRep)}', emptyValue '')")
+        })
     }
   }
 

@@ -1416,6 +1416,15 @@ object QTestReplay {
               if (kv(0).trim.equalsIgnoreCase("hive.support.quoted.identifiers"))
                 spark.conf.set("spark.sql.parser.quotedRegexColumnNames",
                   kv(1).trim.equalsIgnoreCase("none").toString)
+              // positional alias confs map onto Spark's ordinal confs
+              if (kv(0).trim.equalsIgnoreCase("hive.groupby.position.alias") ||
+                  kv(0).trim.equalsIgnoreCase("hive.groupby.orderby.position.alias")) {
+                spark.conf.set("spark.sql.groupByOrdinal", kv(1).trim.toLowerCase)
+                if (kv(0).trim.toLowerCase.contains("orderby"))
+                  spark.conf.set("spark.sql.orderByOrdinal", kv(1).trim.toLowerCase)
+              }
+              if (kv(0).trim.equalsIgnoreCase("hive.orderby.position.alias"))
+                spark.conf.set("spark.sql.orderByOrdinal", kv(1).trim.toLowerCase)
             }
           } else try execDfs(c, refData) catch { case _: Exception => () }
         }
@@ -1567,8 +1576,10 @@ object QTestReplay {
       }
     } finally {
       dropOwned()
-      // per-file SET of the quoted-identifier mode must not leak
+      // per-file SETs of parser-mode confs must not leak
       spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
+      spark.conf.set("spark.sql.groupByOrdinal", "false")
+      spark.conf.set("spark.sql.orderByOrdinal", "false")
     }
     FileResult(name, checked, skipped, nondet, failures.result().take(3))
   }
