@@ -193,6 +193,11 @@ object QTestReplay {
     // would order where the reference did not
     s.conf.set("spark.sql.orderByOrdinal", "false")
     s.conf.set("spark.sql.groupByOrdinal", "false")
+    // the reference's 2.1 decimal arithmetic NEVER trades scale for
+    // integral headroom: multiply is (min(38,p1+p2+1), min(38,s1+s2))
+    // verbatim (GenericUDFOPMultiply.deriveResultDecimalTypeInfo) —
+    // Spark's no-precision-loss mode is that exact rule
+    s.conf.set("spark.sql.decimalOperations.allowPrecisionLoss", "false")
     // reference-dialect implicit coercions (timestamp/boolean-vs-numeric
     // comparisons as double, UDFToBoolean WHERE truthiness) — the
     // injected plans.HiveImplicitCoercion rule keys on this conf
@@ -1449,8 +1454,12 @@ object QTestReplay {
               likeTextCreate(spark, stmt, textTables) match {
                 case Some(sql) => spark.sql(sql)
                 case None =>
+                  // a CTAS body is a QUERY — it takes the same dialect
+                  // rewrites (numeric literal typing, struct naming, ...)
+                  val ctas = "(?is)\\bas\\s+(select|with)\\b".r
+                    .findFirstIn(stmt).isDefined
                   HiveDdl.translateStatements(stmt, textTables, insertTargets)
-                    .foreach(spark.sql(_))
+                    .foreach(s2 => spark.sql(if (ctas) HiveRewrites(s2) else s2))
               }
               // a container CREATE whose declared LOCATION already holds
               // raw files (dfs -put) ingests them (the parquet stand-in

@@ -101,6 +101,17 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                 if c.dataType == TimestampType && c.child.resolved &&
                   c.child.dataType == BooleanType =>
               Cast(Cast(c.child, IntegerType), TimestampType)
+            // an explicit decimal→string cast renders NORMALIZED there
+            // (HiveDecimal.toString strips trailing zeros; GenericUDFToString)
+            // — Spark keeps the declared scale's zeros
+            case c: Cast
+                if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+                  c.dataType == StringType && c.child.resolved &&
+                  c.child.dataType.isInstanceOf[DecimalType] =>
+              RegExpReplace(
+                RegExpReplace(Cast(c.child, StringType),
+                  Literal("([.][0-9]*?)0+$"), Literal("$1")),
+                Literal("[.]$"), Literal(""))
             // the reference's year()/month()/day()/hour()/minute()/
             // second() accept INTERVAL arguments (field extraction);
             // Spark spells those extract_* — re-point by child type
