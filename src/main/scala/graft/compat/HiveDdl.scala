@@ -226,6 +226,10 @@ object HiveDdl {
       Integer.parseInt(s.drop(1), 8).toChar.toString
     case s if s.startsWith("\\") && s.drop(1).forall(_.isDigit) =>
       throw new IllegalArgumentException(s"non-octal delimiter escape '$raw' in: $stmt")
+    case s if s.nonEmpty && s.forall(_.isDigit) && s.toInt <= 127 =>
+      // LazyUtils.getByte: a NUMERIC delimiter string is the byte VALUE
+      // ('9' is TAB, '10' is newline) — never the digit character
+      s.toInt.toChar.toString
     case s => s
   }
 
@@ -399,10 +403,17 @@ object HiveDdl {
     * text+view pair for [[viewBacked]] targets, else the single
     * [[translate]] result. */
   def translateStatements(stmt: String, textTables: Set[String],
-                          insertTargets: Set[String]): Seq[String] =
+                          insertTargets: Set[String],
+                          extendedBool: Boolean = false): Seq[String] =
     if (viewBacked(stmt, textTables, insertTargets))
-      textViewStatements(parseCreate(stmt).get, stmt)
+      textViewStatements(parseCreate(stmt).get, stmt, extendedBool)
     else Seq(translate(stmt, textTables))
+
+  /** Just the parsing-VIEW statement of a view-backed CREATE — for
+    * re-deriving the view when a serde-behavior conf flips mid-file
+    * (hive.lazysimple.extended_boolean_literal). */
+  def parsingViewStatement(stmt: String, extendedBool: Boolean): Option[String] =
+    parseCreate(stmt).map(p => textViewStatements(p, stmt, extendedBool).last)
 
   /** `name` for a view-backed table's underlying lines table. */
   def linesTable(name: String): String = name + "__lines"
@@ -410,7 +421,8 @@ object HiveDdl {
   /** Table a CREATE TABLE statement creates, if it parses as one. */
   def createdTable(stmt: String): Option[String] = parseCreate(stmt).map(_.name)
 
-  private def textViewStatements(p: Parsed, stmt: String): Seq[String] = {
+  private def textViewStatements(p: Parsed, stmt: String,
+                                 extendedBool: Boolean = false): Seq[String] = {
     checkLazyProps(p.tail, stmt)
     val (sep, nullRep) = textFormat(p.tail, stmt)
     val collectionDelim = delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt)
@@ -456,7 +468,7 @@ object HiveDdl {
           s"CASE WHEN size(__f) >= ${i + 1} THEN " +
             s"array_join(slice(__f, ${i + 1}, size(__f)), '${escape(sep)}') END"
         else s"element_at(__f, ${i + 1})"
-      parseField(src, t, 1, sepChar, nullRep) + s" AS `$n`"
+      parseField(src, t, 1, sepChar, nullRep, extendedBool) + s" AS `$n`"
     } ++ partCols.map { case (pn, _) => s"`$pn`" }
     val partPass = partCols.map { case (pn, _) => s", `$pn`" }.mkString
     val view = s"CREATE VIEW $ine`${p.name}` AS SELECT ${selects.mkString(", ")} " +
@@ -469,7 +481,8 @@ object HiveDdl {
     * parameters: collection items at one level deeper, map key-values
     * one deeper still, then \u0004, \u0005, ...). */
   private def parseField(e: String, typ: String, level: Int,
-                         sepChar: Int => Char, nullRep: String): String = {
+                         sepChar: Int => Char, nullRep: String,
+                         extendedBool: Boolean = false): String = {
     val t = typ.trim
     val lower = t.toLowerCase
     def nn(x: String) = s"nullif($x, '${escape(nullRep)}')"
@@ -479,7 +492,7 @@ object HiveDdl {
       // LazyArray: the empty string is an EMPTY array, not [""]
       s"CASE WHEN ${nn(e)} IS NULL THEN NULL WHEN $e = '' THEN array() ELSE " +
         s"transform(split($e, $d), __x$level -> " +
-        s"${parseField(s"__x$level", inner, level + 1, sepChar, nullRep)}) END"
+        s"${parseField(s"__x$level", inner, level + 1, sepChar, nullRep, extendedBool)}) END"
     } else if (lower.startsWith("map")) {
       val inner = t.substring(t.indexOf('<') + 1, t.lastIndexOf('>'))
       val parts = splitTop(inner)
@@ -497,8 +510,8 @@ object HiveDdl {
         s"THEN substring($p, instr($p, $d2chr) + 1) END"
       s"CASE WHEN ${nn(e)} IS NULL THEN NULL ELSE " +
         s"map_from_entries(transform(split($e, $d1), $p -> struct(" +
-        s"${parseField(kRaw, parts.head, level + 2, sepChar, nullRep)}, " +
-        s"${parseField(vRaw, parts(1), level + 2, sepChar, nullRep)}))) END"
+        s"${parseField(kRaw, parts.head, level + 2, sepChar, nullRep, extendedBool)}, " +
+        s"${parseField(vRaw, parts(1), level + 2, sepChar, nullRep, extendedBool)}))) END"
     } else if (lower.startsWith("struct")) {
       val inner = t.substring(t.indexOf('<') + 1, t.lastIndexOf('>'))
       val d = regexLit(sepChar(level).toString)
@@ -508,11 +521,21 @@ object HiveDdl {
         (f.substring(0, colon).trim.replace("`", ""), f.substring(colon + 1).trim)
       }
       val members = fields.zipWithIndex.map { case ((fn, ft), i) =>
-        s"'$fn', ${parseField(s"element_at(split($e, $d), ${i + 1})", ft, level + 1, sepChar, nullRep)}"
+        s"'$fn', ${parseField(s"element_at(split($e, $d), ${i + 1})", ft, level + 1, sepChar, nullRep, extendedBool)}"
       }
       s"CASE WHEN ${nn(e)} IS NULL THEN NULL ELSE named_struct(${members.mkString(", ")}) END"
     } else if (lower.startsWith("uniontype")) {
       throw new IllegalArgumentException(s"uniontype text column not translatable: $t")
+    } else if (lower == "boolean") {
+      // LazyBoolean.init: STRICT case-insensitive 'true'/'false' only;
+      // the extended-literal conf adds the single-char 1/t/T and 0/f/F
+      // forms — anything else is NULL (never Spark's permissive cast)
+      val ext =
+        if (extendedBool)
+          s" WHEN $e IN ('1', 't', 'T') THEN true WHEN $e IN ('0', 'f', 'F') THEN false"
+        else ""
+      s"CASE WHEN lower(${nn(e)}) = 'true' THEN true " +
+        s"WHEN lower(${nn(e)}) = 'false' THEN false$ext END"
     } else if (lower == "string") {
       nn(e)
     } else if ("^(char|varchar)\\s*\\(\\d+\\)$".r.findFirstIn(lower).isDefined) {

@@ -291,6 +291,16 @@ object QTestReplay {
       "var_samp", es => NaNvl(
         VarianceSamp(es.head, nullOnDivideByZero = false).toAggregateExpression(),
         Literal(0.0d)), "scala_udf")
+    // the reference's percentile_approx is the NumericHistogram
+    // algorithm (GenericUDAFPercentileApprox), not Spark's KLL-style
+    // sketch — values differ; the engine ships the bit-faithful
+    // aggregate (functions/NumericHistogram.scala)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "percentile_approx", es => {
+        val bins = if (es.length >= 3) es(2)
+          else org.apache.spark.sql.catalyst.expressions.Literal(10000)
+        graft.functions.HivePercentileApprox(es(0), es(1), bins)
+      }, "scala_udf")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "covar_samp", es => NaNvl(
         org.apache.spark.sql.catalyst.expressions.aggregate
@@ -1376,6 +1386,13 @@ object QTestReplay {
       .filter(s => HiveDdl.viewBacked(s, textTables, insertTargets))
       .flatMap(s => HiveDdl.createdTable(s).map(_.toLowerCase))
       .toSet
+    // boolean-bearing parsing views re-derive when the extended-literal
+    // conf flips mid-file (the serde decodes per READ, our view is
+    // built per CREATE)
+    val viewBackedCreates: Map[String, String] = stmts.iterator
+      .filter(s => HiveDdl.viewBacked(s, textTables, insertTargets) &&
+        "(?i)\\bboolean\\b".r.findFirstIn(s).isDefined)
+      .flatMap(s => HiveDdl.createdTable(s).map(_.toLowerCase -> s)).toMap
     dropOwned()
     initStmts.result().foreach { s =>
       try HiveDdl.translateStatements(s, Set.empty, Set.empty).foreach(spark.sql(_))
@@ -1430,6 +1447,17 @@ object QTestReplay {
               }
               if (kv(0).trim.equalsIgnoreCase("hive.orderby.position.alias"))
                 spark.conf.set("spark.sql.orderByOrdinal", kv(1).trim.toLowerCase)
+              if (kv(0).trim.equalsIgnoreCase("hive.int.timestamp.conversion.in.seconds"))
+                spark.conf.set("graft.compat.int.ts.seconds", kv(1).trim.toLowerCase)
+              if (kv(0).trim.equalsIgnoreCase("hive.lazysimple.extended_boolean_literal")) {
+                val ext = kv(1).trim.equalsIgnoreCase("true")
+                viewBackedCreates.foreach { case (t, cs) =>
+                  if (spark.catalog.tableExists(t))
+                    try HiveDdl.parsingViewStatement(cs, ext).foreach { v =>
+                      spark.sql(s"DROP VIEW IF EXISTS `$t`"); spark.sql(v); ()
+                    } catch { case _: Exception => () }
+                }
+              }
             }
           } else try execDfs(c, refData) catch { case _: Exception => () }
         }
@@ -1589,6 +1617,7 @@ object QTestReplay {
       spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
       spark.conf.set("spark.sql.groupByOrdinal", "false")
       spark.conf.set("spark.sql.orderByOrdinal", "false")
+      spark.conf.set("graft.compat.int.ts.seconds", "false")
     }
     FileResult(name, checked, skipped, nondet, failures.result().take(3))
   }

@@ -185,12 +185,22 @@ case class HivePercentileApprox(
     case d: java.lang.Number => d.doubleValue()
   }
 
-  private lazy val q: Double = toDouble(percentage.eval())
+  // scalar OR array-of-percentiles form (GenericUDAFPercentileApprox
+  // accepts both; the array form returns one quantile per entry, all
+  // read from the SAME histogram)
+  private lazy val qs: Seq[Double] = percentage.eval() match {
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      a.toDoubleArray().toIndexedSeq
+    case v => Seq(toDouble(v))
+  }
+  private lazy val arrayForm: Boolean =
+    percentage.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
   private lazy val bins: Int = toDouble(nBins.eval()).toInt
 
   override def children: Seq[Expression] = Seq(child, percentage, nBins)
   override def nullable: Boolean = true
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType =
+    if (arrayForm) org.apache.spark.sql.types.ArrayType(DoubleType) else DoubleType
   override def prettyName: String = "hive_percentile_approx"
 
   override def createAggregationBuffer(): StreamingHistogram = new StreamingHistogram(bins)
@@ -205,8 +215,14 @@ case class HivePercentileApprox(
     buffer.mergeWith(other)
 
   override def eval(buffer: StreamingHistogram): Any = {
-    val r = buffer.quantile(q)
-    if (r.isNaN) null else r
+    if (arrayForm) {
+      val rs = qs.map(buffer.quantile)
+      if (rs.exists(_.isNaN)) null
+      else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rs.toArray)
+    } else {
+      val r = buffer.quantile(qs.head)
+      if (r.isNaN) null else r
+    }
   }
 
   override def serialize(buffer: StreamingHistogram): Array[Byte] = buffer.serialize()

@@ -94,13 +94,29 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                   doubleCompare(cmp.left.dataType, cmp.right.dataType) =>
               cmp.withNewChildren(
                 Seq(Cast(cmp.left, DoubleType), Cast(cmp.right, DoubleType)))
-            // boolean→timestamp is 1 SECOND there (UDFToBoolean family
-            // treats integers as seconds; Spark's direct cast lands on
-            // 1 microsecond) — route through int
+            // integral/boolean→timestamp reads MILLISECONDS there by
+            // default (PrimitiveObjectInspectorUtils.getTimestamp
+            // intToTimestampInSeconds=false), SECONDS under
+            // hive.int.timestamp.conversion.in.seconds (which several
+            // corpus files SET mid-stream — the replay mirrors it into
+            // graft.compat.int.ts.seconds). Floats/doubles read seconds
+            // in both engines.
             case c: Cast
                 if c.dataType == TimestampType && c.child.resolved &&
-                  c.child.dataType == BooleanType =>
-              Cast(Cast(c.child, IntegerType), TimestampType)
+                  (c.child.dataType match {
+                    case ByteType | ShortType | IntegerType | LongType |
+                         BooleanType => true
+                    case _ => false
+                  }) =>
+              val seconds = conf
+                .getConfString("graft.compat.int.ts.seconds", "false").toBoolean
+              if (seconds) {
+                if (c.child.dataType == BooleanType)
+                  Cast(Cast(c.child, IntegerType), TimestampType)
+                else c // Spark's own integral cast IS seconds
+              } else
+                Cast(Divide(Cast(c.child, DoubleType), Literal(1000.0d)),
+                  TimestampType)
             // an explicit decimal→string cast renders NORMALIZED there
             // (HiveDecimal.toString strips trailing zeros; GenericUDFToString)
             // — Spark keeps the declared scale's zeros
