@@ -112,4 +112,42 @@ class HiveDdlSpec extends AnyFunSuite {
     val t = HiveDdl.translate(ddl("FIELDS TERMINATED BY ',' ESCAPED BY '\\\\'"), Set.empty)
     assert(t.contains("USING parquet"))
   }
+
+  test("boolean text fields decode the reference's LazyBoolean way: strict true/false, extended 1/t/0/f") {
+    // LazyBoolean.init (serde/.../lazy/LazyBoolean.java:50): strict mode
+    // accepts only case-insensitive 'true'/'false'; anything else is
+    // NULL — never Spark's permissive cast ('T', '1', 'yes' all decode
+    // true there). bool_literal.q.out pins the corpus behavior.
+    val Seq(_, strict) = HiveDdl.translateStatements(
+      "CREATE TABLE t (k int, v boolean) STORED AS TEXTFILE",
+      Set("t"), Set.empty)
+    assert(strict.contains("= 'true'") && strict.contains("= 'false'"), strict)
+    assert(!strict.toLowerCase.contains("as boolean)"), strict)
+    assert(!strict.contains("'t', 'T'"), strict)
+    // the extended-literal conf adds the single-char forms
+    val ext = HiveDdl.parsingViewStatement(
+      "CREATE TABLE t (k int, v boolean) STORED AS TEXTFILE", extendedBool = true).get
+    assert(ext.contains("'1', 't', 'T'") && ext.contains("'0', 'f', 'F'"), ext)
+  }
+
+  test("a NUMERIC delimiter string is the byte value (LazyUtils.getByte)") {
+    // FIELDS TERMINATED BY '9' is TAB in the reference, never the digit
+    // character — binarysortable_1.q.out splits its rows on the tab
+    val Seq(lines, view) = HiveDdl.translateStatements(
+      "CREATE TABLE t (key string, value string) ROW FORMAT DELIMITED " +
+        "FIELDS TERMINATED BY '9' STORED AS TEXTFILE",
+      Set("t"), Set.empty)
+    assert(view.contains("split(value, '\\\\Q\\t\\\\E')"), view)
+  }
+
+  test("char/varchar text fields truncate to their length before the typed cast") {
+    // HiveCharWritable.set(text, n): overflow TRUNCATES (the typed cast
+    // pads char readback); Spark's raw cast would error under
+    // preserveCharVarcharTypeInfo
+    val Seq(_, view) = HiveDdl.translateStatements(
+      "CREATE TABLE t (c char(3), v varchar(4)) STORED AS TEXTFILE",
+      Set("t"), Set.empty)
+    assert(view.contains("substr(") && view.contains("AS char(3)"), view)
+    assert(view.contains("AS varchar(4)"), view)
+  }
 }
