@@ -35,6 +35,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reference-dialect char(n) stripped-comparison semantics — inert
     // unless the session sets graft.compat.hive.char (the compat session)
     ext.injectResolutionRule(_ => new plans.HiveCharSemantics)
+    // Hive 2.1 decimal divide/avg result-type derivation — inert unless
+    // the session sets graft.compat.hive.decimal (the compat session)
+    ext.injectResolutionRule(_ => new plans.HiveDecimalArithmetic)
+    // reference-dialect per-UDF date/time string parsing (lenient SDF
+    // rolls, hour-of-date-only NULL, add_months end-of-month) — inert
+    // unless graft.compat.hive.coercion is set (the compat session)
+    ext.injectResolutionRule(_ => new plans.HiveDateTimeShims)
+    // reference RANGE-frame semantics over NULL ordering keys — inert
+    // unless graft.compat.hive.coercion is set (the compat session)
+    ext.injectResolutionRule(_ => new plans.HiveWindowNullRange)
+    // DISTINCT window aggregates over collect_set — inert unless
+    // graft.compat.hive.coercion is set (the compat session)
+    ext.injectResolutionRule(_ => new plans.HiveDistinctWindow)
     ext.injectOptimizerRule(s => new security.AuthorizationRule(() => s))
     ext.injectOptimizerRule(s => new plans.TableMaskRule(() => s))
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)

@@ -525,7 +525,23 @@ object HiveDdl {
       }
       s"CASE WHEN ${nn(e)} IS NULL THEN NULL ELSE named_struct(${members.mkString(", ")}) END"
     } else if (lower.startsWith("uniontype")) {
-      throw new IllegalArgumentException(s"uniontype text column not translatable: $t")
+      // LazyUnion: tag, then ONE level separator, then the active
+      // branch's text (which keeps deeper separators). Decoded into the
+      // declared struct-tag encoding (SURVEY §1.2): struct<tag:tinyint,
+      // field0..fieldN> with only the active branch non-null.
+      val inner = t.substring(t.indexOf('<') + 1, t.lastIndexOf('>'))
+      val branches = splitTop(inner)
+      val dchr = s"'${escape(sepChar(level).toString)}'"
+      val tagE = s"CASE WHEN instr($e, $dchr) > 0 " +
+        s"THEN substring($e, 1, instr($e, $dchr) - 1) ELSE $e END"
+      val restE = s"CASE WHEN instr($e, $dchr) > 0 " +
+        s"THEN substring($e, instr($e, $dchr) + 1) END"
+      val members = Seq(s"'tag', CAST($tagE AS TINYINT)") ++
+        branches.zipWithIndex.map { case (bt, i) =>
+          s"'field$i', CASE WHEN $tagE = '$i' THEN " +
+            s"${parseField(restE, bt, level + 1, sepChar, nullRep, extendedBool)} END"
+        }
+      s"CASE WHEN ${nn(e)} IS NULL THEN NULL ELSE named_struct(${members.mkString(", ")}) END"
     } else if (lower == "boolean") {
       // LazyBoolean.init: STRICT case-insensitive 'true'/'false' only;
       // the extended-literal conf adds the single-char 1/t/T and 0/f/F

@@ -405,13 +405,16 @@ object HiveRewrites {
         { val inner = expr.substring(1, expr.length - 1).trim
           if (inner.isEmpty) unwrapped = false else expr = inner }
       val conjuncts = splitTopAnd(expr)
+      // alias qualifiers only: a leading digit/dot means a decimal
+      // literal's fraction point (`a.x > 1.5` qualifies only `a`)
+      val AliasRef = "(?<![\\w.])([A-Za-z_]\\w*)\\s*\\.".r
       val (single, cross) = conjuncts.partition { c =>
-        "(\\w+)\\.".r.findAllMatchIn(c).map(_.group(1)).toSet.size == 1
+        AliasRef.findAllMatchIn(c).map(_.group(1)).toSet.size == 1
       }
       if (single.nonEmpty) {
         found = true
         single.foreach { c =>
-          val a = "(\\w+)\\.".r.findFirstMatchIn(c).get.group(1)
+          val a = AliasRef.findFirstMatchIn(c).get.group(1)
           pure(a) = pure.getOrElse(a, Vector.empty) :+ c
         }
         val kept = if (cross.isEmpty) "1=1" else cross.mkString(" AND ")
@@ -421,17 +424,26 @@ object HiveRewrites {
       true
     } }) ()
     if (!found) return stmt
-    // table refs: FROM/JOIN <table> <alias>
+    // table refs: FROM/JOIN <table> <alias>. Two-phase: every pushed
+    // alias must resolve to a replaceable plain-table ref FIRST — an
+    // alias this scan cannot locate (unaliased table, backticked name,
+    // derived-table input) would otherwise lose its predicate entirely
+    // when the ON above was already emptied.
     val stop = Set("where", "on", "select", "left", "right", "full", "inner",
       "cross", "join", "lateral", "tablesample", "group", "order", "sort",
       "cluster", "distribute", "limit", "union", "having")
+    val aliasSpans = Seq.newBuilder[Span]
+    val located = scala.collection.mutable.Set.empty[String]
     "(?is)\\b(from|join)\\s+([\\w.]+)\\s+(\\w+)".r.findAllMatchIn(stmt).foreach { m =>
       val alias = m.group(3)
       if (!stop(alias.toLowerCase)) pure.get(alias).foreach { conjs =>
-        spans += Span(m.start(2), m.end(3),
+        located += alias
+        aliasSpans += Span(m.start(2), m.end(3),
           s"(SELECT * FROM ${m.group(2)} $alias WHERE ${conjs.mkString(" AND ")}) $alias")
       }
     }
+    if (!pure.keysIterator.forall(located)) return stmt
+    spans ++= aliasSpans.result()
     val ordered = spans.result().sortBy(_.start)
     val sb = new StringBuilder
     var last = 0

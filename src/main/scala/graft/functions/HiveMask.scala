@@ -68,7 +68,12 @@ final case class HiveMaskExpr(children: Seq[Expression], mode: HiveMask.Mode)
   import HiveMask._
 
   override def nullable: Boolean = true
-  override def dataType: DataType = children.head.dataType
+  override def dataType: DataType = children.head.dataType match {
+    // the char/varchar adapters return fresh writables, not the input
+    // type — a char result renders at the writable's 255-char width
+    case _: CharType | _: VarcharType => StringType
+    case dt => dt
+  }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)
 
@@ -82,6 +87,11 @@ final case class HiveMaskExpr(children: Seq[Expression], mode: HiveMask.Mode)
     children.head.dataType match {
       case StringType | ByteType | ShortType | IntegerType | LongType | DateType | NullType =>
         TypeCheckResult.TypeCheckSuccess
+      // char/varchar reach the transformer through their
+      // Hive(Char|Varchar)TransformerAdapter (BaseMaskUDF.java:159) —
+      // char transforms its PADDED value and the char writable re-pads
+      // the result to MAX_CHAR_LENGTH (255); varchar is exact
+      case _: CharType | _: VarcharType => TypeCheckResult.TypeCheckSuccess
       case dt => TypeCheckResult.TypeCheckFailure(
         s"mask family does not support ${dt.simpleString} values " +
           "(the reference's BaseMaskUDF rejects them at initialize)")
@@ -210,8 +220,11 @@ final case class HiveMaskExpr(children: Seq[Expression], mode: HiveMask.Mode)
     if (v == null) return null
     val p = params(input)
     children.head.dataType match {
-      case StringType =>
+      case StringType | _: VarcharType =>
         UTF8String.fromString(transformString(v.asInstanceOf[UTF8String].toString, p))
+      case _: CharType => // padded in, re-padded to 255 out
+        val t = transformString(v.asInstanceOf[UTF8String].toString, p)
+        UTF8String.fromString(t.padTo(255, ' ').mkString)
       case ByteType => transformLong(v.asInstanceOf[Byte].toLong, p, 8).toByte
       case ShortType => transformLong(v.asInstanceOf[Short].toLong, p, 16).toShort
       case IntegerType => transformLong(v.asInstanceOf[Int].toLong, p, 32).toInt
@@ -234,8 +247,14 @@ final case class MaskHashExpr(child: Expression)
   override def eval(input: InternalRow): Any = child.eval(input) match {
     case s: UTF8String =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      UTF8String.fromString(
-        md.digest(s.getBytes).map(b => f"$b%02x").mkString)
+      val hex = md.digest(s.getBytes).map(b => f"$b%02x").mkString
+      child.dataType match {
+        // char input hashes its PADDED value into a char writable,
+        // which renders at the 255-char width (BaseMaskUDF adapters)
+        case _: org.apache.spark.sql.types.CharType =>
+          UTF8String.fromString(hex.padTo(255, ' ').mkString)
+        case _ => UTF8String.fromString(hex)
+      }
     case _ => null
   }
 }

@@ -82,7 +82,11 @@ final class StreamingHistogram(val maxBins: Int) extends Serializable {
       i += 1
     }
     val w = ys(best) + ys(best + 1)
-    xs(best) = (xs(best) * ys(best) + xs(best + 1) * ys(best + 1)) / w
+    // the reference's exact fp sequence (NumericHistogram.java:245-249:
+    // x *= y/d; x += x2/d*y2) — the algebraically-equal
+    // (x·y + x2·y2)/d rounds differently in the last ulp
+    xs(best) = xs(best) * (ys(best) / w)
+    xs(best) += xs(best + 1) / w * ys(best + 1)
     ys(best) = w
     System.arraycopy(xs, best + 2, xs, best + 1, n - best - 2)
     System.arraycopy(ys, best + 2, ys, best + 1, n - best - 2)

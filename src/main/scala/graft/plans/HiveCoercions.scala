@@ -115,8 +115,12 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                   Cast(Cast(c.child, IntegerType), TimestampType)
                 else c // Spark's own integral cast IS seconds
               } else
-                Cast(Divide(Cast(c.child, DoubleType), Literal(1000.0d)),
-                  TimestampType)
+                // exact: millis → micros by integer multiply (the
+                // reference builds `new Timestamp(millis)`); a double
+                // route would lose precision past 2^53 and can round
+                // negative epochs differently
+                MicrosToTimestamp(
+                  Multiply(Cast(c.child, LongType), Literal(1000L)))
             // an explicit decimal→string cast renders NORMALIZED there
             // (HiveDecimal.toString strips trailing zeros; GenericUDFToString)
             // — Spark keeps the declared scale's zeros
@@ -172,6 +176,21 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                   Seq(origin(cmp.left), lenientDateLit(origin(cmp.right)).get))
               else cmp.withNewChildren(
                 Seq(lenientDateLit(origin(cmp.left)).get, origin(cmp.right)))
+            // sum(string): GenericUDAFSum's merge sets empty=false
+            // BEFORE the double parse and iterate swallows the
+            // NumberFormatException — a non-null unparseable string
+            // makes the sum non-empty and adds nothing, so
+            // sum('val_20', ...) is 0.0 there, never NULL
+            // (ppd_windowing2 goldens). Spark's cast-to-null would
+            // leave the whole sum NULL.
+            case agg @ aggregate.AggregateExpression(
+                s: aggregate.Sum, _, _, _, _)
+                if s.child.resolved &&
+                  origin(s.child).dataType == StringType =>
+              val c = origin(s.child)
+              agg.copy(aggregateFunction = s.copy(child =
+                If(IsNull(c), Literal(null, DoubleType),
+                  Coalesce(Seq(Cast(c, DoubleType), Literal(0.0))))))
             // `decimal IN ('0.22', ...)`: the reference unifies IN lists
             // on the VALUE's type (decimal); Spark unifies on string and
             // compares rendered text ('0.220' ≠ '0.22')
@@ -217,6 +236,226 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
         case f @ Filter(cond, child) if cond.resolved && cond.dataType != BooleanType =>
           truthy(cond).map(t => Filter(t, child)).getOrElse(f)
       }
+    }
+}
+
+/** The reference's RANGE-frame semantics for rows whose ORDER key is
+  * NULL (WindowingTableFunction.ValueBoundaryScanner, the use-case
+  * table at WindowingTableFunction.java:968): under ASC nulls-first,
+  * a null-key row's frame is
+  *
+  *   - [partition start, end of the null run)  when lo ∈ {UNB P, N P}
+  *     and hi ∈ {CURRENT, N F} — the null PEER GROUP, which is exactly
+  *     Spark's frame too;
+  *   - EMPTY                                   when hi is N PRECEDING
+  *     (end scan returns 0) or both bounds sit at/after CURRENT
+  *     (start scans to the first non-null key);
+  *   - [first non-null, partition end)         when lo ∈ {CURRENT,
+  *     N F} and hi is UNB FOLLOWING — the NON-NULL rows only.
+  *
+  * Spark instead always gives null-key rows their peer group (plus the
+  * tail for unbounded-following). Both divergent cases contain NO
+  * null-key rows, so masking the aggregate's arguments with
+  * `IF(key IS NULL, NULL, arg)` reproduces them exactly: null rows
+  * aggregate nothing (sum→NULL, count→0 — Hive's empty-frame results)
+  * or only the non-null rows, while non-null rows are untouched (their
+  * value-range frames never include null-key rows in either engine).
+  * Gated on the compat conf; DESC / nulls-last frames are left to
+  * Spark (no corpus golden pins them).
+  */
+class HiveWindowNullRange extends Rule[LogicalPlan] {
+
+  import HiveWindowNullRange._
+
+  private sealed trait Kind
+  private case object UnbP extends Kind
+  private case object OffP extends Kind
+  private case object Cur extends Kind
+  private case object OffF extends Kind
+  private case object UnbF extends Kind
+
+  /** Foldable NUMERIC frame bound → its value in (signed) whole units;
+    * None for the special boundary markers and interval bounds. */
+  private def numericBound(b: Expression): Option[Long] = b match {
+    case UnboundedPreceding | UnboundedFollowing | CurrentRow => None
+    case e if e.resolved && e.foldable && e.dataType.isInstanceOf[NumericType] =>
+      e.eval() match {
+        case null => None
+        case n: Number => Some(n.longValue())
+        case d: Decimal => Some(d.toLong)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def kind(b: Expression): Option[Kind] = b match {
+    case UnboundedPreceding => Some(UnbP)
+    case UnboundedFollowing => Some(UnbF)
+    case CurrentRow => Some(Cur)
+    case e if e.foldable =>
+      e.eval() match {
+        case null => None
+        case n: Number =>
+          val v = n.doubleValue()
+          Some(if (v < 0) OffP else if (v > 0) OffF else Cur)
+        case d: Decimal =>
+          val v = d.toDouble
+          Some(if (v < 0) OffP else if (v > 0) OffF else Cur)
+        case _ => None // calendar intervals: sign not cheaply known
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.compat.hive.coercion", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case p =>
+        p.transformExpressionsUp {
+          // `range N preceding` over a TIMESTAMP ordering key: the
+          // reference reads N as SECONDS
+          // (TimestampValueBoundaryScanner); Spark demands an interval
+          case spec @ WindowSpecDefinition(_, Seq(so),
+              SpecifiedWindowFrame(RangeFrame, lo, hi))
+              if so.child.resolved && so.child.dataType == TimestampType &&
+                (numericBound(lo).isDefined || numericBound(hi).isDefined) =>
+            def conv(b: Expression): Expression = numericBound(b) match {
+              case Some(secs) => Literal.create(
+                java.time.Duration.ofSeconds(secs), DayTimeIntervalType())
+              case None => b
+            }
+            spec.copy(frameSpecification =
+              SpecifiedWindowFrame(RangeFrame, conv(lo), conv(hi)))
+
+          case we @ WindowExpression(ae: aggregate.AggregateExpression,
+              spec @ WindowSpecDefinition(_, Seq(so),
+                SpecifiedWindowFrame(RangeFrame, lo, hi)))
+              if we.getTagValue(MaskedTag).isEmpty && so.child.resolved &&
+                so.child.nullable && so.direction == Ascending &&
+                so.nullOrdering == NullsFirst &&
+                (for (l <- kind(lo); h <- kind(hi))
+                  yield h == OffP || l == Cur || l == OffF).getOrElse(false) =>
+            val key = so.child
+            val maskedAf = ae.aggregateFunction
+              .withNewChildren(ae.aggregateFunction.children.map(c =>
+                If(IsNull(key), Literal(null, c.dataType), c)))
+              .asInstanceOf[aggregate.AggregateFunction]
+            val out = WindowExpression(ae.copy(aggregateFunction = maskedAf), spec)
+            out.setTagValue(MaskedTag, ())
+            out
+        }
+    }
+}
+
+object HiveWindowNullRange {
+  val MaskedTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.window.nullrange")
+}
+
+/** DISTINCT window aggregates — COUNT/SUM/AVG(DISTINCT x) OVER w — which
+  * the reference's PTF executor supports (WindowingTableFunction wraps
+  * the UDAF over the de-duplicated frame) and Spark rejects outright
+  * (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED). Rewritten over
+  * `collect_set(x) OVER w` (null-free, distinct — exactly the value
+  * multiset the reference's evaluator sees), with the reference's
+  * type coercions: integral sums are bigint, string/timestamp sums
+  * convert per UDFToDouble with GenericUDAFSum's swallow-and-count
+  * parse failures (unparseable strings add 0), averages SKIP
+  * unparseable strings entirely (count stays 0 → NULL), decimal
+  * sum/avg take the reference's derived types. Gated on the compat
+  * conf. */
+class HiveDistinctWindow extends Rule[LogicalPlan] {
+
+  import aggregate._
+
+  private def setOver(c: Expression, spec: WindowSpecDefinition): Expression =
+    WindowExpression(
+      AggregateExpression(CollectSet(c), Complete, isDistinct = false), spec)
+
+  /** fold the collected set: aggregate(set, zero, (acc, v) -> acc + f(v)) */
+  private def foldSum(set: Expression, elemType: DataType, accType: DataType,
+                      zero: Expression, add: (Expression, Expression) => Expression): Expression = {
+    val acc = NamedLambdaVariable("acc", accType, nullable = true)
+    val v = NamedLambdaVariable("v", elemType, nullable = true)
+    val ident = NamedLambdaVariable("fin", accType, nullable = true)
+    ArrayAggregate(set, zero,
+      LambdaFunction(add(acc, v), Seq(acc, v)),
+      LambdaFunction(ident, Seq(ident)))
+  }
+
+  private def nullUnlessNonEmpty(set: Expression, agg: Expression,
+                                 t: DataType): Expression =
+    If(GreaterThan(Size(set, legacySizeOfNull = false), Literal(0)), agg,
+      Literal(null, t))
+
+  private def sumOf(c: Expression, spec: WindowSpecDefinition): Expression = {
+    val set = setOver(c, spec)
+    c.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        nullUnlessNonEmpty(set,
+          foldSum(set, c.dataType, LongType, Literal(0L),
+            (a, v) => Add(a, Cast(v, LongType))), LongType)
+      case d: DecimalType =>
+        val rt = DecimalType(math.min(38, d.precision + 10), d.scale)
+        nullUnlessNonEmpty(set,
+          Cast(foldSum(set, c.dataType, rt, Cast(Literal(0), rt),
+            (a, v) => Cast(Add(a, Cast(v, rt)), rt)), rt), rt)
+      case StringType =>
+        nullUnlessNonEmpty(set,
+          foldSum(set, c.dataType, DoubleType, Literal(0.0),
+            (a, v) => Add(a, Coalesce(Seq(Cast(v, DoubleType), Literal(0.0))))),
+          DoubleType)
+      case _ => // float/double/timestamp/boolean per UDFToDouble
+        nullUnlessNonEmpty(set,
+          foldSum(set, c.dataType, DoubleType, Literal(0.0),
+            (a, v) => Add(a, Cast(v, DoubleType))), DoubleType)
+    }
+  }
+
+  private def avgOf(c: Expression, spec: WindowSpecDefinition): Expression = {
+    val set0 = setOver(c, spec)
+    c.dataType match {
+      case d: DecimalType =>
+        val st = DecimalType(math.min(38, d.precision + 10), d.scale)
+        val at = HiveDecimalArith.avgType(d.precision, d.scale)
+        val sum = foldSum(set0, c.dataType, st, Cast(Literal(0), st),
+          (a, v) => Cast(Add(a, Cast(v, st)), st))
+        nullUnlessNonEmpty(set0,
+          Cast(Divide(sum, Cast(Size(set0, legacySizeOfNull = false),
+            DecimalType(10, 0))), at), at)
+      case StringType =>
+        // GenericUDAFAverage skips unparseable strings entirely
+        val v0 = NamedLambdaVariable("v", StringType, nullable = true)
+        val valid = ArrayFilter(set0,
+          LambdaFunction(IsNotNull(Cast(v0, DoubleType)), Seq(v0)))
+        val sum = foldSum(valid, StringType, DoubleType, Literal(0.0),
+          (a, v) => Add(a, Cast(v, DoubleType)))
+        nullUnlessNonEmpty(valid, Divide(sum,
+          Cast(Size(valid, legacySizeOfNull = false), DoubleType)), DoubleType)
+      case _ =>
+        val sum = foldSum(set0, c.dataType, DoubleType, Literal(0.0),
+          (a, v) => Add(a, Cast(v, DoubleType)))
+        nullUnlessNonEmpty(set0, Divide(sum,
+          Cast(Size(set0, legacySizeOfNull = false), DoubleType)), DoubleType)
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.compat.hive.coercion", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case p =>
+        p.transformExpressionsUp {
+          case WindowExpression(
+              ae @ AggregateExpression(af, _, true, _, _), spec: WindowSpecDefinition)
+              if af.children.forall(_.resolved) && af.children.size == 1 =>
+            val c = af.children.head
+            af match {
+              case _: Count => Size(setOver(c, spec), legacySizeOfNull = false)
+              case _: Sum => sumOf(c, spec)
+              case _: Average => avgOf(c, spec)
+              case _ => // min/max etc: DISTINCT cannot change the value
+                WindowExpression(ae.copy(isDistinct = false), spec)
+            }
+        }
     }
 }
 
@@ -288,19 +527,16 @@ class HiveCharSemantics extends Rule[LogicalPlan] {
     case _ => e
   }
 
-  /** 31^n as a wrapping Java int, n = 0..255 (MAX_CHAR_LENGTH). */
-  private lazy val pow31: Expression = {
-    val lits = Array.iterate(1, 256)(_ * 31)
-      .map(v => Literal(v): Expression).toIndexedSeq
-    CreateArray(lits)
-  }
-
   /** HiveCharWritable/HiveVarcharWritable.hashCode = Text.hashCode =
-    * WritableComparator.hashBytes with SEED 1, i.e. String-style hash
-    * (what HiveHash computes) PLUS 31^length; NULL hashes to 0. */
+    * WritableComparator.hashBytes with SEED 1 over the UTF-8 BYTES,
+    * i.e. 31^byteLen + the seed-0 byte hash HiveHash computes. A
+    * leading 0x01 byte reproduces the seed exactly (h = 31·0 + 1 = 1
+    * after one step), so hashing "\\u0001" ++ s under HiveHash IS the
+    * Text hash — byte-length-correct for any value, no length table.
+    * NULL hashes to 0. */
   private def textHash(s: Expression): Expression =
     If(IsNull(s), Literal(0),
-      Add(HiveHash(Seq(s)), ElementAt(pow31, Add(Length(s), Literal(1)))))
+      HiveHash(Seq(Concat(Seq(Literal("\u0001"), s)))))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("graft.compat.hive.char", "false").toBoolean) plan

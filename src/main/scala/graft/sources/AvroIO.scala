@@ -118,8 +118,13 @@ object AvroIO {
       case UNION =>
         val nonNull = s.getTypes.asScala.filter(_.getType != NULL)
         if (nonNull.size == 1) sparkDdlType(nonNull.head)
-        else throw new IllegalArgumentException(
-          s"AvroIO: multi-branch union (uniontype) not supported: $s")
+        else
+          // AvroSerDe reads a multi-branch union as uniontype<T0..Tn>
+          // (null branch = column nullability); map onto the engine's
+          // declared struct-tag encoding, matching HiveDdl's text lane
+          nonNull.zipWithIndex
+            .map { case (b, i) => s"field$i:${sparkDdlType(b)}" }
+            .mkString("struct<tag:tinyint,", ",", ">")
       case other => throw new IllegalArgumentException(
         s"AvroIO: unsupported avro type $other")
     }
