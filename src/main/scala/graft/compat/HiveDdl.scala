@@ -144,6 +144,14 @@ object HiveDdl {
             "(?i)\\b(array|map|struct|uniontype)\\s*<".r.findFirstIn(c).isDefined))
         throw new IllegalArgumentException(s"complex-typed text table in: $stmt")
 
+      // ORC tables render struct fields LOWERCASED (vector_complex_all's
+      // golden); parquet preserves the declared case
+      val colListFmt =
+        if (using == "USING orc")
+          "(?<=[<,])\\s*([A-Za-z_]\\w*)\\s*:".r
+            .replaceAllIn(colList, m => m.group(1).toLowerCase + ":")
+        else colList
+
       val pb = if (partCols.nonEmpty)
         s" PARTITIONED BY (${partCols.map(_._1).mkString(", ")})" else ""
       // loaded raw files are never Spark-bucketed, and Spark validates
@@ -162,7 +170,7 @@ object HiveDdl {
           require(cols.isEmpty && partCols.isEmpty, s"CTAS with explicit schema in: $stmt")
           s"CREATE TABLE $ine$tableName $using$cb$loc $q"
         case None =>
-          s"CREATE TABLE $ine$tableName ($colList) $using$pb$cb$loc"
+          s"CREATE TABLE $ine$tableName ($colListFmt) $using$pb$cb$loc"
       }
     case _ => throw new IllegalArgumentException(s"not a CREATE TABLE: $stmt")
   }
@@ -390,11 +398,13 @@ object HiveDdl {
     * row in LazySimpleSerDe), NUL bytes in data (csv needs a quote
     * char), and complex-typed columns (nested-delimiter parsing). */
   def viewBacked(stmt: String, textTables: Set[String],
-                 insertTargets: Set[String]): Boolean =
+                 insertTargets: Set[String] = Set.empty): Boolean =
     parseCreate(stmt).exists { p =>
       textTables.contains(p.name.toLowerCase) &&
-        !insertTargets.contains(p.name.toLowerCase) &&
         p.ctas.isEmpty && p.cols.isDefined &&
+        // partitioned tables take ALTER ADD PARTITION / per-partition
+        // LOADs, which a view cannot host
+        partitionedBy(p.tail).isEmpty &&
         serdeOf(p.tail).forall(_.endsWith("LazySimpleSerDe")) &&
         storedAsName(p.tail).forall(_ == "textfile")
     }
@@ -414,6 +424,18 @@ object HiveDdl {
     * (hive.lazysimple.extended_boolean_literal). */
   def parsingViewStatement(stmt: String, extendedBool: Boolean): Option[String] =
     parseCreate(stmt).map(p => textViewStatements(p, stmt, extendedBool).last)
+
+  /** The LazySimpleSerDe WRITE parameters of a text CREATE: (field
+    * separator, collection delim, mapkey delim, null representation) —
+    * for serializing INSERTed rows into the view-backed lines table. */
+  def textSerParams(stmt: String): Option[(String, Char, Char, String)] =
+    parseCreate(stmt).map { p =>
+      val (sep, nullRep) = textFormat(p.tail, stmt)
+      (sep,
+        delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt),
+        delimOf(p.tail, "map\\s+keys", "mapkey.delim", '\u0003', stmt),
+        nullRep)
+    }
 
   /** `name` for a view-backed table's underlying lines table. */
   def linesTable(name: String): String = name + "__lines"
@@ -518,7 +540,11 @@ object HiveDdl {
       val fields = splitTop(inner).map { f =>
         val colon = f.indexOf(':')
         require(colon > 0, s"unparseable struct field: $f")
-        (f.substring(0, colon).trim.replace("`", ""), f.substring(colon + 1).trim)
+        // the text serde's OIs carry LOWERCASED field names
+        // (parquet_create's staging golden renders {"a":...} for a
+        // declared struct<A:...>; the parquet serde preserves case)
+        (f.substring(0, colon).trim.replace("`", "").toLowerCase,
+          f.substring(colon + 1).trim)
       }
       val members = fields.zipWithIndex.map { case ((fn, ft), i) =>
         s"'$fn', ${parseField(s"element_at(split($e, $d), ${i + 1})", ft, level + 1, sepChar, nullRep, extendedBool)}"

@@ -40,7 +40,13 @@ package graft.compat
   */
 object HiveRewrites {
 
-  def apply(stmt: String): String = {
+  def apply(stmt: String): String = apply(stmt, transformUnescape = false)
+
+  def apply(stmt: String, transformUnescape: Boolean): String =
+    apply(stmt, transformUnescape, "HIVE_SCRIPT_OPERATOR_ID")
+
+  def apply(stmt: String, transformUnescape: Boolean,
+            scriptIdVar: String): String = {
     var s = stmt
     if (upper(s).contains("_UTF-8 0X")) s = utf8HexLiteral(s)
     if (upper(s).contains("GROUPING__ID")) s = hiveGroupingId(s)
@@ -48,8 +54,10 @@ object HiveRewrites {
     if (upper(s).startsWith("WITH") || "(?is)^\\s*with\\b".r.findFirstIn(s).isDefined)
       s = cteReorder(s)
     if (upper(s).contains("TRANSFORM")) {
+      s = usingSingleQuotes(s)
       s = stripLazySerde(s)
-      val t = transformTabFormat(s)
+      if (transformUnescape) s = transformUnescapeWrap(s)
+      val t = transformTabFormat(s, scriptIdVar)
       // the tab-format rewrite re-spells the command itself; only fall
       // back to the argv-only fix for the shapes it declined
       s = if (t == s) shellQuoteUsing(s) else t
@@ -60,6 +68,20 @@ object HiveRewrites {
     if (upper(s).contains("UNIQUEJOIN")) s = uniqueJoin(s)
     if (upper(s).contains("NOOP")) s = noopPtf(s)
     if (upper(s).contains("DEFAULT.")) s = stripDefaultDb(s)
+    // HiveParser puts = and IN at the SAME precedence, left-associative:
+    // `1 = 1 IN (true, false)` parses as `(1 = 1) IN (...)`; Spark's
+    // grammar rejects the chain outright, so parenthesize it
+    if (upper(s).contains(" IN"))
+      s = s.replaceAll(
+        "(?i)(?<![<>!=])\\b([\\w.'\\\"]+)\\s*=\\s*([\\w.'\\\"]+)\\s+IN\\s*\\(",
+        "($1 = $2) IN (")
+        .replaceAll(
+          "(?i)\\b([\\w.'\\\"]+)\\s+IN\\s*(\\([^()]*\\))\\s*=\\s*([\\w.'\\\"]+)",
+          "($1 IN $2) = $3")
+    // the INPUT__FILE__NAME virtual column IS Spark's input_file_name()
+    // (unqualified uses only — a join-side qualifier has no analog)
+    if (upper(s).contains("INPUT__FILE__NAME"))
+      s = s.replaceAll("(?i)(?<![\\w.])INPUT__FILE__NAME\\b", "input_file_name()")
     if (upper(s).contains("CAST") &&
         (upper(s).contains("CHAR") || upper(s).contains("VARCHAR")))
       s = charCastTruncate(s)
@@ -256,6 +278,55 @@ object HiveRewrites {
 
   private val UsingRe = "(?is)\\busing\\s+'((?:[^'\\\\]|\\\\.)*)'".r
 
+  private val UsingDq = "(?is)\\busing\\s+\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
+  /** `USING "cmd"` → `USING 'cmd'` so the argv rewrites (which anchor
+    * on the single-quoted form) see it; the body's escaped double
+    * quotes relax and bare single quotes re-escape. */
+  /** `hive.transform.escape.input=true`: the reference's
+    * TextRecordReader runs HiveUtils.unescapeText over each OUTPUT
+    * field -- `\\`->`\`, `\n`/`\r`/`\t` -> the real bytes -- observed
+    * per FIELD (an unescaped tab stays INSIDE its column;
+    * remote_script/newline goldens). Reproduced by wrapping the
+    * TRANSFORM in a projection that unescapes every output column. */
+  private[compat] def transformUnescapeWrap(stmt: String): String = {
+    val SelT = "(?is)\\bselect\\s+transform\\s*\\(".r
+    val m = SelT.findFirstMatchIn(stmt).getOrElse(return stmt)
+    val usingM = UsingRe.findFirstMatchIn(stmt.substring(m.start))
+      .getOrElse(return stmt)
+    val tail = stmt.substring(m.start + usingM.end)
+    val AsParenNames = "(?is)^\\s+as\\s*\\(([^)]*)\\)".r
+    val AsNames = ("(?is)^\\s+as\\s+(`?\\w+`?(?:\\s+\\w+(?:\\([\\d,\\s]*\\))?)?" +
+      "(?:\\s*,\\s*`?\\w+`?(?:\\s+\\w+(?:\\([\\d,\\s]*\\))?)?)*)").r
+    val rawNames = AsParenNames.findFirstMatchIn(tail).map(_.group(1))
+      .orElse(AsNames.findFirstMatchIn(tail).map(_.group(1)))
+      .getOrElse(return stmt)
+    val names = rawNames.split(",").map(_.trim.split("\\s+").head.replace("`", ""))
+    def unesc(c: String): String =
+      s"replace(replace(replace(replace(replace($c, '\\\\\\\\', char(7)), " +
+        s"'\\\\n', char(10)), '\\\\r', char(13)), '\\\\t', char(9)), " +
+        "char(7), '\\\\')"
+    val proj = names.map(n => s"${unesc(n)} AS $n").mkString(", ")
+    val prefix = stmt.substring(0, m.start)
+    // the INPUT side escapes symmetrically (TextRecordWriter under the
+    // same conf): real \ tab LF CR in a field reach the script as the
+    // two-character escapes, so embedded separators survive round trips
+    val openIdx = stmt.indexOf('(', m.start)
+    val closeIdx = HiveDdl.matchParen(stmt, openIdx)
+    def esc(c: String): String =
+      s"replace(replace(replace(replace($c, '\\\\', '\\\\\\\\'), " +
+        "char(9), '\\\\t'), char(10), '\\\\n'), char(13), '\\\\r')"
+    val args = splitTop(stmt.substring(openIdx + 1, closeIdx))
+      .map(a => esc(a.trim)).mkString(", ")
+    val inner = (stmt.substring(m.start, openIdx + 1) + args +
+      stmt.substring(closeIdx)).trim.stripSuffix(";")
+    s"$prefix SELECT $proj FROM ( $inner ) __transform_unesc"
+  }
+
+  private[compat] def usingSingleQuotes(stmt: String): String =
+    UsingDq.replaceAllIn(stmt, m => java.util.regex.Matcher.quoteReplacement(
+      "USING '" + m.group(1).replace("\\\"", "\"").replace("'", "\\'") + "'"))
+
   /** `USING '<cmd>'` → the command re-spelled so bash -c reproduces the
     * reference's argv. Skips commands that already split identically
     * under bash's simple whitespace rules (no tabs/quotes). */
@@ -263,7 +334,8 @@ object HiveRewrites {
     UsingRe.replaceAllIn(stmt, m => {
       val cmd = unescapeSqlBody(m.group(1))
       val argv = splitArgs(cmd)
-      val needsQuoting = cmd.exists(ch => ch == '\t' || ch == '\'' || ch == '"')
+      val needsQuoting =
+        cmd.exists(ch => ch == '\t' || ch == '\n' || ch == '\'' || ch == '"')
       if (!needsQuoting || argv.isEmpty) m.matched
       else java.util.regex.Matcher.quoteReplacement(
         "USING '" + escapeSqlBody(argv.map(shellQuote).mkString(" ")) + "'")
@@ -277,7 +349,10 @@ object HiveRewrites {
     * around every `TRANSFORM(...) USING` whose formats are defaulted;
     * statements with their own ROW FORMAT (or MAP/REDUCE spellings whose
     * input list has no closing paren to anchor on) pass through. */
-  private[compat] def transformTabFormat(stmt: String): String = {
+  private[compat] val scriptOpIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[compat] def transformTabFormat(stmt: String,
+      scriptIdVar: String = "HIVE_SCRIPT_OPERATOR_ID"): String = {
     if ("(?is)\\btransform\\s*\\(".r.findFirstIn(stmt).isEmpty) return stmt
     val usings = UsingRe.findAllMatchIn(stmt).toList
     if (usings.isEmpty) return stmt
@@ -321,9 +396,15 @@ object HiveRewrites {
       val argv = splitArgs(unescapeSqlBody(m.group(1)))
       val restOfLine = asClause.isEmpty
       val cmd0 = argv.map(shellQuote).mkString(" ")
+      // each script operator instance gets a UNIQUE id in its
+      // environment (ScriptOperator's HIVE_SCRIPT_OPERATOR_ID, name
+      // overridable via hive.script.operator.id.env.var)
+      val opId = scriptOpIds.incrementAndGet()
+      val envPrefix = s"export $scriptIdVar=$opId; "
       val cmd =
-        if (restOfLine) "set -o pipefail; " + cmd0 + " | sed -e 's/\\t/\\x02/'"
-        else cmd0
+        if (restOfLine)
+          "set -o pipefail; " + envPrefix + cmd0 + " | sed -e 's/\\t/\\x02/'"
+        else envPrefix + cmd0
       val outFmt =
         if (restOfLine) " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\u0002'"
         else Fmt

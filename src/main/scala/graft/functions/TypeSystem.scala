@@ -76,13 +76,64 @@ object TypeSystem {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The round-11 char(n) semantics (plans.HiveCharSemantics), driven
+    * through the gate: under preserveCharVarcharTypeInfo, typed char
+    * casts compare STRIPPED (char(15) = char(25) of the same text is
+    * TRUE — padded bytes differ), char->string casts strip, and the
+    * stored value pads to n (HiveChar.java compareTo/getValue). Confs
+    * restore after analysis so later gate queries see the engine
+    * defaults. */
+  val q307_char_stripped: Q = (s, d) => {
+    val prevPreserve = s.conf.get("spark.sql.preserveCharVarcharTypeInfo", "false")
+    s.conf.set("spark.sql.preserveCharVarcharTypeInfo", "true")
+    s.conf.set("graft.compat.hive.char", "true")
+    try {
+      Tables.part(s, d).createOrReplaceTempView("q307_part")
+      s.sql("""SELECT p_partkey,
+                      CAST(CAST(p_brand AS CHAR(15)) AS STRING) AS c15,
+                      (CAST(p_brand AS CHAR(15)) = CAST(p_brand AS CHAR(25))) AS eq_chars,
+                      length(CAST(p_brand AS CHAR(15))) AS len15
+               FROM q307_part WHERE p_partkey <= 500 ORDER BY p_partkey""")
+    } finally {
+      s.conf.set("spark.sql.preserveCharVarcharTypeInfo", prevPreserve)
+      s.conf.set("graft.compat.hive.char", "false")
+    }
+  }
+
+  /** The round-12 Hive 2.1 decimal DIVISION derivation
+    * (plans.HiveDecimalArithmetic; GenericUDFOPDivide
+    * .deriveResultDecimalTypeInfo): decimal(20,10) / int-literal-4
+    * derives decimal(22,12) there — p2 is the CONSTANT's digit count
+    * (1), scale = max(6, s1+p2+1) = 12 — where Spark's own rule gives
+    * scale 21. The string render pins the derived scale AND the
+    * HALF_UP value chain. */
+  val q308_decimal_hive_div: Q = (s, d) => {
+    s.conf.set("graft.compat.hive.decimal", "true")
+    try {
+      Tables.lineitem(s, d).createOrReplaceTempView("q308_lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+                      CAST(CAST(l_quantity AS DECIMAL(20,10)) / 4 AS STRING) AS divs
+               FROM q308_lineitem WHERE l_orderkey <= 300
+               ORDER BY l_orderkey, l_linenumber""")
+    } finally s.conf.set("graft.compat.hive.decimal", "false")
+  }
+
   val queries: Map[String, Q] = Map(
     "q107_decimal_arith" -> q107_decimal_arith,
     "q108_char_varchar" -> q108_char_varchar,
     "q109_intervals" -> q109_intervals,
+    "q307_char_stripped" -> q307_char_stripped,
+    "q308_decimal_hive_div" -> q308_decimal_hive_div,
   )
 
   val oracles: Map[String, String] = Map(
+    "q307_char_stripped" ->
+      """SELECT p_partkey, p_brand AS c15, true AS eq_chars, 15 AS len15
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+    "q308_decimal_hive_div" ->
+      """SELECT l_orderkey, l_linenumber, printf('%.12f', l_quantity / 4) AS divs
+        |FROM lineitem WHERE l_orderkey <= 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q107_decimal_arith" ->
       """SELECT l_returnflag,
         |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))

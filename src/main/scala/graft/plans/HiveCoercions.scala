@@ -176,6 +176,102 @@ class HiveImplicitCoercion extends Rule[LogicalPlan] {
                   Seq(origin(cmp.left), lenientDateLit(origin(cmp.right)).get))
               else cmp.withNewChildren(
                 Seq(lenientDateLit(origin(cmp.left)).get, origin(cmp.right)))
+            // sqrt of a NEGATIVE returns NULL there (UDFSqrt guards
+            // `if (i < 0) return null`), never NaN
+            case sq: Sqrt
+                if sq.getTagValue(HiveWindowNullRange.MaskedTag).isEmpty &&
+                  sq.child.resolved =>
+              val g = Sqrt(sq.child)
+              g.setTagValue(HiveWindowNullRange.MaskedTag, ())
+              If(LessThan(Cast(sq.child, DoubleType), Literal(0.0)),
+                Literal(null, DoubleType), g)
+            // log(base, x) with base <= 1 is NULL there (UDFLog's
+            // `if (base <= 1.0) return null`); Spark computes the math
+            case lg: Logarithm
+                if lg.getTagValue(HiveWindowNullRange.MaskedTag).isEmpty &&
+                  lg.left.resolved && lg.right.resolved =>
+              val g = Logarithm(lg.left, lg.right)
+              g.setTagValue(HiveWindowNullRange.MaskedTag, ())
+              If(LessThanOrEqual(Cast(lg.left, DoubleType), Literal(1.0)),
+                Literal(null, DoubleType), g)
+            // cast(boolean AS string) renders UPPERCASE there — the
+            // vectorized CastBooleanToString and LazyUtils both write
+            // 'TRUE'/'FALSE' (vectorized_casts golden)
+            case c: Cast
+                if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+                  c.dataType == StringType && c.child.resolved &&
+                  c.child.dataType == BooleanType =>
+              If(IsNull(c.child), Literal(null, StringType),
+                If(c.child, Literal("TRUE"), Literal("FALSE")))
+            // cast(timestamp|string AS boolean): UDFToBoolean truthiness
+            // (epoch != 0; string length != 0) — Spark nulls or rejects
+            case c: Cast
+                if c.dataType == BooleanType && c.child.resolved &&
+                  c.child.dataType == TimestampType =>
+              Not(EqualTo(Cast(c.child, DoubleType), Literal(0.0d)))
+            case c: Cast
+                if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+                  c.dataType == BooleanType && c.child.resolved &&
+                  c.child.dataType == StringType =>
+              If(IsNull(c.child), Literal(null, BooleanType),
+                GreaterThan(Length(c.child), Literal(0)))
+            // a user CAST(integral AS FLOAT) must keep its float
+            // ROUNDING: SimplifyCasts would collapse a following
+            // double-widening cast straight onto the integral
+            case c: Cast
+                if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+                  c.getTagValue(HiveWindowNullRange.MaskedTag).isEmpty &&
+                  c.dataType == FloatType && c.child.resolved &&
+                  (c.child.dataType match {
+                    case ByteType | ShortType | IntegerType | LongType => true
+                    case _ => false
+                  }) =>
+              c.setTagValue(HiveWindowNullRange.MaskedTag, ())
+              FloatBarrier(c)
+            // user CAST(timestamp AS double): TimestampWritable
+            // .getDouble computes floor-SECONDS + nanos/1e9 as a double
+            // ADDITION (-1.386s renders -1.3860000000000001); Spark's
+            // micros/1e6 rounds once and differs in the last ulp
+            case c: Cast
+                if c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined &&
+                  c.getTagValue(HiveWindowNullRange.MaskedTag).isEmpty &&
+                  c.dataType == DoubleType && c.child.resolved &&
+                  c.child.dataType == TimestampType =>
+              c.setTagValue(HiveWindowNullRange.MaskedTag, ())
+              val us = UnixMicros(c.child)
+              val mod = Pmod(us, Literal(1000000L))
+              val sec = IntegralDivide(Subtract(us, mod), Literal(1000000L))
+              Add(Cast(sec, DoubleType),
+                Divide(Cast(Multiply(mod, Literal(1000L)), DoubleType),
+                  Literal(1.0e9)))
+            // sign(decimal) is an INT there (UDFSign's decimal overload
+            // returns IntWritable); double input stays double
+            case sg: Signum
+                if sg.getTagValue(HiveWindowNullRange.MaskedTag).isEmpty &&
+                  sg.child.resolved &&
+                  origin(sg.child).dataType.isInstanceOf[DecimalType] =>
+              val g = Signum(sg.child)
+              g.setTagValue(HiveWindowNullRange.MaskedTag, ())
+              Cast(g, IntegerType)
+            // hex() has no double overload there — UDFHex's implicit
+            // conversion routes fractional numerics through STRING
+            // (hex(-200.0D) is hex('-200.0')); Spark's hex(double)
+            // two's-complements the long
+            case h: Hex
+                if h.child.resolved && (origin(h.child).dataType match {
+                  case FloatType | DoubleType | _: DecimalType => true
+                  case _ => false
+                }) =>
+              Hex(Cast(origin(h.child), StringType))
+            // RLIKE with an EMPTY pattern is FALSE there (UDFRegExp
+            // keeps a `pattern.length == 0 -> false` guard); Spark's
+            // empty regex matches everything
+            case rl @ RLike(l, r)
+                if l.resolved && r.resolved && r.foldable &&
+                  r.dataType == StringType && {
+                    val v = r.eval(); v != null && v.toString.isEmpty
+                  } =>
+              If(IsNull(l), Literal(null, BooleanType), Literal(false))
             // sum(string): GenericUDAFSum's merge sets empty=false
             // BEFORE the double parse and iterate swallows the
             // NumberFormatException — a non-null unparseable string
@@ -601,4 +697,20 @@ class HiveCharSemantics extends Rule[LogicalPlan] {
                 else markedCast(cs.child)))
         }
     }
+}
+
+/** Identity over a FLOAT value that the optimizer cannot see through:
+  * Spark's SimplifyCasts collapses `CAST(CAST(i AS FLOAT) AS DOUBLE)`
+  * into `CAST(i AS DOUBLE)`, skipping the float ROUNDING the reference
+  * applies (vectorized_casts pins `cast(cint as float) + double` at
+  * float precision). Wrapping the user's float cast keeps the rounding. */
+case class FloatBarrier(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = FloatType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "float_barrier"
+  override def nullSafeEval(v: Any): Any = v
+  override protected def withNewChildInternal(newChild: Expression): FloatBarrier =
+    copy(child = newChild)
 }

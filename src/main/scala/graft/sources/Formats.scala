@@ -267,7 +267,38 @@ object Formats {
       .orderBy(col("lang"))
   }
 
+  /** The round-11/12 avro.schema.literal INGESTION lane end to end:
+    * write a container file with AvroIO, derive the table columns from
+    * the embedded schema the way a `tblproperties('avro.schema.literal')`
+    * CREATE does (AvroIO.columnsOf -> sparkDdlType), create the table
+    * from that derived DDL, ingest the raw container through
+    * AvroIO.read, and aggregate. The oracle reads the same slice from
+    * parquet, so a type-mapping or decode divergence breaks the hash. */
+  val q309_avro_literal_ingest: Q = (s, d) => {
+    val src = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+    val path = tmpDir(d, "supplier_avro_lit")
+    AvroIO.write(src, path)
+    val literal = AvroIO.toAvroSchema(src.schema, "supplier").toString
+    val cols = AvroIO.columnsOf(literal)
+      .map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    s.sql("DROP TABLE IF EXISTS q309_avro_tbl")
+    s.sql(s"CREATE TABLE q309_avro_tbl ($cols) USING parquet")
+    AvroIO.read(s, path, s.table("q309_avro_tbl").schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto("q309_avro_tbl")
+    s.table("q309_avro_tbl")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+           min(col("s_name")).as("first_name"),
+           sum(col("s_acctbal").cast(DecimalType(20, 2)))
+             .cast("double").as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q309_avro_literal_ingest" -> q309_avro_literal_ingest,
     "q100_csv_roundtrip" -> q100_csv_roundtrip,
     "q302_skewed_route" -> q302_skewed_route,
     "q304_skewed_multi" -> q304_skewed_multi,
@@ -284,6 +315,10 @@ object Formats {
   /** Oracles read the SAME data straight from parquet — the round-trip
     * must be lossless for the hash to match. */
   val oracles: Map[String, String] = Map(
+    "q309_avro_literal_ingest" ->
+      """SELECT s_nationkey, count(*) AS n_supp, min(s_name) AS first_name,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q304_skewed_multi" ->
       """SELECT o_orderstatus, COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,

@@ -56,11 +56,19 @@ class HiveDdlSpec extends AnyFunSuite {
     assert(d.contains("nullValue '\\\\N'"), d)
   }
 
-  test("text LOAD targets without INSERTs become a lines table + parsing view") {
+  test("text LOAD targets become a lines table + parsing view") {
     val stmt = "CREATE TABLE t (a string, b array<int>, m map<string,string>, " +
       "s struct<x:int,y:string>) STORED AS TEXTFILE"
     assert(HiveDdl.viewBacked(stmt, load, Set.empty))
-    assert(!HiveDdl.viewBacked(stmt, load, Set("t"))) // insert target -> csv/decline
+    // round 12: INSERT targets are view-backed too — the replay rewrites
+    // their INSERTs into serialized lines, which is what preserves empty
+    // strings and complex types across the text round trip
+    assert(HiveDdl.viewBacked(stmt, load, Set("t")))
+    // partitioned text tables stay on the csv lane (ALTER ADD PARTITION
+    // and per-partition LOADs need a real table)
+    assert(!HiveDdl.viewBacked(
+      stmt.replace(" STORED AS", " PARTITIONED BY (p string) STORED AS"),
+      load, Set.empty))
     val Seq(create, view) = HiveDdl.translateStatements(stmt, load, Set.empty)
     assert(create.startsWith("CREATE TABLE `t__lines` (value STRING) USING text"), create)
     assert(view.startsWith("CREATE VIEW `t` AS SELECT"), view)
