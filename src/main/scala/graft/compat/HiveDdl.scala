@@ -262,8 +262,17 @@ object HiveDdl {
     "(?is)with\\s+serdeproperties\\s*\\(".r.findFirstMatchIn(tail).map { m =>
       val close = matchParen(tail, m.end - 1)
       require(close > 0, "unbalanced SERDEPROPERTIES")
-      "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(tail.substring(m.end, close))
-        .map(p => p.group(1) -> p.group(2)).toMap
+      locally {
+        val body = tail.substring(m.end, close)
+        val sq = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(body)
+          .map(p => p.group(1) -> p.group(2))
+        // double-quoted spellings, escape-aware (serde_regex's
+        // "input.regex" = "...\"...")
+        val dq = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*=\\s*" +
+          "\"((?:[^\"\\\\]|\\\\.)*)\"").r.findAllMatchIn(body)
+          .map(p => p.group(1) -> p.group(2))
+        (sq ++ dq).toMap
+      }
     }.getOrElse(Map.empty)
 
   /** TBLPROPERTIES ('k'='v', ...) as a map. */
@@ -271,8 +280,17 @@ object HiveDdl {
     "(?is)tblproperties\\s*\\(".r.findFirstMatchIn(tail).map { m =>
       val close = matchParen(tail, m.end - 1)
       require(close > 0, "unbalanced TBLPROPERTIES")
-      "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(tail.substring(m.end, close))
-        .map(p => p.group(1) -> p.group(2)).toMap
+      locally {
+        val body = tail.substring(m.end, close)
+        val sq = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(body)
+          .map(p => p.group(1) -> p.group(2))
+        // double-quoted spellings, escape-aware (serde_regex's
+        // "input.regex" = "...\"...")
+        val dq = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*=\\s*" +
+          "\"((?:[^\"\\\\]|\\\\.)*)\"").r.findAllMatchIn(body)
+          .map(p => p.group(1) -> p.group(2))
+        (sq ++ dq).toMap
+      }
     }.getOrElse(Map.empty)
 
   private def avroLiteralOf(tail: String): Option[String] =
@@ -405,7 +423,10 @@ object HiveDdl {
         // partitioned tables take ALTER ADD PARTITION / per-partition
         // LOADs, which a view cannot host
         partitionedBy(p.tail).isEmpty &&
-        serdeOf(p.tail).forall(_.endsWith("LazySimpleSerDe")) &&
+        serdeOf(p.tail).forall(c =>
+          c.endsWith("LazySimpleSerDe") ||
+            // RegexSerDe: read-only view over regexp_extract groups
+            (c.endsWith("RegexSerDe") && serdeProps(p.tail).contains("input.regex"))) &&
         storedAsName(p.tail).forall(_ == "textfile")
     }
 
@@ -445,6 +466,34 @@ object HiveDdl {
 
   private def textViewStatements(p: Parsed, stmt: String,
                                  extendedBool: Boolean = false): Seq[String] = {
+    // RegexSerDe: one capture group per column over a FULL-match regex
+    // (serde2.RegexSerDe uses matcher.matches(); unmatched lines are
+    // all-NULL rows). Spark's regexp_extract finds, so the pattern
+    // anchors through a non-capturing wrapper.
+    if (serdeOf(p.tail).exists(_.endsWith("RegexSerDe"))) {
+      val regex = HiveRewrites.unescapeSqlBody(serdeProps(p.tail)("input.regex"))
+      val ine0 = if (p.ifNotExists) "IF NOT EXISTS " else ""
+      val lines0 = linesTable(p.name)
+      val loc0 = locationOf(p.tail).fold("")(l => s" LOCATION '$l'")
+      val create0 =
+        s"CREATE TABLE $ine0`$lines0` (value STRING) USING text$loc0"
+      val anchored = "^(?:" + regex + ")$"
+      val cols0 = splitTop(p.cols.get).map { c =>
+        val t = c.trim
+        val name = t.split("\\s+", 2).head.replace("`", "")
+        val typ = t.drop(t.split("\\s+", 2).head.length).trim
+        (name, "(?is)\\s+comment\\s+'.*$".r.replaceFirstIn(typ, "").trim)
+      }
+      val pat = HiveRewrites.escapeSqlBody(anchored)
+      val sel = cols0.zipWithIndex.map { case ((n, t), i) =>
+        s"CAST(CASE WHEN value RLIKE '$pat' THEN " +
+          s"nullif(regexp_extract(value, '$pat', ${i + 1}), '') END " +
+          s"AS $t) AS `$n`"
+      }
+      val view0 = s"CREATE VIEW $ine0`${p.name}` AS SELECT " +
+        s"${sel.mkString(", ")} FROM `$lines0`"
+      return Seq(create0, view0)
+    }
     checkLazyProps(p.tail, stmt)
     val (sep, nullRep) = textFormat(p.tail, stmt)
     val collectionDelim = delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt)

@@ -2189,14 +2189,19 @@ object QTestDiscover {
     // — set it before the context starts. Discovery owns its JVM; the
     // in-suite spec instead pins only zone-independent files (generate
     // that list with QTEST_HARNESS_TZ=none).
-    if (!sys.env.get("QTEST_HARNESS_TZ").contains("none"))
+    // tz mode: env QTEST_HARNESS_TZ or a `tz=none` trailing arg (the
+    // sbt server cannot receive per-command env vars)
+    val tzNone = sys.env.get("QTEST_HARNESS_TZ").contains("none") ||
+      args.contains("tz=none")
+    if (!tzNone)
       java.util.TimeZone.setDefault(
         java.util.TimeZone.getTimeZone("America/Los_Angeles"))
     val spark = QTestReplay.compatSession(
       graft.Session.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")),
       "/root/reference/data/files")
     // optional third arg: comma-separated basenames to replay (triage)
-    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    val only = args.lift(2).filterNot(_ == "tz=none")
+      .map(_.split(",").map(_.trim).toSet)
     val files = Files.list(Paths.get(resultsDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".q.out"))
       .filter(f => only.forall(_.contains(Paths.get(f).getFileName.toString)))

@@ -284,6 +284,18 @@ object Formats {
     val cols = AvroIO.columnsOf(literal)
       .map { case (n, t) => s"`$n` $t" }.mkString(", ")
     s.sql("DROP TABLE IF EXISTS q309_avro_tbl")
+    // the catalog is per-JVM but the managed warehouse dir persists —
+    // a prior run's location would fail this run's CREATE
+    locally {
+      val wh = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+        "q309_avro_tbl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      if (wh.exists()) rm(wh)
+    }
     s.sql(s"CREATE TABLE q309_avro_tbl ($cols) USING parquet")
     AvroIO.read(s, path, s.table("q309_avro_tbl").schema)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
