@@ -102,9 +102,12 @@ object HiveDdl {
           "USING json"
         } else if (isLoadTarget && serde.contains("OpenCSVSerde")) {
           val props = serdeProps(tail)
-          val sep = props.getOrElse("separatorChar", ",")
-          val quote = props.getOrElse("quoteChar", "\"")
-          val esc = props.getOrElse("escapeChar", "\\")
+          // double-quoted serde property VALUES arrive SQL-escaped
+          // ("escapeChar" = "\\" is one backslash)
+          def un(v: String) = HiveRewrites.unescapeSqlBody(v)
+          val sep = props.get("separatorChar").map(un).getOrElse(",")
+          val quote = props.get("quoteChar").map(un).getOrElse("\"")
+          val esc = props.get("escapeChar").map(un).getOrElse("\\")
           s"""USING csv OPTIONS (sep '${escape(sep)}', quote '${escape(quote)}', escape '${escape(esc)}', nullValue '\\u0000', emptyValue '')"""
         } else if (isLoadTarget && serde.isDefined && !lazySerde) {
           throw new IllegalArgumentException(
@@ -298,6 +301,15 @@ object HiveDdl {
       // the literal sits inside a single-quoted SQL string, so its JSON
       // quotes arrive escaped (\") — undo the SQL-literal escaping
       .map(HiveRewrites.unescapeSqlBody)
+      // avro.schema.url: same contract, schema read from a (local) file
+      // (AvroSerdeUtils.determineSchemaOrThrowException's url branch)
+      .orElse((serdeProps(tail) ++ tblProps(tail)).get("avro.schema.url")
+        .map(_.stripPrefix("file:")).filter(u => !u.contains("://"))
+        .flatMap { u =>
+          try Some(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(u)), java.nio.charset.StandardCharsets.UTF_8))
+          catch { case _: Exception => None }
+        })
 
   /** Binary container format of a CREATE TABLE tail, when it declares
     * one — by STORED AS keyword, by INPUTFORMAT class, or by SERDE class
@@ -418,7 +430,10 @@ object HiveDdl {
   def viewBacked(stmt: String, textTables: Set[String],
                  insertTargets: Set[String] = Set.empty): Boolean =
     parseCreate(stmt).exists { p =>
-      textTables.contains(p.name.toLowerCase) &&
+      (textTables.contains(p.name.toLowerCase) ||
+        // an explicit LOCATION can be fed externally (dfs -put) — raw
+        // text only a text reader preserves
+        locationOf(p.tail).isDefined) &&
         p.ctas.isEmpty && p.cols.isDefined &&
         // partitioned tables take ALTER ADD PARTITION / per-partition
         // LOADs, which a view cannot host

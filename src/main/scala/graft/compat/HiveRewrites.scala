@@ -62,6 +62,8 @@ object HiveRewrites {
       // back to the argv-only fix for the shapes it declined
       s = if (t == s) shellQuoteUsing(s) else t
     }
+    if (upper(s).contains("OVER") && upper(s).contains("GROUP"))
+      s = windowAliasSubst(s)
     if (upper(s).contains("PARTITIONED ON")) s = viewPartitionedOn(s)
     if (upper(s).contains("TABLESAMPLE")) s = bucketSampleOn(s)
     if (upper(s).contains("RANGE")) s = rangeFrameNoOrder(s)
@@ -86,7 +88,14 @@ object HiveRewrites {
         (upper(s).contains("CHAR") || upper(s).contains("VARCHAR")))
       s = charCastTruncate(s)
     if (upper(s).contains("STRUCT")) s = hiveStructCalls(s)
-    if (upper(s).contains("DIRECTORY")) s = overwriteDirectory(s)
+    if (upper(s).contains("DIRECTORY")) {
+      // normalize double-quoted directory paths onto the single-quoted
+      // shape the rewrite anchors on (root_dir_external_table)
+      s = "(?is)\\b(directory)\\s+\"([^\"]+)\"".r
+        .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)} '${m.group(2)}'"))
+      s = overwriteDirectory(s)
+    }
     s = hiveNumericLiterals(s)
     s
   }
@@ -530,6 +539,41 @@ object HiveRewrites {
     var last = 0
     ordered.foreach { s =>
       sb.append(stmt.substring(last, s.start)).append(s.repl); last = s.end
+    }
+    sb.append(stmt.substring(last))
+    sb.toString
+  }
+
+  /** HiveQL resolves SELECT-list ALIASES inside window specs — `max(c)
+    * comments ... rank() OVER (ORDER BY comments)` orders by the
+    * aggregate (groupby_grouping_window); Spark resolves the raw column
+    * and rejects it as non-aggregating. Substitute aggregate aliases
+    * into OVER bodies. */
+  private[compat] def windowAliasSubst(stmt: String): String = {
+    val AggAlias = ("(?i)\\b((?:max|min|sum|avg|count)\\s*\\([^()]*\\))" +
+      "\\s+(?:as\\s+)?([A-Za-z_]\\w*)").r
+    val stop = Set("over", "from", "as", "where", "group", "order", "limit",
+      "having", "union", "on", "join", "and", "or", "then", "else", "end",
+      "when", "in", "is", "not", "like", "desc", "asc")
+    val aliases = AggAlias.findAllMatchIn(stmt)
+      .map(m => m.group(2) -> m.group(1)).toList
+      .filterNot { case (a, _) => stop(a.toLowerCase) }
+    if (aliases.isEmpty) return stmt
+    val sb = new StringBuilder
+    var last = 0
+    "(?i)\\bover\\s*\\(".r.findAllMatchIn(stmt).foreach { m =>
+      val open = m.end - 1
+      val close = HiveDdl.matchParen(stmt, open)
+      if (close > 0 && m.start >= last) {
+        var body = stmt.substring(open + 1, close)
+        aliases.foreach { case (a, expr) =>
+          body = body.replaceAll(
+            "(?i)(?<![.\\w])" + java.util.regex.Pattern.quote(a) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(expr))
+        }
+        sb.append(stmt.substring(last, open + 1)).append(body)
+        last = close
+      }
     }
     sb.append(stmt.substring(last))
     sb.toString

@@ -1015,7 +1015,11 @@ object QTestReplay {
     import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
     val tmpBase = JPaths.get(System.getProperty("java.io.tmpdir"), "qtest_tmp")
     def inTmp(p: String): Boolean = JPaths.get(p).normalize.startsWith(tmpBase)
+    // dfs arguments may carry a file: scheme after re-rooting — the
+    // local filesystem ops below want bare paths
     val toks = cmd.split("\\s+").toSeq
+      .map(t => if (t.startsWith("file://")) t.stripPrefix("file://")
+                else t.stripPrefix("file:"))
     toks match {
       case Seq(_, mk, dir) if mk.contains("mkdir") || mk.contains("test.dfs.mkdir") =>
         if (inTmp(dir)) { JFiles.createDirectories(JPaths.get(dir)); () }
@@ -1028,7 +1032,17 @@ object QTestReplay {
           else JPaths.get(refData, JPaths.get(src).getFileName.toString)
         }
         JFiles.createDirectories(JPaths.get(dst).getParent)
-        if (JFiles.exists(from)) {
+        if (JFiles.isDirectory(from)) {
+          // directory sources copy recursively (ext_test_space)
+          def rec(sf: java.io.File, df: java.io.File): Unit =
+            if (sf.isDirectory) {
+              JFiles.createDirectories(df.toPath)
+              Option(sf.listFiles()).foreach(_.foreach(c => rec(c, new java.io.File(df, c.getName))))
+            } else {
+              JFiles.copy(sf.toPath, df.toPath, StandardCopyOption.REPLACE_EXISTING); ()
+            }
+          rec(from.toFile, new java.io.File(dst))
+        } else if (JFiles.exists(from)) {
           JFiles.copy(from, JPaths.get(dst), StandardCopyOption.REPLACE_EXISTING); ()
         }
       case Seq(_, "-cp", src, dst) if inTmp(dst) =>
@@ -1039,8 +1053,12 @@ object QTestReplay {
             JFiles.createDirectories(d.toPath)
             Option(s.listFiles()).foreach(_.foreach(c => copy(c, new java.io.File(d, c.getName))))
           } else if (s.isFile) {
-            JFiles.createDirectories(d.toPath.getParent)
-            JFiles.copy(s.toPath, d.toPath, StandardCopyOption.REPLACE_EXISTING)
+            // a DIRECTORY destination (dfs-style trailing slash) takes
+            // the source's file name
+            val t = if (d.isDirectory || dst.endsWith("/"))
+              new java.io.File(d, s.getName) else d
+            JFiles.createDirectories(t.toPath.getParent)
+            JFiles.copy(s.toPath, t.toPath, StandardCopyOption.REPLACE_EXISTING)
             ()
           }
         copy(new java.io.File(src), new java.io.File(dst))
@@ -1778,8 +1796,12 @@ object QTestReplay {
       // the harness's ProxyLocalFileSystem scheme IS the local fs
       .replace("pfile://", "file://")
       // ${system:hive.root} = the reference checkout (read-only source
-      // of dfs -cp commands)
-      .replace("${system:hive.root}", refData.stripSuffix("/data/files"))
+      // of dfs -cp commands); the harness value carries a TRAILING
+      // SLASH (compustat_avro spells ${system:hive.root}data/files/...)
+      .replace("${system:hive.root}", refData.stripSuffix("data/files"))
+      // hdfs:/// scratch roots land on the local scratch area
+      .replace("hdfs:///", "file:" +
+        System.getProperty("java.io.tmpdir") + "/qtest_tmp/hdfsroot/")
     val withCmds0 = parseQWithCommands(
       new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
       .map { case (cmds, st) => (cmds.map(tmpReroot), tmpReroot(st)) }
