@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash, PolyHash, Reflect2, VectorDot}
+import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash, ParseUrlTuple, PolyHash, Reflect2, VectorDot}
 
 /** Session-extension entry point — the engine's custom Catalyst
   * expressions and aggregates registered the way a cluster deployment
@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DISTINCT window aggregates over collect_set — inert unless
     // graft.compat.hive.coercion is set (the compat session)
     ext.injectResolutionRule(_ => new plans.HiveDistinctWindow)
+    // UNION branch widening to Hive's common class (string+double →
+    // double) — inert unless graft.compat.hive.coercion is set
+    ext.injectResolutionRule(_ => new plans.HiveUnionWiden)
+    // RANGE-frame peers over TIMESTAMP keys compare at SECONDS there
+    // (LongValueBoundaryScanner) — inert unless compat coercion is set
+    ext.injectResolutionRule(_ => new plans.HiveTimestampRangePeers)
     ext.injectOptimizerRule(s => new security.AuthorizationRule(() => s))
     ext.injectOptimizerRule(s => new plans.TableMaskRule(() => s))
     ext.injectOptimizerRule(_ => plans.FirstTokenRewrite)
@@ -84,5 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("reflect2"),
       new ExpressionInfo(classOf[Reflect2].getName, "reflect2"),
       es => Reflect2(es)))
+    // parse_url_tuple UDTF — a Generator, so both reference invocation
+    // forms (`LATERAL VIEW parse_url_tuple(...)` and `SELECT
+    // parse_url_tuple(...) AS (a, b, ...)`) resolve from SQL
+    ext.injectFunction((
+      FunctionIdentifier("parse_url_tuple"),
+      new ExpressionInfo(classOf[ParseUrlTuple].getName, "parse_url_tuple"),
+      es => ParseUrlTuple(es)))
   }
 }

@@ -126,6 +126,12 @@ object HiveDdl {
           case Some(other) => throw new IllegalArgumentException(
             s"untranslatable STORED AS $other in: $stmt")
         } else {
+          // the csv reader has no unquoted-field escaping — ESCAPED BY
+          // targets go through the lines-table view instead; a csv-lane
+          // arrival (INSERT-receiving or partitioned) declines loudly
+          if (escapedByOf(tail).isDefined)
+            throw new IllegalArgumentException(
+              s"ESCAPED BY not reproducible by the csv mapping in: $stmt")
           val (sep, nullRep) = textFormat(tail, stmt)
           // LazySimpleSerDe: no quoting, \N nulls. csv needs SOME quote
           // char — NUL never occurs in the corpus data
@@ -204,9 +210,6 @@ object HiveDdl {
     *    primitive schemas they are invisible, so they pass through.
     * NULL DEFINED AS maps directly onto the csv nullValue option. */
   private def textFormat(tail: String, stmt: String): (String, String) = {
-    if ("(?is)escaped\\s+by\\s+'".r.findFirstIn(tail).isDefined)
-      throw new IllegalArgumentException(
-        s"ESCAPED BY not reproducible by the csv mapping in: $stmt")
     "(?is)lines\\s+terminated\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail).foreach { m =>
       if (unescapeDelim(m.group(1), stmt) != "\n")
         throw new IllegalArgumentException(
@@ -224,6 +227,13 @@ object HiveDdl {
       .getOrElse(props.getOrElse("serialization.null.format", "\\N"))
     (sep, nullRep)
   }
+
+  /** ESCAPED BY character, if declared (LazySimpleSerDe's escape byte;
+    * serde2/lazy/LazySimpleSerDe — escape char before a field separator
+    * makes it data, and `\\x` unescapes to `x` on read). */
+  private[compat] def escapedByOf(tail: String): Option[String] =
+    "(?is)escaped\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail)
+      .map(m => unescapeDelim(m.group(1), tail))
 
   /** One delimiter char, unescaping the reference's spellings: '\t',
     * '\n', and `\ooo` OCTAL escapes (BaseSemanticAnalyzer
@@ -466,6 +476,10 @@ object HiveDdl {
     * for serializing INSERTed rows into the view-backed lines table. */
   def textSerParams(stmt: String): Option[(String, Char, Char, String)] =
     parseCreate(stmt).map { p =>
+      // the INSERT serializer does not (yet) escape data bytes — decline
+      // rather than write a silently-unescaped file
+      require(escapedByOf(p.tail).isEmpty,
+        s"INSERT into an ESCAPED BY text table not supported: $stmt")
       val (sep, nullRep) = textFormat(p.tail, stmt)
       (sep,
         delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt),
@@ -542,18 +556,33 @@ object HiveDdl {
       s" PARTITIONED BY (${partCols.map(_._1).mkString(", ")})" else ""
     val loc = location.fold("")(l => s" LOCATION '$l'")
     val create = s"CREATE TABLE $ine`$lines` (value STRING$partDecl) USING text$partBy$loc"
-    val fieldSplit = s"split(value, ${regexLit(sep)})"
+    // ESCAPED BY: a field separator preceded by the escape byte is data
+    // (LazySimpleSerDe); split on un-escaped separators only, then strip
+    // the escapes per field. One-char lookbehind — an escaped escape
+    // (`\\`) immediately before a real separator would mis-split; no
+    // corpus data (and no sane file) spells that.
+    val escBy = escapedByOf(p.tail)
+    def reQuote(c: Char): String =
+      if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) "\\" + c else c.toString
+    val fieldSplit = escBy match {
+      case Some(e) =>
+        s"split(value, '${escape("(?<!" + reQuote(e.head) + ")" + sep.map(reQuote).mkString)}')"
+      case None => s"split(value, ${regexLit(sep)})"
+    }
     // serialization.last.column.takes.rest: the final column absorbs the
     // remainder of the line, separators included (PlanUtils default-
     // schema behavior, opted into per table by the property)
     val takesRest = serdeProps(p.tail)
       .get("serialization.last.column.takes.rest").exists(_.equalsIgnoreCase("true"))
     val selects = cols.zipWithIndex.map { case ((n, t), i) =>
-      val src =
+      val src0 =
         if (takesRest && i == cols.size - 1)
           s"CASE WHEN size(__f) >= ${i + 1} THEN " +
             s"array_join(slice(__f, ${i + 1}, size(__f)), '${escape(sep)}') END"
         else s"element_at(__f, ${i + 1})"
+      // strip escape bytes: `\x` decodes to `x` (LazyString unescaping)
+      val src = escBy.fold(src0)(e =>
+        s"regexp_replace($src0, '${escape(reQuote(e.head) + "(.)")}', '$$1')")
       parseField(src, t, 1, sepChar, nullRep, extendedBool) + s" AS `$n`"
     } ++ partCols.map { case (pn, _) => s"`$pn`" }
     val partPass = partCols.map { case (pn, _) => s", `$pn`" }.mkString

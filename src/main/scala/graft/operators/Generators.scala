@@ -123,7 +123,26 @@ object Generators {
         |ORDER BY n DESC, w, m""".stripMargin)
   }
 
+  /** The reference's SQL invocation form, end to end: `LATERAL VIEW
+    * parse_url_tuple(...)` resolved through the registered Generator
+    * (functions/ParseUrlTuple.scala; GraftExtensions injects it), not
+    * the Scala helper — what a migrating user actually types
+    * (ql/.../GenericUDTFParseUrlTuple.java:55, FunctionRegistry.java:450). */
+  val q310_parse_url_tuple_sql: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, pr, ho, pa, qu, qc
+        |FROM (SELECT c_custkey,
+        |        concat('https://shop.example.com/', c_mktsegment,
+        |               '/item?cust=', c_custkey, '&seg=', c_mktsegment) AS u
+        |      FROM customer WHERE c_custkey <= 200) t
+        |LATERAL VIEW parse_url_tuple(u, 'PROTOCOL', 'HOST', 'PATH', 'QUERY',
+        |                             'QUERY:cust') b AS pr, ho, pa, qu, qc
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q310_parse_url_tuple_sql" -> q310_parse_url_tuple_sql,
     "q181_lateral_chain" -> q181_lateral_chain,
     "q105_inline" -> q105_inline,
     "q106_parse_url_tuple" -> q106_parse_url_tuple,
@@ -135,6 +154,14 @@ object Generators {
   )
 
   val oracles: Map[String, String] = Map(
+    "q310_parse_url_tuple_sql" ->
+      """SELECT c_custkey,
+        |  'https' AS pr,
+        |  'shop.example.com' AS ho,
+        |  '/' || c_mktsegment || '/item' AS pa,
+        |  'cust=' || c_custkey || '&seg=' || c_mktsegment AS qu,
+        |  CAST(c_custkey AS VARCHAR) AS qc
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
     "q105_inline" ->
       """SELECT p_partkey, 'brand' AS attr, p_brand AS value
         |FROM part WHERE p_partkey < 100

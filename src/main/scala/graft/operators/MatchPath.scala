@@ -56,7 +56,30 @@ object MatchPath {
       .orderBy(col("user_id"), col("end_event_id"))
   }
 
-  val queries: Map[String, Q] = Map("q98_matchpath" -> q98_matchpath)
+  /** The reference's PTF invocation SYNTAX end to end: `from
+    * matchpath(on T distribute by ... sort by ... argN(...))` through
+    * [[MatchPathSql.rewrite]] (parse/PTFTranslator.java's clause,
+    * udf/ptf/MatchPath.java's matcher) — pattern `V.P` = every
+    * view-immediately-followed-by-purchase adjacency. */
+  val q311_matchpath_sql: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("mp_events")
+    val sql =
+      """select user_id, view_event_id, purchase_event_id
+        |from matchpath(on mp_events
+        |    distribute by user_id
+        |    sort by ts, event_id
+        |  arg1('V.P'),
+        |  arg2('V'), arg3(event_type = 'view'),
+        |  arg4('P'), arg5(event_type = 'purchase'),
+        |  arg6('user_id, event_id as view_event_id,
+        |        tpath[1].event_id as purchase_event_id'))
+        |order by user_id, view_event_id""".stripMargin
+    s.sql(MatchPathSql.rewrite(s, sql))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q98_matchpath" -> q98_matchpath,
+    "q311_matchpath_sql" -> q311_matchpath_sql)
 
   /** The same matches via gaps-and-islands SQL: for each purchase, the
     * count of consecutive 'view' rows immediately before it. */
@@ -78,5 +101,19 @@ object MatchPath {
         |FROM v
         |WHERE event_type = 'purchase' AND n_views > 0
         |ORDER BY user_id, end_event_id""".stripMargin,
+    "q311_matchpath_sql" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nt,
+        |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY rn) AS nid
+        |  FROM e)
+        |SELECT user_id, event_id AS view_event_id, nid AS purchase_event_id
+        |FROM p WHERE event_type = 'view' AND nt = 'purchase'
+        |ORDER BY user_id, view_event_id""".stripMargin,
   )
 }

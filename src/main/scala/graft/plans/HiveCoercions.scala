@@ -704,6 +704,118 @@ class HiveCharSemantics extends Rule[LogicalPlan] {
   * into `CAST(i AS DOUBLE)`, skipping the float ROUNDING the reference
   * applies (vectorized_casts pins `cast(cint as float) + double` at
   * float precision). Wrapping the user's float cast keeps the rounding. */
+/** RANGE-frame peer equality over a TIMESTAMP order key is
+  * SECONDS-based there: getBoundaryScanner maps TIMESTAMP onto
+  * LongValueBoundaryScanner (WindowingTableFunction.java:1163), whose
+  * isEqual compares PrimitiveObjectInspectorUtils.getLong = Timestamp
+  * Writable.getSeconds() — sub-second differences do NOT split peer
+  * groups, so `sum(b) over (partition by s order by ts)` over rows a
+  * few micros apart aggregates the WHOLE second as one peer group
+  * (windowing_multipartitioning's goldens carry the full-partition
+  * sums). Spark compares full-precision micros. Re-key the window's
+  * RANGE ordering at seconds (Cast ts→long = floor seconds — monotone,
+  * so only tie structure changes, which is exactly the point).
+  * Aggregate window functions only: rank/lag/lead never consult the
+  * boundary scanner. Gated on graft.compat.hive.coercion. */
+class HiveTimestampRangePeers extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+
+  private def defaultRange(f: Expression): Boolean = f match {
+    case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => true
+    case UnspecifiedFrame => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.compat.hive.coercion", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case p => p.transformExpressionsUp {
+        case we @ WindowExpression(fn: AggregateExpression,
+            spec @ WindowSpecDefinition(_, Seq(so), frame))
+            if so.child.resolved && so.child.dataType == TimestampType &&
+              defaultRange(frame) =>
+          we.copy(windowSpec = spec.copy(orderSpec =
+            Seq(so.copy(child = Cast(so.child, LongType)))))
+      }
+    }
+}
+
+/** UNION branch common-type widening, the reference way
+  * (FunctionRegistry.getCommonClassForUnionAll:680): a STRING branch
+  * unioned with a DOUBLE (or DECIMAL) branch widens to the NUMERIC type
+  * — `implicitConvertible(string, double)` holds there — where Spark's
+  * WidenSetOperationTypes picks STRING (union32's
+  * `CAST(key AS DOUBLE) UNION ALL CAST(key AS BIGINT)` renders '0.0'
+  * beside '0' here, '0.0 0.0' there). All other pairings agree between
+  * the two engines, so this rule fires only on the string-vs-
+  * double/decimal corner: it recovers each branch's PRE-coercion type
+  * by unwrapping the non-user to-string cast Spark inserted, folds the
+  * reference's common type across branches, and re-casts the union
+  * OUTPUT (keeping exprIds, so enclosing operators stay bound).
+  * Gated on graft.compat.hive.coercion — inert in engine sessions. */
+class HiveUnionWiden extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Union}
+  import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+  private val Done = TreeNodeTag[Unit]("graft.hive.unionwiden")
+
+  /** Column i's type BEFORE Spark's set-op widening: unwrap the
+    * coercion-inserted (non-user) cast to string over a numeric. */
+  private def preCoercion(child: LogicalPlan, i: Int): DataType = child match {
+    case Project(pl, _) => pl(i) match {
+      case Alias(c: Cast, _)
+          if c.dataType == StringType &&
+            c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+            c.child.resolved && c.child.dataType.isInstanceOf[NumericType] =>
+        c.child.dataType
+      case e => e.dataType
+    }
+    case p => p.output(i).dataType
+  }
+
+  /** getCommonClassForUnionAll restricted to the divergent corner. The
+    * reference's derivation is ORDER-SENSITIVE — it tests
+    * `implicitConvertible(a, b)` before `(b, a)` — so `string UNION ALL
+    * double` widens to DOUBLE (string converts implicitly to double)
+    * while `double UNION ALL string` yields STRING (number→string group
+    * conversion, tested first). Spark picks string in BOTH directions;
+    * only the string-first-numeric-second corner diverges. Same for
+    * decimal, the other numeric type string implicitly converts to. */
+  private def common(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if a == b => Some(a)
+    case (StringType, DoubleType) => Some(DoubleType)
+    case (StringType, d: DecimalType) => Some(d)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.compat.hive.coercion", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case u: Union
+          if u.resolved && u.getTagValue(Done).isEmpty &&
+            u.children.length >= 2 =>
+        u.setTagValue(Done, ())
+        val n = u.children.head.output.length
+        val targets = (0 until n).map { i =>
+          val pres = u.children.map(c => preCoercion(c, i))
+          if (pres.distinct.length <= 1) None
+          else pres.tail.foldLeft(Option(pres.head)) {
+            case (Some(acc), t) => common(acc, t)
+            case (None, _) => None
+          }.filter(t => u.output(i).dataType == StringType &&
+            t != StringType)
+        }
+        if (targets.forall(_.isEmpty)) u
+        else Project(u.output.zipWithIndex.map { case (a, i) =>
+          targets(i) match {
+            case Some(t) =>
+              Alias(Cast(a, t), a.name)(exprId = a.exprId): NamedExpression
+            case None => a: NamedExpression
+          }
+        }, u)
+    }
+}
+
 case class FloatBarrier(child: Expression)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

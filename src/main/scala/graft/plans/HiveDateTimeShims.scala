@@ -39,9 +39,11 @@ import org.apache.spark.sql.types._
   *    COMPARISON class — double when there is none
   *    (FunctionRegistry.getCommonClassForComparison).
   *
-  * All string shims fold LITERAL arguments at analysis time (the
-  * corpus's usage); non-foldable string columns keep Spark's cast
-  * path, which agrees on well-formed values.
+  * LITERAL string arguments fold at analysis time; non-foldable string
+  * COLUMNS evaluate the same parse per row through
+  * [[HiveLenientDate]]/[[HiveStrictTimestamp]] (hour/minute/second were
+  * always runtime-guarded via the RLIKE time-bearing test), so column
+  * data parses like the reference too.
   */
 object HiveDateTimeShims {
   /** Marks nodes this rule already rewrote (fixed-point guard). */
@@ -64,6 +66,43 @@ object HiveDateTimeShims {
     try Some(java.sql.Timestamp.valueOf(s.trim)) catch {
       case _: Exception => None
     }
+}
+
+/** Per-row lenient "yyyy-MM-dd" parse (string → DATE) — the runtime
+  * form of [[HiveDateTimeShims.lenientDateDays]], so NON-LITERAL string
+  * columns get the reference's GenericUDF.getDateValue semantics
+  * (lenient roll, trailing text ignored, non-matching prefix → NULL)
+  * instead of Spark's strict cast. CodegenFallback: compat-session-only
+  * and O(1)/row, same class as HiveRand. */
+case class HiveLenientDate(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    HiveDateTimeShims.lenientDateDays(s.toString) match {
+      case Some(d) => d
+      case None => null
+    }
+  override protected def withNewChildInternal(newChild: Expression): HiveLenientDate =
+    copy(child = newChild)
+}
+
+/** Per-row strict `yyyy-mm-dd hh:mm:ss[.f]` parse (string → TIMESTAMP,
+  * java.sql.Timestamp.valueOf), NULL on mismatch — the runtime form of
+  * [[HiveDateTimeShims.strictTimestamp]] for months_between's
+  * timestamp-first argument rule. */
+case class HiveStrictTimestamp(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    HiveDateTimeShims.strictTimestamp(s.toString) match {
+      case Some(ts) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
+      case None => null
+    }
+  override protected def withNewChildInternal(newChild: Expression): HiveStrictTimestamp =
+    copy(child = newChild)
 }
 
 class HiveDateTimeShims extends Rule[LogicalPlan] {
@@ -93,6 +132,26 @@ class HiveDateTimeShims extends Rule[LogicalPlan] {
         case Some(days) => Literal(days, DateType)
         case None => Literal(null, DateType)
       }
+    }
+
+  /** Lenient date parse for LITERAL or COLUMN string args: literals
+    * fold at analysis time, columns evaluate per row. */
+  private def lenientDateExpr(e: Expression): Option[Expression] =
+    lenientDateLiteral(e).orElse {
+      val o = origin(e)
+      if (o.dataType == StringType && !o.foldable) Some(HiveLenientDate(o))
+      else None
+    }
+
+  /** months_between arg for literal or column strings: strict timestamp
+    * first, else the lenient DATE parse at session-zone midnight. */
+  private def tsOrDateExpr(e: Expression): Option[Expression] =
+    tsOrDateLiteral(e).orElse {
+      val o = origin(e)
+      if (o.dataType == StringType && !o.foldable)
+        Some(If(IsNotNull(HiveStrictTimestamp(o)), HiveStrictTimestamp(o),
+          Cast(HiveLenientDate(o), TimestampType)))
+      else None
     }
 
   /** months_between arg: strict timestamp, else lenient date midnight. */
@@ -204,7 +263,7 @@ class HiveDateTimeShims extends Rule[LogicalPlan] {
           // for every input type
           case am @ AddMonths(d0, n)
               if am.getTagValue(Done).isEmpty && d0.resolved && n.resolved =>
-            val d1 = lenientDateLiteral(d0).getOrElse(d0)
+            val d1 = lenientDateExpr(d0).getOrElse(d0)
             val d = if (d1.dataType == DateType) d1 else Cast(d1, DateType)
             def marked(): Expression = {
               val e = AddMonths(d, n)
@@ -215,25 +274,25 @@ class HiveDateTimeShims extends Rule[LogicalPlan] {
 
           case LastDay(d0)
               if d0.resolved && isStringy(d0) &&
-                lenientDateLiteral(d0).isDefined =>
-            LastDay(lenientDateLiteral(d0).get)
+                lenientDateExpr(d0).isDefined =>
+            LastDay(lenientDateExpr(d0).get)
 
           case q @ Quarter(d0)
               if d0.resolved && isStringy(d0) &&
-                lenientDateLiteral(d0).isDefined =>
-            Quarter(lenientDateLiteral(d0).get)
+                lenientDateExpr(d0).isDefined =>
+            Quarter(lenientDateExpr(d0).get)
 
           case t @ TruncDate(d0, fmt)
               if d0.resolved && isStringy(d0) &&
-                lenientDateLiteral(d0).isDefined =>
-            TruncDate(lenientDateLiteral(d0).get, fmt)
+                lenientDateExpr(d0).isDefined =>
+            TruncDate(lenientDateExpr(d0).get, fmt)
 
           case mb @ MonthsBetween(d1, d2, r, tz)
               if d1.resolved && d2.resolved &&
-                (tsOrDateLiteral(d1).isDefined ||
-                  tsOrDateLiteral(d2).isDefined) =>
-            MonthsBetween(tsOrDateLiteral(d1).getOrElse(d1),
-              tsOrDateLiteral(d2).getOrElse(d2), r, tz)
+                (tsOrDateExpr(d1).isDefined ||
+                  tsOrDateExpr(d2).isDefined) =>
+            MonthsBetween(tsOrDateExpr(d1).getOrElse(d1),
+              tsOrDateExpr(d2).getOrElse(d2), r, tz)
 
           // datediff: the reference subtracts RAW millis — strings
           // parse to UTC midnight, DATE values carry LOCAL midnight,
