@@ -153,10 +153,12 @@ object HiveDdl {
             "(?i)\\b(array|map|struct|uniontype)\\s*<".r.findFirstIn(c).isDefined))
         throw new IllegalArgumentException(s"complex-typed text table in: $stmt")
 
-      // ORC tables render struct fields LOWERCASED (vector_complex_all's
-      // golden); parquet preserves the declared case
+      // ORC and container-format (avro/rcfile/sequencefile) tables
+      // render struct fields LOWERCASED (vector_complex_all's and
+      // avro_nullable_fields' goldens — the reference's serde OIs store
+      // lowercased names); the parquet serde preserves the declared case
       val colListFmt =
-        if (using == "USING orc")
+        if (using == "USING orc" || container.isDefined)
           "(?<=[<,])\\s*([A-Za-z_]\\w*)\\s*:".r
             .replaceAllIn(colList, m => m.group(1).toLowerCase + ":")
         else colList
@@ -222,8 +224,10 @@ object HiveDdl {
       .orElse(props.get("serialization.format").filter(_.nonEmpty)
         .map(f => if (f.forall(_.isDigit)) f.toInt.toChar.toString else f))
       .getOrElse("\u0001")
+    // NULL DEFINED AS takes a full SQL string, not a one-char delimiter:
+    // `null defined as '\\N'` means the two characters \N (nullMap.q)
     val nullRep = "(?is)null\\s+defined\\s+as\\s+'([^']*)'".r.findFirstMatchIn(tail)
-      .map(m => unescapeDelim(m.group(1), stmt))
+      .map(m => HiveRewrites.unescapeSqlBody(m.group(1)))
       .getOrElse(props.getOrElse("serialization.null.format", "\\N"))
     (sep, nullRep)
   }
@@ -262,6 +266,9 @@ object HiveDdl {
     // anything else declines there).
     "(?is)stored\\s+as\\s+(\\w+)".r.findFirstMatchIn(tail).map(_.group(1).toLowerCase) match {
       case Some("directories") => None // SKEWED ... STORED AS DIRECTORIES
+      // the harness registers CustomTextStorageFormatDescriptor, a
+      // named alias for the plain text format (storage_format_descriptor)
+      case Some("customtextserde") => Some("textfile")
       case other => other
     }
   }

@@ -456,6 +456,14 @@ object QTestReplay {
                   Literal(i)), v, Literal.create(null, v.dataType)))
             })
       }, "scala_udf")
+    // map_keys over a NULL map returns an EMPTY list there
+    // (GenericUDFMapKeys.evaluate returns its cleared reusable array
+    // when getMap is null — nullMap.q's golden renders `[]` for a NULL
+    // content map); Spark's MapKeys is null-propagating
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "map_keys", es => org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        org.apache.spark.sql.catalyst.expressions.MapKeys(es.head),
+        org.apache.spark.sql.catalyst.expressions.CreateArray(Nil))), "scala_udf")
     // field(needle, v1..vn) = 1-based index of the first match, 0 when
     // absent/null (UDFField.java)
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
