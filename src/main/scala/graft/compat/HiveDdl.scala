@@ -366,7 +366,8 @@ object HiveDdl {
     "serialization.encoding", "hive.serialization.extend.nesting.levels",
     "hive.serialization.extend.additional.nesting.levels")
 
-  private def checkLazyProps(tail: String, stmt: String): Unit = {
+  private def checkLazyProps(tail: String, stmt: String,
+                             allowEncoding: Boolean = false): Unit = {
     val props = serdeProps(tail)
     val bad = props.keySet.filterNot(LazyProps)
     if (bad.nonEmpty) throw new IllegalArgumentException(
@@ -376,11 +377,22 @@ object HiveDdl {
         s"line.delim other than newline not translatable in: $stmt")
     }
     props.get("serialization.encoding").foreach { enc =>
-      if (!enc.equalsIgnoreCase("utf-8") && !enc.equalsIgnoreCase("utf8"))
+      // the lines-table lane TRANSCODES at LOAD (QTestReplay's LOAD
+      // lane reads the declared charset, writes UTF-8), so any JVM
+      // charset is fine there; the csv lane still declines
+      if (!enc.equalsIgnoreCase("utf-8") && !enc.equalsIgnoreCase("utf8") &&
+          !(allowEncoding && java.nio.charset.Charset.isSupported(enc)))
         throw new IllegalArgumentException(
           s"non-UTF-8 serialization.encoding '$enc' not translatable in: $stmt")
     }
   }
+
+  /** The declared non-UTF-8 serialization.encoding of a CREATE, if any
+    * (LazySimpleSerDe decodes file bytes with it; encoding_nonutf8). */
+  private[compat] def encodingOf(stmt: String): Option[String] =
+    parseCreate(stmt)
+      .flatMap(p => serdeProps(p.tail).get("serialization.encoding"))
+      .filterNot(e => e.equalsIgnoreCase("utf-8") || e.equalsIgnoreCase("utf8"))
 
   /** (name, type) pairs of PARTITIONED BY — Hive declares types there. */
   private def partitionedBy(tail: String): Seq[(String, String)] =
@@ -530,7 +542,7 @@ object HiveDdl {
         s"${sel.mkString(", ")} FROM `$lines0`"
       return Seq(create0, view0)
     }
-    checkLazyProps(p.tail, stmt)
+    checkLazyProps(p.tail, stmt, allowEncoding = true)
     val (sep, nullRep) = textFormat(p.tail, stmt)
     val collectionDelim = delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt)
     val mapkeyDelim = delimOf(p.tail, "map\\s+keys", "mapkey.delim", '\u0003', stmt)

@@ -83,10 +83,12 @@ object HiveRewrites {
           "(?i)\\b([\\w.'\\\"]+)\\s+IN\\s*(\\([^()]*\\))\\s*=\\s*([\\w.'\\\"]+)",
           "($1 IN $2) = $3")
     // the INPUT__FILE__NAME virtual column IS Spark's input_file_name()
-    // (unqualified uses only — a join-side qualifier has no analog;
-    // BACKTICKED spellings are the __vc fixture COLUMN and stay put)
+    // — spelled through the compat session's deterministic wrapper so
+    // aggregate arguments accept it (bucket5's COUNT(DISTINCT ...));
+    // unqualified uses only (a join-side qualifier has no analog), and
+    // BACKTICKED spellings are the __vc fixture COLUMN and stay put
     if (upper(s).contains("INPUT__FILE__NAME"))
-      s = s.replaceAll("(?i)(?<![\\w.`])INPUT__FILE__NAME\\b(?!`)", "input_file_name()")
+      s = s.replaceAll("(?i)(?<![\\w.`])INPUT__FILE__NAME\\b(?!`)", "graft_input_file()")
     if (upper(s).contains("CAST") &&
         (upper(s).contains("CHAR") || upper(s).contains("VARCHAR")))
       s = charCastTruncate(s)

@@ -39,6 +39,21 @@ import org.apache.spark.sql.types._
   * own harness sorts under `-- SORT_QUERY_RESULTS`. Multiset equality
   * still pins row count, every value, and every rendering decision.
   */
+/** The reference's INPUT__FILE__NAME virtual column as a DETERMINISTIC
+  * expression — same task-local value as Spark's input_file_name()
+  * (InputFileBlockHolder), but usable inside aggregate arguments the
+  * way the reference's virtual column is (bucket5's COUNT(DISTINCT
+  * INPUT__FILE__NAME)); Spark marks its spelling nondeterministic and
+  * rejects it there. Compat-session-only. */
+case class GraftInputFile()
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    org.apache.spark.graft.CoreShims.inputFilePath
+}
+
 object QTestReplay {
 
   /** One PREHOOK..result block of a .q.out file. */
@@ -238,24 +253,29 @@ object QTestReplay {
       java.util.regex.Matcher.quoteReplacement(
         if (selectEntry) cast + " AS `row__id`" else cast)
     })
-    // INPUT__FILE__NAME over a non-fixture table: the reference's value
-    // is a filesystem path the harness MASKS out of every golden — any
-    // non-null stand-in compares identically (and count() semantics
-    // hold). Fixture scans keep the real per-file value via __vc —
+    // Fixture scans keep the real per-file value via the __vc column —
     // BACKTICKED so HiveRewrites's input_file_name() mapping skips it.
+    // Non-fixture scans fall through to that mapping (Spark's real
+    // input_file_name(), so COUNT(DISTINCT ...) semantics hold; the
+    // VALUES are masked in every golden).
     if (s.contains("__vc")) {
       s = "(?i)(?<![\\w.`])INPUT__FILE__NAME(?![\\w`])".r
         .replaceAllIn(s, "`INPUT__FILE__NAME`")
-    }
-    if (!s.contains("__vc")) {
-      val ifn = "(?i)(?<![\\w.`])INPUT__FILE__NAME(?![\\w])(?!\\s*\\.)".r
-      s = ifn.replaceAllIn(s, m => {
+    } else {
+      // BLOCK__OFFSET over a NON-fixture table: the row-identity value
+      // is unreproducible in our parquet stand-ins, and every golden
+      // that prints it alongside INPUT__FILE__NAME is fully masked —
+      // resolve it to a per-row id so the statement runs (an unmasked
+      // golden would then fail on VALUES, the honest signal)
+      val bo = "(?i)(?<![\\w.`])BLOCK__OFFSET__INSIDE__FILE(?![\\w])(?!\\s*\\.)".r
+      s = bo.replaceAllIn(s, m => {
         val after = m.after.toString
         val selectEntry = after.trim.startsWith(",") ||
           "(?is)^\\s*from\\b".r.findFirstIn(after).isDefined
         java.util.regex.Matcher.quoteReplacement(
-          if (selectEntry) "'file:masked' AS `input__file__name`"
-          else "'file:masked'")
+          if (selectEntry)
+            "monotonically_increasing_id() AS `block__offset__inside__file`"
+          else "monotonically_increasing_id()")
       })
     }
     s
@@ -456,6 +476,12 @@ object QTestReplay {
                   Literal(i)), v, Literal.create(null, v.dataType)))
             })
       }, "scala_udf")
+    // INPUT__FILE__NAME is a plain (deterministic) virtual column there
+    // — usable inside aggregates (bucket5's COUNT(DISTINCT
+    // INPUT__FILE__NAME)); Spark's input_file_name() is marked
+    // nondeterministic and rejected in aggregate arguments
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_input_file", _ => GraftInputFile(), "scala_udf")
     // map_keys over a NULL map returns an EMPTY list there
     // (GenericUDFMapKeys.evaluate returns its cleared reusable array
     // when getMap is null — nullMap.q's golden renders `[]` for a NULL
@@ -1380,7 +1406,13 @@ object QTestReplay {
           // a scratch file the replay's own INSERT DIRECTORY produced
           // under engine part-file names — load the directory
           f.getParent
-        else s"$refData/${f.getName}"
+        else {
+          // keep any SUBPATH below data/files — constprog_type loads
+          // ../../data/files/types/primitives/090101.txt
+          val idx = raw.indexOf("data/files/")
+          if (idx >= 0) s"$refData/${raw.substring(idx + "data/files/".length)}"
+          else s"$refData/${f.getName}"
+        }
       java.util.regex.Matcher.quoteReplacement(s"INPATH '$resolved'")
     })
     "(?i)load\\s+data\\s+(local\\s+)?inpath".r
@@ -2481,7 +2513,24 @@ object QTestReplay {
                         java.util.regex.Matcher.quoteReplacement(
                           s"${m.group(1)}${HiveDdl.linesTable(m.group(2))}")
                       else java.util.regex.Matcher.quoteReplacement(m.matched))
-                  graft.etl.LoadData.sql(spark, retargeted)
+                  // a declared non-UTF-8 serialization.encoding decodes
+                  // the raw bytes with that charset — transcode into a
+                  // UTF-8 scratch copy (LazySimpleSerDe decodes per
+                  // read; encoding_nonutf8's goldens are its UTF-8 view)
+                  val transcoded = loadTarget.flatMap(viewBackedCreates.get)
+                    .flatMap(HiveDdl.encodingOf) match {
+                    case Some(cs) =>
+                      "(?i)inpath\\s+'([^']+)'".r.replaceAllIn(retargeted, mm => {
+                        val src = Paths.get(mm.group(1).stripPrefix("file:"))
+                        val text = new String(Files.readAllBytes(src),
+                          java.nio.charset.Charset.forName(cs))
+                        val tmp = Files.createTempFile("graft_enc_", ".txt")
+                        Files.write(tmp, text.getBytes(UTF_8))
+                        java.util.regex.Matcher.quoteReplacement(s"INPATH '$tmp'")
+                      })
+                    case None => retargeted
+                  }
+                  graft.etl.LoadData.sql(spark, transcoded)
                   ()
               }
               skipped += 1

@@ -105,11 +105,19 @@ class HiveDdlSpec extends AnyFunSuite {
         "WITH SERDEPROPERTIES ('field.delim'=',') STORED AS TEXTFILE",
       load, Set.empty)
     assert(view.contains("split(value, '\\\\Q,\\\\E')"), view)
+    // a JVM-supported non-UTF-8 encoding is ACCEPTED on the lines-view
+    // path (the LOAD lane transcodes to UTF-8 — encoding_nonutf8)...
+    HiveDdl.translateStatements(
+      "CREATE TABLE t (a string) ROW FORMAT SERDE " +
+        "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' " +
+        "WITH SERDEPROPERTIES ('serialization.encoding'='ISO8859_1') STORED AS TEXTFILE",
+      load, Set.empty)
+    // ...an UNKNOWN charset still declines loudly
     intercept[IllegalArgumentException] {
       HiveDdl.translateStatements(
         "CREATE TABLE t (a string) ROW FORMAT SERDE " +
           "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' " +
-          "WITH SERDEPROPERTIES ('serialization.encoding'='ISO8859_1') STORED AS TEXTFILE",
+          "WITH SERDEPROPERTIES ('serialization.encoding'='KLINGON-8') STORED AS TEXTFILE",
         load, Set.empty)
     }
   }
