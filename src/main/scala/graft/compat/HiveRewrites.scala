@@ -105,28 +105,39 @@ object HiveRewrites {
     s
   }
 
+  /** Re-root a DIRECTORY-insert target onto the replay scratch: paths
+    * already under the scratch stay; bare /tmp/... paths split by
+    * FILESYSTEM — LOCAL inserts land under localroot (where tmpReroot
+    * sends `file:///tmp/...`), schemeless non-local ones are HDFS paths
+    * and land under hdfsroot (where `hdfs:///...` lands) — the
+    * two-filesystem tests (schemeAuthority) hinge on the separation;
+    * anything else (paths into the read-only reference tree) re-roots
+    * onto a flat dirs/ area. */
+  private[compat] def rerootDirectory(raw: String, local: Boolean): String = {
+    val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
+    val p = raw.stripPrefix("file:")
+    if (p.startsWith(tmpBase)) p
+    else if (p.startsWith("/tmp/"))
+      tmpBase + (if (local) "/localroot" else "/hdfsroot") + p
+    else tmpBase + "/dirs/" + new java.io.File(p).getName
+  }
+
   /** `INSERT OVERWRITE [LOCAL] DIRECTORY 'p' [row format|stored as ...]
     * SELECT ...`: Spark's native form needs `USING <source>`; the
-    * corpus's directory paths point INTO the read-only reference tree,
-    * so they re-root onto a temp scratch area (nothing reads the bytes
-    * back — `dfs -cat` output is masked — so parquet stands in for the
-    * declared text layouts). */
+    * corpus's directory paths re-root per [[rerootDirectory]] and write
+    * TEXT through the csv mapping (later statements cat or LOAD the
+    * produced files back). */
   private[compat] def overwriteDirectory(stmt: String): String = {
-    val Re = ("(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'" +
+    val Re = ("(?is)^\\s*insert\\s+overwrite\\s+(local\\s+)?directory\\s+'([^']+)'" +
       "\\s*((?:row\\s+format\\b.*?)??)\\s*(?:stored\\s+as\\s+\\w+)?\\s*((?:select\\b|with\\b(?!\\s+serdeproperties)).*)$").r
     Re.findFirstMatchIn(stmt) match {
       case Some(m) =>
-        val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
-        // a target already under the replay scratch keeps its REAL path
-        // (later statements LOAD the produced files back); anything else
-        // (paths into the read-only reference tree) re-roots
-        val path =
-          if (m.group(1).startsWith(tmpBase)) m.group(1)
-          else tmpBase + "/dirs/" + new java.io.File(m.group(1)).getName
+        val local = m.group(1) != null
+        val path = rerootDirectory(m.group(2), local)
         // directory inserts write TEXT (LazySimpleSerDe defaults or the
         // declared DELIMITED layout) -- later statements cat or LOAD the
         // produced files back
-        val rf = m.group(2)
+        val rf = m.group(3)
         def prop(key: String): Option[String] =
           ("'" + key + "'\\s*=\\s*'([^']*)'").r.findFirstMatchIn(rf)
             .map(x => unescapeSqlBody(x.group(1)))
@@ -138,12 +149,12 @@ object HiveRewrites {
           .orElse(prop("serialization.null.format")).getOrElse("\\N")
         val using = s"USING csv OPTIONS (sep '${escapeSqlBody(sep)}', quote '\\u0000', " +
           s"nullValue '${escapeSqlBody(nullRep)}', emptyValue '')"
-        s"INSERT OVERWRITE DIRECTORY '$path' $using ${m.group(3)}"
+        s"INSERT OVERWRITE DIRECTORY '$path' $using ${m.group(4)}"
       case None =>
         // FROM-first multi-insert: rewrite each embedded directory
         // target in place (a conservative DELIMITED-clause matcher so
         // the following SELECT stays untouched)
-        val Inline = ("(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'" +
+        val Inline = ("(?is)insert\\s+overwrite\\s+(local\\s+)?directory\\s+'([^']+)'" +
           "\\s*((?:row\\s+format\\s+delimited" +
           "(?:\\s+fields\\s+terminated\\s+by\\s+'[^']*')?" +
           "(?:\\s+collection\\s+items\\s+terminated\\s+by\\s+'[^']*')?" +
@@ -152,11 +163,8 @@ object HiveRewrites {
           "(?:\\s+null\\s+defined\\s+as\\s+'[^']*')?)?)").r
         if ("(?is)^\\s*from\\b".r.findFirstIn(stmt).isEmpty) stmt
         else Inline.replaceAllIn(stmt, m2 => {
-          val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
-          val path =
-            if (m2.group(1).startsWith(tmpBase)) m2.group(1)
-            else tmpBase + "/dirs/" + new java.io.File(m2.group(1)).getName
-          val rf = Option(m2.group(2)).getOrElse("")
+          val path = rerootDirectory(m2.group(2), m2.group(1) != null)
+          val rf = Option(m2.group(3)).getOrElse("")
           def prop(key: String): Option[String] =
             ("'" + key + "'\\s*=\\s*'([^']*)'").r.findFirstMatchIn(rf)
               .map(x => unescapeSqlBody(x.group(1)))
@@ -176,12 +184,9 @@ object HiveRewrites {
 
   /** The directory a rewritten INSERT OVERWRITE DIRECTORY lands in. */
   private[compat] def directoryTarget(stmt: String): Option[String] =
-    "(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'".r
-      .findFirstMatchIn(stmt).map { m =>
-        val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
-        if (m.group(1).startsWith(tmpBase)) m.group(1)
-        else tmpBase + "/dirs/" + new java.io.File(m.group(1)).getName
-      }
+    "(?is)^\\s*insert\\s+overwrite\\s+(local\\s+)?directory\\s+'([^']+)'".r
+      .findFirstMatchIn(stmt)
+      .map(m => rerootDirectory(m.group(2), m.group(1) != null))
 
   /** The reference's `struct(...)` names its fields col1..colN
     * (GenericUDFStruct); Spark's grammar builds the constructor before

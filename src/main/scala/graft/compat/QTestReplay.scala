@@ -1288,10 +1288,19 @@ object QTestReplay {
     val tmpBase = JPaths.get(System.getProperty("java.io.tmpdir"), "qtest_tmp")
     def inTmp(p: String): Boolean = JPaths.get(p).normalize.startsWith(tmpBase)
     // dfs arguments may carry a file: scheme after re-rooting — the
-    // local filesystem ops below want bare paths
+    // local filesystem ops below want bare paths. A scheme-LESS absolute
+    // path is a DEFAULT-FS (hdfs) path there (root_dir_external_table's
+    // `dfs -cp /tmp/.../000000_0 /000000_0`) — it lands on the same
+    // hdfsroot scratch the hdfs:/// re-rooting uses. Reference-tree and
+    // scratch paths stay put.
     val toks = cmd.split("\\s+").toSeq
       .map(t => if (t.startsWith("file://")) t.stripPrefix("file://")
                 else t.stripPrefix("file:"))
+      .map(t =>
+        if (t.startsWith("/") && !t.startsWith("/root/") &&
+            !JPaths.get(t).normalize.startsWith(tmpBase))
+          tmpBase.toString + "/hdfsroot" + t
+        else t)
     toks match {
       case Seq(_, mk, dir) if mk.contains("mkdir") || mk.contains("test.dfs.mkdir") =>
         if (inTmp(dir)) { JFiles.createDirectories(JPaths.get(dir)); () }
@@ -1323,7 +1332,21 @@ object QTestReplay {
         } else if (JFiles.exists(from)) {
           JFiles.copy(from, JPaths.get(dst), StandardCopyOption.REPLACE_EXISTING); ()
         }
-      case Seq(_, "-cp", src, dst) if inTmp(dst) =>
+      case Seq(_, "-cp", src0, dst) if inTmp(dst) =>
+        // a `<dir>/000000_0`-style reducer-output name refers to the
+        // replay's own INSERT DIRECTORY files, which carry engine part
+        // names — resolve to the nth data file by sort order
+        val src = {
+          val f = new java.io.File(src0)
+          if (!f.exists && f.getName.matches("\\d{6}_\\d+") &&
+              f.getParentFile != null && f.getParentFile.isDirectory) {
+            val parts = Option(f.getParentFile.listFiles()).toSeq.flatten
+              .filter(x => x.isFile && !x.getName.startsWith("_") &&
+                !x.getName.startsWith(".")).sortBy(_.getName)
+            parts.lift(f.getName.takeWhile(_ != '_').toInt)
+              .map(_.getPath).getOrElse(src0)
+          } else src0
+        }
         // -cp of a reference data DIRECTORY into the scratch (the source
         // may live anywhere readable; only the tmp destination is written)
         def copy(s: java.io.File, d: java.io.File): Unit =
@@ -2163,6 +2186,12 @@ object QTestReplay {
       // hdfs:/// scratch roots land on the local scratch area
       .replace("hdfs:///", "file:" +
         System.getProperty("java.io.tmpdir") + "/qtest_tmp/hdfsroot/")
+      // explicit LOCAL-filesystem /tmp scratch (schemeAuthority's
+      // `file:///tmp/test`) lands on its own scratch area, DISTINCT
+      // from the hdfs root above — the two-filesystem tests hinge on
+      // the separation
+      .replace("file:///tmp/", "file:" +
+        System.getProperty("java.io.tmpdir") + "/qtest_tmp/localroot/tmp/")
       // double-quoted LOCATION/DIRECTORY paths onto the single-quoted
       // spelling every downstream parser expects
       .pipe(x => "(?is)\\b(location|directory)\\s+\"([^\"]+)\"".r
@@ -2273,7 +2302,25 @@ object QTestReplay {
           "(?is)stored\\s+as\\s+(parquet|orc)".r.findFirstIn(s).isEmpty &&
           HiveDdl.containerOf(s).isEmpty)
         .flatMap(s => HiveDdl.createdTable(s).map(_.toLowerCase))
-        .toSet
+        .toSet ++
+      // a TEXT table whose partitions are mounted via ALTER ADD
+      // PARTITION ... LOCATION reads raw files from those directories
+      // (schemeAuthority's dynPart) — same text mapping as a LOAD target
+      locally {
+        val addPartLoc = stmts.iterator
+          .filter(s => ("(?is)^\\s*alter\\s+table\\s+[\\w.`]+\\s+add\\s+" +
+            "(?:if\\s+not\\s+exists\\s+)?partition\\b").r.findFirstIn(s).isDefined &&
+            "(?is)\\blocation\\s+'".r.findFirstIn(s).isDefined)
+          .flatMap(s => "(?is)^\\s*alter\\s+table\\s+`?([\\w.]+)`?".r
+            .findFirstMatchIn(s).map(_.group(1).toLowerCase))
+          .toSet
+        val creates = stmts.iterator
+          .flatMap(s => HiveDdl.createdTable(s).map(_.toLowerCase -> s)).toMap
+        addPartLoc.filter(t => creates.get(t).exists(c =>
+          "(?is)stored\\s+as\\s+(?!textfile)\\w".r.findFirstIn(c).isEmpty &&
+            HiveDdl.containerOf(c).isEmpty &&
+            "(?is)row\\s+format\\s+serde\\s+".r.findFirstIn(c).isEmpty))
+      }
     // CLUSTERED BY specs drive the physical TABLESAMPLE(BUCKET x OUT OF y)
     // rewrite; container formats (avro/rcfile/sequencefile) drive raw-file
     // LOAD ingestion through the vendored readers
