@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HiveHistogramNumeric, HivePercentileApprox, MinGramHash, ParseUrlTuple, PolyHash, Reflect2, VectorDot}
+import graft.functions.{HiveContextNGrams, HiveHistogramNumeric, HiveNGrams, HivePercentileApprox, MinGramHash, ParseUrlTuple, PolyHash, Reflect2, VectorDot}
 
 /** Session-extension entry point — the engine's custom Catalyst
   * expressions and aggregates registered the way a cluster deployment
@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DISTINCT window aggregates over collect_set — inert unless
     // graft.compat.hive.coercion is set (the compat session)
     ext.injectResolutionRule(_ => new plans.HiveDistinctWindow)
+    // std/variance(DISTINCT x) folded in the reference's ascending
+    // single-reducer order — inert unless compat coercion is set
+    ext.injectResolutionRule(_ => new plans.HiveDistinctVariance)
     // UNION branch widening to Hive's common class (string+double →
     // double) — inert unless graft.compat.hive.coercion is set
     ext.injectResolutionRule(_ => new plans.HiveUnionWiden)
@@ -97,5 +100,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_url_tuple"),
       new ExpressionInfo(classOf[ParseUrlTuple].getName, "parse_url_tuple"),
       es => ParseUrlTuple(es)))
+    // ngrams / context_ngrams UDAFs — registered as AggregateFunctions so
+    // the reference's `ngrams(sentences(lower(c)), 2, 100, 1000)
+    // .estfrequency` SQL form resolves (FunctionRegistry.java:398-399)
+    ext.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[HiveNGrams].getName, "ngrams"),
+      es => HiveNGrams.build(es)))
+    ext.injectFunction((
+      FunctionIdentifier("context_ngrams"),
+      new ExpressionInfo(classOf[HiveContextNGrams].getName, "context_ngrams"),
+      es => HiveContextNGrams.build(es)))
   }
 }

@@ -189,7 +189,13 @@ case class HiveCorrelation(left: Expression, right: Expression)
 object HiveVariance {
   /** Re-point the SQL names at the reference-formula aggregates
     * (compat sessions only; `variance`/`std` are the reference's
-    * population aliases). */
+    * population aliases). The builders return the BARE
+    * AggregateFunction — the analyzer wraps it with the invocation's
+    * own isDistinct flag, so `std(DISTINCT x)` plans through Spark's
+    * distinct-aggregate expansion exactly as the reference evaluates
+    * GenericUDAFVariance over de-duplicated keys
+    * (vectorized_distinct_gby); a pre-wrapped AggregateExpression
+    * would hard-error FUNCTION_WITH_UNSUPPORTED_SYNTAX there. */
   def register(s: SparkSession): Unit = {
     Seq("variance" -> "var_pop", "var_pop" -> "var_pop",
       "var_samp" -> "var_samp", "std" -> "stddev_pop",
@@ -197,12 +203,11 @@ object HiveVariance {
       "stddev_samp" -> "stddev_samp").foreach { case (name, kind) =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         name,
-        es => HiveVariance(Cast(es.head, DoubleType), kind)
-          .toAggregateExpression(), "scala_udf")
+        es => HiveVariance(Cast(es.head, DoubleType), kind), "scala_udf")
     }
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "corr",
-      es => HiveCorrelation(Cast(es(0), DoubleType), Cast(es(1), DoubleType))
-        .toAggregateExpression(), "scala_udf")
+      es => HiveCorrelation(Cast(es(0), DoubleType), Cast(es(1), DoubleType)),
+      "scala_udf")
   }
 }

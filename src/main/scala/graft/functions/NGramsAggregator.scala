@@ -135,12 +135,71 @@ object NGrams {
       .orderBy(col("source"))
   }
 
+  /** The reference's SQL invocation form end to end: `ngrams(...)`
+    * resolved through the registered Catalyst aggregate
+    * (functions/HiveNGrams.scala; GraftExtensions injects it) with the
+    * reference's `array<struct<ngram,estfrequency>>` result shape
+    * (FunctionRegistry.java:398, GenericUDAFnGrams.java), flattened via
+    * posexplode so the DuckDB oracle can replicate rank order. */
+  val q312_ngrams_sql: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT lang, pos AS rnk, concat_ws(' ', g.ngram) AS gram,
+        |       g.estfrequency AS freq
+        |FROM (SELECT lang, ngrams(split(trim(text), ' +'), 2, 5, 1000) AS gs
+        |      FROM documents GROUP BY lang) t
+        |LATERAL VIEW posexplode(gs) e AS pos, g
+        |ORDER BY lang, rnk""".stripMargin)
+  }
+
+  /** `context_ngrams(seq, array('table', NULL), k)` SQL form — counts the
+    * words filling the NULL slot after "table"
+    * (GenericUDAFContextNGrams.java:279-303). */
+  val q313_context_ngrams_sql: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT source, pos AS rnk, concat_ws(' ', g.ngram) AS filler,
+        |       g.estfrequency AS freq
+        |FROM (SELECT source,
+        |        context_ngrams(split(trim(text), ' +'),
+        |                       array('table', CAST(NULL AS STRING)),
+        |                       5, 1000) AS gs
+        |      FROM documents GROUP BY source) t
+        |LATERAL VIEW posexplode(gs) e AS pos, g
+        |ORDER BY source, rnk""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q83_ngrams_topk" -> q83_ngrams_topk,
     "q84_context_ngrams" -> q84_context_ngrams,
+    "q312_ngrams_sql" -> q312_ngrams_sql,
+    "q313_context_ngrams_sql" -> q313_context_ngrams_sql,
   )
 
   val oracles: Map[String, String] = Map(
+    "q312_ngrams_sql" ->
+      """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), ' +') AS ts
+        |           FROM documents),
+        |  b AS (SELECT lang, unnest([ts[i] || ' ' || ts[i+1]
+        |                             for i in range(1, len(ts))]) AS bg FROM w),
+        |  c AS (SELECT lang, bg, COUNT(1) AS cnt FROM b GROUP BY lang, bg),
+        |  r AS (SELECT lang, bg, cnt,
+        |          ROW_NUMBER() OVER (PARTITION BY lang
+        |            ORDER BY cnt DESC, bg) AS rn FROM c)
+        |SELECT lang, rn - 1 AS rnk, bg AS gram, CAST(cnt AS DOUBLE) AS freq
+        |FROM r WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin,
+    "q313_context_ngrams_sql" ->
+      """WITH w AS (SELECT source, regexp_split_to_array(trim(text), ' +') AS ts
+        |           FROM documents),
+        |  b AS (SELECT source, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |                               for i in range(1, len(ts))]) AS bg FROM w),
+        |  c AS (SELECT source, bg.b AS filler, COUNT(1) AS cnt FROM b
+        |        WHERE bg.a = 'table' GROUP BY source, bg.b),
+        |  r AS (SELECT source, filler, cnt,
+        |          ROW_NUMBER() OVER (PARTITION BY source
+        |            ORDER BY cnt DESC, filler) AS rn FROM c)
+        |SELECT source, rn - 1 AS rnk, filler, CAST(cnt AS DOUBLE) AS freq
+        |FROM r WHERE rn <= 5 ORDER BY source, rnk""".stripMargin,
     "q83_ngrams_topk" ->
       """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), ' +') AS ts
         |           FROM documents),

@@ -555,6 +555,91 @@ class HiveDistinctWindow extends Rule[LogicalPlan] {
     }
 }
 
+/** DISTINCT over the compat variance lanes — `std(DISTINCT x)` /
+  * `variance(DISTINCT x)` etc., which the reference evaluates by
+  * feeding GenericUDAFVariance the de-duplicated keys of its single
+  * sorted reducer IN ASCENDING KEY ORDER (the distinct expression is
+  * the reduce key, so iteration order is the key sort —
+  * GroupByOperator over a sorted ReduceSink). Spark's expand-based
+  * distinct plan would accumulate in partition-hash order, which
+  * flips the running-formula doubles in the last ulps
+  * (vectorized_distinct_gby's std(distinct cint) golden).
+  *
+  * Rewritten as an ascending fold over `sort_array(collect_set(x))`
+  * with the reference's exact iterate arithmetic
+  * (GenericUDAFVariance.java:183-192) and final division
+  * (var_pop = variance/count, var_samp = variance/(count-1), 0.0 for a
+  * single element, NULL for none). The collected set funnels each
+  * group's distinct values into one buffer — the same memory profile
+  * as the reference's own single-reducer evaluation, and gated to the
+  * compat session (engine sessions keep Spark's distinct planning). */
+class HiveDistinctVariance extends Rule[LogicalPlan] {
+
+  import aggregate._
+
+  private def field(acc: Expression, i: Int, n: String, t: DataType): Expression =
+    GetStructField(acc, i, Some(n))
+
+  /** the reference's running formula, folded left over the sorted set */
+  private def foldVariance(set: Expression, kind: String): Expression = {
+    val sorted = new ArraySort(set)
+    val accT = StructType(Seq(
+      StructField("count", LongType, nullable = false),
+      StructField("sum", DoubleType, nullable = false),
+      StructField("variance", DoubleType, nullable = false)))
+    val acc = NamedLambdaVariable("acc", accT, nullable = false)
+    val v = NamedLambdaVariable("v", DoubleType, nullable = true)
+    val cnt = field(acc, 0, "count", LongType)
+    val sum = field(acc, 1, "sum", DoubleType)
+    val vr = field(acc, 2, "variance", DoubleType)
+    // iterate: count++; sum += v; if (count > 1)
+    //   { t = count·v − sum; variance += t²/(count·(count−1)) }
+    val nc = Add(cnt, Literal(1L))
+    val ns = Add(sum, v)
+    val t = Subtract(Multiply(Cast(nc, DoubleType), v), ns)
+    val inc = Divide(Multiply(t, t),
+      Multiply(Cast(nc, DoubleType), Cast(Subtract(nc, Literal(1L)), DoubleType)))
+    val step = CreateNamedStruct(Seq(
+      Literal("count"), nc,
+      Literal("sum"), ns,
+      Literal("variance"),
+      If(LessThanOrEqual(nc, Literal(1L)), vr, Add(vr, inc))))
+    val fin = NamedLambdaVariable("res", accT, nullable = false)
+    val fCnt = field(fin, 0, "count", LongType)
+    val fVar = field(fin, 2, "variance", DoubleType)
+    val divisor = kind match {
+      case "var_pop" | "stddev_pop" => Cast(fCnt, DoubleType)
+      case _ => Cast(Subtract(fCnt, Literal(1L)), DoubleType)
+    }
+    val value = If(EqualTo(fCnt, Literal(0L)), Literal(null, DoubleType),
+      If(GreaterThan(fCnt, Literal(1L)), Divide(fVar, divisor), Literal(0.0)))
+    val folded = ArrayAggregate(
+      sorted,
+      CreateNamedStruct(Seq(
+        Literal("count"), Literal(0L),
+        Literal("sum"), Literal(0.0),
+        Literal("variance"), Literal(0.0))),
+      LambdaFunction(step, Seq(acc, v)),
+      LambdaFunction(if (kind.startsWith("stddev")) Sqrt(value) else value,
+        Seq(fin)))
+    folded
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.compat.hive.coercion", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        agg.transformExpressionsUp {
+          case AggregateExpression(hv: graft.functions.HiveVariance, _, true, filter, _)
+              if hv.child.resolved =>
+            foldVariance(
+              AggregateExpression(CollectSet(hv.child), Complete,
+                isDistinct = false, filter),
+              hv.kind)
+        }
+    }
+}
+
 /** The reference's char(n) COMPARISON semantics under
   * `spark.sql.preserveCharVarcharTypeInfo=true` — gated on
   * `graft.compat.hive.char` (compat session only). HiveChar stores and
