@@ -465,8 +465,11 @@ object HiveDdl {
         locationOf(p.tail).isDefined) &&
         p.ctas.isEmpty && p.cols.isDefined &&
         // partitioned tables take ALTER ADD PARTITION / per-partition
-        // LOADs, which a view cannot host
-        partitionedBy(p.tail).isEmpty &&
+        // LOADs, which a view cannot host — except header/footer
+        // tables, whose per-file line skipping only the view lane can
+        // express (the replay retargets ADD PARTITION to the lines
+        // table)
+        (partitionedBy(p.tail).isEmpty || skipHeaderFooterOf(p.tail) != ((0, 0))) &&
         serdeOf(p.tail).forall(c =>
           c.endsWith("LazySimpleSerDe") ||
             // RegexSerDe: read-only view over regexp_extract groups
@@ -508,6 +511,14 @@ object HiveDdl {
 
   /** `name` for a view-backed table's underlying lines table. */
   def linesTable(name: String): String = name + "__lines"
+
+  /** `skip.header.line.count` / `skip.footer.line.count` tblproperties
+    * (HiveContextAwareRecordReader.java:304-336 skips them per FILE). */
+  private[compat] def skipHeaderFooterOf(tail: String): (Int, Int) = {
+    val props = tblProps(tail)
+    def n(k: String) = props.get(k).map(_.trim.toInt).getOrElse(0)
+    (n("skip.header.line.count"), n("skip.footer.line.count"))
+  }
 
   /** Table a CREATE TABLE statement creates, if it parses as one. */
   def createdTable(stmt: String): Option[String] = parseCreate(stmt).map(_.name)
@@ -574,7 +585,14 @@ object HiveDdl {
     val partBy = if (partCols.nonEmpty)
       s" PARTITIONED BY (${partCols.map(_._1).mkString(", ")})" else ""
     val loc = location.fold("")(l => s" LOCATION '$l'")
-    val create = s"CREATE TABLE $ine`$lines` (value STRING$partDecl) USING text$partBy$loc"
+    // skip.header/footer.line.count are PER-FILE counts
+    // (HiveContextAwareRecordReader.java:304-336; the reference makes
+    // footer'd files unsplittable) — read whole files and slice lines
+    val (skipHdr, skipFtr) = skipHeaderFooterOf(p.tail)
+    val wholeFiles = skipHdr > 0 || skipFtr > 0
+    val readerOpts = if (wholeFiles) " OPTIONS (wholetext 'true')" else ""
+    val create =
+      s"CREATE TABLE $ine`$lines` (value STRING$partDecl) USING text$readerOpts$partBy$loc"
     // ESCAPED BY: a field separator preceded by the escape byte is data
     // (LazySimpleSerDe); split on un-escaped separators only, then strip
     // the escapes per field. One-char lookbehind — an escaped escape
@@ -605,8 +623,21 @@ object HiveDdl {
       parseField(src, t, 1, sepChar, nullRep, extendedBool) + s" AS `$n`"
     } ++ partCols.map { case (pn, _) => s"`$pn`" }
     val partPass = partCols.map { case (pn, _) => s", `$pn`" }.mkString
+    // one logical line per row: direct from the lines table, or — for
+    // header/footer tables — whole files split into lines, a trailing
+    // newline's empty tail dropped (LineRecordReader never yields one),
+    // then sliced past the header and short of the footer per file
+    val lineSource =
+      if (!wholeFiles) s"`$lines`"
+      else s"(SELECT __line AS value$partPass FROM (SELECT CASE WHEN " +
+        s"size(__l0) > 0 AND element_at(__l0, -1) = '' THEN " +
+        s"slice(__l0, 1, size(__l0) - 1) ELSE __l0 END AS __l$partPass " +
+        s"FROM (SELECT split(value, '\\r?\\n') AS __l0$partPass " +
+        s"FROM `$lines`) __h0) __h1 " +
+        s"LATERAL VIEW explode(slice(__l, ${skipHdr + 1}, " +
+        s"greatest(0, size(__l) - $skipHdr - $skipFtr))) __h2 AS __line)"
     val view = s"CREATE VIEW $ine`${p.name}` AS SELECT ${selects.mkString(", ")} " +
-      s"FROM (SELECT $fieldSplit AS __f$partPass FROM `$lines`) __t"
+      s"FROM (SELECT $fieldSplit AS __f$partPass FROM $lineSource __lsrc) __t"
     Seq(create, view)
   }
 

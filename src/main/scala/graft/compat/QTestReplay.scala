@@ -1199,6 +1199,15 @@ object QTestReplay {
     out.result()
   }
 
+  /** Commands AFTER the last statement of a .q file — valueless
+    * `set <key>` echoes there append `key=value` lines to the final
+    * block's committed output (SetProcessor's echo carries no
+    * PREHOOK marker of its own). */
+  def parseQTrailingCommands(text: String): Seq[String] =
+    parseQWithCommands(text + ";\n__graft_sentinel__;")
+      .lastOption.filter(_._2 == "__graft_sentinel__")
+      .map(_._1).getOrElse(Seq.empty)
+
   /** Execute one harness `dfs` command's file-system side effect; only
     * the temp scratch area is writable (never the read-only reference).
     * Unknown forms are ignored (listings/cats are presentation). */
@@ -2205,10 +2214,10 @@ object QTestReplay {
     // substitutes with the state accumulated SO FAR — the committed
     // echoes carry the substituted text, so this must run before the
     // echo/source alignment below
-    val withCmds = locally {
+    val (withCmds, trailingEchoes) = locally {
       val sv = scala.collection.mutable.Map.empty[String, String]
       var substitute = true
-      withCmds0.map { case (cmds, st) =>
+      val entries = withCmds0.map { case (cmds, st) =>
         cmds.foreach { c =>
           if ("(?is)^set\\s".r.findFirstIn(c).isDefined) {
             val kv = c.replaceFirst("(?is)^set\\s+", "").split("=", 2)
@@ -2225,6 +2234,27 @@ object QTestReplay {
         (subbedCmds,
           if (substitute && st.contains("${")) substVars(st, sv) else st)
       }
+      // valueless `set <key>` commands after the LAST statement echo
+      // `key=value` into the final block's committed output
+      // (SetProcessor); mirror the echo from the tracked conf state —
+      // with MapRedTask.java:124's observable side effect: under
+      // hive.exec.mode.local.auto the job launcher rpc address the
+      // session reports back is the literal "local"
+      val echoes = parseQTrailingCommands(
+        new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
+        .map(tmpReroot).flatMap { c =>
+          val body = c.replaceFirst("(?is)^set\\s+", "").trim
+          if (!c.toLowerCase.matches("(?s)^set\\s.*") || body.contains("=")) None
+          else {
+            val k = body.toLowerCase
+            val v =
+              if (k == "mapreduce.jobtracker.address" &&
+                  sv.get("hive.exec.mode.local.auto").contains("true")) "local"
+              else sv.getOrElse(k, "")
+            Some(s"$body=$v")
+          }
+        }
+      (entries, echoes)
     }
     val stmts = withCmds.map(_._2)
     val preCmds = withCmds.map(_._1)
@@ -2261,6 +2291,15 @@ object QTestReplay {
         (stmts.isEmpty || norm(blocks0.head.query) != norm(stmts.head))) {
       initStmts += blocks0.head.query
       blocks0 = blocks0.tail
+    }
+    // trailing valueless-`set` echoes were appended to the final
+    // block's committed output — strip them when the mirrored conf
+    // state reproduces them exactly (a mismatch stays in place and
+    // fails loud)
+    if (trailingEchoes.nonEmpty && blocks0.nonEmpty &&
+        blocks0.last.expected.endsWith(trailingEchoes)) {
+      blocks0 = blocks0.init :+ blocks0.last.copy(
+        expected = blocks0.last.expected.dropRight(trailingEchoes.size))
     }
     // corpus drift: a PRESENTATION statement (explain/describe/show —
     // skipped in replay anyway) present in the .q but absent from the
@@ -2483,7 +2522,15 @@ object QTestReplay {
               skipped += 1
             } catch { case e: Exception => fail(e) }
           case "ALTERTABLE_ADDPARTS" | "ALTERTABLE_DROPPARTS" =>
-            try { spark.sql(stmt); skipped += 1 }
+            // partitioned view-backed tables (header/footer line
+            // skipping) hold their partitions on the lines table
+            val retargetedAlter = "(?is)^(\\s*alter\\s+table\\s+)`?([\\w.]+)`?".r
+              .replaceAllIn(stmt, m =>
+                if (viewBacked(m.group(2).toLowerCase))
+                  java.util.regex.Matcher.quoteReplacement(
+                    s"${m.group(1)}`${HiveDdl.linesTable(m.group(2))}`")
+                else java.util.regex.Matcher.quoteReplacement(m.matched))
+            try { spark.sql(retargetedAlter); skipped += 1 }
             catch {
               case e: Exception if b.qtype == "ALTERTABLE_DROPPARTS" =>
                 // the reference drops by PARTIAL spec (`DROP PARTITION
@@ -2624,7 +2671,9 @@ object QTestReplay {
                         // DataFrame plan behind a temp view; virtual
                         // columns re-point at the __vc fixtures
                         graft.operators.MatchPathSql.rewrite(spark,
-                          virtualColumnRewrite(ojPushed)),
+                          virtualColumnRewrite(
+                            TestMode.rewrite(spark, ojPushed, localConf,
+                              clusteredTables))),
                         clusteredTables)),
                     containerTables))), viewBackedCreates))), spark),
                 localConf.get("hive.transform.escape.input").contains("true"),
