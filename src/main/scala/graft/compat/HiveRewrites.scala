@@ -53,6 +53,8 @@ object HiveRewrites {
     if (upper(s).contains("OVER")) s = orderlessRanking(s)
     if (upper(s).startsWith("WITH") || "(?is)^\\s*with\\b".r.findFirstIn(s).isDefined)
       s = cteReorder(s)
+    if (!upper(s).contains("TRANSFORM") && upper(s).contains("USING"))
+      s = mapReduceToTransform(s)
     if (upper(s).contains("TRANSFORM")) {
       s = usingSingleQuotes(s)
       s = stripLazySerde(s)
@@ -369,6 +371,26 @@ object HiveRewrites {
     * statements with their own ROW FORMAT (or MAP/REDUCE spellings whose
     * input list has no closing paren to anchor on) pass through. */
   private[compat] val scriptOpIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Hive's `MAP exprs USING 'cmd'` / `REDUCE exprs USING 'cmd'`
+    * spellings are pure synonyms of `SELECT TRANSFORM(exprs) USING`
+    * (the reference's grammar routes all three to the same
+    * ScriptOperator) — normalize them so [[transformTabFormat]]'s
+    * `) USING` anchor applies and the script sees the reference's
+    * TAB-delimited lanes instead of Spark's U+0001 no-serde default
+    * (input20's reduce script interprets its input; under U+0001 it
+    * sees no tabs and its own output splits wrong). Only fires when the
+    * statement has a quoted USING command and no TRANSFORM spelling
+    * already. */
+  private[compat] def mapReduceToTransform(stmt: String): String = {
+    if ("(?is)\\busing\\s+'".r.findFirstIn(stmt).isEmpty ||
+        "(?is)\\btransform\\b".r.findFirstIn(stmt).isDefined) return stmt
+    ("(?is)\\b(?:map|reduce)\\s+(?!\\()" +
+      "((?:(?!\\b(?:using|select|insert|map|reduce)\\b).)+?)\\s+using(\\s+')").r
+      .replaceAllIn(stmt, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"SELECT TRANSFORM(${m.group(1).trim}) USING${m.group(2)}"))
+  }
 
   private[compat] def transformTabFormat(stmt: String,
       scriptIdVar: String = "HIVE_SCRIPT_OPERATOR_ID"): String = {

@@ -2661,7 +2661,7 @@ object QTestReplay {
             } catch { case e: Exception => fail(e) }
           case "QUERY" if !skippable(b.copy(query = stmt)) =>
             try {
-              val df = spark.sql(HiveRewrites(rewriteAnalyze(
+              val finalSql = HiveRewrites(rewriteAnalyze(
                 sampleRowsPartitionPrune(spark, metadataOnlyRewrite(spark,
                 textInsertToLines(spark, dirInsertTextSerialize(spark,
                   charInsertTruncate(spark, avroMapInsertOrder(spark,
@@ -2678,7 +2678,21 @@ object QTestReplay {
                     containerTables))), viewBackedCreates))), spark),
                 localConf.get("hive.transform.escape.input").contains("true"),
                 spark.conf.get("graft.compat.script.id.var",
-                  "HIVE_SCRIPT_OPERATOR_ID")))
+                  "HIVE_SCRIPT_OPERATOR_ID"))
+              if (Files.exists(Paths.get("/tmp/qtest_debug")) &&
+                  finalSql != stmt) {
+                println(s"[dbg] rewritten: ${oneLine(finalSql).take(400)}")
+                Files.write(Paths.get("/tmp/qtest_rewritten.sql"),
+                  (finalSql + "\n").getBytes(UTF_8),
+                  java.nio.file.StandardOpenOption.CREATE,
+                  java.nio.file.StandardOpenOption.APPEND)
+              }
+              val df = spark.sql(finalSql)
+              if (Files.exists(Paths.get("/tmp/qtest_debug")))
+                Files.write(Paths.get("/tmp/qtest_plan.txt"),
+                  (df.queryExecution.analyzed.treeString + "\n\n").getBytes(UTF_8),
+                  java.nio.file.StandardOpenOption.CREATE,
+                  java.nio.file.StandardOpenOption.APPEND)
               // an INSERT DIRECTORY block with committed rows is the
               // harness's unmasked `dfs -cat` of the produced files —
               // compare the written text
