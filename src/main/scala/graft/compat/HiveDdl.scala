@@ -220,6 +220,15 @@ object HiveDdl {
     val props = serdeProps(tail)
     val sep = "(?is)fields\\s+terminated\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail)
       .map(m => unescapeDelim(m.group(1), stmt))
+      // TestSerDe: ctrl-B default, 'testserde.default.serialization.
+      // format' override — parsed as a BYTE NUMBER first, else the
+      // literal string (TestSerDe.java:86-95)
+      .orElse(if (serdeOf(tail).exists(_.endsWith("TestSerDe")))
+        Some(props.get("testserde.default.serialization.format")
+          .map(HiveRewrites.unescapeSqlBody).filter(_.nonEmpty)
+          .map(f => if (f.forall(_.isDigit)) f.toInt.toChar.toString else f)
+          .getOrElse("\u0002"))
+      else None)
       .orElse(props.get("field.delim"))
       .orElse(props.get("serialization.format").filter(_.nonEmpty)
         .map(f => if (f.forall(_.isDigit)) f.toInt.toChar.toString else f))
@@ -473,7 +482,15 @@ object HiveDdl {
         serdeOf(p.tail).forall(c =>
           c.endsWith("LazySimpleSerDe") ||
             // RegexSerDe: read-only view over regexp_extract groups
-            (c.endsWith("RegexSerDe") && serdeProps(p.tail).contains("input.regex"))) &&
+            (c.endsWith("RegexSerDe") && serdeProps(p.tail).contains("input.regex")) ||
+            // TestSerDe (itests/test-serde/TestSerDe.java): LazySimple
+            // layout with a ctrl-B default separator, prop-overridable
+            c.endsWith("TestSerDe") ||
+            // DynamicSerDe over TCTLSeparatedProtocol: delimited text
+            // with optional paired quote delims — a generated regex view
+            (c.endsWith("DynamicSerDe") && serdeProps(p.tail)
+              .get("serialization.format")
+              .exists(_.endsWith("TCTLSeparatedProtocol")))) &&
         storedAsName(p.tail).forall(_ == "textfile")
     }
 
@@ -553,7 +570,60 @@ object HiveDdl {
         s"${sel.mkString(", ")} FROM `$lines0`"
       return Seq(create0, view0)
     }
-    checkLazyProps(p.tail, stmt, allowEncoding = true)
+    // DynamicSerDe over TCTLSeparatedProtocol (serde2/dynamic_type/
+    // DynamicSerDe.java + thrift/TCTLSeparatedProtocol.java): delimited
+    // text whose optional `quote.delim` chars open a span the field
+    // delimiter cannot split (input19's apache log: `[...]` and `"..."`
+    // spans hold spaces). Reproduced as a generated anchored regex —
+    // one group per column, each a quoted/bracketed span or a bare
+    // token — with the quote chars stripped and
+    // `serialization.null.format` nulled after extraction.
+    if (serdeOf(p.tail).exists(_.endsWith("DynamicSerDe")) &&
+        serdeProps(p.tail).get("serialization.format")
+          .exists(_.endsWith("TCTLSeparatedProtocol"))) {
+      val props = serdeProps(p.tail)
+      val fd = HiveRewrites.unescapeSqlBody(props.getOrElse("field.delim", "\u0001"))
+      val quoted = props.get("quote.delim").map(HiveRewrites.unescapeSqlBody)
+      // supported quote.delim shape: the paired `"` / `[` `]` alternation
+      require(quoted.forall(_ == "(\"|\\[|\\])"),
+        s"TCTLSeparatedProtocol quote.delim shape not translatable in: $stmt")
+      val nullFmt = HiveRewrites.unescapeSqlBody(
+        props.getOrElse("serialization.null.format", "\\N"))
+      val ineT = if (p.ifNotExists) "IF NOT EXISTS " else ""
+      val linesT = linesTable(p.name)
+      val locT = locationOf(p.tail).fold("")(l => s" LOCATION '$l'")
+      val createT =
+        s"CREATE TABLE $ineT`$linesT` (value STRING) USING text$locT"
+      def reQ(c: Char): String =
+        if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) "\\" + c else c.toString
+      val fdRe = fd.map(reQ).mkString
+      val tok =
+        if (quoted.isDefined) "(\"[^\"]*\"|\\[[^\\]]*\\]|[^" + fdRe + "]*)"
+        else "([^" + fdRe + "]*)"
+      val colsT = splitTop(p.cols.get).map { c =>
+        val t = c.trim
+        val name = t.split("\\s+", 2).head.replace("`", "")
+        val typ = t.drop(t.split("\\s+", 2).head.length).trim
+        (name, "(?is)\\s+comment\\s+'.*$".r.replaceFirstIn(typ, "").trim)
+      }
+      val patT = HiveRewrites.escapeSqlBody(
+        "^" + List.fill(colsT.size)(tok).mkString(fdRe) + "$")
+      val stripPat = HiveRewrites.escapeSqlBody("^[\"\\[]|[\"\\]]$")
+      val selT = colsT.zipWithIndex.map { case ((n, t), i) =>
+        val raw = s"regexp_extract(value, '$patT', ${i + 1})"
+        val body =
+          if (quoted.isDefined) s"regexp_replace($raw, '$stripPat', '')"
+          else raw
+        s"CAST(nullif($body, '${escape(nullFmt)}') AS $t) AS `$n`"
+      }
+      val viewT = s"CREATE VIEW $ineT`${p.name}` AS SELECT " +
+        s"${selT.mkString(", ")} FROM `$linesT`"
+      return Seq(createT, viewT)
+    }
+    // TestSerDe ignores unknown serdeproperties (its initialize reads
+    // only its own separator key) — no Lazy prop validation
+    if (!serdeOf(p.tail).exists(_.endsWith("TestSerDe")))
+      checkLazyProps(p.tail, stmt, allowEncoding = true)
     val (sep, nullRep) = textFormat(p.tail, stmt)
     val collectionDelim = delimOf(p.tail, "collection\\s+items", "collection.delim", '\u0002', stmt)
     val mapkeyDelim = delimOf(p.tail, "map\\s+keys", "mapkey.delim", '\u0003', stmt)
@@ -767,6 +837,17 @@ object HiveDdl {
 
   private def storedAsName(tail: String): Option[String] =
     "(?is)stored\\s+as\\s+(\\w+)".r.findFirstMatchIn(tail).map(_.group(1).toLowerCase)
+      // SymlinkTextInputFormat + IgnoreKeyTextOutputFormat IS the text
+      // layout — the files under the table dir are symlink manifests
+      // (paths/globs, one per line) the replay resolves at dfs-copy
+      // time (ql/io/SymlinkTextInputFormat.java getSplits)
+      .map(n => if (n == "inputformat" &&
+        tail.contains("SymlinkTextInputFormat")) "textfile" else n)
+
+  /** Table created `STORED AS INPUTFORMAT 'SymlinkTextInputFormat'`. */
+  def symlinkTextTable(stmt: String): Option[String] =
+    parseCreate(stmt).filter(_.tail.contains("SymlinkTextInputFormat"))
+      .map(_.name)
 
   private[compat] def matchParen(s: String, open: Int): Int = {
     var depth = 0

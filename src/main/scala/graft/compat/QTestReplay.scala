@@ -1292,6 +1292,55 @@ object QTestReplay {
     ("(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'\\s*" +
       "stored\\s+as\\s+rcfile\\s+((?:select|with)\\b.*)$").r
 
+  /** `dfs -cp <manifest> <warehouse>/<symlink-table>/...` for a
+    * SymlinkTextInputFormat table: the copied file is a MANIFEST of
+    * harness-relative paths/globs, one per line, naming the REAL data
+    * files (ql/io/SymlinkTextInputFormat.java getSplits reads every
+    * line of every file under the table dir and globs it). Resolved
+    * eagerly at copy time — each glob target lands in the table's
+    * lines-table directory, so subsequent scans read the data the
+    * reference's input format would have mounted. Returns true when
+    * the command was consumed. */
+  private def resolveSymlinkCopy(spark: SparkSession, cmd: String,
+      refData: String, symlinkTables: Set[String]): Boolean = {
+    if (symlinkTables.isEmpty) return false
+    val toks = cmd.trim.split("\\s+")
+    if (toks.length != 4 || toks(1) != "-cp") return false
+    val (src, dst) = (toks(2), toks(3))
+    val tbl = symlinkTables.find(t => dst.toLowerCase.contains("/" + t + "/"))
+      .getOrElse(return false)
+    val dataIdx = src.indexOf("data/files/")
+    val manifest =
+      if (dataIdx >= 0)
+        Paths.get(refData, src.substring(dataIdx + "data/files/".length))
+      else Paths.get(src)
+    if (!Files.exists(manifest)) return true
+    val loc = Paths.get(new java.net.URI(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        HiveDdl.linesTable(tbl))).location.toString).getPath)
+    Files.createDirectories(loc)
+    val dataDir = Paths.get(refData)
+    new String(Files.readAllBytes(manifest), UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val li = line.indexOf("data/files/")
+        val rel =
+          if (li >= 0) line.substring(li + "data/files/".length)
+          else Paths.get(line).getFileName.toString
+        // nio glob handles the manifests' `*` and `{a,b}` alternations
+        val matcher = dataDir.getFileSystem.getPathMatcher("glob:" + rel)
+        Files.list(dataDir).iterator().asScala
+          .filter(p => matcher.matches(dataDir.relativize(p)))
+          .foreach { t =>
+            Files.copy(t, loc.resolve(
+              manifest.getFileName.toString + "_" + t.getFileName.toString),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+    try spark.sessionState.catalog.invalidateAllCachedTables()
+    catch { case _: Exception => () }
+    true
+  }
+
   private def execDfs(cmd: String, refData: String): Unit = {
     import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
     val tmpBase = JPaths.get(System.getProperty("java.io.tmpdir"), "qtest_tmp")
@@ -2359,7 +2408,11 @@ object QTestReplay {
           "(?is)stored\\s+as\\s+(?!textfile)\\w".r.findFirstIn(c).isEmpty &&
             HiveDdl.containerOf(c).isEmpty &&
             "(?is)row\\s+format\\s+serde\\s+".r.findFirstIn(c).isEmpty))
-      }
+      } ++
+      // SymlinkTextInputFormat tables are text tables whose data files
+      // the dfs-copy lane resolves from symlink manifests
+      stmts.iterator.flatMap(s =>
+        HiveDdl.symlinkTextTable(s).map(_.toLowerCase)).toSet
     // CLUSTERED BY specs drive the physical TABLESAMPLE(BUCKET x OUT OF y)
     // rewrite; container formats (avro/rcfile/sequencefile) drive raw-file
     // LOAD ingestion through the vendored readers
@@ -2369,6 +2422,8 @@ object QTestReplay {
     val containerTables: Map[String, (String, Option[String])] = stmts.iterator
       .flatMap(s => HiveDdl.containerOf(s).flatMap(c =>
         HiveDdl.createdTable(s).map(_.toLowerCase -> c))).toMap
+    val symlinkTables: Set[String] = stmts.iterator
+      .flatMap(s => HiveDdl.symlinkTextTable(s).map(_.toLowerCase)).toSet
     // a text table that takes INSERTs (any position — multi-insert and
     // FROM-first forms included) or ANALYZE must stay a real (csv)
     // table; the rest are backed by a lines table + parsing view
@@ -2456,7 +2511,8 @@ object QTestReplay {
             }
           } else {
             registerAddFile(c, refData, addedFiles)
-            try execDfs(c, refData) catch { case _: Exception => () }
+            if (!resolveSymlinkCopy(spark, c, refData, symlinkTables))
+              try execDfs(c, refData) catch { case _: Exception => () }
           }
         }
         val ojPushed0 =
