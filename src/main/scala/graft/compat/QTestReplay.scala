@@ -54,6 +54,12 @@ case class GraftInputFile()
     org.apache.spark.graft.CoreShims.inputFilePath
 }
 
+import QTestRender._
+import QTestCompare._
+import QTestStatements._
+import QTestFs._
+import QTestSource._
+
 object QTestReplay {
 
   /** One PREHOOK..result block of a .q.out file. */
@@ -66,7 +72,7 @@ object QTestReplay {
     def passed: Boolean = failures.isEmpty && checked > 0
   }
 
-  private val Mask = "#### A masked pattern was here ####"
+  private[compat] val Mask = "#### A masked pattern was here ####"
 
   /** Parse the PREHOOK/POSTHOOK block structure of a .q.out. */
   def parseQOut(text: String): Seq[Block] = {
@@ -182,7 +188,7 @@ object QTestReplay {
   /** kv*.txt are \u0001-delimited (key, value) STRING pairs; a missing
     * trailing field is NULL (LazySimpleSerDe's missing-column rule),
     * an empty field is the empty string. */
-  private def kvTable(spark: SparkSession, file: String): DataFrame = {
+  private[compat] def kvTable(spark: SparkSession, file: String): DataFrame = {
     val raw = spark.read.text(file)
     // limit -1: a TRAILING empty field ('128\u0001') is the EMPTY
     // STRING there (LazySimpleSerDe), never NULL -- Java split's
@@ -196,7 +202,7 @@ object QTestReplay {
   /** (key, value, BLOCK__OFFSET__INSIDE__FILE, INPUT__FILE__NAME) from
     * a kv text file — offsets computed over the file's own bytes, so
     * they match the reference's TableScanOperator virtual column. */
-  private def kvVcTable(spark: SparkSession, file: String): DataFrame = {
+  private[compat] def kvVcTable(spark: SparkSession, file: String): DataFrame = {
     val bytes = Files.readAllBytes(Paths.get(file))
     val text = new String(bytes, UTF_8)
     val body = if (text.endsWith("\n")) text.dropRight(1) else text
@@ -608,341 +614,7 @@ object QTestReplay {
     ensure("alltypesorc")(spark.read.orc(s"$refData/alltypesorc"))
   }
 
-  // ---------------------------------------------------------------- //
-  // Hive fetch-format rendering (serde2 LazySimpleSerDe text form).   //
-  // ---------------------------------------------------------------- //
 
-  /** The zone the reference's test harness pinned (QTestUtil). */
-  private val HarnessZone = java.time.ZoneId.of("America/Los_Angeles")
-
-  private val TsFmt = java.time.format.DateTimeFormatter
-    .ofPattern("yyyy-MM-dd HH:mm:ss")
-
-  /** TimestampWritable.toString: rendered in the harness zone, whole-
-    * second fraction dropped entirely, trailing zeros trimmed otherwise.
-    * Formatted at an EXPLICIT zone — java.sql.Timestamp.toString renders
-    * in the JVM default zone, which is not the harness's. The collect
-    * path built this Timestamp through Spark's proleptic→hybrid rebase
-    * (toJavaTimestamp); fromJavaTimestamp is its exact inverse, so
-    * formatting the recovered micros round-trips pre-Gregorian values
-    * (year 1039) the way the reference's own parse→print does. */
-  private def renderTimestamp(ts: java.sql.Timestamp): String = {
-    import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    val micros = DateTimeUtils.fromJavaTimestamp(ts)
-    val zdt = java.time.LocalDateTime.ofInstant(
-      DateTimeUtils.microsToInstant(micros), HarnessZone)
-    val base = zdt.format(TsFmt)
-    if (zdt.getNano == 0) base
-    else base + "." + f"${zdt.getNano}%09d".reverse.dropWhile(_ == '0').reverse
-  }
-
-  /** HiveDecimal values print at their DECLARED scale (cast(key as
-    * decimal(10,2)) renders `0.00`) — plain form, no zero-stripping. */
-  private def renderDecimal(d: java.math.BigDecimal): String = d.toPlainString
-
-  /** HiveIntervalYearMonth.toString: `y-m`, months normalized to 0-11,
-    * one leading sign. */
-  private def renderYearMonth(p: java.time.Period): String = {
-    val total = p.toTotalMonths
-    val sign = if (total < 0) "-" else ""
-    s"$sign${math.abs(total) / 12}-${math.abs(total) % 12}"
-  }
-
-  /** HiveIntervalDayTime.toString: `d hh:mm:ss.fffffffff` with a fixed
-    * 9-digit nano field. */
-  private def renderDayTime(dur: java.time.Duration): String = {
-    val neg = dur.isNegative
-    val d = dur.abs
-    val sec = d.getSeconds
-    val sign = if (neg) "-" else ""
-    f"$sign${sec / 86400}%d ${sec / 3600 % 24}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d.${d.getNano}%09d"
-  }
-
-  /** Top-level column rendering: nulls are `NULL`, strings bare. */
-  def renderValue(v: Any, dt: DataType): String = v match {
-    case null => "NULL"
-    case _ => dt match {
-      case StringType => v.toString
-      case BooleanType | ByteType | ShortType | IntegerType | LongType => v.toString
-      case FloatType => java.lang.Float.toString(v.asInstanceOf[Float])
-      case DoubleType => java.lang.Double.toString(v.asInstanceOf[Double])
-      case _: DecimalType => renderDecimal(v.asInstanceOf[java.math.BigDecimal])
-      case TimestampType => renderTimestamp(v.asInstanceOf[java.sql.Timestamp])
-      case DateType => v.toString
-      case _: YearMonthIntervalType => renderYearMonth(v.asInstanceOf[java.time.Period])
-      case _: DayTimeIntervalType => renderDayTime(v.asInstanceOf[java.time.Duration])
-      case BinaryType => new String(v.asInstanceOf[Array[Byte]], UTF_8)
-      case at: ArrayType =>
-        v.asInstanceOf[scala.collection.Seq[Any]]
-          .map(renderNested(_, at.elementType)).mkString("[", ",", "]")
-      case mt: MapType =>
-        v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq
-          .map { case (k, mv) =>
-            s"${renderNested(k, mt.keyType)}:${renderNested(mv, mt.valueType)}" }
-          .mkString("{", ",", "}")
-      case st: StructType
-          if st.fields.length >= 2 && st.fields.head.name == "tag" &&
-            st.fields.tail.zipWithIndex.forall { case (f, i) => f.name == s"field$i" } =>
-        // the struct-tag uniontype encoding renders the reference's
-        // UnionObject.toString way: {tag:value}
-        val r = v.asInstanceOf[Row]
-        val tag = Option(r.get(0)).map(_.toString.toInt).getOrElse(-1)
-        val active =
-          if (tag >= 0 && tag + 1 < st.fields.length)
-            renderNested(r.get(tag + 1), st.fields(tag + 1).dataType)
-          else "null"
-        s"{$tag:$active}"
-      case st: StructType =>
-        // field names render AS DECLARED (parquet_create's
-        // struct<A:string,B:string> prints {"A":...}); HiveQL's own
-        // lowercasing already happened at parse time for query-built
-        // structs
-        val r = v.asInstanceOf[Row]
-        st.fields.zipWithIndex
-          .map { case (f, idx) =>
-            "\"" + f.name + "\":" + renderNested(r.get(idx), f.dataType) }
-          .mkString("{", ",", "}")
-      case _ => v.toString
-    }
-  }
-
-  /** Inside complex types the reference JSON-izes: strings/timestamps/
-    * dates quoted, null lowercase, numerics bare — and decimals print
-    * NORMALIZED (HiveDecimal.toString strips trailing zeros; only
-    * top-level table columns pad to the declared scale). */
-  private def renderNested(v: Any, dt: DataType): String = v match {
-    case null => "null"
-    case _ => dt match {
-      case StringType | _: CharType | _: VarcharType => "\"" + v.toString + "\""
-      case TimestampType => "\"" + renderTimestamp(v.asInstanceOf[java.sql.Timestamp]) + "\""
-      case DateType => "\"" + v.toString + "\""
-      case _: DecimalType =>
-        val d = v.asInstanceOf[java.math.BigDecimal]
-        (if (d.compareTo(java.math.BigDecimal.ZERO) == 0) java.math.BigDecimal.ZERO
-         else d.stripTrailingZeros).toPlainString
-      case _ => renderValue(v, dt)
-    }
-  }
-
-  def renderRow(row: Row, schema: StructType): String =
-    schema.fields.zipWithIndex
-      .map { case (f, i) => renderValue(row.get(i), f.dataType) }
-      .mkString("\t")
-
-  // ---------------------------------------------------------------- //
-  // Replay                                                            //
-  // ---------------------------------------------------------------- //
-
-  /** First keyword of a statement after leading `--` comments. */
-  private def firstWord(q: String): String = {
-    val body = q.linesIterator.map(_.trim).filterNot(l => l.isEmpty || l.startsWith("--"))
-      .mkString(" ")
-    body.split("[\\s(]", 2).headOption.getOrElse("").toLowerCase
-  }
-
-  /** Block types / statements replayed vs skipped. Skips are statements
-    * whose output is presentation, not query semantics: plans, catalog
-    * text, function help. */
-  private def skippable(b: Block): Boolean =
-    b.qtype != "QUERY" ||
-      b.query.contains(Mask) ||
-      (firstWord(b.query) match {
-        case "explain" | "describe" | "desc" | "show" => true
-        case _ => false
-      })
-
-  /** LIMIT without ORDER BY: SQL leaves WHICH rows unspecified, so a
-    * value mismatch on such a statement is the reference's MapReduce
-    * emission order showing through, not a correctness signal — those
-    * mismatches are tallied as `nondet`, not failures. (A MATCH is still
-    * meaningful — constant projections and limit >= rowcount pin the
-    * values regardless of row choice — so these are attempted, not
-    * skipped.) */
-  /** percent TABLESAMPLE picks a byte fraction of the SPLIT there —
-    * even the row COUNT is engine-specific. */
-  private def percentSample(q: String): Boolean =
-    "(?is)tablesample\\s*\\(\\s*[\\d.]+\\s+percent".r.findFirstIn(q).isDefined
-
-  private def limitWithoutOrder(q: String): Boolean =
-    ("(?is)\\blimit\\s+\\d".r.findFirstIn(q).isDefined ||
-      // row-count/percent TABLESAMPLE picks unspecified rows the same way
-      "(?is)tablesample\\s*\\(\\s*[\\d.]+\\s+(rows|percent)".r.findFirstIn(q).isDefined) &&
-      // an ORDER BY inside an OVER clause (depth > 0) orders the window,
-      // not the output — distinct_windowing's `distinct first_value(t)
-      // over (... order by i) limit 10` is an UN-ordered LIMIT (and its
-      // values are min-i tie-order-dependent in both engines: 17 of
-      // over10k's 256 si-partitions tie on min i with differing t)
-      !topLevelOrderBy(q)
-
-  /** `ORDER BY <constant> LIMIT n` — view_alias's `order by ``_c1```
-    * names a view column that IS a literal ('12'), so the row pick is
-    * as unspecified as a bare LIMIT. Detected from the OPTIMIZED plan:
-    * the optimizer's EliminateSorts removes a top-level Sort whose keys
-    * fold to constants, so order-by + limit with NO surviving Sort node
-    * means the order was vacuous. */
-  private def vacuousOrderLimit(stmt: String,
-                                df: org.apache.spark.sql.DataFrame): Boolean =
-    "(?is)\\blimit\\s+\\d".r.findFirstIn(stmt).isDefined &&
-      topLevelOrderBy(stmt) &&
-      (try df.queryExecution.optimizedPlan.collectFirst {
-        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
-      }.isEmpty
-      catch { case _: Exception => false })
-
-  /** `ORDER BY <output cols> LIMIT n` where got/want differ only in
-    * WHICH rows fill the tie groups: equal-length results whose
-    * ORDER-KEY projections agree as sequences can only disagree inside
-    * tie groups, where the reference's pick is its reducer arrival
-    * order (view_alias's `order by count limit 5` over hundreds of
-    * count=1 keys). Keys must be NAMED output columns — expression
-    * keys return false and stay strict. */
-  private def tieLimitPick(stmt: String, schema: StructType,
-                           got: Seq[String], want: Seq[String]): Boolean = {
-    if (got.size != want.size || got.isEmpty) return false
-    val m = "(?is)\\border\\s+by\\s+([^()]+?)\\s+limit\\s+\\d+\\s*;?\\s*$".r
-      .findFirstMatchIn(stmt).getOrElse(return false)
-    val names = m.group(1).split(",").map(_.trim
-      .replaceAll("(?is)\\s+(asc|desc)\\b.*$", "")
-      .replace("`", ""))
-    val idxs = names.map(n =>
-      schema.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
-    if (idxs.exists(_ < 0)) return false
-    def keys(rs: Seq[String]): Seq[Seq[String]] = rs.map { r =>
-      val cs = r.split("\t", -1)
-      idxs.toSeq.map(i => if (i < cs.length) cs(i) else "")
-    }
-    val gk = keys(got)
-    if (gk != keys(want)) return false
-    // only TIE GROUPS (repeated key values) may hold different rows; a
-    // row whose key is unique in the result must match byte-exact
-    val counts = gk.groupBy(identity).map { case (k, v) => k -> v.size }
-    got.indices.forall(i => got(i) == want(i) || counts(gk(i)) > 1)
-  }
-
-  /** Depth-0 ORDER BY (outside parens/quotes/comments) — the statement
-    * pins its OUTPUT order, so the comparison must too. */
-  private def topLevelOrderBy(q: String): Boolean = {
-    val i = HiveRewrites.tokenAtDepth0(q, "ORDER")
-    i >= 0 && "(?is)^order\\s+by\\b".r.findFirstIn(q.substring(i)).isDefined
-  }
-
-  /** The reference harness's own sort directive: when a file carries
-    * `-- SORT_QUERY_RESULTS`, the committed rows are sorted text, so the
-    * sorted-multiset comparison is the faithful one even under ORDER BY. */
-  private def hasSortMarker(blocks: Seq[Block]): Boolean =
-    blocks.exists(_.query.contains("SORT_QUERY_RESULTS"))
-
-  /** `-- SORT_AND_HASH_QUERY_RESULTS`: the harness's
-    * SortAndDigestPrintStream emits each statement's rows SORTED and
-    * appends base64(MD5(concatenated row bytes, no separators)). */
-  private def hasSortHashMarker(blocks: Seq[Block]): Boolean =
-    blocks.exists(_.query.contains("SORT_AND_HASH_QUERY_RESULTS"))
-
-  private def sortAndDigest(rows: Seq[String]): Seq[String] = {
-    val sorted = rows.sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    sorted.foreach(r => md.update(r.getBytes(UTF_8)))
-    sorted :+ java.util.Base64.getEncoder.encodeToString(md.digest())
-  }
-
-  /** Compare one statement's rendered rows against the expected block:
-    * ORDER-pinned statements compare IN ORDER (unless the file's rows
-    * were sorted by the harness); everything else as sorted multisets.
-    * Returns None on match, Some(diff) on mismatch. */
-  private def diffRows(stmt: String, fileSorted: Boolean,
-                       gotRaw0: Seq[String], want: Seq[String],
-                       sortHash: Boolean = false): Option[String] = {
-    // SORT_AND_HASH files commit sorted rows + a trailing digest line
-    val gotRaw = if (sortHash) sortAndDigest(gotRaw0) else gotRaw0
-    val ordered = sortHash || (!fileSorted && topLevelOrderBy(stmt))
-    val (got, exp) = if (ordered) (gotRaw, want) else (gotRaw.sorted, want.sorted)
-    if (got == exp) None
-    else if (ordered && gotRaw.sorted == want.sorted)
-      Some("row ORDER differs (multiset equal)")
-    else Some(got.zipAll(exp, "<missing>", "<missing>")
-      .collectFirst { case (g, w) if g != w => s"got '$g' want '$w'" }
-      .getOrElse(s"row count ${got.size} vs ${exp.size}"))
-  }
-
-  /** Harness `set key=value` commands both replay lanes honor as
-    * semantic switches, mirrored onto the session (the .q.out echo
-    * carries no SET blocks, so these ride the aligned .q statements). */
-  private[compat] def mirrorSetConf(spark: SparkSession,
-      localConf: scala.collection.mutable.Map[String, String],
-      c: String): Unit =
-    if ("(?is)^set\\s".r.findFirstIn(c).isDefined) {
-      val kv = c.replaceFirst("(?is)^set\\s+", "").split("=", 2)
-      if (kv.length == 2) {
-        localConf(kv(0).trim.toLowerCase) = kv(1).trim.toLowerCase
-        // quoted-identifier mode maps onto Spark's regex-column conf
-        if (kv(0).trim.equalsIgnoreCase("hive.support.quoted.identifiers"))
-          spark.conf.set("spark.sql.parser.quotedRegexColumnNames",
-            kv(1).trim.equalsIgnoreCase("none").toString)
-        // positional alias confs map onto Spark's ordinal confs
-        if (kv(0).trim.equalsIgnoreCase("hive.groupby.position.alias") ||
-            kv(0).trim.equalsIgnoreCase("hive.groupby.orderby.position.alias")) {
-          spark.conf.set("spark.sql.groupByOrdinal", kv(1).trim.toLowerCase)
-          if (kv(0).trim.toLowerCase.contains("orderby"))
-            spark.conf.set("spark.sql.orderByOrdinal", kv(1).trim.toLowerCase)
-        }
-        if (kv(0).trim.equalsIgnoreCase("hive.orderby.position.alias"))
-          spark.conf.set("spark.sql.orderByOrdinal", kv(1).trim.toLowerCase)
-        if (kv(0).trim.equalsIgnoreCase("hive.int.timestamp.conversion.in.seconds"))
-          spark.conf.set("graft.compat.int.ts.seconds", kv(1).trim.toLowerCase)
-        // env-var NAMES are case-sensitive — keep the raw spelling
-        if (kv(0).trim.equalsIgnoreCase("hive.script.operator.id.env.var"))
-          spark.conf.set("graft.compat.script.id.var", kv(1).trim)
-      }
-    }
-
-  /** `add file <path>` harness commands: resolve to the reference
-    * checkout (relative ../../ paths; hdfs:/// staging of data/scripts
-    * files) and remember basename -> absolute path, so TRANSFORM
-    * commands that exec the bare basename (the reference distributes
-    * added files into the work dir) find the real script. */
-  private[compat] def registerAddFile(c: String, refData: String,
-      reg: scala.collection.mutable.Map[String, String]): Unit =
-    "(?is)^add\\s+file\\s+(\\S+)\\s*$".r.findFirstMatchIn(c.trim).foreach { m =>
-      val raw = m.group(1)
-      val refRoot = Paths.get(refData).getParent.getParent.toString
-      val base = raw.substring(raw.lastIndexOf('/') + 1)
-      val candidates = Seq(
-        if (raw.startsWith("../../")) refRoot + "/" + raw.stripPrefix("../../")
-        else if (raw.contains(":/")) s"$refRoot/data/scripts/$base"
-        else raw)
-      candidates.find(pp => Files.exists(Paths.get(pp)))
-        .foreach { pp =>
-          // the reference's corpus scripts are Python 2; only python3
-          // exists here — shim bare print statements into calls
-          if (base.endsWith(".py")) {
-            val src = new String(Files.readAllBytes(Paths.get(pp)), UTF_8)
-            val fixed = src.linesIterator.map { l =>
-              "^(\\s*)print\\s+(.+)$".r.replaceAllIn(l,
-                m => java.util.regex.Matcher.quoteReplacement(
-                  s"${m.group(1)}print(${m.group(2)})"))
-            }.mkString("\n").replace("xrange(", "range(")
-            if (fixed != src) {
-              val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-                "qtest_tmp", "scripts")
-              Files.createDirectories(dir)
-              val out = dir.resolve(base)
-              Files.write(out, fixed.getBytes(UTF_8))
-              reg(base) = out.toString
-            } else reg(base) = pp
-          } else reg(base) = pp
-        }
-    }
-
-  /** Re-point bare script basenames inside TRANSFORM statements at
-    * their registered absolute paths. */
-  private[compat] def resolveScripts(stmt: String,
-      reg: scala.collection.Map[String, String]): String =
-    if (reg.isEmpty || "(?i)\\busing\\b".r.findFirstIn(stmt).isEmpty) stmt
-    else reg.foldLeft(stmt) { case (s0, (base, abs)) =>
-      s0.replaceAll(
-        "(?<=['\"\\s])" + java.util.regex.Pattern.quote(base) + "(?=['\"\\s])",
-        java.util.regex.Matcher.quoteReplacement(abs))
-    }
 
   /** Replay every checkable block of one .q.out against the session.
     * Failures carry a compact diff head for triage. */
@@ -1060,1158 +732,9 @@ object QTestReplay {
     FileResult(name, checked, skipped, nondet, failures.result().take(3))
   }
 
-  private def oneLine(s: String): String = {
-    val t = s.replaceAll("\\s+", " ").trim
-    if (t.length > 160) t.take(160) + "…" else t
-  }
 
-  private val CoreFixtures = Set("src", "src1", "srcpart", "alltypesorc", "_dummy_table")
 
-  private def fixtureName(input: String): String = {
-    // "default@srcpart@ds=.../hr=..." -> srcpart; "database:default" -> ""
-    val parts = input.split("@")
-    if (parts.length >= 2) parts(1) else parts(0)
-  }
 
-  /** The read-only corpus filter: QUERY/presentation blocks over the
-    * core fixtures, nothing written. */
-  def selectOnlyOverCoreFixtures(blocks: Seq[Block]): Boolean =
-    blocks.nonEmpty &&
-      blocks.forall(b => (b.qtype == "QUERY" || b.qtype == "DESCFUNCTION") &&
-        b.outputs.isEmpty && b.inputs.forall(i => CoreFixtures(fixtureName(i)))) &&
-      blocks.exists(b => b.qtype == "QUERY")
-
-  /** The DDL-bearing corpus filter: files that additionally CREATE their
-    * own tables/views, LOAD the reference's data files into them and
-    * INSERT into them — executed through the engine's own surfaces
-    * ([[HiveDdl]] translation, [[graft.etl.LoadData]]). Reads must stay
-    * within the fixtures + tables the file itself creates. */
-  private val DdlTypes = Set("QUERY", "DESCFUNCTION", "DESCTABLE", "SHOWPARTITIONS",
-    "SHOW_TBLPROPERTIES", "CREATETABLE", "CREATETABLE_AS_SELECT", "DROPTABLE",
-    "LOAD", "CREATEVIEW", "DROPVIEW", "ALTERTABLE_ADDPARTS", "ALTERTABLE_DROPPARTS")
-
-  def ddlOverCoreFixtures(blocks: Seq[Block]): Boolean = {
-    if (blocks.isEmpty || !blocks.exists(b => b.qtype == "QUERY" && b.outputs.isEmpty))
-      return false
-    if (!blocks.forall(b => DdlTypes(b.qtype))) return false
-    val owned = blocks.iterator
-      .filter(b => b.qtype == "CREATETABLE" || b.qtype == "CREATETABLE_AS_SELECT" ||
-        b.qtype == "CREATEVIEW")
-      .flatMap(_.outputs).map(fixtureName).map(_.toLowerCase).toSet
-    if (owned.isEmpty) return false // read-only files take the other lane
-    blocks.forall(b =>
-      b.inputs.forall(i => { val n = fixtureName(i).toLowerCase
-        CoreFixtures(n) || owned(n) || i.startsWith("database:") }) &&
-      b.outputs.forall(o => { val n = fixtureName(o).toLowerCase
-        owned(n) || o.startsWith("database:") }))
-  }
-
-  // ---------------------------------------------------------------- //
-  // .q-side statement recovery: the echo in .q.out masks LOAD paths   //
-  // and locations, so DDL replay reads the original statements and    //
-  // aligns them 1:1 with the .q.out blocks (set/dfs/add commands make //
-  // no blocks and are dropped).                                       //
-  // ---------------------------------------------------------------- //
-
-  /** Split a .q file into executable statements (quote- and
-    * comment-aware ';' split; set/reset/dfs/add/delete commands — which
-    * produce no .q.out block — removed). */
-  def parseQ(text: String): Seq[String] = {
-    val stmts = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      text(i) match {
-        case '\'' | '"' =>
-          val q = text(i); cur.append(q); i += 1
-          while (i < n && text(i) != q) {
-            if (text(i) == '\\' && i + 1 < n) { cur.append(text(i)).append(text(i + 1)); i += 2 }
-            else { cur.append(text(i)); i += 1 }
-          }
-          if (i < n) { cur.append(q); i += 1 }
-        case '-' if i + 1 < n && text(i + 1) == '-' =>
-          val e = text.indexOf('\n', i) match { case -1 => n; case x => x }
-          cur.append(text.substring(i, e)); i = e
-        case ';' =>
-          stmts += cur.toString; cur.clear(); i += 1
-        case c => cur.append(c); i += 1
-      }
-    }
-    if (cur.toString.trim.nonEmpty) stmts += cur.toString
-    stmts.result()
-      .map(s => s.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
-      .filter(_.nonEmpty)
-      .filterNot(isCliCommand)
-  }
-
-  private def isCliCommand(s: String): Boolean = {
-    val ws = s.split("[\\s=]+", 3).map(_.toLowerCase)
-    val w = ws.head
-    // `delete`/`add`/`list` are CLI resource commands ONLY when the
-    // operand is jar/file/archive — `delete from t` is SQL DML
-    val resource = ws.lift(1).exists(o =>
-      Set("jar", "jars", "file", "files", "archive", "archives")(o))
-    Set("set", "reset", "dfs")(w) ||
-      (Set("add", "delete", "list")(w) && resource)
-  }
-
-  /** Like [[parseQ]] but keeps each statement's preceding `dfs` commands
-    * (mkdir/copyFromLocal/rmr create the files later statements read;
-    * they produce no .q.out block). */
-  def parseQWithCommands(text: String): Seq[(Seq[String], String)] = {
-    val out = Seq.newBuilder[(Seq[String], String)]
-    var pending = Seq.newBuilder[String]
-    // re-split exactly as parseQ does, but partition instead of dropping
-    val all = {
-      val stmts = Seq.newBuilder[String]
-      val cur = new StringBuilder
-      var i = 0
-      val n = text.length
-      while (i < n) {
-        text(i) match {
-          case '\'' | '"' =>
-            val q = text(i); cur.append(q); i += 1
-            while (i < n && text(i) != q) {
-              if (text(i) == '\\' && i + 1 < n) { cur.append(text(i)).append(text(i + 1)); i += 2 }
-              else { cur.append(text(i)); i += 1 }
-            }
-            if (i < n) { cur.append(q); i += 1 }
-          case '-' if i + 1 < n && text(i + 1) == '-' =>
-            val e = text.indexOf('\n', i) match { case -1 => n; case x => x }
-            cur.append(text.substring(i, e)); i = e
-          case ';' =>
-            stmts += cur.toString; cur.clear(); i += 1
-          case c => cur.append(c); i += 1
-        }
-      }
-      if (cur.toString.trim.nonEmpty) stmts += cur.toString
-      stmts.result()
-        .map(s => s.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
-        .filter(_.nonEmpty)
-    }
-    all.foreach { s =>
-      if (s.toLowerCase.startsWith("dfs") ||
-          "(?is)^(set|add\\s+file)\\s".r.findFirstIn(s).isDefined) pending += s
-      else if (isCliCommand(s)) ()
-      else { out += ((pending.result(), s)); pending = Seq.newBuilder[String] }
-    }
-    out.result()
-  }
-
-  /** Commands AFTER the last statement of a .q file — valueless
-    * `set <key>` echoes there append `key=value` lines to the final
-    * block's committed output (SetProcessor's echo carries no
-    * PREHOOK marker of its own). */
-  def parseQTrailingCommands(text: String): Seq[String] =
-    parseQWithCommands(text + ";\n__graft_sentinel__;")
-      .lastOption.filter(_._2 == "__graft_sentinel__")
-      .map(_._1).getOrElse(Seq.empty)
-
-  /** Execute one harness `dfs` command's file-system side effect; only
-    * the temp scratch area is writable (never the read-only reference).
-    * Unknown forms are ignored (listings/cats are presentation). */
-  /** The reference's FileUtils.escapePathName character set
-    * (common/src/java/org/apache/hadoop/hive/common/FileUtils.java:217):
-    * all control chars INCLUDING U+0000 — which Spark's
-    * ExternalCatalogUtils clone omits, so a NUL partition value crashes
-    * Spark's dynamic write (escape1) — plus the listed specials. */
-  private[compat] def hiveEscapePathName(s: String): String =
-    if (s.isEmpty) "__HIVE_DEFAULT_PARTITION__"
-    else s.flatMap { c =>
-      if (c < ' ' || c == '\u007F' || "\"#%'*/:=?\\{[]^".indexOf(c.toInt) >= 0)
-        f"%%${c.toInt}%02X"
-      else c.toString
-    }
-
-  /** Fallback for dynamic-partition INSERTs whose partition VALUES
-    * Spark's writer cannot represent — its path escaping omits U+0000
-    * (TASK_WRITE_FAILED), and its catalog read maps the default
-    * partition's stored name to NULL where the reference reads back the
-    * literal string `__HIVE_DEFAULT_PARTITION__`. Rebuild the table as
-    * an UNPARTITIONED parquet stand-in with the partition columns as
-    * trailing data columns carrying the reference's stored VALUES
-    * (escape1's SELECT * then matches byte-exact); a marker table
-    * property routes later partial-spec DROP PARTITION statements to a
-    * staged DELETE ([[runDml]]). Single-shot by design: the overwrite
-    * rebuilds from this INSERT alone (the corpus family fills each such
-    * table exactly once). */
-  private val PseudoPartProp = "graft.pseudo.partitions"
-
-  private def manualDynamicInsert(spark: SparkSession, stmt: String): Boolean = {
-    val Re = ("(?is)^\\s*insert\\s+overwrite\\s+table\\s+`?([\\w.]+)`?\\s+" +
-      "partition\\s*\\(([^)]*)\\)\\s*((?:select|with)\\b.*)$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return false)
-    val items = m.group(2).split(",").map(_.trim).toSeq
-    val static = items.filter(_.contains("=")).map { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'")
-    }
-    val dyn = items.filterNot(_.contains("=")).map(_.toLowerCase)
-    if (dyn.isEmpty) return false
-    val df = spark.sql(HiveRewrites(m.group(3).trim.stripSuffix(";")))
-    val cat = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(m.group(1))
-    val meta = cat.getTableMetadata(ident)
-    val partCols = meta.partitionColumnNames
-    if (partCols.isEmpty) return false
-    val dataFields = meta.schema.fields.filterNot(f => partCols.contains(f.name))
-    val nData = df.schema.length - dyn.length
-    if (nData != dataFields.length) return false
-    val DefaultPart = "__HIVE_DEFAULT_PARTITION__"
-    // the reference maps null AND empty dynamic values onto the default
-    // partition name, and READS that name back as the value
-    val dynExprs: Map[String, org.apache.spark.sql.Column] =
-      dyn.zipWithIndex.map { case (d, i) =>
-        val c = col(df.columns(nData + i)).cast("string")
-        d -> when(c.isNull || c === "", lit(DefaultPart)).otherwise(c)
-      }.toMap
-    val staticMap = static.toMap
-    val partExprs = partCols.map { p =>
-      val t = meta.schema(p).dataType
-      staticMap.get(p.toLowerCase) match {
-        case Some(v) => lit(v).cast(t).as(p)
-        case None => dynExprs(p.toLowerCase).cast(t).as(p)
-      }
-    }
-    val out = df.select((df.columns.take(nData).zip(dataFields).map {
-      case (c, f) => col(c).cast(f.dataType).as(f.name)
-    } ++ partExprs).toIndexedSeq: _*)
-    val stage = s"graft_dynins_stage"
-    out.createOrReplaceTempView(stage)
-    spark.sql(s"DROP TABLE ${ident.quotedString}")
-    spark.sql(s"CREATE TABLE ${ident.quotedString} USING parquet " +
-      s"TBLPROPERTIES ('$PseudoPartProp' = '${partCols.mkString(",")}') " +
-      s"AS SELECT * FROM $stage")
-    spark.catalog.dropTempView(stage)
-    true
-  }
-
-  /** INSERT OVERWRITE DIRECTORY ... STORED AS RCFILE (no row format). */
-  private val RcDirRe =
-    ("(?is)^\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']+)'\\s*" +
-      "stored\\s+as\\s+rcfile\\s+((?:select|with)\\b.*)$").r
-
-  /** `dfs -cp <manifest> <warehouse>/<symlink-table>/...` for a
-    * SymlinkTextInputFormat table: the copied file is a MANIFEST of
-    * harness-relative paths/globs, one per line, naming the REAL data
-    * files (ql/io/SymlinkTextInputFormat.java getSplits reads every
-    * line of every file under the table dir and globs it). Resolved
-    * eagerly at copy time — each glob target lands in the table's
-    * lines-table directory, so subsequent scans read the data the
-    * reference's input format would have mounted. Returns true when
-    * the command was consumed. */
-  private def resolveSymlinkCopy(spark: SparkSession, cmd: String,
-      refData: String, symlinkTables: Set[String]): Boolean = {
-    if (symlinkTables.isEmpty) return false
-    val toks = cmd.trim.split("\\s+")
-    if (toks.length != 4 || toks(1) != "-cp") return false
-    val (src, dst) = (toks(2), toks(3))
-    val tbl = symlinkTables.find(t => dst.toLowerCase.contains("/" + t + "/"))
-      .getOrElse(return false)
-    val dataIdx = src.indexOf("data/files/")
-    val manifest =
-      if (dataIdx >= 0)
-        Paths.get(refData, src.substring(dataIdx + "data/files/".length))
-      else Paths.get(src)
-    if (!Files.exists(manifest)) return true
-    val loc = Paths.get(new java.net.URI(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
-        HiveDdl.linesTable(tbl))).location.toString).getPath)
-    Files.createDirectories(loc)
-    val dataDir = Paths.get(refData)
-    new String(Files.readAllBytes(manifest), UTF_8)
-      .split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
-        val li = line.indexOf("data/files/")
-        val rel =
-          if (li >= 0) line.substring(li + "data/files/".length)
-          else Paths.get(line).getFileName.toString
-        // nio glob handles the manifests' `*` and `{a,b}` alternations
-        val matcher = dataDir.getFileSystem.getPathMatcher("glob:" + rel)
-        Files.list(dataDir).iterator().asScala
-          .filter(p => matcher.matches(dataDir.relativize(p)))
-          .foreach { t =>
-            Files.copy(t, loc.resolve(
-              manifest.getFileName.toString + "_" + t.getFileName.toString),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-      }
-    try spark.sessionState.catalog.invalidateAllCachedTables()
-    catch { case _: Exception => () }
-    true
-  }
-
-  private def execDfs(cmd: String, refData: String): Unit = {
-    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
-    val tmpBase = JPaths.get(System.getProperty("java.io.tmpdir"), "qtest_tmp")
-    def inTmp(p: String): Boolean = JPaths.get(p).normalize.startsWith(tmpBase)
-    // dfs arguments may carry a file: scheme after re-rooting — the
-    // local filesystem ops below want bare paths. A scheme-LESS absolute
-    // path is a DEFAULT-FS (hdfs) path there (root_dir_external_table's
-    // `dfs -cp /tmp/.../000000_0 /000000_0`) — it lands on the same
-    // hdfsroot scratch the hdfs:/// re-rooting uses. Reference-tree and
-    // scratch paths stay put.
-    val toks = cmd.split("\\s+").toSeq
-      .map(t => if (t.startsWith("file://")) t.stripPrefix("file://")
-                else t.stripPrefix("file:"))
-      .map(t =>
-        if (t.startsWith("/") && !t.startsWith("/root/") &&
-            !JPaths.get(t).normalize.startsWith(tmpBase))
-          tmpBase.toString + "/hdfsroot" + t
-        else t)
-    toks match {
-      case Seq(_, mk, dir) if mk.contains("mkdir") || mk.contains("test.dfs.mkdir") =>
-        if (inTmp(dir)) { JFiles.createDirectories(JPaths.get(dir)); () }
-      case Seq(_, "-copyFromLocal" | "-put", src, dst) if inTmp(dst) =>
-        // resolve the harness-relative source onto the reference's
-        // data/files tree (keep any subpath below data/files)
-        val from = {
-          val idx = src.indexOf("data/files/")
-          val fromRef =
-            if (idx >= 0) JPaths.get(refData, src.substring(idx + "data/files/".length))
-            else JPaths.get(refData, JPaths.get(src).getFileName.toString)
-          // a source the reference tree does not hold may be the output
-          // of an earlier re-rooted INSERT OVERWRITE DIRECTORY
-          if (JFiles.exists(fromRef) || idx < 0) fromRef
-          else tmpBase.resolve("dirs")
-            .resolve(src.substring(idx + "data/files/".length))
-        }
-        JFiles.createDirectories(JPaths.get(dst).getParent)
-        if (JFiles.isDirectory(from)) {
-          // directory sources copy recursively (ext_test_space)
-          def rec(sf: java.io.File, df: java.io.File): Unit =
-            if (sf.isDirectory) {
-              JFiles.createDirectories(df.toPath)
-              Option(sf.listFiles()).foreach(_.foreach(c => rec(c, new java.io.File(df, c.getName))))
-            } else {
-              JFiles.copy(sf.toPath, df.toPath, StandardCopyOption.REPLACE_EXISTING); ()
-            }
-          rec(from.toFile, new java.io.File(dst))
-        } else if (JFiles.exists(from)) {
-          JFiles.copy(from, JPaths.get(dst), StandardCopyOption.REPLACE_EXISTING); ()
-        }
-      case Seq(_, "-cp", src0, dst) if inTmp(dst) =>
-        // a `<dir>/000000_0`-style reducer-output name refers to the
-        // replay's own INSERT DIRECTORY files, which carry engine part
-        // names — resolve to the nth data file by sort order
-        val src = {
-          val f = new java.io.File(src0)
-          if (!f.exists && f.getName.matches("\\d{6}_\\d+") &&
-              f.getParentFile != null && f.getParentFile.isDirectory) {
-            val parts = Option(f.getParentFile.listFiles()).toSeq.flatten
-              .filter(x => x.isFile && !x.getName.startsWith("_") &&
-                !x.getName.startsWith(".")).sortBy(_.getName)
-            parts.lift(f.getName.takeWhile(_ != '_').toInt)
-              .map(_.getPath).getOrElse(src0)
-          } else src0
-        }
-        // -cp of a reference data DIRECTORY into the scratch (the source
-        // may live anywhere readable; only the tmp destination is written)
-        def copy(s: java.io.File, d: java.io.File): Unit =
-          if (s.isDirectory) {
-            JFiles.createDirectories(d.toPath)
-            Option(s.listFiles()).foreach(_.foreach(c => copy(c, new java.io.File(d, c.getName))))
-          } else if (s.isFile) {
-            // a DIRECTORY destination (dfs-style trailing slash) takes
-            // the source's file name
-            val t = if (d.isDirectory || dst.endsWith("/"))
-              new java.io.File(d, s.getName) else d
-            JFiles.createDirectories(t.toPath.getParent)
-            JFiles.copy(s.toPath, t.toPath, StandardCopyOption.REPLACE_EXISTING)
-            ()
-          }
-        copy(new java.io.File(src), new java.io.File(dst))
-      case Seq(_, rm, dir) if (rm == "-rmr" || rm == "-rm") &&
-          inTmp(dir.replace("*", "x")) =>
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-        }
-        val f = new java.io.File(dir)
-        if (f.getName.contains("*")) {
-          val re = ("\\Q" + f.getName.replace("*", "\\E.*\\Q") + "\\E").r
-          Option(f.getParentFile.listFiles()).foreach(_.foreach(c =>
-            if (re.pattern.matcher(c.getName).matches()) del(c)))
-        } else del(f)
-      case _ => ()
-    }
-  }
-
-  /** Letters-and-digits-only normalization for echo-vs-source alignment
-    * checks (the echo strips ';', keeps comments, reflows whitespace). */
-  private def norm(s: String): String =
-    s.linesIterator.filterNot(_.trim.startsWith("--")).mkString(" ")
-      .toLowerCase.filter(_.isLetterOrDigit).take(80)
-
-  /** Hive's VariableSubstitution (${hiveconf:}/${hivevar:}/${system:}/
-    * ${env:}/bare names), innermost-first so nested references resolve.
-    * Unresolvable references stay verbatim. */
-  private def substVars(s0: String, conf: scala.collection.Map[String, String]): String = {
-    var s = s0
-    var changed = true
-    var guard = 0
-    val Re = "\\$\\{([^${}]+)\\}".r
-    while (changed && guard < 20) {
-      changed = false; guard += 1
-      s = Re.replaceAllIn(s, m => {
-        val k = m.group(1)
-        val v =
-          if (k.startsWith("system:"))
-            Option(System.getProperty(k.stripPrefix("system:")))
-              .orElse(conf.get(k.toLowerCase))
-          else if (k.startsWith("env:")) Option(System.getenv(k.stripPrefix("env:")))
-          else if (k.startsWith("hiveconf:")) conf.get(k.stripPrefix("hiveconf:").toLowerCase)
-          else if (k.startsWith("hivevar:")) conf.get(k.stripPrefix("hivevar:").toLowerCase)
-          else conf.get(k.toLowerCase)
-        v match {
-          case Some(x) => changed = true; java.util.regex.Matcher.quoteReplacement(x)
-          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
-        }
-      })
-    }
-    s
-  }
-
-  /** LOAD statements point at the harness's data directory through
-    * masked relative paths; re-root on the reference's committed files
-    * and force LOCAL (copy) so the read-only source is never moved. */
-  private def rewriteLoad(stmt: String, refData: String): String = {
-    val tmpBase = System.getProperty("java.io.tmpdir") + "/qtest_tmp"
-    val rerooted = "(?i)inpath\\s+['\"]([^'\"]+)['\"]".r.replaceAllIn(stmt, m => {
-      val raw = m.group(1).stripPrefix("file:")
-      val f = new java.io.File(raw)
-      val resolved =
-        if (f.exists) raw
-        else if (raw.startsWith(tmpBase) && f.getParentFile != null &&
-            f.getParentFile.isDirectory &&
-            Option(f.getParentFile.listFiles()).exists(_.nonEmpty))
-          // a scratch file the replay's own INSERT DIRECTORY produced
-          // under engine part-file names — load the directory
-          f.getParent
-        else {
-          // keep any SUBPATH below data/files — constprog_type loads
-          // ../../data/files/types/primitives/090101.txt
-          val idx = raw.indexOf("data/files/")
-          if (idx >= 0) s"$refData/${raw.substring(idx + "data/files/".length)}"
-          else s"$refData/${f.getName}"
-        }
-      java.util.regex.Matcher.quoteReplacement(s"INPATH '$resolved'")
-    })
-    "(?i)load\\s+data\\s+(local\\s+)?inpath".r
-      .replaceFirstIn(rerooted, "LOAD DATA LOCAL INPATH")
-  }
-
-  /** `CREATE TABLE t LIKE <core text fixture>` where t is then LOADed
-    * with raw text: the replay's fixtures are parquet, so the plain LIKE
-    * would make a parquet table that cannot read the loaded .txt —
-    * expand the source's resolved schema into the standard
-    * LazySimpleSerDe csv mapping instead (the reference's fixtures ARE
-    * -delimited text). */
-  private def likeTextCreate(spark: SparkSession, stmt: String,
-                             textTables: Set[String]): Option[String] = {
-    val Re = ("(?is)^\\s*create\\s+(?:external\\s+)?table\\s+" +
-      "(if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s+like\\s+`?([\\w.]+)`?\\s*;?\\s*$").r
-    Re.findFirstMatchIn(stmt).flatMap { m =>
-      val (ine, t, src) = (m.group(1), m.group(2), m.group(3))
-      if (!textTables.contains(t.toLowerCase)) None
-      else {
-        val catalog = spark.sessionState.catalog
-        val meta = catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(src))
-        val partCols = meta.partitionColumnNames.map(_.toLowerCase).toSet
-        val schema = spark.table(src).schema
-        val (parts, data) = schema.fields.partition(f => partCols(f.name.toLowerCase))
-        val colList = (data ++ parts).map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        val pb = if (parts.nonEmpty)
-          s" PARTITIONED BY (${parts.map(f => s"`${f.name}`").mkString(", ")})" else ""
-        Some(s"CREATE TABLE ${if (ine != null) "IF NOT EXISTS " else ""}`$t` ($colList) " +
-          "USING csv OPTIONS (sep '\\u0001', quote '\\u0000', nullValue '\\\\N', " +
-          s"emptyValue '')$pb")
-      }
-    }
-  }
-
-  /** LOAD DATA of a raw avro/rcfile/sequencefile file into a
-    * container-declared table: the table itself is parquet (HiveDdl's
-    * container mapping), so the file is READ through the matching
-    * vendored reader and INSERTed — same rows, engine-native storage. */
-  private def ingestContainerLoad(spark: SparkSession, stmt: String,
-                                  fmt: String, avroLiteral: Option[String]): Unit = {
-    val Re = ("(?is)\\s*LOAD\\s+DATA\\s+(?:LOCAL\\s+)?INPATH\\s+'([^']+)'\\s+" +
-      "(OVERWRITE\\s+)?INTO\\s+TABLE\\s+`?([\\w.]+)`?(?:\\s+PARTITION\\s*\\(([^)]*)\\))?\\s*").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(
-      throw new IllegalArgumentException(s"cannot parse LOAD DATA statement: $stmt"))
-    val (inpath, overwrite, table) = (m.group(1), m.group(2) != null, m.group(3))
-    val partition: Seq[(String, String)] = Option(m.group(4)).map(_.trim).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map { kv =>
-        val Array(k, v) = kv.split("=", 2).map(_.trim)
-        k -> v.stripPrefix("'").stripSuffix("'")
-      }).getOrElse(Nil)
-    val full = spark.table(table).schema
-    val partNames = partition.map(_._1.toLowerCase).toSet
-    val dataSchema = StructType(full.fields.filterNot(f => partNames(f.name.toLowerCase)))
-    val df = readContainer(spark, fmt, inpath, dataSchema, avroLiteral)
-    val withParts = partition.foldLeft(df) { case (d, (k, v)) =>
-      val dt = full.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType)
-        .getOrElse(StringType)
-      d.withColumn(k, lit(v).cast(dt))
-    }
-    withParts.write
-      .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
-            else org.apache.spark.sql.SaveMode.Append)
-      .insertInto(table)
-  }
-
-  private def readContainer(spark: SparkSession, fmt: String, path: String,
-                            schema: StructType,
-                            avroLiteral: Option[String]): DataFrame = fmt match {
-    case "avro" => graft.sources.AvroIO.readRaw(spark, path, schema, avroLiteral)
-    case "rcfile" => graft.sources.RcFileIO.read(spark, path, schema)
-    case "sequencefile" => readSequenceText(spark, path, schema)
-    case other => throw new IllegalArgumentException(s"unknown container format $other")
-  }
-
-  /** A Hive SEQUENCEFILE table's values are LazySimpleSerDe text lines
-    * (keys are ignored, exactly as the reference's HiveSequenceFileInput
-    * contract) — read them and apply the \u0001-delimited field mapping. */
-  private def readSequenceText(spark: SparkSession, path: String,
-                               schema: StructType): DataFrame = {
-    import org.apache.hadoop.io.{Text, Writable}
-    import org.apache.hadoop.mapred.SequenceFileInputFormat
-    val lines = spark.sparkContext.hadoopFile(
-        path, classOf[SequenceFileInputFormat[Writable, Text]],
-        classOf[Writable], classOf[Text])
-      .map { case (_, v) => Row(v.toString) }
-    val raw = spark.createDataFrame(lines,
-      StructType(Seq(StructField("value", StringType))))
-    val fields = split(col("value"), java.util.regex.Pattern.quote("\u0001"))
-    raw.select(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-      when(element_at(fields, i + 1) === "\\N", lit(null))
-        .otherwise(element_at(fields, i + 1))
-        .cast(f.dataType).as(f.name)
-    }: _*)
-  }
-
-  /** INSERT into an avro-container table reorders map entries: the
-    * reference's AvroDeserializer reads maps back through a String-keyed
-    * java.util.HashMap, so the committed SELECT outputs show ITS
-    * iteration order, not insertion order. Reproduce it at insert time:
-    * entries grouped by the HashMap slot `(h ^ (h >>> 16)) & 15`
-    * (default capacity 16; corpus maps are far below the resize
-    * threshold), insertion order within a slot — `hash` in the compat
-    * session is the reference's Text hash, which equals String.hashCode
-    * on ASCII keys. */
-  private def avroMapInsertOrder(spark: SparkSession, stmt: String,
-      containers: Map[String, (String, Option[String])]): String = {
-    val Re = ("(?is)^(\\s*insert\\s+(?:overwrite|into)\\s+table\\s+`?([\\w.]+)`?\\s*" +
-      "(?:partition\\s*\\([^)]*\\))?\\s*)((?:select\\b|with\\b(?!\\s+serdeproperties)).*)$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
-    if (!containers.get(m.group(2).toLowerCase).exists(_._1 == "avro")) return stmt
-    val inner = m.group(3).trim.stripSuffix(";")
-    val fields = (try spark.sql(HiveRewrites(inner)) catch {
-      case _: Exception => return stmt
-    }).schema.fields
-    if (!fields.exists(f => f.dataType match {
-      case MapType(StringType, _, _) => true; case _ => false })) return stmt
-    def slot = "((hash(__e.key) ^ shiftrightunsigned(hash(__e.key), 16)) & 15)"
-    val cols = fields.map { f =>
-      val c = s"`${f.name}`"
-      f.dataType match {
-        case MapType(StringType, _, _) =>
-          s"CASE WHEN $c IS NULL THEN NULL ELSE map_from_entries(flatten(transform(" +
-            s"array_sort(array_distinct(transform(map_entries($c), __e -> $slot))), " +
-            s"__s -> filter(map_entries($c), __e -> $slot = __s)))) END AS $c"
-        case _ => c
-      }
-    }
-    s"${m.group(1)} SELECT ${cols.mkString(", ")} FROM ($inner) __avro_ins"
-  }
-
-  /** INSERT into char(n)/varchar(n) columns TRUNCATES overflow in the
-    * reference (HiveBaseChar.enforceMaxLength); Spark errors
-    * (EXCEED_LIMIT_LENGTH). Wrap the SELECT so each char/varchar target
-    * position arrives pre-truncated — the typed write then pads chars
-    * exactly as the reference's readback renders them. */
-  private def charInsertTruncate(spark: SparkSession, stmt: String): String = {
-    val Re = ("(?is)^(\\s*insert\\s+(?:overwrite|into)\\s+(?:table\\s+)?`?([\\w.]+)`?\\s*" +
-      "(?:partition\\s*\\(([^)]*)\\))?\\s*)((?:select\\b|with\\b(?!\\s+serdeproperties)).*)$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
-    val full = (try spark.table(m.group(2)) catch {
-      case _: Exception => return stmt
-    }).schema
-    val staticKeys = Option(m.group(3)).toSeq.flatMap(_.split(","))
-      .filter(_.contains("=")).map(_.split("=")(0).trim.replace("`", "").toLowerCase).toSet
-    val targets = full.fields.filterNot(f => staticKeys(f.name.toLowerCase))
-    if (!targets.exists(f => f.dataType.isInstanceOf[CharType] ||
-        f.dataType.isInstanceOf[VarcharType])) return stmt
-    val inner = m.group(4).trim.stripSuffix(";")
-    val innerLen = (try spark.sql(HiveRewrites(inner)) catch {
-      case _: Exception => return stmt
-    }).schema.length
-    if (innerLen != targets.length) return stmt
-    val aliases = targets.indices.map(i => s"__chr$i")
-    val cols = targets.zipWithIndex.map { case (f, i) =>
-      f.dataType match {
-        case CharType(n) => s"substr(CAST(`__chr$i` AS STRING), 1, $n)"
-        case VarcharType(n) => s"substr(CAST(`__chr$i` AS STRING), 1, $n)"
-        case _ => s"`__chr$i`"
-      }
-    }
-    s"${m.group(1)} SELECT ${cols.mkString(", ")} FROM ($inner) __chr(${aliases.mkString(", ")})"
-  }
-
-  /** `(SELECT <constants> FROM a UNION ALL SELECT <constants> FROM b
-    * LIMIT n)`: the reference's global limit drains its two mappers
-    * round-robin, materializing n/2 rows from EACH branch — Spark's
-    * limit takes the first partitions (all branch 1). Both branches
-    * project only constants here (anything else stays untouched: the
-    * row CHOICE would be semantics, not physical order), so the
-    * per-branch split is the reference's exact multiset. */
-  private def unionLimitRoundRobin(stmt: String): String = {
-    val Re = ("(?is)^(.*?\\bfrom\\s*\\(\\s*)(select\\b.*?)\\s+union\\s+all\\s+" +
-      "(select\\b.*?)\\s+limit\\s+(\\d+)\\s*(\\).*)$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
-    def balanced(s: String): Boolean = s.count(_ == '(') == s.count(_ == ')')
-    def constProj(sel: String): Boolean = {
-      val pm = "(?is)^select\\s+(.*?)\\s+from\\s".r.findFirstMatchIn(sel)
-        .getOrElse(return false)
-      val proj = pm.group(1)
-      if (proj.contains("*")) return false
-      val noStrings = proj.replaceAll("\"[^\"]*\"|'[^']*'", "")
-      val idents = "[A-Za-z_][A-Za-z_0-9]*".r.findAllIn(noStrings)
-        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      idents.nonEmpty && idents.subsetOf(Set("cast", "as", "char", "varchar",
-        "decimal", "date", "timestamp", "true", "false", "null", "string",
-        "int", "bigint", "smallint", "tinyint", "float", "double", "boolean"))
-    }
-    if (!balanced(m.group(2)) || !balanced(m.group(3)) ||
-        !constProj(m.group(2)) || !constProj(m.group(3))) return stmt
-    val n = m.group(4).toInt
-    s"${m.group(1)}(${m.group(2)} LIMIT ${n - n / 2}) UNION ALL " +
-      s"(${m.group(3)} LIMIT ${n / 2})${m.group(5)}"
-  }
-
-  /** INSERT DIRECTORY of complex-typed columns: the csv sink cannot
-    * take them — serialize arrays/maps/structs into their
-    * LazySimpleSerDe text forms (u0002/u0003 nested separators,
-    * `\N` nulls) so the written bytes match the reference's. */
-  /** `FROM t TABLESAMPLE (N ROWS) WHERE <partition predicate>`: the
-    * reference prunes PARTITIONS before sampling (SamplePruner runs on
-    * the pruned scan), so the N rows come from the matching partitions;
-    * Spark samples first and the filter can empty the result. Rewritten
-    * to filter-then-limit when the predicate touches only partition
-    * columns (row choice stays nondeterministic either way — the
-    * nondet downgrade covers WHICH rows, this fixes HOW MANY). */
-  private def sampleRowsPartitionPrune(spark: SparkSession, stmt: String): String = {
-    val Re = ("(?is)\\bfrom\\s+([\\w.]+)\\s+tablesample\\s*\\(\\s*(\\d+)\\s+rows\\s*\\)" +
-      "\\s+where\\s+([^;]*?)\\s*$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
-    val t = m.group(1)
-    val pcols =
-      try {
-        if (spark.catalog.tableExists(t))
-          spark.catalog.listColumns(t).collect().filter(_.isPartition)
-            .map(_.name.toLowerCase).toSet
-        else Set.empty[String]
-      } catch { case _: Exception => Set.empty[String] }
-    if (pcols.isEmpty) return stmt
-    val cond = m.group(3)
-    val idents = "[A-Za-z_]\\w*".r.findAllIn(
-      cond.replaceAll("'[^']*'", "")).map(_.toLowerCase).toSet
-    if (!(idents -- Set("and", "or", "not")).subsetOf(pcols)) return stmt
-    val out = stmt.substring(0, m.start) +
-      s"FROM (SELECT * FROM $t WHERE $cond LIMIT ${m.group(2)}) ${t.split("\\.").last}" +
-      stmt.substring(m.end)
-    try { spark.sql(out).queryExecution.analyzed; out }
-    catch { case _: Exception => stmt }
-  }
-
-  /** The reference's METADATAONLY optimization
-    * (ql/optimizer/MetadataOnlyOptimizer.java): a query whose aggregates
-    * are all DISTINCT-style (max/min/count(distinct)/SELECT DISTINCT)
-    * over PARTITION columns answers from the partition LIST — one row
-    * per declared partition, even when every partition is EMPTY
-    * (`max(ds)` after `add partition (ds='1')` is '1', not NULL).
-    * Bare count/sum/avg read real rows and are left alone. The rewrite
-    * substitutes partitioned-table refs with a VALUES table of the
-    * catalog's partition tuples and keeps it only if the result still
-    * analyzes (a data-column reference fails resolution, restoring the
-    * original). */
-  private def metadataOnlyRewrite(spark: SparkSession, stmt: String): String = {
-    val distinctish =
-      "(?is)\\b(max|min)\\s*\\(".r.findFirstIn(stmt).isDefined ||
-      "(?is)\\bcount\\s*\\(\\s*distinct\\b".r.findFirstIn(stmt).isDefined ||
-      "(?is)\\bselect\\s+distinct\\b".r.findFirstIn(stmt).isDefined
-    if (!distinctish) return stmt
-    if ("(?is)\\bcount\\s*\\(\\s*(?!distinct)".r.findFirstIn(stmt).isDefined ||
-        "(?is)\\b(sum|avg|collect_\\w+|percentile\\w*)\\s*\\(".r
-          .findFirstIn(stmt).isDefined) return stmt
-    val Ref = "(?is)\\b(from|join)\\s+([\\w.]+)\\b".r
-    var out = stmt
-    var changed = false
-    Ref.findAllMatchIn(stmt).toSeq.reverse.foreach { m =>
-      val t = m.group(2)
-      val pcols =
-        try {
-          if (spark.catalog.tableExists(t))
-            spark.catalog.listColumns(t).collect().filter(_.isPartition).toSeq
-          else Seq.empty
-        } catch { case _: Exception => Seq.empty }
-      if (pcols.nonEmpty) {
-        val names = pcols.map(_.name)
-        val parts =
-          try spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).toSeq
-          catch { case _: Exception => Seq.empty[String] }
-        val rows = parts.map { ps =>
-          val kv = ps.split("/").map { seg =>
-            val i = seg.indexOf('=')
-            seg.substring(0, i).toLowerCase ->
-              java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
-          }.toMap
-          names.map(n => "'" + kv.getOrElse(n.toLowerCase, "")
-            .replace("'", "''") + "'").mkString("(", ", ", ")")
-        }
-        val derived =
-          if (rows.isEmpty)
-            "(SELECT " + names.zip(pcols.map(_.dataType)).map { case (n, dt) =>
-              s"CAST(NULL AS $dt) AS `$n`" }.mkString(", ") + " WHERE false)"
-          else
-            "(SELECT " + names.zip(pcols.map(_.dataType)).map { case (n, dt) =>
-              s"CAST(`$n` AS $dt) AS `$n`" }.mkString(", ") +
-              s" FROM (VALUES ${rows.mkString(", ")}) AS " +
-              s"__mo(${names.map(n => s"`$n`").mkString(", ")}))"
-        val after = stmt.substring(m.end)
-        val stop = "(?is)^\\s+(where|group|order|sort|cluster|distribute|" +
-          "limit|union|having|on|join|left|right|full|inner|cross|lateral|select)\\b"
-        val hasAlias = "(?is)^\\s+\\w+".r.findFirstIn(after).isDefined &&
-          stop.r.findFirstIn(after).isEmpty
-        val repl = s"${m.group(1)} $derived" +
-          (if (hasAlias) "" else s" ${t.split("\\.").last}")
-        out = out.substring(0, m.start) + repl + out.substring(m.end)
-        changed = true
-      }
-    }
-    if (!changed) return stmt
-    try { spark.sql(out).queryExecution.analyzed; out }
-    catch { case _: Exception => stmt }
-  }
-
-  /** Serialize one column to LazySimpleSerDe text (write side):
-    * nested-delimiter complex forms, base64 binary, CAST text scalars.
-    * `sepOf(level)` supplies the per-level separator as a SQL literal. */
-  private def serializeField(c: String, dt: DataType, level: Int,
-      sepOf: Int => String, nullRep: String): String = dt match {
-    case ArrayType(et, _) =>
-      s"array_join(transform($c, __s$level -> " +
-        s"${serializeField(s"__s$level", et, level + 1, sepOf, nullRep)}), " +
-        s"${sepOf(level)}, '${HiveRewrites.escapeSqlBody(nullRep)}')"
-    case MapType(kt, vt, _) =>
-      s"array_join(transform(map_entries($c), __m$level -> concat(" +
-        s"coalesce(${serializeField(s"__m$level.key", kt, level + 2, sepOf, nullRep)}, " +
-        s"'${HiveRewrites.escapeSqlBody(nullRep)}'), ${sepOf(level + 1)}, " +
-        s"coalesce(${serializeField(s"__m$level.value", vt, level + 2, sepOf, nullRep)}, " +
-        s"'${HiveRewrites.escapeSqlBody(nullRep)}'))), ${sepOf(level)}, " +
-        s"'${HiveRewrites.escapeSqlBody(nullRep)}')"
-    case st: StructType =>
-      val parts = st.fields.map(f =>
-        s"coalesce(${serializeField(s"$c.`${f.name}`", f.dataType, level + 1, sepOf, nullRep)}, " +
-          s"'${HiveRewrites.escapeSqlBody(nullRep)}')")
-      s"CASE WHEN $c IS NULL THEN NULL ELSE " +
-        s"concat_ws(${sepOf(level)}, ${parts.mkString(", ")}) END"
-    case BinaryType => s"base64($c)" // LazyUtils writes binary as base64
-    case _ => s"CAST($c AS STRING)"
-  }
-
-  /** INSERT into a view-backed text table: write the serialized LINES
-    * into its `__lines` table instead — the parsing view then reads the
-    * rows back with full LazySimpleSerDe fidelity (empty strings stay
-    * empty, NULL is the declared null rep, complex types nest). */
-  private def textInsertToLines(spark: SparkSession, stmt0: String,
-      viewBacked: scala.collection.Map[String, String]): String = {
-    if (viewBacked.isEmpty) return stmt0
-    // FROM-first single-insert restructures to the standard spelling
-    val FromRe = ("(?is)^\\s*from\\s+(.*?)\\s+insert\\s+(overwrite|into)\\s+" +
-      "table\\s+([\\w.`]+)\\s+(select\\b.*)$").r
-    val stmt = FromRe.findFirstMatchIn(stmt0) match {
-      case Some(m)
-          if "(?is)\\binsert\\s".r.findAllMatchIn(stmt0).size == 1 &&
-            viewBacked.contains(m.group(3).replace("`", "").toLowerCase) =>
-        val sel = m.group(4).trim.stripSuffix(";")
-        s"INSERT ${m.group(2)} TABLE ${m.group(3)} $sel FROM ${m.group(1)}"
-      case _ => stmt0
-    }
-    val Re = ("(?is)^\\s*insert\\s+(overwrite|into)\\s+table\\s+([\\w.`]+)\\s+" +
-      "((?:select|with|values)\\b.*)$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
-    val target = m.group(2).replace("`", "").toLowerCase
-    val createStmt = viewBacked.getOrElse(target, return stmt)
-    val params = HiveDdl.textSerParams(createStmt).getOrElse(return stmt)
-    val (sep, collD, mkD, nullRep) = params
-    def sepOf(level: Int): String = {
-      val ch = level match {
-        case 1 => collD
-        case 2 => mkD
-        case n => (n + 1).toChar
-      }
-      s"'${HiveRewrites.escapeSqlBody(ch.toString)}'"
-    }
-    val schema = spark.table(target).schema
-    val inner0 = m.group(3).trim.stripSuffix(";")
-    val inner1 = if (inner0.toLowerCase.startsWith("values")) s"SELECT * FROM ($inner0)"
-      else inner0
-    // a SELF-insert (query reads the target view, which reads the very
-    // lines table being overwritten) materializes through a stage table
-    val selfRead = ("(?i)\\b" + java.util.regex.Pattern.quote(target) + "\\b").r
-      .findFirstIn(inner1).isDefined
-    val inner =
-      if (!selfRead) inner1
-      else {
-        spark.sql("DROP TABLE IF EXISTS qtest_textins_stage")
-        try { // a killed prior run can leave the managed location behind
-          val db = spark.catalog.getDatabase(spark.catalog.currentDatabase)
-          val loc = new Path(new Path(db.locationUri), "qtest_textins_stage")
-          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-        } catch { case _: Exception => }
-        spark.sql(s"CREATE TABLE qtest_textins_stage USING parquet AS $inner1")
-        "SELECT * FROM qtest_textins_stage"
-      }
-    val aliases = schema.fields.indices.map(i => s"__d$i")
-    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"coalesce(${serializeField(s"`__d$i`", f.dataType, 1, sepOf, nullRep)}, " +
-        s"'${HiveRewrites.escapeSqlBody(nullRep)}')"
-    }
-    val line = s"concat_ws('${HiveRewrites.escapeSqlBody(sep)}', ${cols.mkString(", ")})"
-    s"INSERT ${m.group(1)} TABLE `${HiveDdl.linesTable(target)}` " +
-      s"SELECT $line FROM ( $inner ) __ti(${aliases.mkString(", ")})"
-  }
-
-  private def dirInsertTextSerialize(spark: SparkSession, stmt: String): String = {
-    val Re = ("(?is)^(\\s*insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'[^']+'" +
-      "\\s*(?:row\\s+format\\b.*?)??)\\s*((?:select\\b|with\\b(?!\\s+serdeproperties)).*)$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return stmt)
-    val inner = m.group(2).trim.stripSuffix(";")
-    val fields = (try spark.sql(HiveRewrites(inner)) catch {
-      case _: Exception => return stmt
-    }).schema.fields
-    def complex(dt: DataType): Boolean = dt match {
-      case _: ArrayType | _: MapType | _: StructType => true
-      case _ => false
-    }
-    if (!fields.exists(f => complex(f.dataType) || f.dataType == NullType))
-      return stmt
-    // declared COLLECTION ITEMS / MAP KEYS delimiters (clause or
-    // serdeproperties spelling — incl. the reference's 'colelction'
-    // typo) override the default u0002/u0003 nesting separators
-    def prop(key: String): Option[String] =
-      ("'" + key + "'\\s*=\\s*'([^']*)'").r.findFirstMatchIn(m.group(1))
-        .map(x => HiveRewrites.unescapeSqlBody(x.group(1)))
-    val collDelim = "(?is)collection\\s+items\\s+terminated\\s+by\\s+'([^']*)'".r
-      .findFirstMatchIn(m.group(1)).map(x => HiveRewrites.unescapeSqlBody(x.group(1)))
-      .orElse(prop("colelction.delim")).orElse(prop("collection.delim"))
-    val mapkeyDelim = "(?is)map\\s+keys\\s+terminated\\s+by\\s+'([^']*)'".r
-      .findFirstMatchIn(m.group(1)).map(x => HiveRewrites.unescapeSqlBody(x.group(1)))
-      .orElse(prop("mapkey.delim"))
-    def sep(level: Int): String = level match {
-      case 1 if collDelim.isDefined =>
-        "'" + HiveRewrites.escapeSqlBody(collDelim.get) + "'"
-      case 2 if mapkeyDelim.isDefined =>
-        "'" + HiveRewrites.escapeSqlBody(mapkeyDelim.get) + "'"
-      case _ => s"chr(${level + 1})"
-    }
-    def ser(c: String, dt: DataType, level: Int): String = dt match {
-      case ArrayType(et, _) =>
-        s"array_join(transform($c, __x$level -> " +
-          s"${ser(s"__x$level", et, level + 1)}), ${sep(level)}, '\\\\N')"
-      case MapType(kt, vt, _) =>
-        s"array_join(transform(map_entries($c), __e$level -> concat(" +
-          s"coalesce(${ser(s"__e$level.key", kt, level + 2)}, '\\\\N'), ${sep(level + 1)}, " +
-          s"coalesce(${ser(s"__e$level.value", vt, level + 2)}, '\\\\N'))), ${sep(level)}, '\\\\N')"
-      case st: StructType =>
-        val parts = st.fields.map(f =>
-          s"coalesce(${ser(s"$c.`${f.name}`", f.dataType, level + 1)}, '\\\\N')")
-        s"CASE WHEN $c IS NULL THEN NULL ELSE concat_ws(${sep(level)}, ${parts.mkString(", ")}) END"
-      case _ => s"CAST($c AS STRING)"
-    }
-    // DelimitedJSONSerDe: complex values render as JSON text instead of
-    // nested-delimiter form (primitives stay raw)
-    val jsonComplex = "(?i)DelimitedJSONSerDe".r.findFirstIn(m.group(1)).isDefined
-    val aliases = fields.indices.map(i => s"__d$i")
-    val cols = fields.zipWithIndex.map { case (f, i) =>
-      if (f.dataType == NullType) s"CAST(`__d$i` AS STRING)" // csv rejects VOID
-      else if (!complex(f.dataType)) s"`__d$i`"
-      else if (jsonComplex) s"to_json(`__d$i`)"
-      else ser(s"`__d$i`", f.dataType, 1)
-    }
-    s"${m.group(1)} SELECT ${cols.mkString(", ")} FROM ($inner) __dir(${aliases.mkString(", ")})"
-  }
-
-  /** The harness's test authorizer
-    * (SQLStdHiveAuthorizationValidatorForTest.java:122) applies a fixed
-    * masking policy: table `masking_test` reads through the row filter
-    * `key % 2 = 0 and key < 10` with `value` reversed;
-    * `masking_test_subq` through a correlated src-membership filter.
-    * Reproduce as a derived-table rewrite when the corpus SET that
-    * authorizer. */
-  private def maskingTestRewrite(spark: SparkSession, stmt: String): String = {
-    if (!stmt.toLowerCase(java.util.Locale.ROOT).contains("masking_test")) return stmt
-    val Re = ("(?is)\\b(from|join)\\s+(?:default\\.)?(masking_test(?:_subq)?)\\b" +
-      "(?!\\s*(?:\\.|\\())" +
-      "(\\s+tablesample\\s*\\(([^)]*)\\))?" +
-      "(\\s+(?:as\\s+)?(?!(?i:tablesample|where|group|order|limit|having|union|intersect|except|join|on|sort|cluster|distribute|left|right|full|inner|cross|lateral|select|from)\\b)(\\w+))?").r
-    Re.replaceAllIn(stmt, m => {
-      val t = m.group(2).toLowerCase(java.util.Locale.ROOT)
-      val alias = Option(m.group(6)).getOrElse(t)
-      // a trailing TABLESAMPLE (n ROWS) moves INSIDE the derived table,
-      // onto the base relation: the reference samples the SCAN first and
-      // applies the authorization row filter above it (masking_5's
-      // golden keeps only the filter survivors of the 10 sampled rows)
-      val samp = Option(m.group(4))
-        .map(body => s" tablesample ($body)").getOrElse("")
-      val derived = t match {
-        case "masking_test" =>
-          val cols = (try spark.table(t).columns.toSeq catch {
-            case _: Exception => Seq.empty
-          }).map {
-            case c if c.equalsIgnoreCase("value") => "reverse(value) AS value"
-            case c => s"`$c`"
-          }
-          if (cols.isEmpty) m.matched
-          else s"${m.group(1)} (SELECT ${cols.mkString(", ")} FROM masking_test$samp " +
-            s"WHERE key % 2 = 0 and key < 10) $alias"
-        case _ =>
-          s"${m.group(1)} (SELECT * FROM masking_test_subq$samp WHERE key in " +
-            s"(select key from src where src.key = masking_test_subq.key)) $alias"
-      }
-      java.util.regex.Matcher.quoteReplacement(derived)
-    })
-  }
-
-  /** Hive's bare `COMPUTE STATISTICS FOR COLUMNS` means every column;
-    * Spark spells that `FOR ALL COLUMNS`. */
-  private def rewriteAnalyze(stmt: String): String = rewriteAnalyze(stmt, null)
-
-  private def rewriteAnalyze(stmt: String, spark: SparkSession): String =
-    if ("(?is)^\\s*analyze\\s".r.findFirstIn(stmt).isEmpty) stmt
-    else {
-      // partialscan gathers a stats subset; the nearest statement shape
-      // here is NOSCAN (the stats VALUES are presentation, never rows)
-      val noscan = "(?is)compute\\s+statistics\\s+partialscan\\s*$".r
-        .replaceFirstIn(stmt.trim, "COMPUTE STATISTICS NOSCAN")
-      val cols = "(?is)for\\s+columns\\s*$".r
-        .replaceFirstIn(noscan.trim, "FOR ALL COLUMNS")
-      // a view-backed text table cannot be ANALYZEd — the stats land on
-      // its lines table instead (the VALUES are presentation either way)
-      val T = "(?is)^(\\s*analyze\\s+table\\s+`?)([\\w.]+)(`?\\s)".r
-      T.findFirstMatchIn(cols) match {
-        case Some(m) if spark != null && {
-            val t = m.group(2)
-            val twin = HiveDdl.linesTable(t)
-            (try spark.catalog.tableExists(twin) catch { case _: Exception => false }) &&
-              (try spark.catalog.getTable(t).tableType == "VIEW"
-               catch { case _: Exception => false })
-          } =>
-          // column stats of the view's columns don't exist on the lines
-          // table — plain row stats are the faithful subset
-          val base = s"ANALYZE TABLE `${HiveDdl.linesTable(m.group(2))}` COMPUTE STATISTICS"
-          if ("(?is)for\\s+(all\\s+)?columns".r.findFirstIn(cols).isDefined) base
-          else if ("(?is)noscan".r.findFirstIn(cols).isDefined) base + " NOSCAN"
-          else base
-        case _ => cols
-      }
-    }
-
-  /** ANALYZE ... FOR COLUMNS over a table with char/varchar columns:
-    * re-issue listing only the types Spark's column stats support. */
-  private def analyzeSupportedColumns(spark: SparkSession, stmt: String): Boolean = {
-    val Re = ("(?is)^\\s*(analyze\\s+table\\s+`?([\\w.]+)`?" +
-      "(?:\\s+partition\\s*\\([^)]*\\))?\\s+compute\\s+statistics)\\s+for\\s+.*$").r
-    val m = Re.findFirstMatchIn(stmt).getOrElse(return false)
-    val cols = spark.table(m.group(2)).schema.fields
-      .filterNot(f => f.dataType.isInstanceOf[CharType] ||
-        f.dataType.isInstanceOf[VarcharType])
-      .map(f => s"`${f.name}`")
-    if (cols.isEmpty) spark.sql(m.group(1))
-    else spark.sql(s"${m.group(1)} FOR COLUMNS ${cols.mkString(", ")}")
-    true
-  }
-
-  /** The reference's INSERT OVERWRITE stages its output and swaps, so
-    * `INSERT OVERWRITE TABLE t SELECT ... FROM t` is well-defined (the
-    * SELECT sees the OLD rows). Spark's v1 overwrite refuses to read the
-    * target; reproduce the reference's staging explicitly: materialize
-    * the SELECT, then overwrite from the stage. */
-  private def stagedSelfOverwrite(spark: SparkSession, stmt: String): Boolean = {
-    val m = "(?is)^\\s*insert\\s+overwrite\\s+table\\s+([\\w.`]+)\\s*(partition\\s*\\([^)]*\\))?\\s*(select\\b.*)$"
-      .r.findFirstMatchIn(stmt).getOrElse(return false)
-    val (table, part, select) = (m.group(1), Option(m.group(2)).getOrElse(""), m.group(3))
-    val stage = "qtest_overwrite_stage"
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
-    try {
-      spark.sql(s"CREATE TABLE $stage USING parquet AS $select")
-      spark.sql(s"INSERT OVERWRITE TABLE $table $part SELECT * FROM $stage")
-      true
-    } finally { spark.sql(s"DROP TABLE IF EXISTS $stage"); () }
-  }
-
-  /** The reference names unaliased view output expressions `_c<pos>`
-    * (SemanticAnalyzer getColumnInternalName); Spark instead REFUSES a
-    * permanent view whose auto-generated names aren't identifiers. Give
-    * the view an explicit column list built from the defining query's
-    * RESOLVED schema: identifier-shaped names (column refs, aliases)
-    * pass through, everything else becomes the positional `_c<i>`.
-    * Views already carrying a column list pass through untouched. */
-  /** The reference resolves a multipart name COLUMN-FIRST: in
-    * `select default.src.`end`.key from s` (struct_in_view), `default`
-    * is a COLUMN of s (with nested struct fields), not the `default`
-    * database. Spark tries the database interpretation and fails —
-    * qualify the path with the FROM table when that table really has a
-    * `default` column. */
-  private def columnFirstQualify(spark: SparkSession, stmt: String): String = {
-    if ("(?i)(?<![\\w.`])default\\s*\\.".r.findFirstIn(stmt).isEmpty) return stmt
-    val fm = "(?is)\\bfrom\\s+`?(\\w+)`?\\s*$".r.findFirstMatchIn(stmt)
-      .orElse("(?is)\\bfrom\\s+`?(\\w+)`?\\b".r.findFirstMatchIn(stmt))
-      .getOrElse(return stmt)
-    val t = fm.group(1)
-    val hasCol =
-      try spark.table(t).columns.exists(_.equalsIgnoreCase("default"))
-      catch { case _: Exception => false }
-    if (!hasCol) return stmt
-    // backticked `default` so HiveRewrites's default-DATABASE-qualifier
-    // strip leaves the column path alone
-    "(?i)(?<![\\w.`])default\\s*\\.".r
-      .replaceAllIn(stmt, java.util.regex.Matcher.quoteReplacement(s"`$t`.`default`."))
-  }
-
-  private def hiveViewColumns(spark: SparkSession, stmt: String): String = {
-    val Re = "(?is)^\\s*(create\\s+(?:or\\s+replace\\s+)?view\\s+(?:if\\s+not\\s+exists\\s+)?[\\w.`]+)\\s+as\\s+(.*)$".r
-    Re.findFirstMatchIn(stmt) match {
-      case Some(m) =>
-        val q = m.group(2)
-        val analyzed = spark.sql(q)
-        val fields0 = analyzed.schema.fieldNames
-        // the reference treats an EXPLICIT alias shaped like its own
-        // internal names (`_c<digits>`) on a plain column reference as
-        // internal: the stored view schema keeps the COLUMN name
-        // (view_alias's `select key as _c1, '12'` stores (key, _c1) —
-        // the '12' takes the positional name, the alias is dropped)
-        val fields = {
-          import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-          import org.apache.spark.sql.catalyst.plans.logical.Project
-          val exprs = analyzed.queryExecution.analyzed match {
-            case Project(pl, _) => pl
-            case p => p.output
-          }
-          fields0.zipWithIndex.map { case (n, i) =>
-            if (n.matches("_c\\d+") && i < exprs.length) exprs(i) match {
-              case Alias(ar: AttributeReference, a) if a == n => ar.name
-              case _ => n
-            } else n
-          }
-        }
-        // auto-generated expression names (parens/spaces/commas, or a
-        // literal's own text) become the reference's positional _c<i>;
-        // REAL quoted identifiers — however odd (`x+1`) — keep their
-        // names; duplicate names (repeated unaliased literals) rename
-        // from the second occurrence
-        def autoGen(n: String): Boolean =
-          n.exists(c => c == '(' || c == ' ' || c == ',') ||
-            !n.matches("[A-Za-z_`].*")
-        val dupIdx = fields.zipWithIndex.groupBy(_._1).values
-          .flatMap(_.drop(1).map(_._2)).toSet
-        if (fields.sameElements(fields0) &&
-            fields.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")) && dupIdx.isEmpty) stmt
-        else {
-          val names = fields.zipWithIndex.map { case (n, i) =>
-            if (autoGen(n) || dupIdx(i)) s"`_c$i`" else s"`${n.replace("`", "``")}`"
-          }
-          s"${m.group(1)} (${names.mkString(", ")}) AS $q"
-        }
-      case None => stmt
-    }
-  }
-
-  /** CTAS whose select list carries unaliased-expression or duplicate
-    * output names: the reference names those columns `c<pos>` (note: no
-    * underscore — masking_8's `create table t as select key, '12' ...`
-    * stores key, c1..c10), where Spark would either keep the literal
-    * text or reject duplicates. */
-  private[graft] def ctasHiveColumns(spark: SparkSession, sql: String): String = {
-    // HiveDdl.translate emits the CTAS WITHOUT the optional AS keyword
-    // (Spark's grammar accepts `CREATE TABLE t USING parquet select ...`)
-    val Re = "(?is)^\\s*(create\\s+table\\s+.*?)\\s(?:as\\s+)?((?:select|with)\\b.*)$".r
-    val m = Re.findFirstMatchIn(sql).getOrElse(return sql)
-    val q = m.group(2).trim.stripSuffix(";")
-    val fields =
-      try spark.sql(q).schema.fieldNames
-      catch {
-        case e: Exception =>
-          if (Files.exists(Paths.get("/tmp/qtest_debug")))
-            println(s"[dbg] ctas analyze failed: ${e.toString.take(200)}")
-          return sql
-      }
-    def autoGen(n: String): Boolean =
-      n.exists(c => c == '(' || c == ' ' || c == ',') ||
-        !n.matches("[A-Za-z_`].*")
-    val dupIdx = fields.zipWithIndex.groupBy(_._1).values
-      .flatMap(_.drop(1).map(_._2)).toSet
-    if (!fields.exists(autoGen) && dupIdx.isEmpty) return sql
-    val names = fields.zipWithIndex.map { case (n, i) =>
-      if (autoGen(n) || dupIdx(i)) s"`c$i`" else s"`${n.replace("`", "``")}`"
-    }
-    val out = s"${m.group(1)} AS SELECT * FROM ($q) graft_ctas(${names.mkString(", ")})"
-    if (Files.exists(Paths.get("/tmp/qtest_debug")))
-      println(s"[dbg] ctas rewrite: $out")
-    out
-  }
-
-  /** ACID DML over catalog tables, reproduced on the engine's staged
-    * copy-on-write idea at the SQL level (the reference's
-    * UpdateDeleteSemanticAnalyzer rewrites DML onto INSERT OVERWRITE the
-    * same way): materialize the post-image, then overwrite the whole
-    * table from the stage. STATIC overwrite mode for the swap — dynamic
-    * mode would leave a fully-deleted partition untouched. */
-  private def runDml(spark: SparkSession, stmt: String): Boolean = {
-    val del = "(?is)^\\s*delete\\s+from\\s+([\\w.`]+)\\s*(?:where\\s+(.*?))?\\s*$".r
-    val upd = "(?is)^\\s*update\\s+([\\w.`]+)\\s+set\\s+(.*?)(?:\\s+where\\s+(.*?))?\\s*$".r
-    def staged(table: String, postImage: String): Boolean = {
-      val stage = "qtest_dml_stage"
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      spark.sql(s"DROP TABLE IF EXISTS $stage")
-      try {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.sql(s"CREATE TABLE $stage USING parquet AS $postImage")
-        spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM $stage")
-        true
-      } finally {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        spark.sql(s"DROP TABLE IF EXISTS $stage"); ()
-      }
-    }
-    stmt match {
-      case del(t, w) =>
-        val cond = Option(w).getOrElse("true") // bare DELETE removes every row
-        staged(t, s"SELECT * FROM $t WHERE NOT coalesce(($cond), false)")
-      case upd(t, setList, w) =>
-        val cond = Option(w).getOrElse("true")
-        val assigns = HiveRewrites.splitTop(setList).map { a =>
-          val eq = a.indexOf('=')
-          require(eq > 0, s"unparseable SET assignment: $a")
-          a.substring(0, eq).trim.replace("`", "").toLowerCase -> a.substring(eq + 1).trim
-        }.toMap
-        // SQL simultaneous assignment: every expression sees the
-        // ORIGINAL row (one projection, conditions included)
-        val cols = spark.table(t).columns.toSeq
-        require(assigns.keySet.subsetOf(cols.map(_.toLowerCase).toSet),
-          s"UPDATE of non-existent columns: ${assigns.keySet -- cols.map(_.toLowerCase)}")
-        val sel = cols.map { c =>
-          assigns.get(c.toLowerCase)
-            .map(v => s"CASE WHEN coalesce(($cond), false) THEN ($v) ELSE `$c` END AS `$c`")
-            .getOrElse(s"`$c`")
-        }.mkString(", ")
-        staged(t, s"SELECT $sel FROM $t")
-      case _ => false
-    }
-  }
 
   /** Replay a DDL-bearing file: statements come from the .q SOURCE
     * (the .q.out echo masks LOAD paths), aligned 1:1 against the .q.out
@@ -2909,9 +1432,9 @@ object QTestDiscover {
         }
         out.flush()
       }
-      if (QTestReplay.selectOnlyOverCoreFixtures(blocks))
+      if (QTestCompare.selectOnlyOverCoreFixtures(blocks))
         emit("", QTestReplay.replayFile(spark, f))
-      else if (QTestReplay.ddlOverCoreFixtures(blocks) && Files.exists(Paths.get(qPath)))
+      else if (QTestCompare.ddlOverCoreFixtures(blocks) && Files.exists(Paths.get(qPath)))
         emit("_DDL", QTestReplay.replayDdlFile(spark, f, qPath, "/root/reference/data/files"))
     }
     out.println(s"== $pass/$inScope read-only + $ddlPass/$ddlScope ddl files replay clean ==")
