@@ -247,6 +247,9 @@ object HiveDdl {
   private[compat] def escapedByOf(tail: String): Option[String] =
     "(?is)escaped\\s+by\\s+'([^']*)'".r.findFirstMatchIn(tail)
       .map(m => unescapeDelim(m.group(1), tail))
+      // ESCAPED BY '' declares no escaping — treat as absent instead of
+      // letting downstream `.head` throw on the empty string
+      .filter(_.nonEmpty)
 
   /** One delimiter char, unescaping the reference's spellings: '\t',
     * '\n', and `\ooo` OCTAL escapes (BaseSemanticAnalyzer

@@ -44,7 +44,15 @@ import org.apache.spark.sql.types._
   * (InputFileBlockHolder), but usable inside aggregate arguments the
   * way the reference's virtual column is (bucket5's COUNT(DISTINCT
   * INPUT__FILE__NAME)); Spark marks its spelling nondeterministic and
-  * rejects it there. Compat-session-only. */
+  * rejects it there. Compat-session-only.
+  *
+  * Constraint: the deterministic marking permits the optimizer to
+  * relocate the expression, and InputFileBlockHolder's thread-local
+  * only holds the scan's file BELOW the first exchange — a rewrite
+  * placing it above one would read an empty string. The replay's
+  * rewrite only substitutes scan-adjacent spellings (projections and
+  * aggregate arguments directly over the scanned table), where no
+  * exchange can sit between the scan and the read. */
 case class GraftInputFile()
     extends org.apache.spark.sql.catalyst.expressions.LeafExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

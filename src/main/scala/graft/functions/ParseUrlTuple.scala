@@ -34,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ParseUrlTuple(children: Seq[Expression])
     extends Generator with CodegenFallback {
 
+  // the reference rejects fewer than 2 args at analysis time
+  // (GenericUDTFParseUrlTuple.initialize: "takes at least two arguments")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.length < 2)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "parse_url_tuple takes at least two arguments: the url and one part name")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def elementSchema: StructType = StructType(
     children.indices.tail.map(i => StructField(s"c${i - 1}", StringType)))
 

@@ -130,9 +130,13 @@ object MatchPathSql {
       df = df.withColumn(s"__mp_sym_$i",
         coalesce(expr(ex).cast("boolean"), lit(false)))
     }
+    // structural partition key: JSON-encoded struct of the raw values,
+    // so multi-column keys cannot collide across boundaries
+    // (("ab","c") vs ("a","bc")) and NULL stays distinct from ""
     df = df.withColumn("__mp_key",
       if (partCols.nonEmpty)
-        concat_ws("", partCols.map(c => col(c.trim).cast("string")): _*)
+        coalesce(to_json(struct(partCols.map(c => col(c.trim)): _*)),
+          lit("null"))
       else lit(""))
     val cols = df.columns
     val keyIdx = cols.indexOf("__mp_key")

@@ -837,7 +837,17 @@ class HiveTimestampRangePeers extends Rule[LogicalPlan] {
   * by unwrapping the non-user to-string cast Spark inserted, folds the
   * reference's common type across branches, and re-casts the union
   * OUTPUT (keeping exprIds, so enclosing operators stay bound).
-  * Gated on graft.compat.hive.coercion — inert in engine sessions. */
+  * Gated on graft.compat.hive.coercion — inert in engine sessions.
+  *
+  * Pass-ordering invariant: re-aliasing with the SAME exprId but a
+  * changed dataType relies on no parent having already resolved
+  * references against the union's old string type when this rule
+  * fires. That holds in the compat session because the rule runs in
+  * the resolution batch, where a parent of a just-widened Union is
+  * re-resolved in the same fixed point; a pre-analyzed subtree spliced
+  * under a new parent (e.g. a resolved view) would instead need fresh
+  * exprIds via resolveOperatorsUpWithNewOutput, which no corpus or
+  * gate shape exercises — documenting rather than churning exprIds. */
 class HiveUnionWiden extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{Project, Union}
   import org.apache.spark.sql.catalyst.trees.TreeNodeTag

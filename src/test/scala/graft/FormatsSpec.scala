@@ -222,6 +222,35 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.count() == 100)
   }
 
+  test("skip.header/footer.line.count skip lines per FILE across a multi-file table") {
+    // HiveContextAwareRecordReader.java:304-336 skips header and footer
+    // lines of EACH file (the reference makes footer'd files
+    // unsplittable); two files must each lose their own header + 2
+    // footers, not 1+2 lines of the concatenated table
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdrftr")
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    put("f1.txt", "k\tv\na\t1\nb\t2\nfoot1\t0\nfoot2\t0\n")
+    put("f2.txt", "k\tv\nc\t3\nfoot1\t0\nfoot2\t0\n")
+    put("empty.txt", "")
+    val stmts = graft.compat.HiveDdl.translateStatements(
+      "CREATE EXTERNAL TABLE graft_hf (k STRING, v INT) ROW FORMAT " +
+        "DELIMITED FIELDS TERMINATED BY '\\t' LOCATION '" + dir + "' " +
+        "tblproperties ('skip.header.line.count'='1', " +
+        "'skip.footer.line.count'='2')",
+      Set.empty, Set.empty)
+    try {
+      stmts.foreach(spark.sql(_))
+      val rows = spark.sql("SELECT k, v FROM graft_hf ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(rows == Seq(("a", 1), ("b", 2), ("c", 3)))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS graft_hf")
+      spark.sql("DROP TABLE IF EXISTS graft_hf__lines")
+    }
+  }
+
   test("delimited text survives values containing the quote character") {
     import spark.implicits._
     val tricky = Seq((1L, "plain"), (2L, "has \"quotes\""), (3L, "comma, inside"),
