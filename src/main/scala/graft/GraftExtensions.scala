@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // std/variance(DISTINCT x) folded in the reference's ascending
     // single-reducer order — inert unless compat coercion is set
     ext.injectResolutionRule(_ => new plans.HiveDistinctVariance)
+    // GROUP BY / ORDER BY over MAP columns via map_entries — inert
+    // unless compat coercion is set
+    ext.injectResolutionRule(_ => new plans.HiveMapGroupOrder)
     // UNION branch widening to Hive's common class (string+double →
     // double) — inert unless graft.compat.hive.coercion is set
     ext.injectResolutionRule(_ => new plans.HiveUnionWiden)

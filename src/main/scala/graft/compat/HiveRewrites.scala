@@ -46,7 +46,11 @@ object HiveRewrites {
     apply(stmt, transformUnescape, "HIVE_SCRIPT_OPERATOR_ID")
 
   def apply(stmt: String, transformUnescape: Boolean,
-            scriptIdVar: String): String = {
+            scriptIdVar: String): String =
+    apply(stmt, transformUnescape, scriptIdVar, partialScriptOk = false)
+
+  def apply(stmt: String, transformUnescape: Boolean,
+            scriptIdVar: String, partialScriptOk: Boolean): String = {
     var s = stmt
     if (upper(s).contains("_UTF-8 0X")) s = utf8HexLiteral(s)
     if (upper(s).contains("GROUPING__ID")) s = hiveGroupingId(s)
@@ -59,7 +63,7 @@ object HiveRewrites {
       s = usingSingleQuotes(s)
       s = stripLazySerde(s)
       if (transformUnescape) s = transformUnescapeWrap(s)
-      val t = transformTabFormat(s, scriptIdVar)
+      val t = transformTabFormat(s, scriptIdVar, partialScriptOk)
       // the tab-format rewrite re-spells the command itself; only fall
       // back to the argv-only fix for the shapes it declined
       s = if (t == s) shellQuoteUsing(s) else t
@@ -393,7 +397,8 @@ object HiveRewrites {
   }
 
   private[compat] def transformTabFormat(stmt: String,
-      scriptIdVar: String = "HIVE_SCRIPT_OPERATOR_ID"): String = {
+      scriptIdVar: String = "HIVE_SCRIPT_OPERATOR_ID",
+      partialScriptOk: Boolean = false): String = {
     if ("(?is)\\btransform\\s*\\(".r.findFirstIn(stmt).isEmpty) return stmt
     val usings = UsingRe.findAllMatchIn(stmt).toList
     if (usings.isEmpty) return stmt
@@ -442,10 +447,18 @@ object HiveRewrites {
       // overridable via hive.script.operator.id.env.var)
       val opId = scriptOpIds.incrementAndGet()
       val envPrefix = s"export $scriptIdVar=$opId; "
+      // hive.exec.script.allow.partial.consumption=true: the reference
+      // tolerates a script that stops reading its input early
+      // (ScriptOperator's broken-pipe path under the conf;
+      // script_pipe's `head -n 1`); draining the remaining stdin after
+      // the script exits makes that deterministic here
+      val drain = if (partialScriptOk) "; cat > /dev/null 2>/dev/null" else ""
       val cmd =
-        if (restOfLine)
+        if (restOfLine && drain.isEmpty)
           "set -o pipefail; " + envPrefix + cmd0 + " | sed -e 's/\\t/\\x02/'"
-        else envPrefix + cmd0
+        else if (restOfLine) // group so the drain's exit, not the pipe, ends the stage
+          "set -o pipefail; " + envPrefix + "{ " + cmd0 + drain + " ; } | sed -e 's/\\t/\\x02/'"
+        else envPrefix + cmd0 + drain
       val outFmt =
         if (restOfLine) " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\u0002'"
         else Fmt

@@ -178,10 +178,12 @@ object QTestReplay {
           if (noHook.length != r0.length) noHook.dropWhile(_.isEmpty) else noHook
         }
         // trailing EMPTY lines are real rows (empty-string columns —
-        // udf_reverse's reverse('') rows); only the end-of-file
-        // split("\n") artifact is trimmed
+        // udf_reverse's reverse('') rows, the empty-varchar row of
+        // vector_orc_string_reader_empty_dict's FINAL block); only the
+        // end-of-file split("\n") artifact — exactly ONE empty element
+        // when the file ends with a newline — is trimmed
         val trimmed =
-          if (i >= n) r.reverse.dropWhile(_.isEmpty).reverse else r
+          if (i >= n && r.nonEmpty && r.last.isEmpty) r.dropRight(1) else r
         out += Block(qtype, q.result(), ins.result(), outs.result(), trimmed)
       } else i += 1
     }
@@ -647,14 +649,23 @@ object QTestReplay {
       } else blocks.map(_ => Nil)
     val localConf = scala.collection.mutable.Map.empty[String, String]
     val addedFiles = scala.collection.mutable.Map.empty[String, String]
+    // overriddenConfigurations mirror (insertion order, original-case
+    // values) — feeds the SetProcessor echo and verify-hook mirrors
+    val overridden = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val trailingCmds =
+      if (preCmds.exists(_.nonEmpty) && Files.exists(Paths.get(qPath)))
+        parseQTrailingCommands(
+          new String(Files.readAllBytes(Paths.get(qPath)), UTF_8))
+      else Seq.empty[String]
     val refDataRo = "/root/reference/data/files"
     var checked = 0
     var skipped = 0
     var nondet = 0
     val failures = Seq.newBuilder[String]
-    blocks.zip(preCmds).foreach { case (b, cmds) =>
+    blocks.zip(preCmds).zipWithIndex.foreach { case ((b, cmds), bi) =>
       cmds.foreach { c =>
         mirrorSetConf(spark, localConf, c)
+        trackSetCmd(c, localConf, overridden)
         registerAddFile(c, refDataRo, addedFiles)
       }
       if (skippable(b)) skipped += 1
@@ -668,7 +679,9 @@ object QTestReplay {
           val df = spark.sql(HiveRewrites(rewriteAnalyze(pushed),
             localConf.get("hive.transform.escape.input").contains("true"),
             spark.conf.get("graft.compat.script.id.var",
-              "HIVE_SCRIPT_OPERATOR_ID")))
+              "HIVE_SCRIPT_OPERATOR_ID"),
+            localConf.get("hive.exec.script.allow.partial.consumption")
+              .contains("true")))
           // hive.cli.print.header=true prepends a schema line to every
           // result block — presentation, not rows
           val expected0 =
@@ -696,12 +709,24 @@ object QTestReplay {
                 s"Has Distribute By: ${has("\\bdistribute\\s+by\\b")}",
                 s"Has Cluster By: ${has("\\bcluster\\s+by\\b")}") ++ got0
             } else got0
+          // VerifyOverriddenConfigsHook prints its allowlisted
+          // overridden confs BEFORE the rows; valueless `set <key>`
+          // commands after this statement echo key=value AFTER them —
+          // both mirrored from tracked conf state (QTestSource)
+          val hookLines =
+            if (localConf.get("hive.exec.post.hooks")
+                .exists(_.toLowerCase.contains("verifyoverriddenconfigshook")))
+              overriddenHookLines(overridden)
+            else Seq.empty
+          val echoTail = futureEchoes(
+            preCmds.lift(bi + 1).getOrElse(trailingCmds), localConf, overridden)
+          val gotEcho = hookLines ++ got ++ echoTail
           // the nondet downgrade covers WHICH rows an un-ORDERed
           // LIMIT/TABLESAMPLE picked, never HOW MANY: the row COUNT of a
           // deterministic query is pinned (min(limit, available)), so a
           // count mismatch is a real divergence, not emission order
           val wantRows = if (sortHash) expected0.size - 1 else expected0.size
-          diffRows(b.query, fileSorted, got, expected0, sortHash) match {
+          diffRows(b.query, fileSorted, gotEcho, expected0, sortHash) match {
             case None => checked += 1
             // multiset-equal ORDER divergence: both engines sort by the
             // same key semantics (binary strings, numeric, nulls-first
@@ -712,12 +737,12 @@ object QTestReplay {
               nondet += 1
             case Some(_)
                 if limitWithoutOrder(b.query) &&
-                  (got.size == wantRows || percentSample(b.query)) =>
+                  (gotEcho.size == wantRows || percentSample(b.query)) =>
               nondet += 1
-            case Some(_) if tieLimitPick(b.query, df.schema, got, expected0) =>
+            case Some(_) if tieLimitPick(b.query, df.schema, gotEcho, expected0) =>
               nondet += 1
             case Some(_)
-                if expected0.isEmpty && got.nonEmpty &&
+                if expected0.isEmpty && gotEcho.nonEmpty &&
                   "(?i)INPUT__FILE__NAME".r.findFirstIn(b.query).isDefined =>
               nondet += 1
             case Some(diff) =>
@@ -1110,10 +1135,15 @@ object QTestReplay {
             } catch { case e: Exception => fail(e) }
           case "ALTERTABLE_ADDPARTS" | "ALTERTABLE_DROPPARTS" =>
             // partitioned view-backed tables (header/footer line
-            // skipping) hold their partitions on the lines table
+            // skipping) hold their partitions on the lines table — but
+            // only while that lines table exists: a same-named
+            // re-CREATE through the csv lane (stats_noscan_2's second
+            // anaylyze_external) owns its partitions directly
             val retargetedAlter = "(?is)^(\\s*alter\\s+table\\s+)`?([\\w.]+)`?".r
               .replaceAllIn(stmt, m =>
-                if (viewBacked(m.group(2).toLowerCase))
+                if (viewBacked(m.group(2).toLowerCase) &&
+                    (try spark.catalog.tableExists(HiveDdl.linesTable(m.group(2)))
+                     catch { case _: Exception => false }))
                   java.util.regex.Matcher.quoteReplacement(
                     s"${m.group(1)}`${HiveDdl.linesTable(m.group(2))}`")
                 else java.util.regex.Matcher.quoteReplacement(m.matched))
@@ -1265,7 +1295,9 @@ object QTestReplay {
                     containerTables))), viewBackedCreates))), spark),
                 localConf.get("hive.transform.escape.input").contains("true"),
                 spark.conf.get("graft.compat.script.id.var",
-                  "HIVE_SCRIPT_OPERATOR_ID"))
+                  "HIVE_SCRIPT_OPERATOR_ID"),
+                localConf.get("hive.exec.script.allow.partial.consumption")
+                  .contains("true"))
               if (Files.exists(Paths.get("/tmp/qtest_debug")) &&
                   finalSql != stmt) {
                 println(s"[dbg] rewritten: ${oneLine(finalSql).take(400)}")

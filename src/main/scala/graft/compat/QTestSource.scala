@@ -91,6 +91,8 @@ private[compat] object QTestSource {
     }
     all.foreach { s =>
       if (s.toLowerCase.startsWith("dfs") ||
+          // `reset [-d] [keys...]` is conf state the echo mirror tracks
+          "(?is)^reset\\b".r.findFirstIn(s).isDefined ||
           "(?is)^(set|add\\s+file)\\s".r.findFirstIn(s).isDefined) pending += s
       else if (isCliCommand(s)) ()
       else { out += ((pending.result(), s)); pending = Seq.newBuilder[String] }
@@ -186,4 +188,89 @@ private[compat] object QTestSource {
         "(?<=['\"\\s])" + java.util.regex.Pattern.quote(base) + "(?=['\"\\s])",
         java.util.regex.Matcher.quoteReplacement(abs))
     }
+
+  // ------------------------------------------------------------------ //
+  // SetProcessor echo mirror: valueless `set <key>` commands print     //
+  // `key=value` into the surrounding block's committed output, and     //
+  // `reset [-d] [keys]` restores defaults. The replay reproduces the   //
+  // echoes from tracked conf state so the stray lines compare instead  //
+  // of failing the adjacent query block.                               //
+  // ------------------------------------------------------------------ //
+
+  /** HiveConf 2.1 defaults for the keys the corpus echoes after a
+    * `reset` (HiveConf.java:1365, 1371). */
+  private[compat] val EchoDefaults: Map[String, String] = Map(
+    "hive.skewjoin.key" -> "100000",
+    "hive.skewjoin.mapjoin.min.split" -> "33554432")
+
+  /** The post-exec hook's key allowlist
+    * (ql/hooks/VerifyOverriddenConfigsHook.java:40-43). */
+  private[compat] val OverriddenHookKeys: Set[String] = Set(
+    "mapred.job.tracker", "hive.exec.post.hooks",
+    "some.hive.config.doesnt.exit", "hive.exec.mode.local.auto")
+
+  /** Track one command's conf-state effect: `set k=v` records the
+    * ORIGINAL-case substituted value in insertion order (the session's
+    * overriddenConfigurations map the verify hook iterates); `reset`
+    * clears everything, `reset -d k...` the named keys. */
+  private[compat] def trackSetCmd(c: String,
+      localConf: scala.collection.mutable.Map[String, String],
+      overridden: scala.collection.mutable.LinkedHashMap[String, String]): Unit = {
+    val t = c.trim
+    if (t.toLowerCase.startsWith("reset")) {
+      val keys = t.split("\\s+").drop(1).filterNot(_.equalsIgnoreCase("-d"))
+        .map(_.toLowerCase)
+      if (keys.isEmpty) { localConf.clear(); overridden.clear() }
+      else keys.foreach { k => localConf.remove(k); overridden.remove(k); () }
+    } else if ("(?is)^set\\s".r.findFirstIn(t).isDefined) {
+      val kv = t.replaceFirst("(?is)^set\\s+", "").split("=", 2)
+      if (kv.length == 2)
+        overridden(kv(0).trim.toLowerCase) =
+          QTestStatements.substVars(kv(1).trim, localConf)
+    }
+  }
+
+  /** The echo lines the commands FOLLOWING a block appended to its
+    * committed output, computed against cloned conf state (the live
+    * trackers advance when the next block processes the same
+    * commands). Includes MapRedTask.java:124's observable side effect:
+    * under local-mode auto the reported job launcher address is the
+    * literal "local". */
+  private[compat] def futureEchoes(cmds: Seq[String],
+      localConf: scala.collection.Map[String, String],
+      overridden: scala.collection.mutable.LinkedHashMap[String, String]): Seq[String] = {
+    val conf = scala.collection.mutable.Map.empty[String, String] ++ localConf
+    val ovr = overridden.clone()
+    cmds.flatMap { c =>
+      val t = c.trim
+      val lower = t.toLowerCase
+      if (lower.startsWith("reset")) { trackSetCmd(t, conf, ovr); None }
+      else if ("(?is)^set\\s".r.findFirstIn(t).isDefined) {
+        val body = t.replaceFirst("(?is)^set\\s+", "").trim
+        if (body.contains("=")) {
+          val kv = body.split("=", 2)
+          val v = QTestStatements.substVars(kv(1).trim, conf)
+          conf(kv(0).trim.toLowerCase) = v.toLowerCase
+          ovr(kv(0).trim.toLowerCase) = v
+          None
+        } else {
+          val k = body.toLowerCase
+          val v =
+            if (k == "mapreduce.jobtracker.address" &&
+                conf.get("hive.exec.mode.local.auto").contains("true")) "local"
+            else ovr.get(k).orElse(conf.get(k)).orElse(EchoDefaults.get(k))
+              .getOrElse("")
+          Some(s"$body=$v")
+        }
+      } else None
+    }
+  }
+
+  /** VerifyOverriddenConfigsHook's per-query output: one line per
+    * tracked overridden key on its allowlist, in insertion order. */
+  private[compat] def overriddenHookLines(
+      overridden: scala.collection.mutable.LinkedHashMap[String, String]): Seq[String] =
+    overridden.iterator
+      .filter { case (k, _) => OverriddenHookKeys(k) }
+      .map { case (k, v) => s"Key: $k, Value: $v" }.toSeq
 }

@@ -640,6 +640,54 @@ class HiveDistinctVariance extends Rule[LogicalPlan] {
     }
 }
 
+/** GROUP BY / ORDER BY over MAP columns — legal in the reference
+  * (maps compare by their LazyBinary serialized bytes through
+  * ObjectInspectorUtils; groupby_complex_types* group and order on
+  * `MAP(key, value)`), rejected outright by Spark's analysis
+  * (maps are neither orderable nor groupable there). Rewritten onto
+  * `map_entries`: a map grouping expression groups by its entries
+  * array (same equivalence classes — entry order of the map
+  * constructor is deterministic), result occurrences rebuild the map
+  * via map_from_entries over the grouped entries, and a map sort key
+  * orders by the entries array (element-wise struct comparison =
+  * key-then-value, the byte order of LazyBinary's single-entry
+  * string maps; multi-entry maps with equal prefixes order by length
+  * both here and there). Gated on graft.compat.hive.coercion. */
+class HiveMapGroupOrder extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.compat.hive.coercion", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case agg: Aggregate
+          if agg.groupingExpressions.exists(e =>
+            e.resolved && e.dataType.isInstanceOf[MapType]) =>
+        val mapGroups = agg.groupingExpressions.filter(e =>
+          e.resolved && e.dataType.isInstanceOf[MapType])
+        val newGrouping = agg.groupingExpressions.map {
+          case g if g.resolved && g.dataType.isInstanceOf[MapType] => MapEntries(g)
+          case g => g
+        }
+        val newAggs = agg.aggregateExpressions.map { ae =>
+          ae.transformUp {
+            case e if mapGroups.exists(_.semanticEquals(e)) =>
+              MapFromEntries(MapEntries(e))
+          }.asInstanceOf[NamedExpression]
+        }
+        agg.copy(groupingExpressions = newGrouping,
+          aggregateExpressions = newAggs)
+      case sort: Sort
+          if sort.order.exists(o =>
+            o.child.resolved && o.child.dataType.isInstanceOf[MapType]) =>
+        sort.copy(order = sort.order.map { o =>
+          if (o.child.resolved && o.child.dataType.isInstanceOf[MapType])
+            o.copy(child = MapEntries(o.child))
+          else o
+        })
+    }
+}
+
 /** The reference's char(n) COMPARISON semantics under
   * `spark.sql.preserveCharVarcharTypeInfo=true` — gated on
   * `graft.compat.hive.char` (compat session only). HiveChar stores and
