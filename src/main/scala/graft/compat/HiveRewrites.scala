@@ -473,9 +473,21 @@ object HiveRewrites {
   }
 
   /** Plain LazySimpleSerDe TRANSFORM serde = the default row format. */
-  private[compat] def stripLazySerde(stmt: String): String =
-    ("(?is)row\\s+format\\s+serde\\s+'org\\.apache\\.hadoop\\.hive\\.serde2\\." +
+  private[compat] def stripLazySerde(stmt: String): String = {
+    val bare = ("(?is)row\\s+format\\s+serde\\s+'org\\.apache\\.hadoop\\.hive\\.serde2\\." +
       "lazy\\.LazySimpleSerDe'(?!\\s*with)").r.replaceAllIn(stmt, " ")
+    // the serde spelled WITH ('serialization.last.column.takes.rest'=
+    // 'true') [RECORDREADER 'BinaryRecordReader']: the single/last
+    // output column absorbs the whole line, separators included
+    // (binary_output_format's mydata carries the TAB) — a delimiter
+    // that never occurs in text keeps the line whole; the binary
+    // record reader round-trips through newline-split rows either way
+    ("(?is)row\\s+format\\s+serde\\s+'org\\.apache\\.hadoop\\.hive\\.serde2\\." +
+      "lazy\\.LazySimpleSerDe'\\s+with\\s+serdeproperties\\s*\\(\\s*" +
+      "'serialization\\.last\\.column\\.takes\\.rest'\\s*=\\s*'true'\\s*\\)" +
+      "(\\s+recordreader\\s+'[^']*')?").r
+      .replaceAllIn(bare, " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\\\u0000' ")
+  }
 
   /** `_UTF-8 0x<hex>` / `_<charset> 0x...` string literal. */
   private[compat] def utf8HexLiteral(stmt: String): String =

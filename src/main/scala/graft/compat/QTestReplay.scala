@@ -972,9 +972,12 @@ object QTestReplay {
     // CLUSTERED BY specs drive the physical TABLESAMPLE(BUCKET x OUT OF y)
     // rewrite; container formats (avro/rcfile/sequencefile) drive raw-file
     // LOAD ingestion through the vendored readers
-    val clusteredTables: Map[String, Seq[String]] = stmts.iterator
-      .flatMap(HiveDdl.clusteredColsOf(_))
-      .map { case (n, cs) => n.toLowerCase.split("\\.").last -> cs }.toMap
+    // bucket layouts are tracked AS THE FILE RUNS: a same-named
+    // re-CREATE may change the CLUSTERED BY columns mid-file
+    // (bucketsortoptimize_insert_4 rebuilds test_table3 three times
+    // with different bucket columns), so the TABLESAMPLE rewrite must
+    // see the layout in force at its statement, not a whole-file map
+    val clusteredNow = scala.collection.mutable.Map.empty[String, Seq[String]]
     val containerTables: Map[String, (String, Option[String])] = stmts.iterator
       .flatMap(s => HiveDdl.containerOf(s).flatMap(c =>
         HiveDdl.createdTable(s).map(_.toLowerCase -> c))).toMap
@@ -1088,6 +1091,9 @@ object QTestReplay {
           // an EXPLAIN'd DDL statement carries the DDL's own block type
           case _ if firstWord(stmt) == "explain" => skipped += 1
           case "CREATETABLE" | "CREATETABLE_AS_SELECT" =>
+            HiveDdl.clusteredColsOf(stmt).foreach { case (n, cs) =>
+              clusteredNow(n.toLowerCase.split("\\.").last) = cs
+            }
             try {
               likeTextCreate(spark, stmt, textTables) match {
                 case Some(sql) => spark.sql(sql)
@@ -1192,6 +1198,9 @@ object QTestReplay {
               case e: Exception => fail(e)
             }
           case "DROPVIEW" | "DROPTABLE" =>
+            "(?is)drop\\s+(?:table|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?".r
+              .findFirstMatchIn(stmt).map(_.group(1).toLowerCase)
+              .foreach(t => clusteredNow.remove(t.split("\\.").last))
             // a dropped view-backed table takes its lines table with it
             "(?is)drop\\s+(?:table|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?".r
               .findFirstMatchIn(stmt).map(_.group(1).toLowerCase)
@@ -1290,8 +1299,8 @@ object QTestReplay {
                         graft.operators.MatchPathSql.rewrite(spark,
                           virtualColumnRewrite(
                             TestMode.rewrite(spark, ojPushed, localConf,
-                              clusteredTables))),
-                        clusteredTables)),
+                              clusteredNow.toMap))),
+                        clusteredNow.toMap)),
                     containerTables))), viewBackedCreates))), spark),
                 localConf.get("hive.transform.escape.input").contains("true"),
                 spark.conf.get("graft.compat.script.id.var",
