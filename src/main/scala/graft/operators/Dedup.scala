@@ -99,9 +99,29 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Pin a small/sliver-sized intermediate that the downstream DAG
+    * references more than once. Without this, every reference re-plans
+    * the WHOLE upstream lineage as an independent subtree, and AQE's
+    * stage reuse does NOT collapse them: joins inject IsNotNull filters
+    * asymmetrically per consumer, so the duplicated scans canonicalize
+    * differently (measured r14: q65's final executed plan held 34
+    * separate parquet scans of `documents`, one per duplicated shingle
+    * lineage). A lazy localCheckpoint materializes the intermediate once
+    * (first action) and every consumer reads the pinned rows — the same
+    * mechanism [[connectedComponents]] has always used for its per-round
+    * labels. Pinned sets are sliver-sized (band index: docs x bands
+    * rows; candidate pairs; candidate shingles), never the corpus, so
+    * the storage cost is the same O(candidates) the CC edge pin already
+    * pays. Cluster deployments that need executor-loss tolerance swap
+    * this for reliable `checkpoint` exactly as [[connectedComponents]]'s
+    * checkpointDir parameter documents. */
+  private def pinSliver(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
   def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                     maxBucket: Int = 4096): DataFrame = {
-    val exploded = bandIndex(sigs, bands, rowsPerBand)
+    // pinned: referenced by stats, bounded (x2 via self-join) and starred —
+    // unpinned, each reference recomputes the FULL signature aggregation
+    val exploded = pinSliver(bandIndex(sigs, bands, rowsPerBand))
     val stats = exploded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"))
     val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
@@ -138,8 +158,11 @@ object Dedup {
     * carrying an `is_new` flag column — the shape to use when old and
     * new rows live in the same snapshot table (one aggregation lineage,
     * no union of two separately-shuffled halves). */
-  def incrementalCandidatesFlagged(all: DataFrame,
+  def incrementalCandidatesFlagged(allIdx: DataFrame,
                                    maxBucket: Int = 4096): DataFrame = {
+    // pinned: referenced by stats, boundedNew, boundedAll and starred
+    // (4 lineage copies of the full index build otherwise — see pinSliver)
+    val all = pinSliver(allIdx)
     val stats = all.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"),
            min(when(col("is_new"), col("doc_id"))).as("min_new_id"))
@@ -173,11 +196,17 @@ object Dedup {
     * pairs sharing no shingle — jac = 0 — are omitted instead of
     * left-outer-joined back in; `pairs` is then consumed twice, not three
     * times, which matters because callers pass it UNcached (see q65). */
-  def exactJaccard(pairs: DataFrame, shAll: DataFrame,
+  def exactJaccard(pairsIn: DataFrame, shAll: DataFrame,
                    keepZero: Boolean = true): DataFrame = {
+    // pinned: `pairs` is consumed by candDocs and inter (and the keepZero
+    // outer join) — unpinned, each consumer re-runs the whole candidate
+    // pipeline; `sh` is consumed by sizes/sa/sb — unpinned, each re-runs
+    // the corpus shingle explode. Both are candidate-sliver-sized.
+    val pairs = pinSliver(pairsIn)
     val candDocs = pairs
       .select(explode(array(col("ida"), col("idb"))).as("doc_id")).distinct()
-    val sh = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
+    val sh = pinSliver(
+      shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = pairs
       .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
@@ -188,9 +217,14 @@ object Dedup {
       if (keepZero)
         pairs.join(inter, Seq("ida", "idb"), "left_outer").na.fill(0L, Seq("inter"))
       else inter
+    // sizes is one row per CANDIDATE doc — bounded by 2x|pairs|, the same
+    // driver-sized contract candDocs (already broadcast) rides; explicit
+    // because the pinned `sh` carries no size statistics for the planner
     withInter
-      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("nsh", "na"), Seq("ida"))
-      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("nsh", "nb"), Seq("idb"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "ida")
+        .withColumnRenamed("nsh", "na")), Seq("ida"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "idb")
+        .withColumnRenamed("nsh", "nb")), Seq("idb"))
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
   }
 

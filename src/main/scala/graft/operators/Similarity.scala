@@ -243,6 +243,16 @@ object Similarity {
     val bits = transform(planes, p =>
       when(graft.functions.VectorOps.vector_dot(col("embedding"), p) >= 0,
         lit(1)).otherwise(lit(0)))
+    // Pinned (lazy localCheckpoint): rawBanded is consumed by stats, both
+    // self-join sides and the star path — 3+ lineage copies of the
+    // hyperplane-projection scan otherwise, which AQE's stage reuse does
+    // NOT collapse (join-injected IsNotNull filters canonicalize the
+    // copies differently; measured r14, same finding as Dedup.pinSliver).
+    // The pinned set is the band index (corpus x bands id/byte rows, the
+    // same sliver class Dedup.bandIndex pins), NOT the corpus: the
+    // embedding scan itself stays a native columnar FileScan, so the
+    // round-4 "RDD barrier on the gate path" regression (whole-plan
+    // codegen loss) cannot recur — PipelineSpec pins codegen survival.
     val rawBanded = emb.select(col("vec_id"), bits.as("bits"))
       .select(col("vec_id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -250,24 +260,35 @@ object Similarity {
             element_at(col("bits"), b * bitsPerBand + r + 1) * (1 << r)).reduce(_ + _).as("bv"))
       }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .localCheckpoint(false)
     // cap hot buckets like the MinHash path — a degenerate embedding
     // cluster (all-zeros, repeated vectors) would otherwise go quadratic.
     // Over-cap buckets emit a STAR around the bucket's min vec_id (linear)
     // instead of being dropped: members stay reachable and transitive
     // closure (Dedup.connectedComponents) recovers the clique.
+    // (band, bv) bucket stats are bounded by bands * 2^bitsPerBand rows
+    // (65,536 at the 16x8 default) at ANY corpus size, so broadcasting
+    // them is scale-safe BY CONSTRUCTION — and necessary post-pin: a
+    // localCheckpointed sliver has no size statistics (LogicalRDD
+    // reports defaultSizeInBytes), so the planner would otherwise demote
+    // these to shuffles of the full band index.
     val stats = rawBanded.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("bsz"), min(col("vec_id")).as("minid"))
     val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bv"))
-    val banded = rawBanded.join(okBuckets, Seq("band", "bv"), "left_semi")
+    val banded = rawBanded.join(broadcast(okBuckets), Seq("band", "bv"), "left_semi")
     val pairwise = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .where(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
     val starred = rawBanded
-      .join(stats.filter(col("bsz") > maxBucket).select(col("band"), col("bv"), col("minid")),
+      .join(broadcast(
+              stats.filter(col("bsz") > maxBucket)
+                .select(col("band"), col("bv"), col("minid"))),
             Seq("band", "bv"))
       .where(col("vec_id") =!= col("minid"))
       .select(col("minid").as("ida"), col("vec_id").as("idb"))
-    val candIds = pairwise.union(starred).distinct()
+    // pinned: candIds feeds two embedding joins; unpinned, each join side
+    // re-runs the whole banding + self-join pipeline
+    val candIds = pairwise.union(starred).distinct().localCheckpoint(false)
     val va = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
     candIds.join(va, Seq("ida")).join(vb, Seq("idb"))
