@@ -58,4 +58,37 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Scale-adaptive scan-parallelism recovery (optimization guide §2.5,
+    * "input skew: one huge unsplittable file"). The driver's fixture
+    * tables are single parquet files with ONE row group, so a scan —
+    * and every codegen stage fused onto it (explodes, partial
+    * aggregates, quality projections) — runs as ONE task regardless of
+    * `local[N]`. Repartitioning right after the read spreads that
+    * per-row compute across the session's parallelism.
+    *
+    * Scale safety: the repartition fires ONLY while the input is small
+    * — total scan bytes below shufflePartitions x maxPartitionBytes,
+    * i.e. exactly the regime where the file split count cannot reach
+    * the configured parallelism. At production scale (many files /
+    * row groups) the condition is false and this is a literal no-op —
+    * no shuffle is added. Both inputs are confs, not constants, so the
+    * driver's lower-core bench runs scale the decision with
+    * SPARK_GRAFT_CPUS.
+    *
+    * `keys` picks hash partitioning (deterministic row placement, no
+    * sort-before-repartition, and downstream groupBy/join on the same
+    * keys reuses the exchange); pass a high-cardinality column. With no
+    * keys it falls back to round-robin. Callers must not use it under
+    * order/partition-sensitive operators (sampling, input_file_name,
+    * monotonically_increasing_id) — every current call site feeds
+    * key-deterministic aggregates/joins only. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val p = conf.numShufflePartitions
+    val small = BigInt(p.toLong) * conf.filesMaxPartitionBytes
+    if (p > 1 && df.queryExecution.optimizedPlan.stats.sizeInBytes < small) {
+      if (keys.isEmpty) df.repartition(p) else df.repartition(p, keys: _*)
+    } else df
+  }
 }

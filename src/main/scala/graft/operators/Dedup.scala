@@ -35,7 +35,11 @@ object Dedup {
     // strings was tried and is ~1.5x SLOWER — xxhash64 inside a
     // higher-order transform lambda runs interpreted (boxed, no
     // codegen), while the post-explode xxhash64 below is codegen'd.
-    docs
+    // spread: the fixture corpus is one row group, so the shingle
+    // explode (the family's dominant per-row cost) would otherwise run
+    // on ONE task; hash-keyed by doc_id so the signature groupBy reuses
+    // the partitioning (no shingle-row shuffle). No-op at real scale.
+    Tables.spread(docs, col("doc_id"))
       .withColumn("ts", split(trim(col("text")), " +"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -646,7 +650,10 @@ object Dedup {
     * the span family — [[sharedSpans]] and [[spanContamination]] must
     * shingle identically or their runs silently diverge. */
   private def positionalShingles(docs: DataFrame, k: Int): DataFrame =
-    docs
+    // spread: same single-row-group rationale as shingleHashes — the
+    // positional shingle build is the span family's dominant per-row
+    // cost and must not run on one task. No-op at real scale.
+    Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
@@ -685,12 +692,23 @@ object Dedup {
     require(minRun >= k, s"minRun=$minRun below k=$k is undetectable: " +
       "the shortest observable run is one whole shingle")
     require(dfCap >= 2, s"dfCap=$dfCap < 2 drops every cross-doc shingle")
-    val sh = positionalShingles(docs, k)
-    val ok = sh.groupBy(col("sh"))
+    // ONE shingle lineage, shuffled by the join key once: the df-cap
+    // stats and BOTH self-join sides consume the same exchange
+    // (ReuseExchange collapses the identical subtrees), so the corpus
+    // pays one shingle build + one shuffle instead of three builds (the
+    // r13 plan re-ran the positional-shingle explode per consumer and
+    // double-computed the df aggregation). The cap side is inverted to
+    // broadcast the HOT set (df > cap — boilerplate shingles, a bounded
+    // sliver by the same argument as lshCandidates' over-cap buckets)
+    // with an anti-join, instead of semi-joining against the
+    // corpus-sized ok set (which the planner had to broadcast — fine at
+    // test scale, lethal at 100 TB).
+    val sh = positionalShingles(docs, k).repartition(col("sh"))
+    val hot = sh.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= dfCap)
+      .filter(col("df") > dfCap)
       .select(col("sh"))
-    val bounded = sh.join(ok, Seq("sh"), "left_semi")
+    val bounded = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     val matches = bounded.as("x").join(bounded.as("y"), Seq("sh"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),

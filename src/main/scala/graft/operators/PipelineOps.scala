@@ -390,7 +390,7 @@ object PipelineOps {
     * transform over sequence, no shuffle), then scrubbed at df >= 3.
     * Non-vacuous at sf0.01: 47 distinct boilerplate lines hit 500 docs. */
   val q265_line_boilerplate: Q = (s, d) => {
-    val reflow = Tables.documents(s, d)
+    val reflow = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"),
         posexplode(expr(

@@ -253,7 +253,15 @@ object Similarity {
     // embedding scan itself stays a native columnar FileScan, so the
     // round-4 "RDD barrier on the gate path" regression (whole-plan
     // codegen loss) cannot recur — PipelineSpec pins codegen survival.
-    val rawBanded = emb.select(col("vec_id"), bits.as("bits"))
+    // spread: the fixture embedding table is one row group, so the
+    // hyperplane projection would run on ONE task (§2.5 input skew);
+    // no-op at real scale. Keyed by vec_id so the verify joins below
+    // see deterministic placement.
+    // spread: the fixture embedding table is one row group, so the
+    // hyperplane projection would run on ONE task (§2.5 input skew);
+    // no-op at real scale (Tables.spread).
+    val rawBanded = graft.Tables.spread(emb, col("vec_id"))
+      .select(col("vec_id"), bits.as("bits"))
       .select(col("vec_id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           (0 until bitsPerBand).map(r =>

@@ -93,7 +93,7 @@ object TextAnalysis {
     val ndigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
     val nstop = hitCount(toks, stopwords("en")).cast("double")
     val ntok = size(toks).cast("double")
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(
         col("doc_id"), col("lang"),
         nchars.as("n_chars_t"),
@@ -164,7 +164,9 @@ object TextAnalysis {
     val k1 = 1.2
     val b = 0.75
     val toks = split(trim(col("text")), " +")
-    val proj = Tables.documents(s, d).select(
+    // spread-safe: avgdl sums integer-valued doubles (token counts), so
+    // partition order cannot move its bits
+    val proj = Tables.spread(Tables.documents(s, d), col("doc_id")).select(
       Seq(col("doc_id"), size(toks).cast("double").as("dl")) ++
         terms.map(t =>
           size(filter(toks, x => x === lit(t))).cast("double").as(s"tf_$t")): _*)
@@ -361,13 +363,14 @@ object TextAnalysis {
     * are integer-exact; the single ratio division is one IEEE op, safe
     * for the bit-exact oracle. */
   val q198_token_rarity: Q = (s, d) => {
-    val tokens = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val tokens = docs
       .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("tok"))
     val counts = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     // corpus token total from the doc-level sizes — same number as
     // sum(cnt) but computed WITHOUT re-exploding the token stream, so the
     // vocab-count subtree runs once (PlanSpec pins the shuffle budget)
-    val total = Tables.documents(s, d)
+    val total = docs
       .agg(sum(size(split(trim(col("text")), " +"))).as("total"))
     val flagged = counts.crossJoin(broadcast(total))
       .select(col("tok"), col("cnt"), (col("cnt") * 500 < col("total")).as("is_rare"))
@@ -467,7 +470,7 @@ object TextAnalysis {
     * two adjacent ones, so even if the interpolated bits differ the keep
     * decisions are identical. */
   val q232_quality_gate: Q = (s, d) => {
-    val scored = Tables.documents(s, d)
+    val scored = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("source"), round(qualityExpr, 6).as("quality"))
     val thr = scored.groupBy(col("source"))
       .agg(expr("percentile(quality, 0.5)").as("thr"))
@@ -564,7 +567,7 @@ object TextAnalysis {
     val rEllipsis = lit(10) * nEllLines < lit(3) * nLines
     val rAlpha = lit(10) * nAlphaWords >= lit(8) * nWords
     val rStop = stopKinds >= 2
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), nWords.as("n_words"),
         rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
         rSymbol.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),

@@ -65,7 +65,9 @@ object TpcdsShapes {
     * Expand pass. Dims broadcast; the rollup replicates only grouping
     * columns, not the fact payload. */
   val q139_ds_rollup_report: Q = (s, d) => {
-    Tables.lineitem(s, d)
+    // spread: one-row-group fixture — the broadcast-join probes +
+    // Expand + partial agg otherwise run on ONE task (no-op at scale)
+    Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
