@@ -220,13 +220,21 @@ object Versioned {
     // a key-only table is a legitimate CDC input (insert/delete lanes only)
     val changed = attrs.map(a => !(col(s"__f_$a") <=> col(s"__t_$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    def side(cond: Column, prefix: String, tpe: String) =
-      j.where(cond).select(
-        lit(tpe).as("_change_type") +: cols.map(c => col(s"$prefix$c").as(c)): _*)
-    side(!inFrom && inTo, "__t_", "insert")
-      .unionByName(side(inFrom && !inTo, "__f_", "delete"))
-      .unionByName(side(inFrom && inTo && changed, "__f_", "update_preimage"))
-      .unionByName(side(inFrom && inTo && changed, "__t_", "update_postimage"))
+    // ONE pass over the joined rows: the lane-per-filter spelling ran
+    // the full-outer join once per lane (4x — the scan/shuffle of both
+    // snapshots quadrupled); explode of a per-row lane array keeps the
+    // exact same rows out of a single join execution. Unchanged matched
+    // rows emit an empty array and vanish.
+    def row(tpe: String, prefix: String) =
+      struct(lit(tpe).as("_change_type") +:
+        cols.map(c => col(s"$prefix$c").as(c)): _*)
+    val lanes =
+      when(!inFrom && inTo, array(row("insert", "__t_")))
+        .when(inFrom && !inTo, array(row("delete", "__f_")))
+        .otherwise(array(row("update_preimage", "__f_"),
+                         row("update_postimage", "__t_")))
+    j.where(!inFrom || !inTo || changed) // unchanged matches emit nothing
+      .select(explode(lanes).as("r")).select(col("r.*"))
   }
 
   /** Consumer side of the change feed: apply a [[diff]]-format change

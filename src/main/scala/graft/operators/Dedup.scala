@@ -123,20 +123,29 @@ object Dedup {
 
   def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                     maxBucket: Int = 4096): DataFrame = {
-    // pinned: referenced by stats, bounded (x2 via self-join) and starred —
+    // Bucket size + min computed as a WINDOW over (band, bh) inside the
+    // pinned intermediate, not as a separate stats aggregation joined
+    // back: the old shape paid a stats shuffle plus a semi-join per
+    // self-join side plus a star join — three joins whose both sides
+    // descend from a pinned RDD with no size statistics, so none could
+    // broadcast. The window is one shuffle in the pin job, and every
+    // consumer (both self-join sides, the star filter) is a plain
+    // filter over the pinned rows. Skew exposure is unchanged: a hot
+    // (band, bh) bucket landed in one task under the old stats/join
+    // shuffles exactly as it does under the window partition.
+    // Pinned: referenced by both self-join sides and starred —
     // unpinned, each reference recomputes the FULL signature aggregation
-    val exploded = pinSliver(bandIndex(sigs, bands, rowsPerBand))
-    val stats = exploded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"))
-    val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
-    val bounded = exploded.join(okBuckets, Seq("band", "bh"), "left_semi")
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val sized = pinSliver(bandIndex(sigs, bands, rowsPerBand)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("minid", min(col("doc_id")).over(w)))
+    val bounded = sized.filter(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bh"))
     val pairwise = bounded.as("x").join(bounded.as("y"), Seq("band", "bh"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-    val starred = exploded
-      .join(stats.filter(col("bsz") > maxBucket).select(col("band"), col("bh"), col("minid")),
-            Seq("band", "bh"))
-      .where(col("doc_id") =!= col("minid"))
+    val starred = sized
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("minid"))
       .select(col("minid").as("ida"), col("doc_id").as("idb"))
     pairwise.union(starred).distinct()
   }
@@ -164,28 +173,27 @@ object Dedup {
     * no union of two separately-shuffled halves). */
   def incrementalCandidatesFlagged(allIdx: DataFrame,
                                    maxBucket: Int = 4096): DataFrame = {
-    // pinned: referenced by stats, boundedNew, boundedAll and starred
-    // (4 lineage copies of the full index build otherwise — see pinSliver)
-    val all = pinSliver(allIdx)
-    val stats = all.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("minid"),
-           min(when(col("is_new"), col("doc_id"))).as("min_new_id"))
-    val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
-    val boundedNew = all.filter(col("is_new"))
+    // Same window-over-(band, bh) shape as [[lshCandidates]] (see the
+    // rationale there): bucket size, bucket min and the min NEW member
+    // ride the pinned rows, so the old stats shuffle, both semi-joins
+    // and the star join all collapse into filters over the pin.
+    // Pinned: referenced by both pairwise sides and starred.
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val sized = pinSliver(allIdx
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("minid", min(col("doc_id")).over(w))
+      .withColumn("min_new_id", min(when(col("is_new"), col("doc_id"))).over(w)))
+    val boundedNew = sized.filter(col("bsz") <= maxBucket && col("is_new"))
       .select(col("doc_id"), col("band"), col("bh"))
-      .join(okBuckets, Seq("band", "bh"), "left_semi")
-    val boundedAll = all.select(col("doc_id"), col("band"), col("bh"))
-      .join(okBuckets, Seq("band", "bh"), "left_semi")
+    val boundedAll = sized.filter(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bh"))
     val pairwise = boundedNew.as("x").join(boundedAll.as("y"), Seq("band", "bh"))
       .where(col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("ida"),
               greatest(col("x.doc_id"), col("y.doc_id")).as("idb"))
-    val starred = all
-      .join(stats.filter(col("bsz") > maxBucket)
-              .select(col("band"), col("bh"), col("minid"), col("min_new_id")),
-            Seq("band", "bh"))
-      .where(col("doc_id") =!= col("minid") &&
-             (col("is_new") || col("minid") === col("min_new_id")))
+    val starred = sized
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("minid") &&
+              (col("is_new") || col("minid") === col("min_new_id")))
       .select(col("minid").as("ida"), col("doc_id").as("idb"))
     pairwise.union(starred).distinct()
   }
