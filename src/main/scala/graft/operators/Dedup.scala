@@ -711,7 +711,19 @@ object Dedup {
     // with an anti-join, instead of semi-joining against the
     // corpus-sized ok set (which the planner had to broadcast — fine at
     // test scale, lethal at 100 TB).
-    val sh = positionalShingles(docs, k).repartition(col("sh"))
+    // explicit isnotnull on the join/compare keys BEFORE the exchange:
+    // the inner self-join infers IsNotNull(sh) (equi key) and
+    // IsNotNull(doc_id) (from x.doc_id < y.doc_id) into both of its
+    // sides but not into the stats side, so the three
+    // otherwise-identical exchange subtrees canonicalize differently
+    // and AQE stage reuse collapses only two of them (the q65 pin
+    // finding, solved here without a pin: neither column is ever null —
+    // xxhash64 of a non-null string, scan doc_id — so the filters are
+    // semantically free and every consumer's lineage now matches
+    // bit-for-bit)
+    val sh = positionalShingles(docs, k)
+      .where(col("sh").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("sh"))
     val hot = sh.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap)

@@ -297,10 +297,22 @@ object Similarity {
     // pinned: candIds feeds two embedding joins; unpinned, each join side
     // re-runs the whole banding + self-join pipeline
     val candIds = pairwise.union(starred).distinct().localCheckpoint(false)
-    val va = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
-    val vb = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    // Per-VECTOR norms computed once on the join sides instead of per
+    // PAIR inside cosine(): the verify set is the hot path (the 8-bit
+    // band space saturates on dense corpora, so candidates are many),
+    // and cosine's spelling re-derives sqrt(dot(v, v)) for both sides
+    // of every pair — 3 dot products per pair where 1 suffices. The
+    // score is bit-identical: dot/(na*nb) with na = sqrt(dot(a, a)) is
+    // the same IEEE expression tree cosine() evaluates, factored.
+    def norm(e: Column) = sqrt(graft.functions.VectorOps.vector_dot(e, e))
+    val va = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+                        norm(col("embedding")).as("na"))
+    val vb = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+                        norm(col("embedding")).as("nb"))
     candIds.join(va, Seq("ida")).join(vb, Seq("idb"))
-      .withColumn("score", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("score", round(
+        graft.functions.VectorOps.vector_dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6))
       .filter(col("score") >= threshold)
       .select(col("ida"), col("idb"), col("score"))
   }

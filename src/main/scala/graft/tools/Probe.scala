@@ -33,8 +33,28 @@ object Probe {
       println(f"[probe] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     if (showPlan) {
+      // the noop write runs its own QueryExecution, so `last.queryExecution`
+      // never executes (and would print the pre-AQE plan); capture the
+      // write's POST-execution plan — ReusedExchange/AQEShuffleRead visible —
+      // via a listener on the final pass
+      val captured = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          captured.set(qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      noop(SparkEntry.queries(name)(spark, sfDir))
+      // listener delivery is async; poll briefly for the capture
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (captured.get.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      spark.listenerManager.unregister(listener)
       println("[probe] ===== final executed plan =====")
-      println(last.queryExecution.executedPlan.toString)
+      println(captured.get)
     }
     spark.stop()
   }
