@@ -104,6 +104,54 @@ object Versioned {
     else spark.read.parquet(versionPath(base, v).toString)
   }
 
+  /** The version directory of `v` iff it is a committed FULL snapshot
+    * (not a delta) — the precondition for file-level copies (replication
+    * bootstrap): a delta head is only meaningful merged, so callers must
+    * fall back to the compute path. */
+  def fullSnapshotDir(spark: SparkSession, base: String, v: Int): Option[Path] = {
+    val f = fs(spark, base)
+    val dir = versionPath(base, v)
+    if (versions(spark, base).contains(v) && !f.exists(new Path(dir, DeltaMarker)))
+      Some(dir)
+    else None
+  }
+
+  /** Commit an already-encoded parquet snapshot by FILE COPY (the
+    * reference's IMPORT path — FileUtils-level data movement, no
+    * decode/re-encode of every row): copies `srcDir`'s data files into
+    * the next version directory under the usual lock + marker protocol.
+    * Caller guarantees the files are a complete, committed snapshot
+    * (e.g. a replication bootstrap dump). */
+  def commitFiles(spark: SparkSession, base: String, srcDir: Path): Int = {
+    graft.security.AccessPolicies.check(spark, base, "INSERT")
+    withVersionLock(spark, base) {
+      val f = fs(spark, base)
+      val next = currentVersion(spark, base).getOrElse(0) + 1
+      val dir = versionPath(base, next)
+      f.delete(dir, true)
+      f.mkdirs(dir)
+      copyDataFiles(spark, srcDir, dir)
+      f.create(new Path(dir, Marker), false).close() // THE commit point
+      next
+    }
+  }
+
+  /** Copy the parquet data files of `from` into `to` (markers/sidecars
+    * and _SUCCESS excluded). */
+  def copyDataFiles(spark: SparkSession, from: Path, to: Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = from.getFileSystem(conf)
+    val dstFs = to.getFileSystem(conf)
+    srcFs.listStatus(from).filter { st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    }.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, st.getPath, dstFs, new Path(to, st.getPath.getName),
+        false, true, conf)
+    }
+  }
+
   /** Commit `df` as the next version and return its number. The data is
     * fully written before the marker lands, so readers never see a
     * partial snapshot. Serialized against other writers by the same

@@ -86,8 +86,20 @@ object Replication {
     fs.mkdirs(out)
 
     if (from == 0) {
-      Versioned.read(spark, srcBase, Some(last))
-        .write.mode(SaveMode.Overwrite).parquet(new Path(out, DataDir).toString)
+      // bootstrap: FILE COPY of the head snapshot when it is a full
+      // version (the reference's EXPORT moves files, it does not
+      // re-encode rows — and at 100 TB the decode+encode of every row
+      // is the dominant bootstrap cost). A delta head has no standalone
+      // file form, so it falls back to the computed merge.
+      Versioned.fullSnapshotDir(spark, srcBase, last) match {
+        case Some(dir) =>
+          val dataDir = new Path(out, DataDir)
+          fs.mkdirs(dataDir)
+          Versioned.copyDataFiles(spark, dir, dataDir)
+        case None =>
+          Versioned.read(spark, srcBase, Some(last))
+            .write.mode(SaveMode.Overwrite).parquet(new Path(out, DataDir).toString)
+      }
     } else if (from < last) {
       Versioned.diff(spark, srcBase, from, last, keys)
         .write.mode(SaveMode.Overwrite).parquet(new Path(out, EventsDir).toString)
@@ -154,8 +166,9 @@ object Replication {
               throw new ReplGapException(
                 s"$destBase has committed versions but no replication state; " +
                   "refusing to bootstrap over a non-replica table")
-            val df = spark.read.parquet(new Path(dump, DataDir).toString)
-            Versioned.commit(spark, destBase, df)
+            // bootstrap load: file copy (IMPORT semantics) — the dump's
+            // data dir is already a complete parquet snapshot
+            Versioned.commitFiles(spark, destBase, new Path(dump, DataDir))
             writeState(spark, destBase, info.lastId)
             info.lastId
         }

@@ -407,9 +407,18 @@ object Dedup {
     * shingle, per-shingle work bounded by maxDf^2, one pair-keyed agg. */
   def containmentPairs(docs: DataFrame, minShared: Long = 3L,
                        minContainment: Double = 0.5, maxDf: Long = 64L): DataFrame = {
-    val sh = shingles(docs)
-    val dfCounts = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val keep = sh.join(dfCounts.filter(col("df") <= maxDf).select(col("sh")), Seq("sh"))
+    // Same single-lineage discipline as [[sharedSpans]]: ONE distinct
+    // shingle build shuffled by the join key, the df cap as a window
+    // over it (no stats join-back), explicit isnotnull on the keys so
+    // the self-join's inferred filters cannot de-canonicalize the
+    // shared exchange subtrees (AQE stage reuse then collapses them).
+    val w = Window.partitionBy(col("sh"))
+    val keep = shingles(docs)
+      .where(col("sh").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("sh"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("sh"))
     val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = keep.as("a")
       .join(keep.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
