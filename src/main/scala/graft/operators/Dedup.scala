@@ -307,26 +307,34 @@ object Dedup {
     * scale-up. */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
                    maxBucket: Int = 4096): DataFrame = {
-    val raw = sig.select(col("doc_id"), col("simhash"),
+    // Bucket size + min as a WINDOW over (band, bv) inside a pinned band
+    // index — the [[lshCandidates]] restructure: the old shape re-ran the
+    // 64-vote signature aggregation once per consumer (stats, both
+    // self-join sides, the star join — four full lineages) and paid a
+    // stats shuffle plus two joins on top. The window is one shuffle in
+    // the pin job; every consumer is a filter over the pinned rows, and
+    // the pin carries the child's size estimate (the sliver-sized band
+    // index), so the planner picks the join strategy from real numbers —
+    // broadcast at bench scale, shuffle at corpus scale.
+    // min(struct(doc_id, simhash)) orders by doc_id first, so `mn` is the
+    // bucket's min member WITH its signature — the star pairs need both.
+    // Skew exposure unchanged.
+    val w = Window.partitionBy(col("band"), col("bv"))
+    val sized = pinSliver(sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 8).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
               col("bb.band").as("band"), col("bb.bv").as("bv"))
-    // min(struct(doc_id, simhash)) orders by doc_id first, so `mn` is the
-    // bucket's min member WITH its signature — the star pairs need both
-    val stats = raw.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bsz"),
-           min(struct(col("doc_id"), col("simhash"))).as("mn"))
-    val okBuckets = stats.filter(col("bsz") <= maxBucket).select(col("band"), col("bv"))
-    val banded = raw.join(okBuckets, Seq("band", "bv"), "left_semi")
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("mn", min(struct(col("doc_id"), col("simhash"))).over(w)))
+    val banded = sized.filter(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("simhash"), col("band"), col("bv"))
     val pairwise = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-    val starred = raw
-      .join(stats.filter(col("bsz") > maxBucket).select(col("band"), col("bv"), col("mn")),
-            Seq("band", "bv"))
-      .where(col("doc_id") =!= col("mn.doc_id"))
+    val starred = sized
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("mn.doc_id"))
       .select(col("mn.doc_id").as("ida"), col("doc_id").as("idb"),
         bit_count(col("mn.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
     pairwise.union(starred)

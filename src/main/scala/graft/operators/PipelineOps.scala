@@ -92,30 +92,42 @@ object PipelineOps {
   }
 
   /** Gopher-style repetition signals per document: duplicate-unigram
-    * ratio, top-token share, duplicate-bigram ratio. Two explode+agg
-    * passes keyed by doc_id (high cardinality, partial aggregation
-    * map-side) joined on doc_id — repetition is the strongest cheap
-    * quality signal for web-scale corpora after raw length. */
+    * ratio, top-token share, duplicate-bigram ratio. Every signal is a
+    * function of ONE document's own token array, so the whole row is a
+    * scan-side projection — no explode, no shuffle, no join (the r14
+    * shape paid two explode+double-aggregation lanes joined on doc_id:
+    * four exchanges for per-row arithmetic; guide §2.4 "remove shuffles
+    * outright"). ntok/ndistinct/nbg/nbgd come from size/array_distinct;
+    * the top-token count is a fold over the SORTED token array (max run
+    * of equal neighbors == max multiplicity — same integers the old
+    * groupBy counted, so the rounded doubles are bit-identical). The
+    * only ordering is the presentation ORDER BY. Docs with < 2 tokens
+    * are excluded exactly as before (the bigram lane's filter, which the
+    * old inner join propagated to the whole row). spread: per-row work
+    * (sort + distinct over the token array) dominates on the
+    * single-row-group fixture (§2.5); no-op at real scale. */
   val q134_repetition: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), " +")).as("tok"))
-    val uni = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("double").as("ntok"),
-        count(lit(1)).cast("double").as("ndistinct"),
-        max(col("c")).cast("double").as("topcnt"))
-    val bi = docs
+    val docs = Tables.spread(Tables.documents(s, d), col("doc_id"))
+    val topcnt = expr(
+      """aggregate(
+        |  array_sort(ts),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+        |    'mx', GREATEST(acc.mx, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.mx)""".stripMargin)
+    docs
       .withColumn("ts", split(trim(col("text")), " +"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))"))
-        .as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("double").as("nbg"),
-        count(lit(1)).cast("double").as("nbgd"))
-    uni.join(bi, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("double").as("ntok"),
+        size(array_distinct(col("ts"))).cast("double").as("ndistinct"),
+        topcnt.cast("double").as("topcnt"),
+        (size(col("ts")) - 1).cast("double").as("nbg"),
+        size(array_distinct(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))")))
+          .cast("double").as("nbgd"))
       .select(col("doc_id"),
         round(lit(1.0) - col("ndistinct") / col("ntok"), 6).as("dup_unigram_ratio"),
         round(col("topcnt") / col("ntok"), 6).as("top_token_share"),
