@@ -665,15 +665,29 @@ object Dedup {
     * span. Both scale-shaped; nothing is ever collected.
     */
   /** (doc_id, pos, sh): every k-token shingle of every document with its
-    * 1-based start offset, keyed by the shingle's xxhash64 — an 8-byte
+    * 1-based start offset, keyed by a 64-bit shingle hash — an 8-byte
     * join/shuffle key instead of a ~10k-char-wide string (the difference
     * between shuffling the corpus once and shuffling it several times
-    * over at 100 TB). A 64-bit collision can only fabricate an isolated
-    * 1-shingle island (run = k < minRun) unless k*2^-64-probability
-    * events chain — and the DuckDB oracle, which matches shingle STRINGS,
-    * would flag any pair it ever invented. The single source of truth for
-    * the span family — [[sharedSpans]] and [[spanContamination]] must
-    * shingle identically or their runs silently diverge. */
+    * over at 100 TB). `sh` is used ONLY for equality (df stats, the
+    * anti-join, the self-join): no downstream result reads its value, so
+    * the key is the chained multi-arg `xxhash64(tok_i, …, tok_{i+k-1})`
+    * over the k tokens in place — equal tuples collide by construction
+    * (split on " +" yields space-free tokens, so this has exactly the
+    * equality classes of hashing the joined string) and the offsets are
+    * exploded directly, skipping the per-shingle slice-array +
+    * concat_ws-string allocation the old shape paid inside the HOF
+    * (measured r15: single-query probe steady q216 1.39 → 0.76 s, q215
+    * 1.80 → 1.65 s; in the warm bench session every pass flat-or-faster,
+    * cold pass −0.2/−0.4 s — the win is allocation-bound, so it grows
+    * with corpus bytes. The hash itself stays post-explode where
+    * whole-stage codegen fuses it; the r13 in-HOF hash variant was the
+    * slow one).
+    * A 64-bit collision can only fabricate an isolated 1-shingle island
+    * (run = k < minRun) unless k*2^-64-probability events chain — and
+    * the DuckDB oracle, which matches shingle STRINGS, would flag any
+    * pair it ever invented. The single source of truth for the span
+    * family — [[sharedSpans]] and [[spanContamination]] must shingle
+    * identically or their runs silently diverge. */
   private def positionalShingles(docs: DataFrame, k: Int): DataFrame =
     // spread: same single-row-group rationale as shingleHashes — the
     // positional shingle build is the span family's dominant per-row
@@ -681,10 +695,11 @@ object Dedup {
     Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as(Seq("off", "s")))
-      .select(col("doc_id"), (col("off") + 1).as("pos"), xxhash64(col("s")).as("sh"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until k).map(j =>
+          element_at(col("toks"), col("pos") + j)): _*).as("sh"))
 
   /** Maximal islands of consecutive `pa` per (left, right, diag), then
     * per-pair max-run/span-count — the shared tail of the span family. */
